@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The relational core from SURVEY.md §2.2–§2.5, re-expressed Spark-first over
+  * the driver's TPC-H-ish tables: record_when filters, ordered mapping chains
+  * (`@out` = later projections reading earlier ones), conditional mappings,
+  * required/default, lookup joins (broadcast), finalize sort/offset/limit,
+  * aggregation, and top-k.
+  *
+  * Oracle-parity rules used throughout this codebase:
+  *   - per-row double arithmetic is IEEE-deterministic → safe to compare.
+  *   - SUM/AVG over doubles is ordering-sensitive → aggregate in DECIMAL
+  *     (exact), cast the final value to DOUBLE (deterministic conversion).
+  *   - outputs are only string/long/int/double columns (no raw timestamps or
+  *     decimals, whose parquet encodings differ between engines).
+  *   - every query ends in a deterministic total ORDER BY.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** `record_when` per-record predicate + projection + strict int cast.
+    * Reference: filter before mappings (transform.rs:1065-1091). The filter
+    * sits directly on the scan → Catalyst pushes it into parquet. */
+  def recordWhen(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast(LongType).as("linenumber"),
+        col("l_quantity").cast(LongType).as("qty"))
+      .orderBy("l_orderkey", "linenumber")
+
+  /** Ordered mapping chain: later mappings read earlier results (`@out`
+    * visibility, transform.rs:382-410) — here as a projection chain Catalyst
+    * collapses into one stage. */
+  def mappingChain(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("linenumber"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .withColumn("gross", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .withColumn("net", col("gross") * (lit(1.0) + col("l_tax")))
+      .withColumn("margin", col("net") - col("l_extendedprice"))
+      .select("l_orderkey", "linenumber", "gross", "net", "margin")
+      .orderBy("l_orderkey", "linenumber")
+  }
+
+  /** Conditional mapping (`when`, transform.rs:1041-1063) + default handling
+    * (`required`/`default`, transform.rs:1006-1032) as when/otherwise +
+    * coalesce. */
+  def whenDefault(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("other").as("status_label"),
+        coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")), lit("default-prio"))
+          .as("prio_or_default"),
+        when(col("o_totalprice") > 100000.0, col("o_totalprice")).as("big_price"))
+      .orderBy("o_orderkey")
+
+  /** Cross-record aggregation (TPC-H Q1 shape): map-side partial aggregation,
+    * one shuffle on the (low-cardinality) group keys. Decimal-exact sums. */
+  def agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val d182 = DecimalType(18, 2)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(d182)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(d182)).cast(DoubleType).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(d182) * (lit(1).cast(d182) - col("l_discount").cast(d182)))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(col("l_quantity").cast(d182)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** `lookup` (SURVEY §2.3): equi-join against a small dimension — the
+    * reference scans a broadcast-style in-memory context (O(n·m)); here it is
+    * an explicit broadcast hash join: no shuffle of the fact side. */
+  def lookup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_name", "p_brand")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("linenumber"),
+        col("p_name"), col("p_brand"), col("l_quantity").cast(LongType).as("qty"))
+      .orderBy("l_orderkey", "linenumber")
+  }
+
+  /** `lookup_first` (first match only, transform.rs:2871-2873): first
+    * lineitem per order — row_number over a window, keep rank 1. */
+  def lookupFirst(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data — order
+    // by enough columns to make "first" deterministic on both engines.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("first_partkey"),
+        col("l_extendedprice").as("first_price"))
+      .orderBy("l_orderkey")
+  }
+
+  /** finalize.sort + offset + limit (transform.rs:646-705): global total
+    * order with a deterministic tie-break, then pagination. */
+  def sortLimitOffset(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(10).limit(20)
+
+  /** finalize sort+limit = top-k, per group: the scalable form of the
+    * reference's sort_by+take (rank within partition, no global sort). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_partkey").asc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_suppkey"), col("rank").cast(LongType).as("rank"),
+        col("l_orderkey"), col("l_extendedprice"))
+      .orderBy("l_suppkey", "rank")
+  }
+
+  /** `unique` at cross-record scale: distinct over the group keys (the
+    * reference's unique is O(n²) string-coerced, transform.rs:3791-3828;
+    * Spark's is a hash aggregate). */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val queries: Map[String, Q] = Map(
+    "q_record_when"      -> (recordWhen _),
+    "q_mapping_chain"    -> (mappingChain _),
+    "q_when_default"     -> (whenDefault _),
+    "q_agg"              -> (agg _),
+    "q_lookup"           -> (lookup _),
+    "q_lookup_first"     -> (lookupFirst _),
+    "q_sort_limit_offset" -> (sortLimitOffset _),
+    "q_topk_per_group"   -> (topkPerGroup _),
+    "q_distinct"         -> (distinctPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "q_record_when" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |       CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, linenumber""".stripMargin,
+    "q_mapping_chain" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |       l_extendedprice * (1.0 - l_discount) AS gross,
+        |       (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS net,
+        |       (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) - l_extendedprice AS margin
+        |FROM lineitem ORDER BY l_orderkey, linenumber""".stripMargin,
+    "q_when_default" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'O' THEN 'open'
+        |            WHEN o_orderstatus = 'F' THEN 'finished'
+        |            ELSE 'other' END AS status_label,
+        |       COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'default-prio') AS prio_or_default,
+        |       CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END AS big_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_lookup" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |       p_name, p_brand, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, linenumber""".stripMargin,
+    "q_lookup_first" ->
+      """SELECT l_orderkey, first_partkey, first_price FROM (
+        |  SELECT l_orderkey, l_partkey AS first_partkey, l_extendedprice AS first_price,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, l_orderkey, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC) AS rank
+        |  FROM lineitem) WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
