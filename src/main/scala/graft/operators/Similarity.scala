@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * All vector math is `zip_with` + `aggregate` over `array<double>` — pure
+  * codegen'd expressions, summed in index order (deterministic, and
+  * bit-identical to any engine that folds the list sequentially).
+  *
+  * Scale notes: brute force is a broadcast-nested-loop — right for a small
+  * query set against a big corpus (queries broadcast, corpus scanned once).
+  * For corpus×corpus at 100 TB, hyperplane LSH buckets the vectors so the
+  * join is bucket-equi (shuffle on bucket id) instead of all-pairs; recall
+  * is tuned by the number of hyperplanes and probes.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Exact cosine top-k: each of `nQueries` query vectors against the whole
+    * corpus. The query side is tiny and broadcast; ranking is a window over
+    * the per-query candidate set. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+    val queries = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+  }
+
+  /** Deterministic ±1 hyperplane weight via splitmix64 of (plane, dim) — no
+    * RNG state, reproducible everywhere, baked into the plan as literals so
+    * the projection is a plain zip_with dot product. */
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** LSH bucket for one table: `planes` sign bits of dot(v, r_p) for ±1
+    * hyperplanes r_p (SimHash for real vectors). `table` offsets the plane
+    * seeds so tables are independent. */
+  def hyperplaneBucket(vec: Column, planes: Int, table: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val weights = typedLit((0 until dims).map(d => planeWeight(table * planes + p, d)))
+      val proj = aggregate(zip_with(vec, weights, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Multi-table bucketed ANN top-k (OR-amplified LSH): `tables` independent
+    * hash tables of `planes` sign bits each; candidates are corpus vectors
+    * sharing ANY table's bucket with the query; exact cosine ranks the
+    * candidates. Each join is a shuffle on (table, bucket) — never
+    * all-pairs. With near-orthogonal neighbors (θ≈60°) 16×4 gives ~0.95
+    * expected recall@1; clustered real-world embeddings do much better. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val buckets = array((0 until tables).map(t =>
+      hyperplaneBucket(col("vec"), planes, t, dims)): _*)
+    val withBucket = base.select(col("id"), col("vec"),
+      posexplode(buckets).as(Seq("tbl", "bucket")))
+    val queries = withBucket.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("tbl"), col("bucket"))
+    val corpus = withBucket.select(col("id").as("cid"), col("tbl"), col("bucket"))
+    val cand = queries.join(corpus, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val scored = cand
+      .join(base.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(base.select(col("id").as("cid"), col("vec").as("cvec")), Seq("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** LLM-training-data pipeline operators (dedup / similarity / text
+  * analysis) as driver-checkable queries over the `documents` and
+  * `embeddings` tables. Oracle-parity notes in each query; the MinHash and
+  * SimHash queries hash with xxhash64 (not available in DuckDB), so the
+  * MinHash query is oracled against the *exact* Jaccard SQL it must agree
+  * with, and SimHash is a rows-only check backed by ScalaTest.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TA.charCount(col("text")).as("char_len"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.avgTokenLen(col("text")).as("avg_token_len"),
+        TA.stopwordRatio(col("text")).as("stopword_ratio"),
+        TA.distinctTokenRatio(col("text")).as("distinct_ratio"),
+        TA.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TA.langId(col("text")).as("lang_guess"),
+        TA.markerHits(col("text"), TA.langMarkers("en")).as("en_hits"),
+        TA.markerHits(col("text"), TA.langMarkers("de")).as("de_hits"),
+        TA.markerHits(col("text"), TA.langMarkers("fr")).as("fr_hits"),
+        TA.markerHits(col("text"), TA.langMarkers("es")).as("es_hits"))
+      .orderBy("doc_id")
+
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(TA.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fp")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy("digest")
+
+  /** Keep-first exact dedup on the events stream: one survivor per
+    * (user_id, event_type), earliest by (ts, event_id). */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(
+        Tables.events(spark, dir).select("event_id", "ts", "user_id", "event_type"),
+        Seq("user_id", "event_type"), Seq(col("ts").asc, col("event_id").asc))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("user_id", "event_type")
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", n = 3, threshold = 0.8)
+      .orderBy("da", "db")
+
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      .orderBy("da", "db")
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  def similarityTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        nQueries = 50, k = 5)
+      .orderBy("qid", "rank")
+
+  def similarityLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        nQueries = 50, k = 5, planes = 4, tables = 16, dims = 64)
+      .orderBy("qid", "rank")
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats"       -> (textStats _),
+    "q_lang_id"          -> (langId _),
+    "q_fingerprint_dedup" -> (fingerprintDedup _),
+    "q_dedup_exact"      -> (dedupExact _),
+    "q_dedup_keep_first" -> (dedupKeepFirst _),
+    "q_ngram_jaccard"    -> (ngramJaccard _),
+    "q_minhash_dedup"    -> (minhashDedup _),
+    "q_simhash"          -> (simhash _),
+    "q_similarity_topk"  -> (similarityTopK _),
+    "q_similarity_lsh"   -> (similarityLsh _))
+
+  private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val jaccardSql =
+    """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+      |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+      |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id da, y.doc_id db, COUNT(*) inter
+      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+      |SELECT da, db, inter, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+      |ORDER BY da, db""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(LENGTH(text) AS BIGINT) AS char_len,
+         |       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         |       CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
+         |            ELSE CAST(LIST_AGGREGATE(LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> CAST(LENGTH(x) AS BIGINT)), 'sum') AS DOUBLE)
+         |                 / LEN(STRING_SPLIT(text, ' ')) END AS avg_token_len,
+         |       CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
+         |            ELSE CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS($stopList, x))) AS DOUBLE)
+         |                 / LEN(STRING_SPLIT(text, ' ')) END AS stopword_ratio,
+         |       CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
+         |            ELSE CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+         |                 / LEN(STRING_SPLIT(text, ' ')) END AS distinct_ratio,
+         |       (LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+         |        + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
+         |        + LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS($stopList, x))) AS DOUBLE)
+         |                / LEN(STRING_SPLIT(text, ' ')) * 5.0, 1.0)) / 3.0 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH hits AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['the','and','of'], x))) AS BIGINT) en_hits,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['der','und','das'], x))) AS BIGINT) de_hits,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['le','et','les'], x))) AS BIGINT) fr_hits,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['el','y','los'], x))) AS BIGINT) es_hits
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+        |            WHEN de_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+        |            WHEN en_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+        |            WHEN es_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
+        |            ELSE 'fr' END AS lang_guess,
+        |       en_hits, de_hits, fr_hits, es_hits
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_dedup" ->
+      """SELECT MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS fp,
+        |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MD5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY digest ORDER BY digest""".stripMargin,
+    "q_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_ngram_jaccard" -> jaccardSql,
+    // MinHash-LSH must recover exactly the pairs exact Jaccard finds at this
+    // threshold (16 bands × 4 rows ⇒ detection p > 0.999 at j ≥ 0.8, and the
+    // pipeline is fully deterministic) — so it shares the exact-Jaccard oracle.
+    "q_minhash_dedup" -> jaccardSql,
+    "q_similarity_topk" ->
+      """SELECT qid, rank, cid, sim FROM (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |         LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) sim,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+}
