@@ -1,0 +1,231 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Model._
+import ExprCompiler._
+
+/** The rule engine: RuleFile + input DataFrame + context value → output
+  * DataFrame. The whole rule compiles to ONE declarative Spark plan —
+  * filter → projection chain → (finalize sort/offset/limit) — so Catalyst
+  * gets full visibility: record_when predicates push into the scan, unused
+  * input columns prune away, and the mapping chain collapses into a single
+  * whole-stage-codegen projection.
+  *
+  * Reference lifecycle being reproduced (transform.rs:412-531):
+  * record_when → ordered mappings (later mappings see earlier @out values)
+  * → per-mapping when/default/required/cast → finalize filter/sort/
+  * offset/limit.
+  */
+object Engine {
+
+  final case class EngineError(message: String) extends RuntimeException(message)
+
+  /** Compiled rule: the filtered input (with a stable __order column) and
+    * the ordered map of top-level output fields as (value, missing) pairs. */
+  private case class Compiled(df: DataFrame,
+      out: scala.collection.immutable.ListMap[String, CE], env: Env)
+
+  private def compilePlan(rule: RuleFile, input: DataFrame, context: JValue): Compiled = {
+    // stable input order for finalize's stable sort: monotonically
+    // increasing id encodes (partition, offset) = scan order, captured
+    // before any shuffle
+    val ordered = input.withColumn("__order", monotonically_increasing_id())
+    val inputResolver = resolveFromSchema(
+      ordered.schema.fields.map(f => f.name -> f.dataType).toMap, col(_))
+    var env = Env(input = inputResolver, context = context)
+
+    // record_when: false or error ⇒ record dropped (transform.rs:1065-1091)
+    var df = rule.recordWhen match {
+      case Some(cond) =>
+        val c = compileCond(cond, env)
+        ordered.filter(coalesce(c.value, lit(false)) && !c.missing)
+      case None => ordered
+    }
+
+    // ordered mappings (top-level + staged): build @out incrementally; each
+    // target is one compiled column expression — no per-record interpretation
+    val allMappings: Seq[Mapping] =
+      rule.mappings ++ rule.steps.collect { case StepMappings(ms) => ms }.flatten
+    var out = scala.collection.immutable.ListMap.empty[String, CE]
+    for (m <- allMappings) {
+      val mapped = compileMapping(m, env.copy(out = out))
+      val key = m.target.head
+      val merged = if (m.target.size == 1) mapped
+        else nest(out.get(key), m.target.tail, mapped)
+      out = out + (key -> merged)
+    }
+    env = env.copy(out = out)
+
+    // step-level record_when (against @out) and asserts (false ⇒ error)
+    for (s <- rule.steps) s match {
+      case StepRecordWhen(cond) =>
+        val c = compileCond(cond, env)
+        df = df.filter(coalesce(c.value, lit(false)) && !c.missing)
+      case StepAssert(cond, code, message) =>
+        val c = compileCond(cond, env)
+        df = df.filter(
+          when(!coalesce(c.value, lit(false)),
+            raise_error(lit(s"$code: $message")).cast(BooleanType))
+            .otherwise(lit(true)))
+      case StepMappings(_) => ()
+    }
+    Compiled(df, out, env)
+  }
+
+  /** Typed-DataFrame sink: one column per top-level target; missing
+    * collapses to null at this typed boundary. */
+  def transform(rule: RuleFile, input: DataFrame, context: JValue = JNull): DataFrame = {
+    val c = compilePlan(rule, input, context)
+    val outCols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq
+    applyFinalize(rule, c.df.select(outCols :+ col("__order"): _*), context)
+      .drop("__order")
+  }
+
+  /** Reference-exact JSON sink: missing fields are ABSENT from the output
+    * object, null fields are explicit nulls (the reference's load-bearing
+    * distinction, docs/rules_spec_en.md:428-430). Target paths are static,
+    * so the object is assembled at plan time from per-field JSON fragments —
+    * one concat per record, fully codegen'd, no driver loop. */
+  def toJsonRecords(rule: RuleFile, input: DataFrame, context: JValue = JNull): DataFrame = {
+    val c = compilePlan(rule, input, context)
+    val cols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq ++
+      c.out.map { case (name, ce) => ce.missing.as(s"__miss_$name") }.toSeq
+    val projected = applyFinalize(rule, c.df.select(cols :+ col("__order"): _*), context)
+    val frags = c.out.keys.toSeq.map { name =>
+      val enc = jsonEncode(col(name), projected.schema(name).dataType)
+      when(col(s"__miss_$name"), lit(null).cast(StringType))
+        .otherwise(concat(lit("\"" + name + "\":"), enc))
+    }
+    projected.select(
+      concat(lit("{"), concat_ws(",", frags: _*), lit("}")).as("json"))
+  }
+
+  /** JSON-encode one value column via the to_json(struct) wrapper with a
+    * fixed 1-char key, so the envelope offsets are constant: `{"v":X}` ⇒
+    * X = substr(6, len-6). ignoreNullFields=false keeps explicit nulls. */
+  private def jsonEncode(c: Column, t: DataType): Column = {
+    val opts = new java.util.HashMap[String, String](); opts.put("ignoreNullFields", "false")
+    val wrapped = to_json(struct(c.as("v")), opts)
+    wrapped.substr(lit(6), length(wrapped) - 6)
+  }
+
+  // finalize (transform.rs:603-714): filter → stable sort → offset → limit
+  private def applyFinalize(rule: RuleFile, dfIn: DataFrame, context: JValue): DataFrame = {
+    var result = dfIn
+    rule.finalizeSpec.foreach { fin =>
+      val outSchema = result.schema.fields
+        .filterNot(f => f.name == "__order" || f.name.startsWith("__miss_"))
+        .map(f => f.name -> f.dataType).toMap
+      // @item in finalize = the whole output record (docs/rules_spec: the
+      // finalize filter runs over each output record)
+      val fields = result.schema.fields
+        .filterNot(f => f.name == "__order" || f.name.startsWith("__miss_"))
+      val itemCE = CE.present(
+        struct(fields.map(f => col(f.name)).toSeq: _*),
+        StructType(fields.toSeq))
+      val finEnv = Env(input = resolveFromSchema(outSchema, col(_)), context = context,
+        item = Some(itemCE))
+      fin.filter.foreach { cond =>
+        val c = compileCond(cond, finEnv)
+        result = result.filter(coalesce(c.value, lit(false)) && !c.missing)
+      }
+      fin.sort.foreach { s =>
+        val key = resolveFromSchema(outSchema, col(_))(s.by)
+        val k = if (s.descending) key.value.desc else key.value.asc
+        result = result.orderBy(k, col("__order").asc) // stable: ties keep input order
+      }
+      fin.offset.foreach(n => result = result.offset(n))
+      fin.limit.foreach(n => result = result.limit(n))
+    }
+    result
+  }
+
+  /** One mapping: when-gate → expr → default/required → cast
+    * (eval_mapping, transform.rs:953-1039). */
+  private def compileMapping(m: Mapping, env: Env): CE = {
+    val base = ExprCompiler.compile(m.expr, env)
+
+    // default: missing → default value; required+missing/null → error
+    val withDefault = m.default match {
+      case Some(d) =>
+        val dc = jvalueCE(d)
+        val tpe = if (base.tpe == NullType) dc.tpe else base.tpe
+        CE(when(base.missing, dc.value.cast(tpe)).otherwise(base.value.cast(tpe)),
+          lit(false), tpe)
+      case None if m.required =>
+        CE(when(base.missing || base.value.isNull,
+          raise_error(lit(s"required value missing: ${PathParser.render(m.target)}"))
+            .cast(base.tpe)).otherwise(base.value), lit(false), base.tpe)
+      case None => base
+    }
+
+    // type cast: string|int|float|bool, strict (cast_value transform.rs:5925-6002);
+    // ANSI mode gives error-on-garbage, matching reference error-not-null
+    val casted = m.castTo match {
+      case Some("string") => rmToString(withDefault)
+      case Some("int") => CE(withDefault.value.cast(LongType), withDefault.missing, LongType)
+      case Some("float") => CE(withDefault.value.cast(DoubleType), withDefault.missing, DoubleType)
+      case Some("bool") => CE(withDefault.value.cast(BooleanType), withDefault.missing, BooleanType)
+      case Some(other) => throw EngineError(s"unknown cast type: $other")
+      case None => withDefault
+    }
+
+    // when: predicate false or error ⇒ mapping skipped (= missing,
+    // eval_when transform.rs:1041-1063)
+    m.when match {
+      case Some(cond) =>
+        val c = compileCond(cond, env)
+        val keep = coalesce(c.value, lit(false)) && !c.missing
+        CE(when(keep, casted.value).otherwise(lit(null).cast(casted.tpe)),
+          casted.missing || !keep, casted.tpe)
+      case None => casted
+    }
+  }
+
+  /** Merge a value into a nested struct target path (set_path semantics,
+    * transform.rs:6075-6138 — objects only, conflicts are validation
+    * errors). */
+  private def nest(existing: Option[CE], path: Seq[String], value: CE): CE = {
+    if (path.isEmpty) value
+    else {
+      val childExisting = existing.flatMap { e =>
+        e.tpe match {
+          case st: StructType if st.fieldNames.contains(path.head) =>
+            Some(CE(e.value.getField(path.head), e.missing, st(path.head).dataType))
+          case _ => None
+        }
+      }
+      val child = nest(childExisting, path.tail, value)
+      val siblings: Seq[(String, CE)] = existing match {
+        case Some(e) => e.tpe match {
+          case st: StructType =>
+            st.fields.filterNot(_.name == path.head).map(f =>
+              f.name -> CE(e.value.getField(f.name), e.missing, f.dataType)).toSeq
+          case _ => Nil
+        }
+        case None => Nil
+      }
+      val all = siblings :+ (path.head -> child)
+      CE(struct(all.map { case (n, ce) => ce.valueOrNull.as(n) }: _*),
+        lit(false),
+        StructType(all.map { case (n, ce) => StructField(n, ce.tpe) }))
+    }
+  }
+
+  /** Resolver over a flat (top-level name → type) schema; deeper path
+    * segments descend through structs/arrays; unknown head ⇒ missing. */
+  def resolveFromSchema(schema: Map[String, DataType], colFn: String => Column)
+      : Seq[String] => CE = { path =>
+    path match {
+      case Seq() => throw EngineError("empty input path")
+      case Seq(head, rest @ _*) =>
+        schema.get(head) match {
+          case Some(t) => descend(CE.present(colFn(head), t), rest)
+          case None => CE.missing
+        }
+    }
+  }
+}

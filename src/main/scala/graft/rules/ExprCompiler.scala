@@ -1,0 +1,653 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Model._
+
+/** Compiles the unified rule-expression IR to Catalyst `Column` trees.
+  *
+  * Every compiled expression is a PAIR of columns: the value and a boolean
+  * "missing" flag — the engine-level distinction the reference builds its
+  * semantics on (`missing` = reference does not exist; `null` = exists and
+  * is null; reference transform.rs:6262-6266). Missing is an ordinary
+  * boolean Column, so it can be per-row (a field absent in some records) or
+  * per-array-element (inside higher-order lambdas), and Catalyst folds the
+  * static cases (lit(true)/lit(false)) away at optimization time.
+  *
+  * Ops compile to native Spark functions — concat/trim/transform/filter/
+  * aggregate etc. — so whole-stage codegen applies; there are no UDFs here.
+  * Operator args are compiled LAZILY: higher-order ops (map/filter/find/
+  * sort_by/reduce/...) re-compile their lambda argument per element with
+  * @item/@acc bound, so those raw expressions must never be compiled in the
+  * enclosing scope.
+  */
+object ExprCompiler {
+
+  final case class CompileError(message: String) extends RuntimeException(message)
+
+  /** value + missing flag + static type (for coercion decisions). */
+  case class CE(value: Column, missing: Column, tpe: DataType) {
+    /** missing collapses to null at typed boundaries. */
+    def valueOrNull: Column = when(missing, lit(null).cast(tpe)).otherwise(value)
+  }
+
+  object CE {
+    def present(v: Column, t: DataType): CE = CE(v, lit(false), t)
+    val missing: CE = CE(lit(null).cast(NullType), lit(true), NullType)
+  }
+
+  /** Compilation environment: how each @-namespace resolves. */
+  case class Env(
+      input: Seq[String] => CE,                 // @input.path
+      context: JValue = JNull,                  // @context literal tree
+      out: Map[String, CE] = Map.empty,         // @out top-level fields
+      item: Option[CE] = None,                  // @item (lambda element)
+      itemIndex: Option[Column] = None,         // @item.index
+      acc: Option[CE] = None,                   // @acc (fold accumulator)
+      pipeValue: Option[CE] = None,             // $
+      vars: Map[String, CE] = Map.empty) {      // let-bound
+    def withPipe(v: CE): Env = copy(pipeValue = Some(v))
+  }
+
+  // ---- literals ----
+
+  def jvalueType(v: JValue): DataType = v match {
+    case JNull => NullType
+    case JBool(_) => BooleanType
+    case JLong(_) => LongType
+    case JDouble(_) => DoubleType
+    case JString(_) => StringType
+    case JArray(items) =>
+      ArrayType(items.headOption.map(jvalueType).getOrElse(StringType))
+    case JObject(fields) =>
+      StructType(fields.map { case (k, fv) => StructField(k, jvalueType(fv)) })
+  }
+
+  def jvalueColumn(v: JValue): Column = v match {
+    case JNull => lit(null)
+    case JBool(b) => lit(b)
+    case JLong(l) => lit(l)
+    case JDouble(d) => lit(d)
+    case JString(s) => lit(s)
+    case JArray(items) => array(items.map(jvalueColumn): _*)
+    case JObject(fields) =>
+      struct(fields.map { case (k, fv) => jvalueColumn(fv).as(k) }: _*)
+  }
+
+  def jvalueCE(v: JValue): CE = CE.present(jvalueColumn(v), jvalueType(v))
+
+  /** Static descent into the context literal; absent → missing. */
+  def contextLookup(ctx: JValue, path: Seq[String]): CE = {
+    var cur: JValue = ctx
+    for (seg <- path) cur match {
+      case JObject(fields) =>
+        fields.find(_._1 == seg) match {
+          case Some((_, v)) => cur = v
+          case None => return CE.missing
+        }
+      case JArray(items) if seg.forall(_.isDigit) =>
+        val i = seg.toInt
+        if (i < items.size) cur = items(i) else return CE.missing
+      case _ => return CE.missing
+    }
+    jvalueCE(cur)
+  }
+
+  // ---- reference-faithful scalar coercions ----
+
+  /** value_to_string semantics (reference transform.rs:5903-5923): numbers
+    * print canonically — integral doubles lose the ".0", booleans are
+    * true/false. Used by concat, ==, lookup keys, group_by keys. */
+  def rmToString(e: CE): CE = {
+    val s = e.tpe match {
+      case StringType => e.value
+      case LongType | IntegerType | ShortType | ByteType => e.value.cast(StringType)
+      case DoubleType | FloatType =>
+        when(e.value.isNull, lit(null).cast(StringType))
+          .when(e.value === e.value.cast(LongType).cast(e.tpe),
+            e.value.cast(LongType).cast(StringType))
+          .otherwise(e.value.cast(StringType))
+      case BooleanType =>
+        when(e.value.isNull, lit(null).cast(StringType))
+          .when(e.value, "true").otherwise("false")
+      case NullType => lit(null).cast(StringType)
+      case t => throw CompileError(s"to_string: unsupported type $t")
+    }
+    CE(s, e.missing, StringType)
+  }
+
+  /** value_to_number semantics (transform.rs:5804-5817): numbers pass,
+    * numeric strings coerce (ANSI cast errors on garbage — matching the
+    * reference's error-on-non-numeric). */
+  def rmToNumber(e: CE): CE = e.tpe match {
+    case DoubleType => e
+    case LongType | IntegerType | FloatType | ShortType | NullType =>
+      CE(e.value.cast(DoubleType), e.missing, DoubleType)
+    case StringType => CE(e.value.cast(DoubleType), e.missing, DoubleType)
+    case t => throw CompileError(s"numeric op: unsupported type $t")
+  }
+
+  // ---- compile ----
+
+  def compile(expr: Expr, env: Env): CE = expr match {
+    case ELit(v) => jvalueCE(v)
+    case ERef(scope, path) => compileRef(scope, path, env)
+    case EPipe(start, steps) => compilePipe(start, steps, env)
+    case EOp(op, args) => compileOp(op, None, env, args)
+    case ECond(c) => compileCond(c, env)
+  }
+
+  def compileRef(scope: RefScope, path: Seq[String], env: Env): CE = scope match {
+    case RInput => env.input(path)
+    case RContext => contextLookup(env.context, path)
+    case ROut =>
+      path match {
+        case Seq() => throw CompileError("@out without field")
+        case Seq(head, rest @ _*) =>
+          env.out.get(head) match {
+            case Some(ce) => descend(ce, rest)
+            case None => CE.missing // forward refs are validator errors; absent = missing
+          }
+      }
+    case RItem =>
+      descend(env.item.getOrElse(throw CompileError("@item outside map/filter scope")), path)
+    case RItemIndex =>
+      CE.present(env.itemIndex.getOrElse(throw CompileError("@item.index outside scope")), LongType)
+    case RAcc =>
+      descend(env.acc.getOrElse(throw CompileError("@acc outside reduce/fold scope")), path)
+    case RPipe =>
+      descend(env.pipeValue.getOrElse(throw CompileError("$ outside pipe")), path)
+    case RVar(name) =>
+      descend(env.vars.getOrElse(name,
+        throw CompileError(s"unknown variable @$name")), path)
+  }
+
+  /** Structural descent through struct fields / array indexes; absent
+    * fields or out-of-range indexes are missing. */
+  def descend(base: CE, path: Seq[String]): CE =
+    path.foldLeft(base) { (cur, seg) =>
+      cur.tpe match {
+        case st: StructType =>
+          st.fields.find(_.name == seg) match {
+            case Some(f) => CE(cur.value.getField(seg), cur.missing, f.dataType)
+            case None => CE.missing
+          }
+        case ArrayType(et, _) if seg.forall(_.isDigit) =>
+          val idx = seg.toInt
+          // get() is null-on-out-of-range (no ANSI error); out-of-range is
+          // missing, so fold the bound check into the flag
+          CE(get(cur.value, lit(idx)), cur.missing || (size(cur.value) <= idx), et)
+        case NullType => CE.missing
+        case t => throw CompileError(s"cannot descend '$seg' into type $t")
+      }
+    }
+
+  def compilePipe(start: Expr, steps: Seq[PipeStep], env: Env): CE = {
+    var cur = compile(start, env)
+    var e = env
+    for (step <- steps) step match {
+      case SOp(op, argExprs) =>
+        val scoped = e.withPipe(cur)
+        cur = compileOp(op, Some(cur), scoped, argExprs)
+      case SLet(bindings) =>
+        val scoped = e.withPipe(cur)
+        e = bindings.foldLeft(e) { case (envAcc, (name, be)) =>
+          envAcc.copy(vars = envAcc.vars + (name -> compile(be, scoped.copy(vars = envAcc.vars))))
+        }
+      case SIf(cond, thenP, elseP) =>
+        val scoped = e.withPipe(cur)
+        val c = compileCond(cond, scoped)
+        val t = thenP.map(compile(_, scoped)).getOrElse(cur)
+        val f = elseP.map(compile(_, scoped)).getOrElse(cur)
+        val tpe = if (t.tpe == NullType) f.tpe else t.tpe
+        cur = CE(
+          when(c.value && !c.missing, t.value).otherwise(f.value),
+          when(c.value && !c.missing, t.missing).otherwise(f.missing),
+          tpe)
+      case SMap(body) =>
+        cur = mapArray(cur, body, e)
+      case SValue(expr) =>
+        cur = compile(expr, e.withPipe(cur))
+    }
+    cur
+  }
+
+  /** v2 `map` step / v1 `map` op: per-element sub-pipeline; elements whose
+    * result is missing are dropped (reference v2_eval.rs:1038-1041). */
+  private def mapArray(arr: CE, body: Expr, env: Env): CE = {
+    val elemType = arr.tpe match {
+      case ArrayType(et, _) => et
+      case t => throw CompileError(s"map over non-array type $t")
+    }
+    var resultType: DataType = NullType
+    val mapped = transform(arr.value, (x, i) => {
+      val itemCE = CE.present(x, elemType)
+      val scoped = env.copy(item = Some(itemCE), itemIndex = Some(i.cast(LongType)),
+        pipeValue = Some(itemCE))
+      val r = compile(body, scoped)
+      resultType = r.tpe
+      struct(r.value.as("v"), r.missing.as("m"))
+    })
+    val kept = transform(
+      filter(mapped, r => !r.getField("m")), r => r.getField("v"))
+    CE(kept, arr.missing, ArrayType(resultType))
+  }
+
+  // ---- conditions (v2 strict regime; v2_eval.rs:1140-1218) ----
+
+  def compileCond(c: Cond, env: Env): CE = {
+    def bool(v: Column): CE = CE.present(v, BooleanType)
+    c match {
+      case CAll(cs) => bool(cs.map(compileCond(_, env)).map(b => coalesce(b.value, lit(false))).reduce(_ && _))
+      case CAny(cs) => bool(cs.map(compileCond(_, env)).map(b => coalesce(b.value, lit(false))).reduce(_ || _))
+      case CNot(cc) => val b = compileCond(cc, env); bool(!coalesce(b.value, lit(false)))
+      case CEq(l, r) => bool(strictEq(compile(l, env), compile(r, env)))
+      case CNe(l, r) => bool(!strictEq(compile(l, env), compile(r, env)))
+      case CGt(l, r) => bool(orderCmp(compile(l, env), compile(r, env), _ > _))
+      case CGte(l, r) => bool(orderCmp(compile(l, env), compile(r, env), _ >= _))
+      case CLt(l, r) => bool(orderCmp(compile(l, env), compile(r, env), _ < _))
+      case CLte(l, r) => bool(orderCmp(compile(l, env), compile(r, env), _ <= _))
+      case CMatch(l, pattern) =>
+        val s = compile(l, env)
+        bool(!s.missing && s.value.isNotNull && s.value.rlike(pattern))
+      case CExpr(e) =>
+        val b = compile(e, env)
+        bool(!b.missing && coalesce(b.value.cast(BooleanType), lit(false)))
+    }
+  }
+
+  /** v2-condition equality: strict JSON equality, with missing==missing and
+    * missing==null both true (v2_eval.rs:1140-1147). */
+  private def strictEq(l: CE, r: CE): Column = {
+    val lNone = l.missing || l.value.isNull
+    val rNone = r.missing || r.value.isNull
+    val bothVals =
+      if (l.tpe == r.tpe) l.value === r.value
+      else if (isNum(l.tpe) && isNum(r.tpe)) l.value.cast(DoubleType) === r.value.cast(DoubleType)
+      else lit(false)
+    (lNone && rNone) || (!lNone && !rNone && coalesce(bothVals, lit(false)))
+  }
+
+  /** v2-condition ordering: numeric-first (numbers or numeric strings),
+    * else lexicographic string compare (v2_eval.rs:1150-1179). */
+  private def orderCmp(l: CE, r: CE, op: (Column, Column) => Column): Column = {
+    val ok = !l.missing && !r.missing && l.value.isNotNull && r.value.isNotNull
+    val cmp =
+      if (isNum(l.tpe) && isNum(r.tpe))
+        op(l.value.cast(DoubleType), r.value.cast(DoubleType))
+      else if (l.tpe == StringType && r.tpe == StringType) op(l.value, r.value)
+      else if ((isNum(l.tpe) && r.tpe == StringType) || (l.tpe == StringType && isNum(r.tpe)))
+        op(l.value.cast(DoubleType), r.value.cast(DoubleType))
+      else op(rmToString(l).value, rmToString(r).value)
+    ok && coalesce(cmp, lit(false))
+  }
+
+  private def isNum(t: DataType): Boolean = t match {
+    case LongType | IntegerType | DoubleType | FloatType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  // ---- operators ----
+
+  /** Compile one operator call.
+    *
+    * `pipeArg` is the already-compiled pipe value for v2 op-steps (becomes
+    * implicit arg 0); `raw` holds the op's own uncompiled argument exprs.
+    * Args are compiled lazily and memoized, so lambda-bodied args
+    * (predicates/key exprs using @item/@acc) are never compiled in the
+    * enclosing scope — the op re-compiles them per element itself. */
+  def compileOp(op: String, pipeArg: Option[CE], env: Env, raw: Seq[Expr]): CE = {
+    val offset = if (pipeArg.isDefined) 1 else 0
+    val nArgs = raw.size + offset
+    val cache = scala.collection.mutable.Map.empty[Int, CE]
+    def rawAt(i: Int): Expr = raw(i - offset)
+    def arg(i: Int): CE = cache.getOrElseUpdate(i,
+      if (i == 0 && pipeArg.isDefined) pipeArg.get
+      else compile(rawAt(i), env))
+    def argOpt(i: Int): Option[CE] = if (i < nArgs) Some(arg(i)) else None
+    def a0: CE = arg(0)
+    def allArgs: Seq[CE] = (0 until nArgs).map(arg)
+    def missingAny(n: Int): Column =
+      (0 until n).map(arg(_).missing).reduceOption(_ || _).getOrElse(lit(false))
+
+    /** lambda arg (1-based op arg index) recompiled per element */
+    def lambda(argIdx: Int, elemType: DataType): (Column, Column) => CE = {
+      val body = rawAt(argIdx)
+      (x, i) => {
+        val itemCE = CE.present(x, elemType)
+        compile(body, env.copy(item = Some(itemCE), itemIndex = Some(i.cast(LongType)),
+          pipeValue = Some(itemCE)))
+      }
+    }
+
+    def elemTypeOf(e: CE): DataType = e.tpe match {
+      case ArrayType(et, _) => et
+      case t => throw CompileError(s"$op expects array, got $t")
+    }
+
+    def litString(argIdx: Int): Option[String] =
+      if (argIdx < nArgs) rawAt(argIdx) match {
+        case ELit(JString(s)) => Some(s)
+        case _ => None
+      } else None
+
+    def litInt(argIdx: Int): Option[Int] =
+      if (argIdx < nArgs) rawAt(argIdx) match {
+        case ELit(JLong(l)) => Some(l.toInt)
+        case _ => None
+      } else None
+
+    op match {
+      // -- strings
+      case "concat" =>
+        val parts = allArgs.map(rmToString)
+        CE(concat(parts.map(_.value): _*), missingAny(nArgs), StringType)
+      case "to_string" => rmToString(a0)
+      case "trim" => CE(trim(rmToString(a0).value), a0.missing, StringType)
+      case "lowercase" => CE(lower(rmToString(a0).value), a0.missing, StringType)
+      case "uppercase" => CE(upper(rmToString(a0).value), a0.missing, StringType)
+      case "replace" =>
+        val mode = litString(nArgs - 1)
+          .filter(Seq("all", "first", "regex", "regex_all").contains).getOrElse("first")
+        val (from, to) = (arg(1), arg(2))
+        val v = mode match {
+          case "all" => replace(a0.value, from.value, to.value)
+          case "first" =>
+            // literal first occurrence: locate + splice
+            val pos = instr(a0.value, from.value)
+            when(pos === 0 || length(from.value) === 0, a0.value).otherwise(
+              concat(substring(a0.value, lit(1), pos - 1), to.value,
+                a0.value.substr(pos + length(from.value), length(a0.value))))
+          case "regex" | "regex_all" =>
+            // Java-regex replace; "regex" (first-only) approximated as all —
+            // exact first-only needs a custom expression (tracked)
+            regexp_replace(a0.value, from.value, to.value)
+        }
+        CE(v, a0.missing || from.missing || to.missing, StringType)
+      case "split" =>
+        val delim = litString(1).getOrElse(",")
+        CE(split(rmToString(a0).value, java.util.regex.Pattern.quote(delim), -1),
+          a0.missing, ArrayType(StringType))
+      case "pad_start" | "pad_end" =>
+        // pad to target char length; never truncate the original
+        val s = rmToString(a0)
+        val len = arg(1).value.cast(IntegerType)
+        val padStr = argOpt(2).map(_.value).getOrElse(lit(" "))
+        val fname = if (op == "pad_start") "lpad" else "rpad"
+        CE(call_function(fname, s.value, greatest(len, length(s.value)), padStr),
+          a0.missing || arg(1).missing, StringType)
+
+      // -- numbers
+      case "add" | "+" =>
+        CE(allArgs.map(rmToNumber(_).value).reduce(_ + _), missingAny(nArgs), DoubleType)
+      case "subtract" | "-" =>
+        CE(rmToNumber(a0).value - rmToNumber(arg(1)).value, missingAny(2), DoubleType)
+      case "multiply" | "*" =>
+        CE(allArgs.map(rmToNumber(_).value).reduce(_ * _), missingAny(nArgs), DoubleType)
+      case "divide" | "/" =>
+        CE(rmToNumber(a0).value / rmToNumber(arg(1)).value, missingAny(2), DoubleType)
+      case "round" =>
+        CE(round(rmToNumber(a0).value, litInt(1).getOrElse(0)), a0.missing, DoubleType)
+      case "to_base" =>
+        val base = litInt(1).getOrElse(throw CompileError("to_base needs literal base"))
+        CE(lower(conv(rmToNumber(a0).value.cast(LongType).cast(StringType), 10, base)),
+          a0.missing, StringType)
+
+      // -- booleans / comparisons (v1 op regime: string-coerced ==)
+      case "and" | "or" =>
+        // missing operands skipped; short-circuit wins; missing seen with no
+        // short-circuit ⇒ missing (transform.rs:5340-5388)
+        val bools = allArgs.map(e => (e.value.cast(BooleanType), e.missing))
+        val anyMissing = missingAny(nArgs)
+        val folded =
+          if (op == "and") bools.map { case (v, m) => when(m, lit(true)).otherwise(v) }.reduce(_ && _)
+          else bools.map { case (v, m) => when(m, lit(false)).otherwise(v) }.reduce(_ || _)
+        val missingOut = if (op == "and") anyMissing && folded else anyMissing && !folded
+        CE(folded, missingOut, BooleanType)
+      case "not" =>
+        CE(!a0.value.cast(BooleanType), a0.missing, BooleanType)
+      case "==" | "!=" =>
+        // v1 equality: string-coerced both sides; null==null true
+        // (compare_eq, transform.rs:5480-5493)
+        val l = rmToString(a0); val r = rmToString(arg(1))
+        val eqv = (l.value.isNull && r.value.isNull) ||
+          coalesce(l.value === r.value, lit(false))
+        CE(if (op == "==") eqv else !eqv, missingAny(2), BooleanType)
+      case "<" | "<=" | ">" | ">=" =>
+        val l = rmToNumber(a0).value; val r = rmToNumber(arg(1)).value
+        val v = op match {
+          case "<" => l < r; case "<=" => l <= r; case ">" => l > r; case _ => l >= r
+        }
+        CE(v, missingAny(2), BooleanType)
+      case "~=" =>
+        CE(a0.value.rlike(litString(1)
+          .getOrElse(throw CompileError("~= needs literal pattern"))), a0.missing, BooleanType)
+
+      // -- casts (strict; transform.rs:5939-5994). ANSI mode makes Spark
+      // casts error on garbage, matching the reference's error-not-null.
+      case "string" => rmToString(a0)
+      case "int" => CE(a0.value.cast(LongType), a0.missing, LongType)
+      case "float" => CE(a0.value.cast(DoubleType), a0.missing, DoubleType)
+      case "bool" => a0.tpe match {
+        case BooleanType => a0
+        case StringType =>
+          CE(when(lower(a0.value) === "true", true)
+            .when(lower(a0.value) === "false", false)
+            .otherwise(raise_error(concat(lit("cannot cast to bool: "), a0.value))
+              .cast(BooleanType)), a0.missing, BooleanType)
+        case t => throw CompileError(s"bool cast from $t")
+      }
+
+      // -- coalesce: first non-null, missing skipped (transform.rs:1434-1458)
+      case "coalesce" =>
+        val args = allArgs
+        val tpe = args.map(_.tpe).find(_ != NullType).getOrElse(NullType)
+        val v = args.foldRight(lit(null).cast(tpe)) { (e, rest) =>
+          when(!e.missing && e.value.isNotNull, e.value.cast(tpe)).otherwise(rest)
+        }
+        CE(v, lit(false), tpe)
+
+      // -- object access
+      case "get" =>
+        val path = litString(1).map(PathParser.parse)
+          .getOrElse(throw CompileError("get needs literal path"))
+        descend(a0, path)
+
+      // -- arrays
+      case "len" =>
+        val v = a0.tpe match {
+          case StringType => length(a0.value)
+          case ArrayType(_, _) => size(a0.value)
+          case st: StructType => lit(st.size)
+          case t => throw CompileError(s"len of $t")
+        }
+        CE(v.cast(LongType), a0.missing, LongType)
+      case "map" => mapArray(a0, rawAt(1), env)
+      case "filter" =>
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        CE(filter(a0.value, (x, i) => {
+          val r = lam(x, i)
+          !r.missing && coalesce(r.value.cast(BooleanType), lit(false))
+        }), a0.missing, a0.tpe)
+      case "flat_map" =>
+        val mapped = mapArray(a0, rawAt(1), env)
+        CE(flatten(mapped.value), mapped.missing,
+          mapped.tpe.asInstanceOf[ArrayType].elementType match {
+            case ArrayType(et, _) => ArrayType(et)
+            case t => ArrayType(t)
+          })
+      case "flatten" =>
+        val depth = litInt(1).getOrElse(1)
+        var v = a0.value; var t = a0.tpe
+        for (_ <- 0 until depth) t match {
+          case ArrayType(inner @ ArrayType(_, _), _) => v = flatten(v); t = inner
+          case _ => ()
+        }
+        CE(v, a0.missing, t)
+      case "take" | "drop" =>
+        val n = arg(1).value.cast(LongType)
+        val sz = size(a0.value).cast(LongType)
+        val nn = greatest(least(n, sz), lit(0L) - sz) // clamp to [-size, size]
+        val v = op match {
+          case "take" =>
+            when(n >= 0, slice(a0.value, lit(1), nn.cast(IntegerType)))
+              .otherwise(slice(a0.value, (sz + nn + 1).cast(IntegerType),
+                (lit(0L) - nn).cast(IntegerType)))
+          case _ =>
+            when(n >= 0, slice(a0.value, (nn + 1).cast(IntegerType), (sz - nn).cast(IntegerType)))
+              .otherwise(slice(a0.value, lit(1), (sz + nn).cast(IntegerType)))
+        }
+        CE(v, missingAny(2), a0.tpe)
+      case "slice" =>
+        val sz = size(a0.value).cast(LongType)
+        val startRaw = arg(1).value.cast(LongType)
+        val endRaw = argOpt(2).map(_.value.cast(LongType)).getOrElse(sz)
+        val start = when(startRaw < 0, greatest(sz + startRaw, lit(0L))).otherwise(least(startRaw, sz))
+        val end = when(endRaw < 0, greatest(sz + endRaw, lit(0L))).otherwise(least(endRaw, sz))
+        val count = greatest(end - start, lit(0L))
+        CE(slice(a0.value, (start + 1).cast(IntegerType), count.cast(IntegerType)),
+          missingAny(nArgs), a0.tpe)
+      case "chunk" =>
+        val et = elemTypeOf(a0)
+        val n = litInt(1).getOrElse(throw CompileError("chunk needs literal size"))
+        if (n < 1) throw CompileError("chunk size must be >= 1")
+        val nChunks = ceil(size(a0.value).cast(DoubleType) / n).cast(IntegerType)
+        val v = transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+          i => slice(a0.value, i * n + 1, lit(n)))
+        CE(when(size(a0.value) === 0, array().cast(ArrayType(a0.tpe)))
+          .otherwise(v), a0.missing, ArrayType(a0.tpe))
+      case "first" | "last" =>
+        val et = elemTypeOf(a0)
+        CE(element_at(a0.value, if (op == "first") 1 else -1),
+          a0.missing || size(a0.value) === 0, et)
+      case "find" | "find_index" =>
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        if (op == "find") {
+          val matches = filter(a0.value, (x, i) => {
+            val r = lam(x, i); !r.missing && coalesce(r.value.cast(BooleanType), lit(false))
+          })
+          CE(element_at(matches, 1), a0.missing || size(matches) === 0, et)
+        } else {
+          val decorated = transform(a0.value, (x, i) => struct(x.as("x"), i.as("i")))
+          val idxs = filter(decorated, p => {
+            val r = lam(p.getField("x"), p.getField("i"))
+            !r.missing && coalesce(r.value.cast(BooleanType), lit(false))
+          })
+          CE(element_at(idxs, 1).getField("i").cast(LongType),
+            a0.missing || size(idxs) === 0, LongType)
+        }
+      case "contains" | "index_of" =>
+        // by string-coerced equality (transform.rs:4047-4115)
+        val et = elemTypeOf(a0)
+        val needle = rmToString(arg(1))
+        val strArr = transform(a0.value, x => rmToString(CE.present(x, et)).value)
+        if (op == "contains")
+          CE(coalesce(array_contains(strArr, needle.value), lit(false)), missingAny(2), BooleanType)
+        else
+          CE(coalesce(array_position(strArr, needle.value).cast(LongType) - 1, lit(-1L)),
+            missingAny(2), LongType)
+      case "unique" =>
+        CE(array_distinct(a0.value), a0.missing, a0.tpe)
+      case "sum" | "avg" | "min" | "max" =>
+        val et = elemTypeOf(a0)
+        val nums = transform(a0.value, x => rmToNumber(CE.present(x, et)).value)
+        val sz = size(a0.value)
+        val v = op match {
+          case "sum" => aggregate(nums, lit(0.0), (acc, x) => acc + x)
+          case "avg" => aggregate(nums, lit(0.0), (acc, x) => acc + x) / sz
+          case "min" => array_min(nums)
+          case "max" => array_max(nums)
+        }
+        CE(when(sz === 0, lit(null).cast(DoubleType)).otherwise(v), a0.missing, DoubleType)
+      case "reduce" | "fold" =>
+        val et = elemTypeOf(a0)
+        val bodyIdx = if (op == "fold") 2 else 1
+        val body = rawAt(bodyIdx)
+        val (init, rest, initT) =
+          if (op == "fold") (arg(1).value, a0.value, arg(1).tpe)
+          else (rmToNumber(CE.present(element_at(a0.value, 1), et)).value,
+            slice(a0.value, lit(2), greatest(size(a0.value) - 1, lit(0))), DoubleType)
+        val v = aggregate(rest, init, (acc, x) => {
+          val r = compile(body, env.copy(
+            acc = Some(CE.present(acc, initT)),
+            item = Some(CE.present(x, et)),
+            pipeValue = Some(CE.present(x, et))))
+          r.value.cast(initT)
+        })
+        CE(when(size(a0.value) === 0, lit(null).cast(initT)).otherwise(v),
+          a0.missing, initT)
+      case "sort_by" =>
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        val desc = raw.exists { case ELit(JString("desc")) => true; case _ => false }
+        // decorate-sort-undecorate: stable via original index tiebreak
+        val decorated = transform(a0.value, (x, i) => {
+          val k = lam(x, i)
+          struct(k.value.as("k"), i.as("i"), x.as("x"))
+        })
+        val sorted = array_sort(decorated, (l, r) => {
+          val lk = l.getField("k"); val rk = r.getField("k")
+          val tie = when(l.getField("i") < r.getField("i"), -1)
+            .when(l.getField("i") > r.getField("i"), 1).otherwise(0)
+          if (desc) when(lk < rk, 1).when(lk > rk, -1).otherwise(tie)
+          else when(lk < rk, -1).when(lk > rk, 1).otherwise(tie)
+        })
+        CE(transform(sorted, s => s.getField("x")), a0.missing, a0.tpe)
+      case "zip" =>
+        // shortest-length tuples (arrays_zip pads — truncate to shortest)
+        val zipped = arrays_zip(a0.value, arg(1).value)
+        val minLen = least(size(a0.value), size(arg(1).value))
+        CE(slice(zipped, lit(1), minLen), missingAny(2),
+          ArrayType(StructType(Seq(
+            StructField("0", elemTypeOf(a0)), StructField("1", elemTypeOf(arg(1)))))))
+      case "zip_with" =>
+        val et1 = elemTypeOf(a0)
+        val body = rawAt(2)
+        var resT: DataType = NullType
+        val v = zip_with(a0.value, arg(1).value, (x, y) => {
+          // @item.value[0]/[1] — model the pair as a 2-element array
+          val pair = CE.present(array(x, y), ArrayType(et1))
+          val r = compile(body, env.copy(item = Some(pair), pipeValue = Some(pair)))
+          resT = r.tpe
+          r.value
+        })
+        val minLen = least(size(a0.value), size(arg(1).value))
+        CE(slice(v, lit(1), minLen), missingAny(2), ArrayType(resT))
+
+      case "lookup" | "lookup_first" =>
+        // arg forms: explicit [from, key, value, get?] or v2 implicit
+        // pipe-value from (docs/rules_spec_en.md:402-424)
+        val from = a0
+        val keyPath = litString(1).map(PathParser.parse)
+          .getOrElse(throw CompileError("lookup key must be a literal path"))
+        val matchVal = rmToString(arg(2))
+        val outPath = litString(3).map(PathParser.parse)
+        val et = elemTypeOf(from)
+        val matches = filter(from.value, x => {
+          val k = rmToString(descend(CE.present(x, et), keyPath))
+          !k.missing && coalesce(k.value === matchVal.value, lit(false))
+        })
+        val (arr, projT) = outPath match {
+          case Some(p) =>
+            var t: DataType = NullType
+            val v = transform(matches, x => {
+              val r = descend(CE.present(x, et), p)
+              t = r.tpe
+              r.valueOrNull
+            })
+            (v, t)
+          case None => (matches, et)
+        }
+        if (op == "lookup_first")
+          CE(element_at(arr, 1), from.missing || matchVal.missing || size(arr) === 0, projT)
+        else
+          CE(arr, from.missing || matchVal.missing || size(arr) === 0, ArrayType(projT))
+
+      case other => throw CompileError(s"unsupported op: $other")
+    }
+  }
+}

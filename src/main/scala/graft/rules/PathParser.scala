@@ -1,0 +1,63 @@
+package graft.rules
+
+/** Dot-path parser: `a.b.c`, with bracket-quoted segments for keys that
+  * contain dots or quotes — `a["x.y"].z`, escapes `\"` and `\\` inside
+  * quotes (reference: crates/rulemorph/src/path.rs:28-183 semantics).
+  */
+object PathParser {
+
+  final case class PathError(message: String) extends RuntimeException(message)
+
+  def parse(path: String): Seq[String] = {
+    if (path.isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    val n = path.length
+    var i = 0
+    var expectSegment = true
+    while (i < n) {
+      path.charAt(i) match {
+        case '[' =>
+          if (i + 1 >= n || path.charAt(i + 1) != '"')
+            throw PathError(s"expected '\"' after '[' in path: $path")
+          i += 2
+          val sb = new StringBuilder
+          var closed = false
+          while (i < n && !closed) {
+            path.charAt(i) match {
+              case '\\' if i + 1 < n =>
+                sb.append(path.charAt(i + 1)); i += 2
+              case '"' => closed = true; i += 1
+              case c => sb.append(c); i += 1
+            }
+          }
+          if (!closed) throw PathError(s"unterminated quoted segment in path: $path")
+          if (i >= n || path.charAt(i) != ']')
+            throw PathError(s"expected ']' after quoted segment in path: $path")
+          i += 1
+          out += sb.toString
+          expectSegment = false
+        case '.' =>
+          if (expectSegment) throw PathError(s"empty segment in path: $path")
+          i += 1
+          expectSegment = true
+        case _ =>
+          val start = i
+          while (i < n && path.charAt(i) != '.' && path.charAt(i) != '[') i += 1
+          if (i == start) throw PathError(s"empty segment in path: $path")
+          out += path.substring(start, i)
+          expectSegment = false
+      }
+    }
+    if (expectSegment) throw PathError(s"trailing '.' in path: $path")
+    out.result()
+  }
+
+  /** Render a path back to its canonical dotted form (quoting segments that
+    * need it). */
+  def render(path: Seq[String]): String =
+    path.map { seg =>
+      if (seg.exists(c => c == '.' || c == '"' || c == '[' || c == ']'))
+        "[\"" + seg.replace("\\", "\\\\").replace("\"", "\\\"") + "\"]"
+      else seg
+    }.mkString(".")
+}
