@@ -179,6 +179,11 @@ object ExprCompiler {
           // get() is null-on-out-of-range (no ANSI error); out-of-range is
           // missing, so fold the bound check into the flag
           CE(get(cur.value, lit(idx)), cur.missing || (size(cur.value) <= idx), et)
+        case MapType(StringType, vt, _) =>
+          // dynamic-keyed objects (group_by/key_by/from_entries results):
+          // absent key = missing (getItem is null-safe, no ANSI error)
+          CE(cur.value.getItem(seg),
+            cur.missing || !map_contains_key(cur.value, seg), vt)
         case NullType => CE.missing
         case t => throw CompileError(s"cannot descend '$seg' into type $t")
       }
@@ -647,7 +652,151 @@ object ExprCompiler {
         else
           CE(arr, from.missing || matchVal.missing || size(arr) === 0, ArrayType(projT))
 
+      // -- dates (chrono patterns translated at plan time; DateOps)
+      case "date_format" =>
+        // [value, out_fmt, in_fmt?]
+        val outFmt = litString(1).map(DateOps.chronoToJava)
+          .getOrElse(throw CompileError("date_format needs literal format"))
+        val inFmts = litString(2).toSeq
+        val ts = DateOps.parseCascade(rmToString(a0).value, inFmts)
+        CE(date_format(ts, outFmt), a0.missing, StringType)
+      case "to_unixtime" =>
+        // [value, unit?("s"|"ms")]
+        val unit = litString(1).getOrElse("s")
+        val ts = DateOps.parseCascade(rmToString(a0).value, Nil)
+        val v = unit match {
+          case "ms" => unix_millis(ts)
+          case _ => unix_timestamp(ts)
+        }
+        CE(v, a0.missing, LongType)
+
+      // -- objects (static struct shapes — reference merge/pick/omit etc.,
+      // transform.rs:4360-4963). Structs carry their schema at plan time, so
+      // these are compile-time re-projections, zero runtime cost.
+      case "merge" | "deep_merge" =>
+        val deep = op == "deep_merge"
+        allArgs.filter(_.tpe != NullType).reduceLeft((l, r) => mergeStructs(l, r, deep))
+      case "pick" | "omit" =>
+        val st = a0.tpe match {
+          case s: StructType => s
+          case t => throw CompileError(s"$op on non-object $t")
+        }
+        val requested = (1 until nArgs).flatMap { i =>
+          rawAt(i) match {
+            case ELit(JString(p)) => Seq(p)
+            case ELit(JArray(items)) => items.collect { case JString(p) => p }
+            case other => throw CompileError(s"$op needs literal paths, got $other")
+          }
+        }
+        val keep = if (op == "pick") st.fieldNames.filter(requested.contains)
+          else st.fieldNames.filterNot(requested.contains)
+        val fields = keep.map(n => n -> CE(a0.value.getField(n), a0.missing, st(n).dataType))
+        CE(struct(fields.map { case (n, ce) => ce.value.as(n) }.toSeq: _*), a0.missing,
+          StructType(fields.map { case (n, ce) => StructField(n, ce.tpe) }.toSeq))
+      case "keys" => a0.tpe match {
+        case st: StructType =>
+          CE(array(st.fieldNames.map(lit): _*), a0.missing, ArrayType(StringType))
+        case MapType(_, _, _) => CE(map_keys(a0.value), a0.missing, ArrayType(StringType))
+        case t => throw CompileError(s"keys of $t")
+      }
+      case "values" => a0.tpe match {
+        case st: StructType =>
+          val ts = st.fields.map(_.dataType).distinct
+          if (ts.length > 1) throw CompileError("values: heterogeneous object fields")
+          CE(array(st.fieldNames.map(a0.value.getField): _*), a0.missing,
+            ArrayType(ts.headOption.getOrElse(StringType)))
+        case MapType(_, vt, _) => CE(map_values(a0.value), a0.missing, ArrayType(vt))
+        case t => throw CompileError(s"values of $t")
+      }
+      case "entries" => a0.tpe match {
+        case st: StructType =>
+          val ts = st.fields.map(_.dataType).distinct
+          if (ts.length > 1) throw CompileError("entries: heterogeneous object fields")
+          val vt = ts.headOption.getOrElse(StringType)
+          CE(array(st.fieldNames.map(n =>
+            struct(lit(n).as("key"), a0.value.getField(n).as("value"))): _*),
+            a0.missing, ArrayType(StructType(Seq(
+              StructField("key", StringType), StructField("value", vt)))))
+        case MapType(kt, vt, _) =>
+          CE(transform(map_entries(a0.value),
+            e => struct(e.getField("key").as("key"), e.getField("value").as("value"))),
+            a0.missing, ArrayType(StructType(Seq(
+              StructField("key", kt), StructField("value", vt)))))
+        case t => throw CompileError(s"entries of $t")
+      }
+      case "from_entries" =>
+        // pairs [k,v] or {key,value} objects → object (map)
+        a0.tpe match {
+          case ArrayType(st: StructType, _) if st.fieldNames.contains("key") =>
+            CE(map_from_entries(transform(a0.value,
+              e => struct(rmToString(CE.present(e.getField("key"), st("key").dataType)).value,
+                e.getField("value")))),
+              a0.missing, MapType(StringType, st("value").dataType))
+          case ArrayType(ArrayType(et, _), _) =>
+            CE(map_from_entries(transform(a0.value,
+              p => struct(rmToString(CE.present(element_at(p, 1), et)).value, element_at(p, 2)))),
+              a0.missing, MapType(StringType, et))
+          case t => throw CompileError(s"from_entries of $t")
+        }
+
+      // -- keyed array ops (group_by/key_by/distinct_by; stringified keys,
+      // insertion order — transform.rs:3662-3743, :3830-3870)
+      case "group_by" =>
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        def keyOf(x: Column, i: Column): Column = rmToString(lam(x, i)).value
+        val ks = array_distinct(transform(a0.value, (x, i) => keyOf(x, i)))
+        CE(map_from_entries(transform(ks, k =>
+          struct(k, filter(a0.value, (x, i) => keyOf(x, i) === k)))),
+          a0.missing, MapType(StringType, a0.tpe))
+      case "key_by" =>
+        // last wins per key
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        def keyOf(x: Column, i: Column): Column = rmToString(lam(x, i)).value
+        val ks = array_distinct(transform(a0.value, (x, i) => keyOf(x, i)))
+        CE(map_from_entries(transform(ks, k =>
+          struct(k, element_at(filter(a0.value, (x, i) => keyOf(x, i) === k), -1)))),
+          a0.missing, MapType(StringType, et))
+      case "distinct_by" =>
+        // first occurrence of each key wins, original order preserved
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        def keyOf(x: Column, i: Column): Column = rmToString(lam(x, i)).value
+        val decorated = transform(a0.value, (x, i) => struct(x.as("x"), i.as("i"), keyOf(x, i).as("k")))
+        val kept = filter(decorated, p =>
+          size(filter(decorated, q =>
+            q.getField("k") === p.getField("k") && q.getField("i") < p.getField("i"))) === 0)
+        CE(transform(kept, p => p.getField("x")), a0.missing, a0.tpe)
+
       case other => throw CompileError(s"unsupported op: $other")
     }
+  }
+
+  /** Shallow/recursive struct merge, right wins (merge_object,
+    * transform.rs:5059-5076). */
+  private def mergeStructs(l: CE, r: CE, deep: Boolean): CE = (l.tpe, r.tpe) match {
+    case (ls: StructType, rs: StructType) =>
+      val names = (ls.fieldNames ++ rs.fieldNames.filterNot(ls.fieldNames.contains)).toSeq
+      val fields = names.map { n =>
+        val inL = ls.fieldNames.contains(n)
+        val inR = rs.fieldNames.contains(n)
+        val ce =
+          if (inL && inR && deep) {
+            (ls(n).dataType, rs(n).dataType) match {
+              case (_: StructType, _: StructType) =>
+                mergeStructs(
+                  CE(l.value.getField(n), l.missing, ls(n).dataType),
+                  CE(r.value.getField(n), r.missing, rs(n).dataType), deep = true)
+              case _ => CE(r.value.getField(n), r.missing, rs(n).dataType)
+            }
+          } else if (inR) CE(r.value.getField(n), r.missing, rs(n).dataType)
+          else CE(l.value.getField(n), l.missing, ls(n).dataType)
+        n -> ce
+      }
+      CE(struct(fields.map { case (n, ce) => ce.value.as(n) }: _*),
+        l.missing && r.missing,
+        StructType(fields.map { case (n, ce) => StructField(n, ce.tpe) }))
+    case (lt, rt) => throw CompileError(s"merge of non-objects: $lt, $rt")
   }
 }
