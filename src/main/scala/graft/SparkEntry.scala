@@ -9,10 +9,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalar.queries ++ HigherOrder.queries ++
-      Pipeline.queries ++ EngineQueries.queries
+      Pipeline.queries ++ EngineQueries.queries ++ Extensions.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalar.oracles ++ HigherOrder.oracles ++
-      Pipeline.oracles ++ EngineQueries.oracles
+      Pipeline.oracles ++ EngineQueries.oracles ++ Extensions.oracles
 }

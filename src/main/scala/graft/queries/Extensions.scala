@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.Multimodal
+import graft.streaming.StreamOps
+
+/** Event-time windows and multimodal-column queries. The windowed
+  * aggregation is the same plan StreamOps runs under Structured Streaming —
+  * batch here so the driver can oracle it. */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows over events: window().start aligns with
+    * date_trunc('hour') so DuckDB can oracle it. Decimal-exact sum. */
+  def windowEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Binary payload + metadata projection — metadata-only access never
+    * deserializes payload bytes at scan time (parquet column pruning). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.withPayload(Tables.documents(spark, dir), "text"),
+        frameBytes = 64, everyK = 4)
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.mime").as("mime"),
+        md5(col("payload")).as("digest"),
+        col("n_frames_sampled"))
+      .orderBy("doc_id")
+
+  /** Partition-level stubbed decode → deterministic feature vectors
+    * (rows-only check; semantics asserted in MultimodalSpec). */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.withPayload(Tables.documents(spark, dir), "text"), "doc_id")
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_window_events"       -> (windowEvents _),
+    "q_multimodal_meta"     -> (multimodalMeta _),
+    "q_multimodal_features" -> (multimodalFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "q_window_events" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |       'application/octet-stream' AS mime,
+        |       MD5(text) AS digest,
+        |       CAST(CEIL(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) / 4.0) AS BIGINT) AS n_frames_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -31,8 +31,11 @@ object Engine {
   private def compilePlan(rule: RuleFile, input: DataFrame, context: JValue): Compiled = {
     // stable input order for finalize's stable sort: monotonically
     // increasing id encodes (partition, offset) = scan order, captured
-    // before any shuffle
-    val ordered = input.withColumn("__order", monotonically_increasing_id())
+    // before any shuffle. Only attached when a finalize sort will consume
+    // it — it is unsupported on streaming inputs and dead weight otherwise.
+    val needsOrder = rule.finalizeSpec.exists(_.sort.isDefined)
+    val ordered = input.withColumn("__order",
+      if (needsOrder) monotonically_increasing_id() else lit(0L))
     val inputResolver = resolveFromSchema(
       ordered.schema.fields.map(f => f.name -> f.dataType).toMap, col(_))
     var env = Env(input = inputResolver, context = context)
