@@ -28,7 +28,8 @@ object Engine {
   private case class Compiled(df: DataFrame,
       out: scala.collection.immutable.ListMap[String, CE], env: Env)
 
-  private def compilePlan(rule: RuleFile, input: DataFrame, context: JValue): Compiled = {
+  private def compilePlan(rule: RuleFile, input: DataFrame, context: JValue,
+      nullAsMissing: Boolean): Compiled = {
     // stable input order for finalize's stable sort: monotonically
     // increasing id encodes (partition, offset) = scan order, captured
     // before any shuffle. Only attached when a finalize sort will consume
@@ -36,8 +37,15 @@ object Engine {
     val needsOrder = rule.finalizeSpec.exists(_.sort.isDefined)
     val ordered = input.withColumn("__order",
       if (needsOrder) monotonically_increasing_id() else lit(0L))
-    val inputResolver = resolveFromSchema(
-      ordered.schema.fields.map(f => f.name -> f.dataType).toMap, col(_))
+    val baseResolver = resolveFromSchema(
+      input.schema.fields.map(f => f.name -> f.dataType).toSeq, col(_))
+    // Spark's JSON reader conflates absent fields with explicit nulls; for
+    // such sources the faithful reading of a null input ref is MISSING
+    // (the reference's JSON ingest distinguishes them, transform.rs:902-941)
+    val inputResolver: Seq[String] => CE =
+      if (nullAsMissing) baseResolver.andThen(ce =>
+        CE(ce.value, ce.missing || ce.value.isNull, ce.tpe))
+      else baseResolver
     var env = Env(input = inputResolver, context = context)
 
     // record_when: false or error ⇒ record dropped (transform.rs:1065-1091)
@@ -80,8 +88,9 @@ object Engine {
 
   /** Typed-DataFrame sink: one column per top-level target; missing
     * collapses to null at this typed boundary. */
-  def transform(rule: RuleFile, input: DataFrame, context: JValue = JNull): DataFrame = {
-    val c = compilePlan(rule, input, context)
+  def transform(rule: RuleFile, input: DataFrame, context: JValue = JNull,
+      nullAsMissing: Boolean = false): DataFrame = {
+    val c = compilePlan(rule, input, context, nullAsMissing)
     val outCols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq
     applyFinalize(rule, c.df.select(outCols :+ col("__order"): _*), context)
       .drop("__order")
@@ -92,8 +101,9 @@ object Engine {
     * distinction, docs/rules_spec_en.md:428-430). Target paths are static,
     * so the object is assembled at plan time from per-field JSON fragments —
     * one concat per record, fully codegen'd, no driver loop. */
-  def toJsonRecords(rule: RuleFile, input: DataFrame, context: JValue = JNull): DataFrame = {
-    val c = compilePlan(rule, input, context)
+  def toJsonRecords(rule: RuleFile, input: DataFrame, context: JValue = JNull,
+      nullAsMissing: Boolean = false): DataFrame = {
+    val c = compilePlan(rule, input, context, nullAsMissing)
     val cols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq ++
       c.out.map { case (name, ce) => ce.missing.as(s"__miss_$name") }.toSeq
     val projected = applyFinalize(rule, c.df.select(cols :+ col("__order"): _*), context)
@@ -121,7 +131,7 @@ object Engine {
     rule.finalizeSpec.foreach { fin =>
       val outSchema = result.schema.fields
         .filterNot(f => f.name == "__order" || f.name.startsWith("__miss_"))
-        .map(f => f.name -> f.dataType).toMap
+        .map(f => f.name -> f.dataType).toSeq
       // @item in finalize = the whole output record (docs/rules_spec: the
       // finalize filter runs over each output record)
       val fields = result.schema.fields
@@ -151,6 +161,16 @@ object Engine {
   private def compileMapping(m: Mapping, env: Env): CE = {
     val base = ExprCompiler.compile(m.expr, env)
 
+    // when gate FIRST (eval_when, transform.rs:1041-1063): a skipped mapping
+    // never evaluates default/required — the required-error below must be
+    // guarded by `keep` or skipped records would raise it
+    val keep: Column = m.when match {
+      case Some(cond) =>
+        val c = compileCond(cond, env)
+        coalesce(c.value, lit(false)) && !c.missing
+      case None => lit(true)
+    }
+
     // default: missing → default value; required+missing/null → error
     val withDefault = m.default match {
       case Some(d) =>
@@ -159,7 +179,7 @@ object Engine {
         CE(when(base.missing, dc.value.cast(tpe)).otherwise(base.value.cast(tpe)),
           lit(false), tpe)
       case None if m.required =>
-        CE(when(base.missing || base.value.isNull,
+        CE(when(keep && (base.missing || base.value.isNull),
           raise_error(lit(s"required value missing: ${PathParser.render(m.target)}"))
             .cast(base.tpe)).otherwise(base.value), lit(false), base.tpe)
       case None => base
@@ -176,16 +196,10 @@ object Engine {
       case None => withDefault
     }
 
-    // when: predicate false or error ⇒ mapping skipped (= missing,
-    // eval_when transform.rs:1041-1063)
-    m.when match {
-      case Some(cond) =>
-        val c = compileCond(cond, env)
-        val keep = coalesce(c.value, lit(false)) && !c.missing
-        CE(when(keep, casted.value).otherwise(lit(null).cast(casted.tpe)),
-          casted.missing || !keep, casted.tpe)
-      case None => casted
-    }
+    // when false ⇒ skipped ⇒ missing (field absent)
+    if (m.when.isEmpty) casted
+    else CE(when(keep, casted.value).otherwise(lit(null).cast(casted.tpe)),
+      casted.missing || !keep, casted.tpe)
   }
 
   /** Merge a value into a nested struct target path (set_path semantics,
@@ -218,15 +232,19 @@ object Engine {
     }
   }
 
-  /** Resolver over a flat (top-level name → type) schema; deeper path
-    * segments descend through structs/arrays; unknown head ⇒ missing. */
-  def resolveFromSchema(schema: Map[String, DataType], colFn: String => Column)
+  /** Resolver over an ordered (name, type) schema; deeper path segments
+    * descend through structs/arrays; unknown head ⇒ missing; the EMPTY path
+    * is the whole record as a struct (`@input` bare ref). */
+  def resolveFromSchema(fields: Seq[(String, DataType)], colFn: String => Column)
       : Seq[String] => CE = { path =>
     path match {
-      case Seq() => throw EngineError("empty input path")
+      case Seq() =>
+        CE.present(
+          struct(fields.map { case (n, _) => colFn(n).as(n) }: _*),
+          StructType(fields.map { case (n, t) => StructField(n, t) }))
       case Seq(head, rest @ _*) =>
-        schema.get(head) match {
-          case Some(t) => descend(CE.present(colFn(head), t), rest)
+        fields.find(_._1 == head) match {
+          case Some((_, t)) => descend(CE.present(colFn(head), t), rest)
           case None => CE.missing
         }
     }

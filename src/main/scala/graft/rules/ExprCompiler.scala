@@ -414,12 +414,15 @@ object ExprCompiler {
       case "not" =>
         CE(!a0.value.cast(BooleanType), a0.missing, BooleanType)
       case "==" | "!=" =>
-        // v1 equality: string-coerced both sides; null==null true
-        // (compare_eq, transform.rs:5480-5493)
+        // v1 equality: string-coerced both sides; null==null true; a missing
+        // operand compares like null (t10 user_missing) — the result is
+        // never missing (compare_eq, transform.rs:5480-5493)
         val l = rmToString(a0); val r = rmToString(arg(1))
-        val eqv = (l.value.isNull && r.value.isNull) ||
-          coalesce(l.value === r.value, lit(false))
-        CE(if (op == "==") eqv else !eqv, missingAny(2), BooleanType)
+        val lNone = a0.missing || l.value.isNull
+        val rNone = arg(1).missing || r.value.isNull
+        val eqv = (lNone && rNone) ||
+          (!lNone && !rNone && coalesce(l.value === r.value, lit(false)))
+        CE(if (op == "==") eqv else !eqv, lit(false), BooleanType)
       case "<" | "<=" | ">" | ">=" =>
         val l = rmToNumber(a0).value; val r = rmToNumber(arg(1)).value
         val v = op match {

@@ -150,19 +150,26 @@ object YamlParser {
   private[rules] def parseExpr(v: Any): Expr = v match {
     case l: java.util.List[_] => parsePipe(l.asScala.toSeq)
     case m: java.util.Map[_, _] => parseV1Expr(mapOf(m))
-    case s: String if s == "$" => ERef(RPipe, Nil)
-    case s: String if s.startsWith("@") => atRef(s)
+    case s: String => parsePipeStart(s)
     case other => ELit(toJValue(other))
   }
 
   private def parsePipe(items: Seq[Any]): Expr = {
     if (items.isEmpty) throw RuleParseError("empty pipe")
-    val start = parsePipeStart(items.head)
-    EPipe(start, items.tail.map(parsePipeStep))
+    // a pipe may START with a step (e.g. a nested `if` inside an else
+    // branch) — then the initial value is the enclosing pipe value ($)
+    items.head match {
+      case m: java.util.Map[_, _] if !mapOf(m).contains("lit") =>
+        EPipe(ERef(RPipe, Nil), items.map(parsePipeStep))
+      case h => EPipe(parsePipeStart(h), items.tail.map(parsePipeStep))
+    }
   }
 
   private def parsePipeStart(v: Any): Expr = v match {
+    case s: String if s.startsWith("lit:") => ELit(JString(s.stripPrefix("lit:")))
     case s: String if s == "$" => ERef(RPipe, Nil)
+    case s: String if s == "@input" => ERef(RInput, Nil)
+    case s: String if s == "@context" => ERef(RContext, Nil)
     case s: String if s.startsWith("@") => atRef(s)
     case m: java.util.Map[_, _] =>
       val mm = mapOf(m)
@@ -172,7 +179,8 @@ object YamlParser {
   }
 
   private[rules] def parsePipeStep(v: Any): PipeStep = v match {
-    case s: String if s == "$" || s.startsWith("@") => SValue(parsePipeStart(s))
+    case s: String if s == "$" || s.startsWith("@") || s.startsWith("lit:") =>
+      SValue(parsePipeStart(s))
     case s: String => SOp(s, Nil) // bare op name, e.g. `trim`
     case m: java.util.Map[_, _] =>
       val mm = mapOf(m)

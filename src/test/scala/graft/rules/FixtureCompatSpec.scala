@@ -1,0 +1,107 @@
+package graft.rules
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import Model._
+
+/** Compatibility oracle: run the REFERENCE's own golden fixtures
+  * (read directly from /root/reference at test time — never copied) through
+  * the engine and compare JSON output trees against each expected.json.
+  *
+  * Covered here: the fixtures whose inputs survive Spark's JSON/CSV ingest
+  * (Spark's JSON reader conflates absent-vs-null at the SOURCE, so fixtures
+  * that depend on per-record missing fields in JSON input are exercised via
+  * the in-memory tests in EngineSpec instead).
+  */
+class FixtureCompatSpec extends AnyFunSuite {
+
+  private val fixtureRoot = "/root/reference/crates/rulemorph/tests/fixtures"
+  private val mapper = new ObjectMapper()
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def jsonNodeToJValue(n: JsonNode): JValue = {
+    import scala.jdk.CollectionConverters._
+    if (n.isNull) JNull
+    else if (n.isBoolean) JBool(n.asBoolean)
+    else if (n.isIntegralNumber) JLong(n.asLong)
+    else if (n.isNumber) JDouble(n.asDouble)
+    else if (n.isTextual) JString(n.asText)
+    else if (n.isArray) JArray(n.elements.asScala.toSeq.map(jsonNodeToJValue))
+    else JObject(n.properties.asScala.toSeq.map(e => e.getKey -> jsonNodeToJValue(e.getValue)))
+  }
+
+  /** Tree comparison: object key order ignored, array order significant,
+    * numbers compared by value (100 == 100.0 — the reference integerizes
+    * integral doubles on output, Spark keeps the declared type). */
+  private def sameJson(a: JsonNode, b: JsonNode): Boolean = {
+    if (a.isNumber && b.isNumber) a.asDouble == b.asDouble
+    else if (a.isArray && b.isArray) {
+      import scala.jdk.CollectionConverters._
+      val as = a.elements.asScala.toSeq; val bs = b.elements.asScala.toSeq
+      as.size == bs.size && as.zip(bs).forall { case (x, y) => sameJson(x, y) }
+    } else if (a.isObject && b.isObject) {
+      import scala.jdk.CollectionConverters._
+      val ak = a.fieldNames.asScala.toSet; val bk = b.fieldNames.asScala.toSet
+      ak == bk && ak.forall(k => sameJson(a.get(k), b.get(k)))
+    } else a == b
+  }
+
+  private def runFixture(name: String): Unit = {
+    val dir = s"$fixtureRoot/$name"
+    val rule = YamlParser.parse(Files.readString(Paths.get(s"$dir/rules.yaml")))
+    val context: JValue =
+      if (Files.exists(Paths.get(s"$dir/context.json")))
+        jsonNodeToJValue(mapper.readTree(Files.readString(Paths.get(s"$dir/context.json"))))
+      else JNull
+    val input: DataFrame =
+      if (rule.input.format == "csv") graft.sources.Sources.csv(spark, s"$dir/input.csv", rule.input)
+      else graft.sources.Sources.json(spark, s"$dir/input.json", rule.input.recordsPath)
+    // JSON-sourced fixtures: absent-vs-null is conflated by the reader, so
+    // null input refs are read as missing (matches reference JSON ingest)
+    val nullAsMissing = rule.input.format != "csv"
+    val got = Engine.toJsonRecords(rule, input, context, nullAsMissing)
+      .collect().map(r => mapper.readTree(r.getString(0)))
+    val expected = mapper.readTree(Files.readString(Paths.get(s"$dir/expected.json")))
+    assert(expected.isArray, s"$name: expected.json should be an array")
+    assert(got.length == expected.size,
+      s"$name: ${got.length} records, expected ${expected.size}\n got: ${got.mkString("\n")}")
+    got.zipWithIndex.foreach { case (g, i) =>
+      assert(sameJson(g, expected.get(i)),
+        s"$name record $i:\n  got      $g\n  expected ${expected.get(i)}")
+    }
+  }
+
+  val fixtures = Seq(
+    "t01_csv_basic",
+    "t02_csv_no_header",
+    "t04_json_root_coalesce_default",
+    "t05_expr_transforms",
+    "t10_when_compare",
+    "t11_when_logical_ops",
+    "t14_expr_chain",
+    "t15_record_when",
+    "t29_json_ops_len",
+    "tv22_basic",
+    "tv23_steps",
+    "tv24_conditions",
+    "tv27_v1_compat",
+    "tv28_map_let_binding",
+    "tv30_literal_escape",
+    "tv32_steps_finalize",
+    "tv37_root_refs",
+    "tv38_finalize_filter_offset")
+
+  fixtures.foreach { f =>
+    test(s"reference golden fixture: $f") { runFixture(f) }
+  }
+}
