@@ -53,7 +53,12 @@ object Dedup {
     * Only emits pairs above `threshold`. */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
+    // materialize the shingle explosion once: it feeds BOTH sides of the
+    // self-join plus the size aggregate, and higher-order shingle exprs are
+    // interpreted (no codegen) — recomputing them 3× dominates runtime.
+    // The cached set is (doc id, shingle) — tiny relative to the corpus.
     val sh = docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+      .cache()
     val sz = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
@@ -74,11 +79,27 @@ object Dedup {
     * re-hash that fixed-width long together with the permutation index —
     * much cheaper than re-hashing the string k times, fully independent,
     * and free of the long-overflow ANSI errors an affine (a·h+b) map hits
-    * under Spark 4's default ANSI mode. */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val shingleHashes = transform(shingles(text, n), s => xxhash64(s))
+    * under Spark 4's default ANSI mode.
+    *
+    * IMPORTANT: only use this Column form when `shingleHashes` is already a
+    * bound attribute. If the shingle expression is inlined here, the outer
+    * per-permutation lambda re-evaluates the whole shingle build (split +
+    * concat + O(n²) interpreted array_distinct) k times per row — use
+    * `minhashSignatures` (the staged DataFrame form) instead. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+
+  /** Staged signature computation: shingle build + base hash materialize
+    * ONCE per doc (cache barrier — project-collapse would otherwise inline
+    * them into the k-permutation lambda), then the k-min pass runs over the
+    * bound hash array. Output: (doc, sig array<long>[k]). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc"),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("shh"))
+      .cache()
+    hashed.select(col("doc"), minhashSignature(col("shh"), k).as("sig"))
   }
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
@@ -96,10 +117,12 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = docs.select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), n, k).as("sig"))
+    // cache the banded signatures: the bucket self-join would otherwise
+    // recompute them for both sides. Cached size = bands longs per doc.
+    val sig = minhashSignatures(docs, textCol, idCol, n, k)
     val banded = sig.select(col("doc"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
+      .cache()
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
@@ -114,6 +137,7 @@ object Dedup {
       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val cand = lshCandidatePairs(docs, textCol, idCol, n, k, bands)
     val sh = docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+      .cache()
     val sz = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     // intersection counted only for candidate pairs: join shingles through cand
     val inter = cand
