@@ -23,13 +23,24 @@ object Engine {
 
   final case class EngineError(message: String) extends RuntimeException(message)
 
+  /** Loads branch sub-rule files by the path string written in the rule. */
+  type RuleLoader = String => RuleFile
+  val noLoader: RuleLoader =
+    p => throw EngineError(s"no rule loader configured (branch path: $p)")
+
+  /** Filesystem loader resolving branch paths against a base directory. */
+  def fileLoader(baseDir: String): RuleLoader = { p =>
+    val path = java.nio.file.Paths.get(baseDir).resolve(p)
+    YamlParser.parse(java.nio.file.Files.readString(path))
+  }
+
   /** Compiled rule: the filtered input (with a stable __order column) and
     * the ordered map of top-level output fields as (value, missing) pairs. */
   private case class Compiled(df: DataFrame,
       out: scala.collection.immutable.ListMap[String, CE], env: Env)
 
   private def compilePlan(rule: RuleFile, input: DataFrame, context: JValue,
-      nullAsMissing: Boolean): Compiled = {
+      nullAsMissing: Boolean, ruleLoader: RuleLoader): Compiled = {
     // stable input order for finalize's stable sort: monotonically
     // increasing id encodes (partition, offset) = scan order, captured
     // before any shuffle. Only attached when a finalize sort will consume
@@ -56,44 +67,156 @@ object Engine {
       case None => ordered
     }
 
-    // ordered mappings (top-level + staged): build @out incrementally; each
-    // target is one compiled column expression — no per-record interpretation
-    val allMappings: Seq[Mapping] =
-      rule.mappings ++ rule.steps.collect { case StepMappings(ms) => ms }.flatten
+    // ordered mappings + steps IN ORDER: later steps see @out as built so
+    // far (mappings after a branch read the branch's merged fields —
+    // transform.rs:431-531). No per-record interpretation anywhere.
     var out = scala.collection.immutable.ListMap.empty[String, CE]
-    for (m <- allMappings) {
+    def applyMappings(ms: Seq[Mapping]): Unit = for (m <- ms) {
       val mapped = compileMapping(m, env.copy(out = out))
       val key = m.target.head
       val merged = if (m.target.size == 1) mapped
         else nest(out.get(key), m.target.tail, mapped)
       out = out + (key -> merged)
     }
-    env = env.copy(out = out)
+    applyMappings(rule.mappings)
 
-    // step-level record_when (against @out) and asserts (false ⇒ error)
-    for (s <- rule.steps) s match {
+    var replaced = false // branch return:true ends step processing
+    for (s <- rule.steps if !replaced) s match {
+      case StepMappings(ms) => applyMappings(ms)
       case StepRecordWhen(cond) =>
-        val c = compileCond(cond, env)
+        val c = compileCond(cond, env.copy(out = out))
         df = df.filter(coalesce(c.value, lit(false)) && !c.missing)
       case StepAssert(cond, code, message) =>
-        val c = compileCond(cond, env)
+        val c = compileCond(cond, env.copy(out = out))
         df = df.filter(
           when(!coalesce(c.value, lit(false)),
             raise_error(lit(s"$code: $message")).cast(BooleanType))
             .otherwise(lit(true)))
-      case StepMappings(_) => ()
+      case StepBranch(cond, thenPath, elsePath, ret) =>
+        val c = compileCond(cond, env.copy(out = out))
+        val keep = coalesce(c.value, lit(false)) && !c.missing
+        val thenOut = compileSubRule(ruleLoader(thenPath), out, env)
+        val elseOut = elsePath.map(p => compileSubRule(ruleLoader(p), out, env))
+          .getOrElse(scala.collection.immutable.ListMap.empty[String, CE])
+        val branchOut = mergeBranchOutputs(keep, thenOut, elseOut)
+        if (ret) { out = branchOut; replaced = true } // output replaced, stop
+        else out = deepMergeOut(out, branchOut)
     }
+    env = env.copy(out = out)
     Compiled(df, out, env)
   }
 
+  /** Compile a branch sub-rule's mappings: its @input is the CURRENT @out
+    * (transform.rs:491-527). One nesting level of sub-rules; sub-rule
+    * record_when/finalize are not supported in branches yet. */
+  private def compileSubRule(sub: RuleFile,
+      out: scala.collection.immutable.ListMap[String, CE], outer: Env)
+      : scala.collection.immutable.ListMap[String, CE] = {
+    require(sub.finalizeSpec.isEmpty && sub.recordWhen.isEmpty,
+      "branch sub-rules with record_when/finalize are not supported yet")
+    val subInput: Seq[String] => CE = {
+      case Seq() =>
+        CE.present(struct(out.map { case (n, ce) => ce.valueOrNull.as(n) }.toSeq: _*),
+          StructType(out.map { case (n, ce) => StructField(n, ce.tpe) }.toSeq))
+      case Seq(head, rest @ _*) =>
+        out.get(head).map(descend(_, rest)).getOrElse(CE.missing)
+    }
+    var subOut = scala.collection.immutable.ListMap.empty[String, CE]
+    val subEnv = Env(input = subInput, context = outer.context)
+    val ms = sub.mappings ++ sub.steps.collect { case StepMappings(m) => m }.flatten
+    for (m <- ms) {
+      val mapped = compileMapping(m, subEnv.copy(out = subOut))
+      val key = m.target.head
+      val merged = if (m.target.size == 1) mapped
+        else nest(subOut.get(key), m.target.tail, mapped)
+      subOut = subOut + (key -> merged)
+    }
+    subOut
+  }
+
+  /** Route each record's branch outputs by the condition: a field produced
+    * only by one side is missing on the other side's records. */
+  private def mergeBranchOutputs(keep: Column,
+      thenOut: scala.collection.immutable.ListMap[String, CE],
+      elseOut: scala.collection.immutable.ListMap[String, CE])
+      : scala.collection.immutable.ListMap[String, CE] = {
+    val keys = (thenOut.keys ++ elseOut.keys.filterNot(thenOut.contains)).toSeq
+    scala.collection.immutable.ListMap(keys.map { k =>
+      val ce = (thenOut.get(k), elseOut.get(k)) match {
+        case (Some(t), Some(e)) =>
+          CE(when(keep, t.value).otherwise(e.value.cast(t.tpe)),
+            when(keep, t.missing).otherwise(e.missing), t.tpe)
+        case (Some(t), None) =>
+          CE(when(keep, t.value), !keep || t.missing, t.tpe)
+        case (None, Some(e)) =>
+          CE(when(!keep, e.value), keep || e.missing, e.tpe)
+        case (None, None) => CE.missing
+      }
+      k -> ce
+    }: _*)
+  }
+
+  /** deep-merge branch output into @out (return:false): produced fields
+    * overwrite per row; fields the branch didn't produce (missing on that
+    * row) keep their existing value (merge semantics transform.rs:533-564). */
+  private def deepMergeOut(
+      out: scala.collection.immutable.ListMap[String, CE],
+      branch: scala.collection.immutable.ListMap[String, CE])
+      : scala.collection.immutable.ListMap[String, CE] = {
+    var result = out
+    for ((k, b) <- branch) {
+      val merged = out.get(k) match {
+        case Some(old) if old.tpe == b.tpe =>
+          CE(when(!b.missing, b.value).otherwise(old.value),
+            b.missing && old.missing, b.tpe)
+        case _ => b // new field, or type change ⇒ overwrite
+      }
+      result = result + (k -> merged)
+    }
+    result
+  }
+
   /** Typed-DataFrame sink: one column per top-level target; missing
-    * collapses to null at this typed boundary. */
+    * collapses to null at this typed boundary. With finalize.wrap the
+    * result is ONE row of the wrap fields (@out = the whole output array —
+    * wrap is a driver-edge collect point, like the reference's full
+    * materialization, transform.rs:707-749). */
   def transform(rule: RuleFile, input: DataFrame, context: JValue = JNull,
-      nullAsMissing: Boolean = false): DataFrame = {
-    val c = compilePlan(rule, input, context, nullAsMissing)
+      nullAsMissing: Boolean = false, ruleLoader: RuleLoader = noLoader): DataFrame = {
+    val c = compilePlan(rule, input, context, nullAsMissing, ruleLoader)
     val outCols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq
-    applyFinalize(rule, c.df.select(outCols :+ col("__order"): _*), context)
+    val projected = applyFinalize(rule, c.df.select(outCols :+ col("__order"): _*), context)
       .drop("__order")
+    rule.finalizeSpec.filter(_.wrap.nonEmpty) match {
+      case Some(fin) =>
+        val (single, wenv) = wrapScope(projected, c.out, context)
+        val wrapped = fin.wrap.map { case (n, wv) => n -> compileWrap(wv, wenv) }
+        single.select(wrapped.map { case (n, ce) => ce.valueOrNull.as(n) }: _*)
+      case None => projected
+    }
+  }
+
+  /** Collect the (finalized, ordered) output into one row and build the
+    * wrap evaluation scope where bare @out is the whole record array. */
+  private def wrapScope(projected: DataFrame,
+      out: scala.collection.immutable.ListMap[String, CE], context: JValue)
+      : (DataFrame, Env) = {
+    val recType = StructType(out.map { case (n, ce) => StructField(n, ce.tpe) }.toSeq)
+    val rec = struct(out.keys.map(col).toSeq: _*)
+    // coalesce(1) after the finalize sort keeps global order in the single
+    // partition, so collect_list preserves the output array order
+    val single = projected.coalesce(1).agg(collect_list(rec).as("__all"))
+    val wenv = Env(input = _ => CE.missing, context = context,
+      outWhole = Some(CE.present(col("__all"), ArrayType(recType))))
+    (single, wenv)
+  }
+
+  private def compileWrap(w: WrapValue, env: Env): CE = w match {
+    case WExpr(e) => ExprCompiler.compile(e, env)
+    case WObject(fields) =>
+      val cs = fields.map { case (n, v) => n -> compileWrap(v, env) }
+      CE(struct(cs.map { case (n, ce) => ce.valueOrNull.as(n) }: _*), lit(false),
+        StructType(cs.map { case (n, ce) => StructField(n, ce.tpe) }))
   }
 
   /** Reference-exact JSON sink: missing fields are ABSENT from the output
@@ -102,8 +225,8 @@ object Engine {
     * so the object is assembled at plan time from per-field JSON fragments —
     * one concat per record, fully codegen'd, no driver loop. */
   def toJsonRecords(rule: RuleFile, input: DataFrame, context: JValue = JNull,
-      nullAsMissing: Boolean = false): DataFrame = {
-    val c = compilePlan(rule, input, context, nullAsMissing)
+      nullAsMissing: Boolean = false, ruleLoader: RuleLoader = noLoader): DataFrame = {
+    val c = compilePlan(rule, input, context, nullAsMissing, ruleLoader)
     val cols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq ++
       c.out.map { case (name, ce) => ce.missing.as(s"__miss_$name") }.toSeq
     val projected = applyFinalize(rule, c.df.select(cols :+ col("__order"): _*), context)
@@ -112,8 +235,36 @@ object Engine {
       when(col(s"__miss_$name"), lit(null).cast(StringType))
         .otherwise(concat(lit("\"" + name + "\":"), enc))
     }
-    projected.select(
-      concat(lit("{"), concat_ws(",", frags: _*), lit("}")).as("json"))
+    val recordJson = concat(lit("{"), concat_ws(",", frags: _*), lit("}"))
+    rule.finalizeSpec.filter(_.wrap.nonEmpty) match {
+      case Some(fin) =>
+        // wrap ⇒ output is ONE JSON object. A wrap value that is exactly
+        // `@out` renders the pre-built per-record JSON (missing fields stay
+        // absent inside records); other exprs evaluate over the value array.
+        val recType = StructType(c.out.map { case (n, ce) => StructField(n, ce.tpe) }.toSeq)
+        val rec = struct(c.out.keys.map(col).toSeq: _*)
+        val single = projected.coalesce(1).agg(
+          collect_list(rec).as("__all"), collect_list(recordJson).as("__alljson"))
+        val wenv = Env(input = _ => CE.missing, context = context,
+          outWhole = Some(CE.present(col("__all"), ArrayType(recType))))
+        def wrapJson(w: WrapValue): Column = w match {
+          case WExpr(ERef(ROut, Seq())) =>
+            concat(lit("["), array_join(col("__alljson"), ","), lit("]"))
+          case WExpr(e) =>
+            val ce = ExprCompiler.compile(e, wenv)
+            jsonEncode(ce.valueOrNull, ce.tpe)
+          case WObject(fields) =>
+            concat(lit("{"), concat_ws(",", fields.map { case (n, v) =>
+              concat(lit("\"" + n + "\":"), wrapJson(v))
+            }: _*), lit("}"))
+        }
+        val objFrags = fin.wrap.map { case (n, wv) =>
+          concat(lit("\"" + n + "\":"), wrapJson(wv))
+        }
+        single.select(
+          concat(lit("{"), concat_ws(",", objFrags: _*), lit("}")).as("json"))
+      case None => projected.select(recordJson.as("json"))
+    }
   }
 
   /** JSON-encode one value column via the to_json(struct) wrapper with a

@@ -47,7 +47,8 @@ object ExprCompiler {
       itemIndex: Option[Column] = None,         // @item.index
       acc: Option[CE] = None,                   // @acc (fold accumulator)
       pipeValue: Option[CE] = None,             // $
-      vars: Map[String, CE] = Map.empty) {      // let-bound
+      vars: Map[String, CE] = Map.empty,        // let-bound
+      outWhole: Option[CE] = None) {            // @out = whole output array (wrap)
     def withPipe(v: CE): Env = copy(pipeValue = Some(v))
   }
 
@@ -143,13 +144,16 @@ object ExprCompiler {
     case RInput => env.input(path)
     case RContext => contextLookup(env.context, path)
     case ROut =>
-      path match {
-        case Seq() => throw CompileError("@out without field")
-        case Seq(head, rest @ _*) =>
-          env.out.get(head) match {
-            case Some(ce) => descend(ce, rest)
-            case None => CE.missing // forward refs are validator errors; absent = missing
-          }
+      env.outWhole match {
+        case Some(whole) => descend(whole, path) // wrap scope: @out = output array
+        case None => path match {
+          case Seq() => throw CompileError("@out without field")
+          case Seq(head, rest @ _*) =>
+            env.out.get(head) match {
+              case Some(ce) => descend(ce, rest)
+              case None => CE.missing // forward refs are validator errors; absent = missing
+            }
+        }
       }
     case RItem =>
       descend(env.item.getOrElse(throw CompileError("@item outside map/filter scope")), path)
@@ -560,6 +564,28 @@ object ExprCompiler {
             missingAny(2), LongType)
       case "unique" =>
         CE(array_distinct(a0.value), a0.missing, a0.tpe)
+      case "partition" =>
+        // [matched, unmatched] by predicate; null/missing predicate = false
+        // ⇒ element lands in unmatched (transform.rs:3745-3789)
+        val et = elemTypeOf(a0)
+        val lam = lambda(1, et)
+        def pred(x: Column, i: Column): Column = {
+          val r = lam(x, i); !r.missing && coalesce(r.value.cast(BooleanType), lit(false))
+        }
+        CE(array(filter(a0.value, (x, i) => pred(x, i)),
+          filter(a0.value, (x, i) => !pred(x, i))),
+          a0.missing, ArrayType(a0.tpe))
+      case "unzip" =>
+        // array of n-tuples (arrays) → n column arrays; width from the
+        // first tuple (transform.rs:3600-3660)
+        val innerT = elemTypeOf(a0) match {
+          case ArrayType(t, _) => t
+          case t => throw CompileError(s"unzip needs array of arrays, got $t")
+        }
+        val width = size(element_at(a0.value, 1))
+        CE(transform(sequence(lit(0), greatest(width - 1, lit(0))),
+          i => transform(a0.value, x => get(x, i))),
+          a0.missing || size(a0.value) === 0, ArrayType(ArrayType(innerT)))
       case "sum" | "avg" | "min" | "max" =>
         val et = elemTypeOf(a0)
         val nums = transform(a0.value, x => rmToNumber(CE.present(x, et)).value)

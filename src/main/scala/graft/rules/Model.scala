@@ -91,14 +91,27 @@ object Model {
   case class StepMappings(mappings: Seq[Mapping]) extends Step
   case class StepRecordWhen(cond: Cond) extends Step
   case class StepAssert(cond: Cond, code: String, message: String) extends Step
+  /** branch to other rule FILES: condition routes each record to then/else;
+    * return=true ⇒ sub-rule output REPLACES the record's output and later
+    * steps are skipped; return=false ⇒ deep-merge into @out
+    * (transform.rs:491-564). */
+  case class StepBranch(when: Cond, thenPath: String, elsePath: Option[String],
+      ret: Boolean) extends Step
 
   case class SortSpec(by: Seq[String], descending: Boolean)
+
+  /** finalize.wrap values: leaf exprs (with @out = the whole output array)
+    * or nested objects of them. */
+  sealed trait WrapValue
+  case class WExpr(e: Expr) extends WrapValue
+  case class WObject(fields: Seq[(String, WrapValue)]) extends WrapValue
 
   case class Finalize(
       filter: Option[Cond] = None,
       sort: Option[SortSpec] = None,
       offset: Option[Int] = None,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      wrap: Seq[(String, WrapValue)] = Nil)
 
   case class InputSpec(
       format: String = "json", // csv | json | table

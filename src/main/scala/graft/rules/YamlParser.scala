@@ -90,6 +90,13 @@ object YamlParser {
         StepAssert(parseCondOrExpr(am("cond")),
           am.get("code").map(_.toString).getOrElse("AssertionFailed"),
           am.get("message").map(_.toString).getOrElse(""))
+      } else if (m.contains("branch")) {
+        val bm = asMap(m("branch"), "branch")
+        StepBranch(
+          parseCondOrExpr(bm.getOrElse("when", throw RuleParseError("branch needs when"))),
+          bm.getOrElse("then", throw RuleParseError("branch needs then")).toString,
+          bm.get("else").map(_.toString),
+          bm.get("return").contains(true))
       } else throw RuleParseError(s"unknown step keys: ${m.keys.mkString(",")}")
     }
 
@@ -104,7 +111,18 @@ object YamlParser {
           sm.get("order").exists(_.toString == "desc"))
       },
       offset = m.get("offset").map(toInt(_, "offset")),
-      limit = m.get("limit").map(toInt(_, "limit")))
+      limit = m.get("limit").map(toInt(_, "limit")),
+      wrap = m.get("wrap").map(w => asMap(w, "wrap").toSeq.map {
+        case (k, v) => k -> parseWrapValue(v)
+      }).getOrElse(Nil))
+  }
+
+  /** wrap values: a YAML map = nested wrap object; anything else = expr
+    * (with @out bound to the whole output array). */
+  private def parseWrapValue(v: Any): WrapValue = v match {
+    case m: java.util.Map[_, _] =>
+      WObject(asMap(m, "wrap object").toSeq.map { case (k, vv) => k -> parseWrapValue(vv) })
+    case other => WExpr(parseExpr(other))
   }
 
   // ---- expressions ----

@@ -67,17 +67,25 @@ class FixtureCompatSpec extends AnyFunSuite {
       if (rule.input.format == "csv") graft.sources.Sources.csv(spark, s"$dir/input.csv", rule.input)
       else graft.sources.Sources.json(spark, s"$dir/input.json", rule.input.recordsPath)
     // JSON-sourced fixtures: absent-vs-null is conflated by the reader, so
-    // null input refs are read as missing (matches reference JSON ingest)
+    // null input refs are read as missing (matches reference JSON ingest).
+    // Branch sub-rule paths resolve against the reference crate root.
     val nullAsMissing = rule.input.format != "csv"
-    val got = Engine.toJsonRecords(rule, input, context, nullAsMissing)
+    val loader = Engine.fileLoader("/root/reference/crates/rulemorph")
+    val got = Engine.toJsonRecords(rule, input, context, nullAsMissing, loader)
       .collect().map(r => mapper.readTree(r.getString(0)))
     val expected = mapper.readTree(Files.readString(Paths.get(s"$dir/expected.json")))
-    assert(expected.isArray, s"$name: expected.json should be an array")
-    assert(got.length == expected.size,
-      s"$name: ${got.length} records, expected ${expected.size}\n got: ${got.mkString("\n")}")
-    got.zipWithIndex.foreach { case (g, i) =>
-      assert(sameJson(g, expected.get(i)),
-        s"$name record $i:\n  got      $g\n  expected ${expected.get(i)}")
+    if (expected.isArray) {
+      assert(got.length == expected.size,
+        s"$name: ${got.length} records, expected ${expected.size}\n got: ${got.mkString("\n")}")
+      got.zipWithIndex.foreach { case (g, i) =>
+        assert(sameJson(g, expected.get(i)),
+          s"$name record $i:\n  got      $g\n  expected ${expected.get(i)}")
+      }
+    } else {
+      // finalize.wrap ⇒ a single wrapped object
+      assert(got.length == 1, s"$name: wrap output should be one object, got ${got.length}")
+      assert(sameJson(got(0), expected),
+        s"$name wrap:\n  got      ${got(0)}\n  expected $expected")
     }
   }
 
@@ -98,6 +106,10 @@ class FixtureCompatSpec extends AnyFunSuite {
     "tv28_map_let_binding",
     "tv30_literal_escape",
     "tv32_steps_finalize",
+    "tv33_branch_return",
+    "tv34_branch_return_true",
+    "tv35_finalize_wrap",
+    "tv36_branch_uses_out",
     "tv37_root_refs",
     "tv38_finalize_filter_offset")
 
