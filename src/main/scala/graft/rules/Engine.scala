@@ -395,7 +395,12 @@ object Engine {
           StructType(fields.map { case (n, t) => StructField(n, t) }))
       case Seq(head, rest @ _*) =>
         fields.find(_._1 == head) match {
-          case Some((_, t)) => descend(CE.present(colFn(head), t), rest)
+          case Some((_, t)) =>
+            // a column whose NAME contains a dot (t08 escaped keys) must be
+            // backtick-quoted or col() reads it as a nested field path
+            val ref = if (head.exists(c => c == '.' || c == '`'))
+              s"`${head.replace("`", "``")}`" else head
+            descend(CE.present(colFn(ref), t), rest)
           case None => CE.missing
         }
     }

@@ -16,6 +16,15 @@ object PathParser {
     var expectSegment = true
     while (i < n) {
       path.charAt(i) match {
+        case '[' if i + 1 < n && path.charAt(i + 1).isDigit =>
+          // numeric index segment: items[0] → segment "0"
+          var j = i + 1
+          while (j < n && path.charAt(j).isDigit) j += 1
+          if (j >= n || path.charAt(j) != ']')
+            throw PathError(s"expected ']' after index in path: $path")
+          out += path.substring(i + 1, j)
+          i = j + 1
+          expectSegment = false
         case '[' =>
           if (i + 1 >= n || path.charAt(i + 1) != '"')
             throw PathError(s"expected '\"' after '[' in path: $path")

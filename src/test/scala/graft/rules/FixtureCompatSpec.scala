@@ -92,12 +92,17 @@ class FixtureCompatSpec extends AnyFunSuite {
   val fixtures = Seq(
     "t01_csv_basic",
     "t02_csv_no_header",
+    "t03_json_out_context",
     "t04_json_root_coalesce_default",
     "t05_expr_transforms",
+    "t06_lookup_context",
+    "t07_array_index_paths",
+    "t08_escaped_keys",
     "t10_when_compare",
     "t11_when_logical_ops",
     "t14_expr_chain",
     "t15_record_when",
+    "t25_json_ops_get_chain",
     "t29_json_ops_len",
     "tv22_basic",
     "tv23_steps",
