@@ -63,7 +63,7 @@ object Engine {
     var df = rule.recordWhen match {
       case Some(cond) =>
         val c = compileCond(cond, env)
-        ordered.filter(coalesce(c.value, lit(false)) && !c.missing)
+        ordered.filter(c.value && !c.missing) // filter drops null = false; no coalesce (it blocks pushdown)
       case None => ordered
     }
 
@@ -85,7 +85,7 @@ object Engine {
       case StepMappings(ms) => applyMappings(ms)
       case StepRecordWhen(cond) =>
         val c = compileCond(cond, env.copy(out = out))
-        df = df.filter(coalesce(c.value, lit(false)) && !c.missing)
+        df = df.filter(c.value && !c.missing)
       case StepAssert(cond, code, message) =>
         val c = compileCond(cond, env.copy(out = out))
         df = df.filter(
@@ -294,7 +294,7 @@ object Engine {
         item = Some(itemCE))
       fin.filter.foreach { cond =>
         val c = compileCond(cond, finEnv)
-        result = result.filter(coalesce(c.value, lit(false)) && !c.missing)
+        result = result.filter(c.value && !c.missing)
       }
       fin.sort.foreach { s =>
         val key = resolveFromSchema(outSchema, col(_))(s.by)

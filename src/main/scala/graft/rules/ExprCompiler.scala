@@ -290,7 +290,10 @@ object ExprCompiler {
       else if ((isNum(l.tpe) && r.tpe == StringType) || (l.tpe == StringType && isNum(r.tpe)))
         op(l.value.cast(DoubleType), r.value.cast(DoubleType))
       else op(rmToString(l).value, rmToString(r).value)
-    ok && coalesce(cmp, lit(false))
+    // no coalesce around cmp: `ok` already guards the null operands, and a
+    // coalesce wrapper would block parquet predicate pushdown of the
+    // comparison (observed: only IsNotNull reached PushedFilters)
+    ok && cmp
   }
 
   private def isNum(t: DataType): Boolean = t match {
