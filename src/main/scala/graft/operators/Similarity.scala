@@ -50,7 +50,7 @@ object Similarity {
   /** Deterministic ±1 hyperplane weight via splitmix64 of (plane, dim) — no
     * RNG state, reproducible everywhere, baked into the plan as literals so
     * the projection is a plain zip_with dot product. */
-  private def planeWeight(plane: Int, dim: Int): Double = {
+  private[graft] def planeWeight(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -39,12 +39,16 @@ object Extensions {
         col("n_frames_sampled"))
       .orderBy("doc_id")
 
-  /** Partition-level stubbed decode → deterministic feature vectors
-    * (rows-only check; semantics asserted in MultimodalSpec). */
+  /** Partition-level stubbed decode → deterministic feature vectors, one
+    * row per (doc, dimension) so every cell is a scalar the driver's
+    * comparator can hash. The oracle recomputes the byte histogram in SQL
+    * (documents are ASCII, so code points are bytes). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.withPayload(Tables.documents(spark, dir), "text"), "doc_id")
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "feature")))
+      .select(col("doc_id"), col("dim").cast(LongType).as("dim"), col("feature"))
+      .orderBy("doc_id", "dim")
 
   val queries: Map[String, Q] = Map(
     "q_window_events"       -> (windowEvents _),
@@ -63,5 +67,18 @@ object Extensions {
         |       'application/octet-stream' AS mime,
         |       MD5(text) AS digest,
         |       CAST(CEIL(CEIL(OCTET_LENGTH(ENCODE(text)) / 64.0) / 4.0) AS BIGINT) AS n_frames_sampled
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_features" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n, UNNEST(RANGE(${Multimodal.featureDim})) AS dim
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT doc_id,
+         |         UNNEST(LIST_TRANSFORM(RANGE(LENGTH(text)), i -> ORD(SUBSTR(text, CAST(i + 1 AS INT), 1)) % ${Multimodal.featureDim})) AS dim
+         |  FROM documents),
+         |hist AS (SELECT doc_id, dim, COUNT(*) AS k FROM bytes GROUP BY doc_id, dim)
+         |SELECT d.doc_id, CAST(d.dim AS BIGINT) AS dim,
+         |       CAST(COALESCE(h.k, 0) AS DOUBLE) / GREATEST(d.n, 1) AS feature
+         |FROM dims d LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.dim = d.dim
+         |ORDER BY d.doc_id, d.dim""".stripMargin)
 }

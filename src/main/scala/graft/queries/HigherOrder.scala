@@ -51,12 +51,14 @@ object HigherOrder {
       .orderBy("p_partkey", "word")
 
   /** group_by/key_by/unique (§2.4) at cross-record scale: per return flag,
-    * the distinct sorted status array + distinct count. */
+    * the distinct sorted status list + distinct count. The list is emitted
+    * joined to one string so the driver's comparator (pandas, no array
+    * hashing) can canonicalize it. */
   def groupCollect(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
         countDistinct(col("l_linestatus")).as("n_statuses"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
@@ -87,7 +89,7 @@ object HigherOrder {
         |FROM part ORDER BY p_partkey, word""".stripMargin,
     "q_group_collect" ->
       """SELECT l_returnflag,
-        |       LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses,
+        |       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses,
         |       COUNT(DISTINCT l_linestatus) AS n_statuses,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)

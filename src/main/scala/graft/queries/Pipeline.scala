@@ -70,8 +70,8 @@ object Pipeline {
       .orderBy("da", "db")
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+    Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
+      .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
   def similarityTopK(spark: SparkSession, dir: String): DataFrame =
@@ -110,7 +110,56 @@ object Pipeline {
       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
 
+  /** SimHash oracle: the md5-60-bit algorithm of Dedup.simhashAgg restated
+    * in SQL — generated so the bit width stays in one place. */
+  private val simhashSql = {
+    val bits = 60
+    val sums = (0 until bits)
+      .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sig = (0 until bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT AS th FROM toks),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH ANN oracle: the exact lshTopK computation restated in SQL with the
+    * ±1 hyperplane weights inlined as literals (same splitmix64-derived
+    * weights the Spark plan bakes in). Projections are written as the same
+    * left-associated fold the Spark `aggregate` performs, so the sign tests
+    * agree bit-for-bit; LIST_COSINE_SIMILARITY matches the fold-based
+    * cosine (proven bit-exact by q_similarity_topk). */
+  private val lshSql = {
+    val planes = 4; val tables = 16; val dims = 64; val nQueries = 50; val k = 5
+    def proj(t: Int, p: Int): String =
+      (0 until dims)
+        .map(d => s"e[${d + 1}] * ${Similarity.planeWeight(t * planes + p, d)}")
+        .mkString("0.0 + ", " + ", "")
+    def bucket(t: Int): String =
+      (0 until planes)
+        .map(p => s"(CASE WHEN (${proj(t, p)}) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+    val buckets = (0 until tables).map(bucket).mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bk AS (SELECT id, UNNEST(RANGE($tables)) AS tbl, UNNEST($buckets) AS bucket FROM base),
+       |cand AS (SELECT DISTINCT q.id AS qid, c.id AS cid
+       |         FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |         WHERE q.id < $nQueries AND q.id <> c.id),
+       |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(qe.e, ce.e) AS sim
+       |           FROM cand JOIN base qe ON qe.id = qid JOIN base ce ON ce.id = cid),
+       |ranked AS (SELECT qid, cid, sim,
+       |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+       |           FROM scored)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, sim
+       |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_simhash" -> simhashSql,
+    "q_similarity_lsh" -> lshSql,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |       CAST(LENGTH(text) AS BIGINT) AS char_len,
