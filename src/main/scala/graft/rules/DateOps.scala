@@ -93,4 +93,34 @@ object DateOps {
       else defaultFormats
     coalesce(formats.map(f => try_to_timestamp(s, lit(f))): _*)
   }
+
+  /** The reference's timezone-argument detection (looks_like_timezone,
+    * transform.rs:5674-5679): "UTC", "Z", or a ±offset. */
+  def looksLikeTimezone(s: String): Boolean =
+    s.equalsIgnoreCase("utc") || s == "Z" ||
+      s.headOption.exists(c => c == '+' || c == '-')
+
+  /** parse_timezone (transform.rs:5681-5772) → normalized "+HH:MM" /
+    * "-HH:MM" offset string; the rule carries it as a literal, so this runs
+    * at plan time. */
+  def normalizeOffset(s: String): String = {
+    def bad() = throw ExprCompiler.CompileError(
+      s"timezone must be UTC or an offset like +09:00, got $s")
+    if (s.equalsIgnoreCase("utc") || s == "Z") "+00:00"
+    else {
+      val sign = s.headOption match {
+        case Some('+') => "+"; case Some('-') => "-"; case _ => bad()
+      }
+      val rest = s.drop(1)
+      val (h, m) = rest.split(":", 2) match {
+        case Array(hh, mm) => (hh.toIntOption.getOrElse(bad()), mm.toIntOption.getOrElse(bad()))
+        case Array(r) if r.length == 2 => (r.toIntOption.getOrElse(bad()), 0)
+        case Array(r) if r.length == 4 =>
+          (r.take(2).toIntOption.getOrElse(bad()), r.drop(2).toIntOption.getOrElse(bad()))
+        case _ => bad()
+      }
+      if (h < 0 || h > 23 || m < 0 || m > 59) bad()
+      f"$sign$h%02d:$m%02d"
+    }
+  }
 }

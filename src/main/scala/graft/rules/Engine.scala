@@ -55,7 +55,11 @@ object Engine {
     // (the reference's JSON ingest distinguishes them, transform.rs:902-941)
     val inputResolver: Seq[String] => CE =
       if (nullAsMissing) baseResolver.andThen(ce =>
-        CE(ce.value, ce.missing || ce.value.isNull, ce.tpe))
+        // identity of the static-missing CE is preserved (ops test it);
+        // variant fields already distinguish absent (SQL null) from
+        // explicit JSON null (variant null), so they pass through
+        if ((ce eq CE.missing) || ce.tpe == org.apache.spark.sql.types.VariantType) ce
+        else CE(ce.value, ce.missing || ce.value.isNull, ce.tpe))
       else baseResolver
     var env = Env(input = inputResolver, context = context)
 
@@ -70,28 +74,34 @@ object Engine {
     // ordered mappings + steps IN ORDER: later steps see @out as built so
     // far (mappings after a branch read the branch's merged fields —
     // transform.rs:431-531). No per-record interpretation anywhere.
+    // pathPrefix threads the reference's error-path identity
+    // (mappings[i] / steps[i].mappings[j]) into raised errors.
     var out = scala.collection.immutable.ListMap.empty[String, CE]
-    def applyMappings(ms: Seq[Mapping]): Unit = for (m <- ms) {
-      val mapped = compileMapping(m, env.copy(out = out))
-      val key = m.target.head
-      val merged = if (m.target.size == 1) mapped
-        else nest(out.get(key), m.target.tail, mapped)
-      out = out + (key -> merged)
-    }
-    applyMappings(rule.mappings)
+    def applyMappings(ms: Seq[Mapping], pathPrefix: String): Unit =
+      for ((m, mi) <- ms.zipWithIndex) {
+        val mapped = compileMapping(m, env.copy(out = out), s"$pathPrefix[$mi]")
+        val key = m.target.head
+        val merged = if (m.target.size == 1) mapped
+          else nest(out.get(key), m.target.tail, mapped)
+        out = out + (key -> merged)
+      }
+    applyMappings(rule.mappings, "mappings")
 
     var replaced = false // branch return:true ends step processing
-    for (s <- rule.steps if !replaced) s match {
-      case StepMappings(ms) => applyMappings(ms)
+    for ((s, si) <- rule.steps.zipWithIndex if !replaced) s match {
+      case StepMappings(ms) => applyMappings(ms, s"steps[$si].mappings")
       case StepRecordWhen(cond) =>
         val c = compileCond(cond, env.copy(out = out))
         df = df.filter(c.value && !c.missing)
-      case StepAssert(cond, code, message) =>
-        val c = compileCond(cond, env.copy(out = out))
-        df = df.filter(
-          when(!coalesce(c.value, lit(false)),
-            raise_error(lit(s"$code: $message")).cast(BooleanType))
-            .otherwise(lit(true)))
+      case StepAsserts(asserts) =>
+        for ((a, ai) <- asserts.zipWithIndex) {
+          val c = compileCond(a.when, env.copy(out = out))
+          df = df.filter(
+            when(!coalesce(c.value, lit(false)),
+              RmError.raiseCol("AssertionFailed", s"steps[$si].asserts[$ai]",
+                s"${a.code}: ${a.message}").cast(BooleanType))
+              .otherwise(lit(true)))
+        }
       case StepBranch(cond, thenPath, elsePath, ret) =>
         val c = compileCond(cond, env.copy(out = out))
         val keep = coalesce(c.value, lit(false)) && !c.missing
@@ -124,8 +134,8 @@ object Engine {
     var subOut = scala.collection.immutable.ListMap.empty[String, CE]
     val subEnv = Env(input = subInput, context = outer.context)
     val ms = sub.mappings ++ sub.steps.collect { case StepMappings(m) => m }.flatten
-    for (m <- ms) {
-      val mapped = compileMapping(m, subEnv.copy(out = subOut))
+    for ((m, mi) <- ms.zipWithIndex) {
+      val mapped = compileMapping(m, subEnv.copy(out = subOut), s"mappings[$mi]")
       val key = m.target.head
       val merged = if (m.target.size == 1) mapped
         else nest(subOut.get(key), m.target.tail, mapped)
@@ -267,14 +277,10 @@ object Engine {
     }
   }
 
-  /** JSON-encode one value column via the to_json(struct) wrapper with a
-    * fixed 1-char key, so the envelope offsets are constant: `{"v":X}` ⇒
-    * X = substr(6, len-6). ignoreNullFields=false keeps explicit nulls. */
-  private def jsonEncode(c: Column, t: DataType): Column = {
-    val opts = new java.util.HashMap[String, String](); opts.put("ignoreNullFields", "false")
-    val wrapped = to_json(struct(c.as("v")), opts)
-    wrapped.substr(lit(6), length(wrapped) - 6)
-  }
+  /** JSON-encode one value column (variant-aware; ExprCompiler owns the
+    * encoding so op-level fragments and the sink agree byte-for-byte). */
+  private def jsonEncode(c: Column, t: DataType): Column =
+    ExprCompiler.jsonFragment(c, t)
 
   // finalize (transform.rs:603-714): filter → stable sort → offset → limit
   private def applyFinalize(rule: RuleFile, dfIn: DataFrame, context: JValue): DataFrame = {
@@ -290,11 +296,17 @@ object Engine {
       val itemCE = CE.present(
         struct(fields.map(f => col(f.name)).toSeq: _*),
         StructType(fields.toSeq))
-      val finEnv = Env(input = resolveFromSchema(outSchema, col(_)), context = context,
-        item = Some(itemCE))
       fin.filter.foreach { cond =>
+        // @item.index = 0-based output-record index (tv39): a window over
+        // the stable __order — materialized as a column since window
+        // expressions cannot live inside a WHERE clause
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("__order"))
+        val withIdx = result.withColumn("__idx",
+          row_number().over(w).cast(org.apache.spark.sql.types.LongType) - 1L)
+        val finEnv = Env(input = resolveFromSchema(outSchema, col(_)), context = context,
+          item = Some(itemCE), itemIndex = Some(col("__idx")))
         val c = compileCond(cond, finEnv)
-        result = result.filter(c.value && !c.missing)
+        result = withIdx.filter(c.value && !c.missing).drop("__idx")
       }
       fin.sort.foreach { s =>
         val key = resolveFromSchema(outSchema, col(_))(s.by)
@@ -308,9 +320,10 @@ object Engine {
   }
 
   /** One mapping: when-gate → expr → default/required → cast
-    * (eval_mapping, transform.rs:953-1039). */
-  private def compileMapping(m: Mapping, env: Env): CE = {
-    val base = ExprCompiler.compile(m.expr, env)
+    * (eval_mapping, transform.rs:953-1039). `pathBase` is the reference
+    * error path of this mapping (e.g. "mappings[0]"). */
+  private def compileMapping(m: Mapping, env: Env, pathBase: String): CE = {
+    val base = ExprCompiler.compile(m.expr, env.copy(errPath = s"$pathBase.expr"))
 
     // when gate FIRST (eval_when, transform.rs:1041-1063): a skipped mapping
     // never evaluates default/required — the required-error below must be
@@ -323,6 +336,7 @@ object Engine {
     }
 
     // default: missing → default value; required+missing/null → error
+    // (MissingRequired at the mapping path, transform.rs:1007-1030)
     val withDefault = m.default match {
       case Some(d) =>
         val dc = jvalueCE(d)
@@ -331,19 +345,15 @@ object Engine {
           lit(false), tpe)
       case None if m.required =>
         CE(when(keep && (base.missing || base.value.isNull),
-          raise_error(lit(s"required value missing: ${PathParser.render(m.target)}"))
+          RmError.raiseCol("MissingRequired", pathBase, "required value is missing")
             .cast(base.tpe)).otherwise(base.value), lit(false), base.tpe)
       case None => base
     }
 
-    // type cast: string|int|float|bool, strict (cast_value transform.rs:5925-6002);
-    // ANSI mode gives error-on-garbage, matching reference error-not-null
+    // type cast: string|int|float|bool, strict (cast_value
+    // transform.rs:5925-6002): TypeCastFailed at "<mapping>.type"
     val casted = m.castTo match {
-      case Some("string") => rmToString(withDefault)
-      case Some("int") => CE(withDefault.value.cast(LongType), withDefault.missing, LongType)
-      case Some("float") => CE(withDefault.value.cast(DoubleType), withDefault.missing, DoubleType)
-      case Some("bool") => CE(withDefault.value.cast(BooleanType), withDefault.missing, BooleanType)
-      case Some(other) => throw EngineError(s"unknown cast type: $other")
+      case Some(t) => ExprCompiler.strictCast(withDefault, t, s"$pathBase.type")
       case None => withDefault
     }
 

@@ -27,6 +27,41 @@ object ExprCompiler {
 
   final case class CompileError(message: String) extends RuntimeException(message)
 
+  /** Structured engine error with the reference's (kind, path) identity
+    * (TransformErrorKind + path, transform.rs error model). Statically
+    * detectable errors throw this during compilation; data-dependent errors
+    * raise it from the executor through a marker message that
+    * [[RmError.fromThrowable]] recovers. */
+  final case class RmError(kind: String, path: String, message: String)
+    extends RuntimeException(s"$kind at $path: $message")
+
+  object RmError {
+    private val marker = "RMERR|"
+
+    /** Column that raises a parseable engine error when evaluated. */
+    def raiseCol(kind: String, path: String, message: String): Column =
+      raise_error(lit(s"$marker$kind|$path|$message"))
+
+    /** Recover a raised engine error from an executor exception chain. */
+    def fromThrowable(t: Throwable): Option[RmError] = {
+      var cur: Throwable = t
+      while (cur != null) {
+        val m = cur.getMessage
+        if (m != null) {
+          val i = m.indexOf(marker)
+          if (i >= 0) {
+            val parts = m.substring(i + marker.length).split("\\|", 3)
+            if (parts.length >= 2)
+              return Some(RmError(parts(0), parts(1),
+                if (parts.length > 2) parts(2) else ""))
+          }
+        }
+        cur = cur.getCause
+      }
+      None
+    }
+  }
+
   /** value + missing flag + static type (for coercion decisions). */
   case class CE(value: Column, missing: Column, tpe: DataType) {
     /** missing collapses to null at typed boundaries. */
@@ -48,7 +83,8 @@ object ExprCompiler {
       acc: Option[CE] = None,                   // @acc (fold accumulator)
       pipeValue: Option[CE] = None,             // $
       vars: Map[String, CE] = Map.empty,        // let-bound
-      outWhole: Option[CE] = None) {            // @out = whole output array (wrap)
+      outWhole: Option[CE] = None,              // @out = whole output array (wrap)
+      errPath: String = "") {                   // reference-style error path prefix
     def withPipe(v: CE): Env = copy(pipeValue = Some(v))
   }
 
@@ -96,6 +132,43 @@ object ExprCompiler {
     jvalueCE(cur)
   }
 
+  // ---- JSON fragments and variants ----
+
+  /** JSON-encode one typed value column to a fragment string. Non-variant
+    * types ride the to_json(struct) wrapper with a fixed 1-char key so the
+    * envelope offsets are constant (`{"v":X}` ⇒ X = substr(6, len-6));
+    * variants serialize natively. ignoreNullFields=false keeps explicit
+    * nulls inside structs. */
+  def jsonFragment(c: Column, t: DataType): Column = t match {
+    case VariantType => when(c.isNull, lit("null")).otherwise(to_json(c))
+    case NullType => lit("null")
+    case _ =>
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("ignoreNullFields", "false")
+      val wrapped = to_json(struct(c.as("v")), opts)
+      wrapped.substr(lit(6), length(wrapped) - 6)
+  }
+
+  /** Lift any typed value into a Variant — the engine's representation for
+    * heterogeneous JSON values (mixed arrays, values/entries of objects with
+    * differently-typed fields). SQL null lifts to JSON null. */
+  def toVariant(ce: CE): Column = ce.tpe match {
+    case VariantType => coalesce(ce.valueOrNull, parse_json(lit("null")))
+    case _ => parse_json(jsonFragment(ce.valueOrNull, ce.tpe))
+  }
+
+  def variantCE(v: Column): CE = CE.present(v, VariantType)
+
+  /** An array-typed view of a CE: typed arrays pass through; a variant
+    * holding a JSON array casts to array<variant>. */
+  def asArrayCE(e: CE): CE = e.tpe match {
+    case ArrayType(_, _) => e
+    case VariantType =>
+      val arr = e.value.cast(ArrayType(VariantType))
+      CE(arr, e.missing || arr.isNull, ArrayType(VariantType))
+    case t => throw CompileError(s"expected array, got $t")
+  }
+
   // ---- reference-faithful scalar coercions ----
 
   /** value_to_string semantics (reference transform.rs:5903-5923): numbers
@@ -114,6 +187,10 @@ object ExprCompiler {
         when(e.value.isNull, lit(null).cast(StringType))
           .when(e.value, "true").otherwise("false")
       case NullType => lit(null).cast(StringType)
+      case VariantType =>
+        // scalar variants cast to their printed form; variant-null → null
+        when(is_variant_null(e.value), lit(null).cast(StringType))
+          .otherwise(e.value.cast(StringType))
       case t => throw CompileError(s"to_string: unsupported type $t")
     }
     CE(s, e.missing, StringType)
@@ -127,6 +204,7 @@ object ExprCompiler {
     case LongType | IntegerType | FloatType | ShortType | NullType =>
       CE(e.value.cast(DoubleType), e.missing, DoubleType)
     case StringType => CE(e.value.cast(DoubleType), e.missing, DoubleType)
+    case VariantType => CE(e.value.cast(DoubleType), e.missing, DoubleType)
     case t => throw CompileError(s"numeric op: unsupported type $t")
   }
 
@@ -188,18 +266,31 @@ object ExprCompiler {
           // absent key = missing (getItem is null-safe, no ANSI error)
           CE(cur.value.getItem(seg),
             cur.missing || !map_contains_key(cur.value, seg), vt)
+        case VariantType =>
+          // variant descent: absent path → SQL null = missing; explicit
+          // JSON null stays a (variant-)null value
+          val quoted = seg.replace("\\", "\\\\").replace("\"", "\\\"")
+          val path = if (seg.forall(_.isDigit)) s"$$[$seg]" else s"""$$["$quoted"]"""
+          val v = try_variant_get(cur.value, path, "variant")
+          CE(v, cur.missing || v.isNull, VariantType)
         case NullType => CE.missing
         case t => throw CompileError(s"cannot descend '$seg' into type $t")
       }
     }
 
   def compilePipe(start: Expr, steps: Seq[PipeStep], env: Env): CE = {
-    var cur = compile(start, env)
+    // a pipe may start AT an op step (mapping-level `- lookup_first: [...]`):
+    // then there is no injected pipe value and the first op's args stand alone
+    var curOpt: Option[CE] = start match {
+      case ERef(RPipe, Seq()) if env.pipeValue.isEmpty => None
+      case s => Some(compile(s, env))
+    }
+    def cur: CE = curOpt.getOrElse(throw CompileError("pipe has no current value"))
     var e = env
     for (step <- steps) step match {
       case SOp(op, argExprs) =>
-        val scoped = e.withPipe(cur)
-        cur = compileOp(op, Some(cur), scoped, argExprs)
+        val scoped = curOpt.map(e.withPipe).getOrElse(e)
+        curOpt = Some(compileOp(op, curOpt, scoped, argExprs))
       case SLet(bindings) =>
         val scoped = e.withPipe(cur)
         e = bindings.foldLeft(e) { case (envAcc, (name, be)) =>
@@ -211,14 +302,14 @@ object ExprCompiler {
         val t = thenP.map(compile(_, scoped)).getOrElse(cur)
         val f = elseP.map(compile(_, scoped)).getOrElse(cur)
         val tpe = if (t.tpe == NullType) f.tpe else t.tpe
-        cur = CE(
+        curOpt = Some(CE(
           when(c.value && !c.missing, t.value).otherwise(f.value),
           when(c.value && !c.missing, t.missing).otherwise(f.missing),
-          tpe)
+          tpe))
       case SMap(body) =>
-        cur = mapArray(cur, body, e)
+        curOpt = Some(mapArray(cur, body, e))
       case SValue(expr) =>
-        cur = compile(expr, e.withPipe(cur))
+        curOpt = Some(compile(expr, e.withPipe(cur)))
     }
     cur
   }
@@ -315,9 +406,11 @@ object ExprCompiler {
     val nArgs = raw.size + offset
     val cache = scala.collection.mutable.Map.empty[Int, CE]
     def rawAt(i: Int): Expr = raw(i - offset)
+    /** reference-style error path of op arg i (v1: args index == arg index) */
+    def argPathStr(i: Int): String = s"${env.errPath}.args[$i]"
     def arg(i: Int): CE = cache.getOrElseUpdate(i,
       if (i == 0 && pipeArg.isDefined) pipeArg.get
-      else compile(rawAt(i), env))
+      else compile(rawAt(i), env.copy(errPath = argPathStr(i))))
     def argOpt(i: Int): Option[CE] = if (i < nArgs) Some(arg(i)) else None
     def a0: CE = arg(0)
     def allArgs: Seq[CE] = (0 until nArgs).map(arg)
@@ -350,6 +443,28 @@ object ExprCompiler {
         case ELit(JLong(l)) => Some(l.toInt)
         case _ => None
       } else None
+
+    /** reference object-arg regime (eval_json_object_unary): missing →
+      * result missing; static null → ExprError; non-object type →
+      * ExprError; runtime null (non-missing) guards with a raised error. */
+    def structArg(i: Int): StructType = {
+      val e = arg(i)
+      e.tpe match {
+        case st: StructType => st
+        case NullType =>
+          throw RmError("ExprError", argPathStr(i), "expr arg must not be null")
+        case _ =>
+          throw RmError("ExprError", argPathStr(i), "expr arg must be object")
+      }
+    }
+    def nullGuard(i: Int, result: Column, t: DataType): Column = {
+      val e = arg(i)
+      when(!e.missing && e.value.isNull,
+        RmError.raiseCol("ExprError", argPathStr(i), "expr arg must not be null").cast(t))
+        .otherwise(result)
+    }
+    def fieldCE(base: CE, f: StructField): CE =
+      CE(base.value.getField(f.name), base.missing, f.dataType)
 
     op match {
       // -- strings
@@ -440,20 +555,10 @@ object ExprCompiler {
         CE(a0.value.rlike(litString(1)
           .getOrElse(throw CompileError("~= needs literal pattern"))), a0.missing, BooleanType)
 
-      // -- casts (strict; transform.rs:5939-5994). ANSI mode makes Spark
-      // casts error on garbage, matching the reference's error-not-null.
-      case "string" => rmToString(a0)
-      case "int" => CE(a0.value.cast(LongType), a0.missing, LongType)
-      case "float" => CE(a0.value.cast(DoubleType), a0.missing, DoubleType)
-      case "bool" => a0.tpe match {
-        case BooleanType => a0
-        case StringType =>
-          CE(when(lower(a0.value) === "true", true)
-            .when(lower(a0.value) === "false", false)
-            .otherwise(raise_error(concat(lit("cannot cast to bool: "), a0.value))
-              .cast(BooleanType)), a0.missing, BooleanType)
-        case t => throw CompileError(s"bool cast from $t")
-      }
+      // -- casts (strict; transform.rs:5939-5994): int rejects non-integral
+      // floats, float rejects non-finite, bool accepts only true/false
+      case "string" | "int" | "float" | "bool" =>
+        strictCast(a0, op, if (env.errPath.isEmpty) "expr" else env.errPath)
 
       // -- coalesce: first non-null, missing skipped (transform.rs:1434-1458)
       case "coalesce" =>
@@ -499,6 +604,12 @@ object ExprCompiler {
         var v = a0.value; var t = a0.tpe
         for (_ <- 0 until depth) t match {
           case ArrayType(inner @ ArrayType(_, _), _) => v = flatten(v); t = inner
+          case ArrayType(VariantType, _) =>
+            // heterogeneous level: splice elements that ARE arrays, keep
+            // scalars (reference flatten over mixed JSON arrays)
+            v = flatten(transform(v, e => coalesce(
+              when(schema_of_variant(e).startsWith("ARRAY"), e.cast(ArrayType(VariantType))),
+              array(e))))
           case _ => ()
         }
         CE(v, a0.missing, t)
@@ -635,19 +746,31 @@ object ExprCompiler {
         })
         CE(transform(sorted, s => s.getField("x")), a0.missing, a0.tpe)
       case "zip" =>
-        // shortest-length tuples (arrays_zip pads — truncate to shortest)
-        val zipped = arrays_zip(a0.value, arg(1).value)
+        // shortest-length PAIR ARRAYS (reference zip → [[a, b], ...]);
+        // same-typed sides stay typed, mixed types become variant pairs
+        val (et1, et2) = (elemTypeOf(a0), elemTypeOf(arg(1)))
+        val v =
+          if (et1 == et2)
+            zip_with(a0.value, arg(1).value, (x, y) => array(x, y))
+          else
+            zip_with(a0.value, arg(1).value, (x, y) =>
+              array(toVariant(CE.present(x, et1)), toVariant(CE.present(y, et2))))
+        val pt = if (et1 == et2) et1 else VariantType
         val minLen = least(size(a0.value), size(arg(1).value))
-        CE(slice(zipped, lit(1), minLen), missingAny(2),
-          ArrayType(StructType(Seq(
-            StructField("0", elemTypeOf(a0)), StructField("1", elemTypeOf(arg(1)))))))
+        CE(slice(v, lit(1), minLen), missingAny(2), ArrayType(ArrayType(pt)))
       case "zip_with" =>
         val et1 = elemTypeOf(a0)
+        val et2 = elemTypeOf(arg(1))
         val body = rawAt(2)
         var resT: DataType = NullType
         val v = zip_with(a0.value, arg(1).value, (x, y) => {
-          // @item.value[0]/[1] — model the pair as a 2-element array
-          val pair = CE.present(array(x, y), ArrayType(et1))
+          // @item.value[0]/[1] — model the pair as a 2-element array;
+          // mixed-typed sides pair as variants (array() would coerce)
+          val pair =
+            if (et1 == et2) CE.present(array(x, y), ArrayType(et1))
+            else CE.present(
+              array(toVariant(CE.present(x, et1)), toVariant(CE.present(y, et2))),
+              ArrayType(VariantType))
           val r = compile(body, env.copy(item = Some(pair), pipeValue = Some(pair)))
           resT = r.tpe
           r.value
@@ -655,7 +778,7 @@ object ExprCompiler {
         val minLen = least(size(a0.value), size(arg(1).value))
         CE(slice(v, lit(1), minLen), missingAny(2), ArrayType(resT))
 
-      case "lookup" | "lookup_first" =>
+      case "lookup" | "lookup_all" | "lookup_first" =>
         // arg forms: explicit [from, key, value, get?] or v2 implicit
         // pipe-value from (docs/rules_spec_en.md:402-424)
         val from = a0
@@ -681,16 +804,33 @@ object ExprCompiler {
         }
         if (op == "lookup_first")
           CE(element_at(arr, 1), from.missing || matchVal.missing || size(arr) === 0, projT)
-        else
+        else if (op == "lookup_all") // v2: no matches = EMPTY ARRAY (tv25)
+          CE(arr, from.missing || matchVal.missing, ArrayType(projT))
+        else // v1 lookup: no matches = missing (t06, transform.rs results.is_empty)
           CE(arr, from.missing || matchVal.missing || size(arr) === 0, ArrayType(projT))
 
       // -- dates (chrono patterns translated at plan time; DateOps)
       case "date_format" =>
-        // [value, out_fmt, in_fmt?]
-        val outFmt = litString(1).map(DateOps.chronoToJava)
+        // [value, out_fmt, in_fmt|tz?, tz?] — arg 2 is a timezone when it
+        // "looks like" one (transform.rs:5674-5679), else input format(s);
+        // the tz is a fixed offset the result is converted into
+        val outFmtRaw = litString(1)
           .getOrElse(throw CompileError("date_format needs literal format"))
-        val inFmts = litString(2).toSeq
-        val ts = DateOps.parseCascade(rmToString(a0).value, inFmts)
+        val (inFmts, tz2) = litString(2) match {
+          case Some(s) if DateOps.looksLikeTimezone(s) => (Nil, Some(s))
+          case Some(s) => (Seq(s), None)
+          case None => (Nil, None)
+        }
+        val offset = litString(3).orElse(tz2).map(DateOps.normalizeOffset)
+        val ts0 = DateOps.parseCascade(rmToString(a0).value, inFmts)
+        val ts = offset.map(o => from_utc_timestamp(ts0, o)).getOrElse(ts0)
+        // with a fixed offset the zone tokens are compile-time constants:
+        // substitute them as literals (the shifted timestamp would
+        // otherwise print the session offset)
+        val outFmt = DateOps.chronoToJava(offset match {
+          case Some(o) => outFmtRaw.replace("%:z", o).replace("%z", o.replace(":", ""))
+          case None => outFmtRaw
+        })
         CE(date_format(ts, outFmt), a0.missing, StringType)
       case "to_unixtime" =>
         // [value, unit?("s"|"ms")]
@@ -704,71 +844,235 @@ object ExprCompiler {
 
       // -- objects (static struct shapes — reference merge/pick/omit etc.,
       // transform.rs:4360-4963). Structs carry their schema at plan time, so
-      // these are compile-time re-projections, zero runtime cost.
+      // these are compile-time re-projections; heterogeneous results
+      // (mixed-typed values, per-record path sets, index-modified arrays)
+      // fall back to Variant values, which the JSON sink serializes natively.
       case "merge" | "deep_merge" =>
+        // missing args skipped; null → ExprError; all-missing → missing
+        // (eval_json_merge, transform.rs:4360-4420)
         val deep = op == "deep_merge"
-        allArgs.filter(_.tpe != NullType).reduceLeft((l, r) => mergeStructs(l, r, deep))
-      case "pick" | "omit" =>
-        val st = a0.tpe match {
-          case s: StructType => s
-          case t => throw CompileError(s"$op on non-object $t")
+        val indexed = allArgs.zipWithIndex
+        indexed.foreach { case (e, i) =>
+          if (!(e eq CE.missing) && e.tpe == NullType)
+            throw RmError("ExprError", argPathStr(i), "expr arg must not be null")
         }
-        val requested = (1 until nArgs).flatMap { i =>
-          rawAt(i) match {
-            case ELit(JString(p)) => Seq(p)
-            case ELit(JArray(items)) => items.collect { case JString(p) => p }
-            case other => throw CompileError(s"$op needs literal paths, got $other")
+        val objs = indexed.filter { case (e, _) => !(e eq CE.missing) }
+        objs.foreach { case (e, i) =>
+          if (!e.tpe.isInstanceOf[StructType])
+            throw RmError("ExprError", argPathStr(i), "expr arg must be object")
+        }
+        if (objs.isEmpty) CE.missing
+        else {
+          val merged = objs.map(_._1).reduceLeft((l, r) => mergeStructs(l, r, deep))
+          val guarded = objs.foldLeft(merged.value) { case (v, (_, i)) =>
+            nullGuard(i, v, merged.tpe)
+          }
+          CE(guarded, merged.missing, merged.tpe)
+        }
+      case "pick" | "omit" =>
+        if (a0 eq CE.missing) CE.missing
+        else {
+          structArg(0)
+          // literal path args (strings / arrays of strings) compile to a
+          // static re-projection; anything else is a per-record path set
+          val litPaths: Option[Seq[(String, Int)]] = {
+            val collected = (1 until nArgs).map { i =>
+              rawAt(i) match {
+                case ELit(JString(p)) => Some(Seq(p -> i))
+                case ELit(JArray(items)) =>
+                  val ss = items.collect { case JString(p) => p }
+                  if (ss.size == items.size) Some(ss.map(_ -> i)) else None
+                case _ => None
+              }
+            }
+            if (collected.forall(_.isDefined)) Some(collected.flatten.flatten.toSeq)
+            else None
+          }
+          litPaths match {
+            case Some(ps) if ps.nonEmpty =>
+              val parsed: Seq[Seq[PathParser.PToken]] = ps.map { case (p, i) =>
+                val toks =
+                  try PathParser.parseTokens(p)
+                  catch {
+                    case e: PathParser.PathError =>
+                      throw RmError("ExprError", argPathStr(i), e.getMessage)
+                  }
+                if (toks.isEmpty)
+                  throw RmError("ExprError", argPathStr(i), "path is empty")
+                toks
+              }
+              val res =
+                if (op == "pick") staticPick(a0, parsed, argPathStr(1))
+                else staticOmit(a0, parsed, argPathStr(1))
+              CE(nullGuard(0, res.value, res.tpe), a0.missing, res.tpe)
+            case _ =>
+              val pe = arg(1)
+              val pathsCol = pe.tpe match {
+                case ArrayType(StringType, _) => pe.value
+                case ArrayType(VariantType, _) =>
+                  transform(pe.value, v => v.cast(StringType))
+                case VariantType => pe.value.cast(ArrayType(StringType))
+                case t => throw CompileError(s"$op paths must be an array of strings, got $t")
+              }
+              val res = dynPickOmit(a0, pathsCol, op == "pick")
+              CE(nullGuard(0, res.value, res.tpe), a0.missing || pe.missing, res.tpe)
           }
         }
-        val keep = if (op == "pick") st.fieldNames.filter(requested.contains)
-          else st.fieldNames.filterNot(requested.contains)
-        val fields = keep.map(n => n -> CE(a0.value.getField(n), a0.missing, st(n).dataType))
-        CE(struct(fields.map { case (n, ce) => ce.value.as(n) }.toSeq: _*), a0.missing,
-          StructType(fields.map { case (n, ce) => StructField(n, ce.tpe) }.toSeq))
-      case "keys" => a0.tpe match {
-        case st: StructType =>
-          CE(array(st.fieldNames.map(lit): _*), a0.missing, ArrayType(StringType))
-        case MapType(_, _, _) => CE(map_keys(a0.value), a0.missing, ArrayType(StringType))
-        case t => throw CompileError(s"keys of $t")
-      }
-      case "values" => a0.tpe match {
-        case st: StructType =>
-          val ts = st.fields.map(_.dataType).distinct
-          if (ts.length > 1) throw CompileError("values: heterogeneous object fields")
-          CE(array(st.fieldNames.map(a0.value.getField): _*), a0.missing,
-            ArrayType(ts.headOption.getOrElse(StringType)))
-        case MapType(_, vt, _) => CE(map_values(a0.value), a0.missing, ArrayType(vt))
-        case t => throw CompileError(s"values of $t")
-      }
-      case "entries" => a0.tpe match {
-        case st: StructType =>
-          val ts = st.fields.map(_.dataType).distinct
-          if (ts.length > 1) throw CompileError("entries: heterogeneous object fields")
-          val vt = ts.headOption.getOrElse(StringType)
-          CE(array(st.fieldNames.map(n =>
-            struct(lit(n).as("key"), a0.value.getField(n).as("value"))): _*),
-            a0.missing, ArrayType(StructType(Seq(
-              StructField("key", StringType), StructField("value", vt)))))
-        case MapType(kt, vt, _) =>
-          CE(transform(map_entries(a0.value),
-            e => struct(e.getField("key").as("key"), e.getField("value").as("value"))),
-            a0.missing, ArrayType(StructType(Seq(
-              StructField("key", kt), StructField("value", vt)))))
-        case t => throw CompileError(s"entries of $t")
-      }
+      // keys/values/entries enumerate object keys ALPHABETICALLY — the
+      // reference's serde_json maps are BTreeMaps (no preserve_order)
+      case "keys" =>
+        if (a0 eq CE.missing) CE.missing
+        else a0.tpe match {
+          case MapType(_, _, _) =>
+            CE(sort_array(map_keys(a0.value)), a0.missing, ArrayType(StringType))
+          case _ =>
+            val st = structArg(0)
+            CE(nullGuard(0, array(st.fieldNames.sorted.map(lit).toSeq: _*), ArrayType(StringType)),
+              a0.missing, ArrayType(StringType))
+        }
+      case "values" =>
+        if (a0 eq CE.missing) CE.missing
+        else a0.tpe match {
+          case MapType(_, vt, _) =>
+            CE(transform(sort_array(map_keys(a0.value)), k => a0.value.getItem(k)),
+              a0.missing, ArrayType(vt))
+          case _ =>
+            val st = structArg(0)
+            val sorted = st.fields.toSeq.sortBy(_.name)
+            val ts = st.fields.map(_.dataType).distinct.toSeq
+            val (arrCol, et) =
+              if (ts.size <= 1 && ts.headOption.forall(_ != VariantType))
+                (array(sorted.map(f => a0.value.getField(f.name)): _*),
+                  ts.headOption.getOrElse(StringType))
+              else // mixed-typed fields → heterogeneous JSON array (variants)
+                (array(sorted.map(f => toVariant(fieldCE(CE.present(a0.value, st), f))): _*),
+                  VariantType)
+            CE(nullGuard(0, arrCol, ArrayType(et)), a0.missing, ArrayType(et))
+        }
+      case "entries" =>
+        if (a0 eq CE.missing) CE.missing
+        else a0.tpe match {
+          case MapType(kt, vt, _) =>
+            CE(transform(sort_array(map_keys(a0.value)),
+              k => struct(k.as("key"), a0.value.getItem(k).as("value"))),
+              a0.missing, ArrayType(StructType(Seq(
+                StructField("key", kt), StructField("value", vt)))))
+          case _ =>
+            val st = structArg(0)
+            val sorted = st.fields.toSeq.sortBy(_.name)
+            val ts = st.fields.map(_.dataType).distinct.toSeq
+            val vt = if (ts.size <= 1 && ts.headOption.forall(_ != VariantType))
+              ts.headOption.getOrElse(StringType) else VariantType
+            val entriesCol = array(sorted.map { f =>
+              val v = if (vt == VariantType) toVariant(fieldCE(CE.present(a0.value, st), f))
+                else a0.value.getField(f.name)
+              struct(lit(f.name).as("key"), v.as("value"))
+            }: _*)
+            val et = StructType(Seq(StructField("key", StringType), StructField("value", vt)))
+            CE(nullGuard(0, entriesCol, ArrayType(et)), a0.missing, ArrayType(et))
+        }
       case "from_entries" =>
-        // pairs [k,v] or {key,value} objects → object (map)
-        a0.tpe match {
-          case ArrayType(st: StructType, _) if st.fieldNames.contains("key") =>
-            CE(map_from_entries(transform(a0.value,
-              e => struct(rmToString(CE.present(e.getField("key"), st("key").dataType)).value,
-                e.getField("value")))),
-              a0.missing, MapType(StringType, st("value").dataType))
+        // forms: (pairs-array) | (entries-array) | (object → clone) |
+        // (key, value → single-pair object); duplicate keys: LAST wins
+        // (reference from_entries insertion semantics)
+        if (nArgs == 2) {
+          val k = rmToString(a0)
+          val v = arg(1)
+          CE(map(k.value, v.valueOrNull), missingAny(2),
+            MapType(StringType, if (v.tpe == NullType) StringType else v.tpe))
+        } else if (a0 eq CE.missing) CE.missing
+        else a0.tpe match {
+          case _: StructType => a0 // object → clone
+          case m: MapType => a0
+          case ArrayType(st: StructType, _)
+              if st.fieldNames.contains("key") && st.fieldNames.contains("value") =>
+            lastWinMap(a0, e => rmToString(CE.present(e.getField("key"), st("key").dataType)).value,
+              e => e.getField("value"), st("value").dataType)
           case ArrayType(ArrayType(et, _), _) =>
-            CE(map_from_entries(transform(a0.value,
-              p => struct(rmToString(CE.present(element_at(p, 1), et)).value, element_at(p, 2)))),
-              a0.missing, MapType(StringType, et))
+            lastWinMap(a0, p => rmToString(CE.present(element_at(p, 1), et)).value,
+              p => element_at(p, 2), et)
+          case ArrayType(VariantType, _) =>
+            // variant elements must each be a [k, v] pair array; a direct
+            // cast throws under ANSI, so gate on the variant's own schema
+            val badPair = RmError.raiseCol("ExprError", s"${argPathStr(0)}[0]",
+              "expr arg must be an entry pair")
+            def pairArr(e: Column): Column =
+              when(schema_of_variant(e).startsWith("ARRAY"), e.cast(ArrayType(VariantType)))
+            lastWinMap(a0,
+              e => when(pairArr(e).isNull, badPair.cast(StringType))
+                .otherwise(rmToString(CE.present(element_at(pairArr(e), 1), VariantType)).value),
+              e => element_at(pairArr(e), 2), VariantType)
+          case ArrayType(_, _) =>
+            throw RmError("ExprError", s"${argPathStr(0)}[0]", "expr arg must be an entry pair")
+          case NullType =>
+            throw RmError("ExprError", argPathStr(0), "expr arg must not be null")
           case t => throw CompileError(s"from_entries of $t")
+        }
+      case "object_flatten" =>
+        // flatten_object (transform.rs:4832-4855, :5077-5116): nested keys
+        // join with dots (bracket-quoted iff the key contains a dot); empty
+        // objects flatten to themselves; arrays are leaves
+        if (a0 eq CE.missing) CE.missing
+        else a0.tpe match {
+          case st: StructType =>
+            def walk(curV: Column, t: StructType, prefix: Vector[PathParser.PToken])
+                : Seq[(String, CE)] =
+              t.fields.toSeq.flatMap { f =>
+                if (f.name.isEmpty)
+                  throw RmError("ExprError", argPathStr(0),
+                    "object_flatten does not support empty keys")
+                if (f.name.contains('[') || f.name.contains(']'))
+                  throw RmError("ExprError", argPathStr(0),
+                    "object_flatten does not support keys with '[' or ']'")
+                val toks = prefix :+ PathParser.PKey(f.name)
+                f.dataType match {
+                  case cst: StructType if cst.fields.nonEmpty =>
+                    walk(curV.getField(f.name), cst, toks)
+                  case other =>
+                    Seq(PathParser.formatTokens(toks) ->
+                      CE(curV.getField(f.name), lit(false), other))
+                }
+              }
+            val flat = walk(a0.value, st, Vector())
+            val resT = StructType(flat.map { case (n, ce) => StructField(n, ce.tpe) })
+            val resV = struct(flat.map { case (n, ce) => ce.value.as(n) }: _*)
+            CE(nullGuard(0, resV, resT), a0.missing, resT)
+          case NullType =>
+            throw RmError("ExprError", argPathStr(0), "expr arg must not be null")
+          case _ =>
+            throw RmError("ExprError", argPathStr(0), "expr arg must be object")
+        }
+      case "object_unflatten" =>
+        // eval_json_object_unflatten (transform.rs:4857-4912): parse each
+        // flat key as a dot-path (no indexes), reject prefix conflicts,
+        // rebuild the nested object in first-seen order
+        if (a0 eq CE.missing) CE.missing
+        else a0.tpe match {
+          case st: StructType =>
+            val parsed: Seq[(Seq[String], StructField)] = st.fields.toSeq.map { f =>
+              val toks =
+                try PathParser.parseTokens(f.name)
+                catch {
+                  case e: PathParser.PathError =>
+                    throw RmError("ExprError", argPathStr(0), e.getMessage)
+                }
+              if (toks.isEmpty)
+                throw RmError("ExprError", argPathStr(0), "path is empty")
+              if (toks.exists(_.isInstanceOf[PathParser.PIdx]))
+                throw RmError("ExprError", argPathStr(0),
+                  "array indexes are not allowed in path")
+              (toks.collect { case PathParser.PKey(k) => k }, f)
+            }
+            for (i <- parsed.indices; j <- 0 until i)
+              if (parsed(i)._1.startsWith(parsed(j)._1) || parsed(j)._1.startsWith(parsed(i)._1))
+                throw RmError("ExprError", argPathStr(0), "path conflicts with another path")
+            // nested insertion-ordered tree of either sub-objects or leaves
+            val res = unflattenTree(a0, parsed)
+            CE(nullGuard(0, res.value, res.tpe), a0.missing, res.tpe)
+          case NullType =>
+            throw RmError("ExprError", argPathStr(0), "expr arg must not be null")
+          case _ =>
+            throw RmError("ExprError", argPathStr(0), "expr arg must be object")
         }
 
       // -- keyed array ops (group_by/key_by/distinct_by; stringified keys,
@@ -802,6 +1106,271 @@ object ExprCompiler {
         CE(transform(kept, p => p.getField("x")), a0.missing, a0.tpe)
 
       case other => throw CompileError(s"unsupported op: $other")
+    }
+  }
+
+  import PathParser.{PToken, PKey, PIdx}
+
+  // mutable JSON-shaped build tree for pick / unflatten assembly
+  private sealed trait PNode
+  private final class ONode extends PNode {
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, PNode]
+  }
+  private final class ANode extends PNode {
+    val items = scala.collection.mutable.LinkedHashMap.empty[Int, PNode]
+    var max: Int = -1
+  }
+  private final case class PLeaf(ce: CE) extends PNode
+
+  private def materializeNode(n: PNode): CE = n match {
+    case PLeaf(ce) => ce
+    case o: ONode =>
+      val fs = o.fields.toSeq.map { case (k, c) => k -> materializeNode(c) }
+      CE(struct(fs.map { case (k, ce) => ce.valueOrNull.as(k) }: _*), lit(false),
+        StructType(fs.map { case (k, ce) => StructField(k, ce.tpe) }))
+    case a: ANode =>
+      val items = (0 to a.max).map(i => a.items.get(i).map(materializeNode))
+      val ts = items.flatten.map(_.tpe).distinct
+      if (ts.size == 1 && items.forall(_.isDefined))
+        CE(array(items.flatten.map(_.valueOrNull): _*), lit(false), ArrayType(ts.head))
+      else {
+        // resize-with-null gaps or mixed element types → variant elements
+        val cols = items.map {
+          case Some(ce) => toVariant(ce)
+          case None => parse_json(lit("null"))
+        }
+        CE(array(cols: _*), lit(false), ArrayType(VariantType))
+      }
+  }
+
+  /** get_path over the static schema: absent-by-schema → None (path
+    * skipped, reference get_path semantics). */
+  private def getPathCE(base: CE, toks: Seq[PToken]): Option[CE] =
+    toks.foldLeft(Option(base)) {
+      case (None, _) => None
+      case (Some(cur), PKey(k)) => cur.tpe match {
+        case st: StructType =>
+          st.fields.find(_.name == k).map(f => CE(cur.value.getField(k), cur.missing, f.dataType))
+        case VariantType => Some(descend(cur, Seq(k)))
+        case _ => None
+      }
+      case (Some(cur), PIdx(i)) => cur.tpe match {
+        case ArrayType(et, _) =>
+          Some(CE(get(cur.value, lit(i)), cur.missing || size(cur.value) <= i, et))
+        case VariantType => Some(descend(cur, Seq(i.toString)))
+        case _ => None
+      }
+    }
+
+  /** pick: new object assembled by get_path + set_path_with_indexes per
+    * path, in path order (transform.rs:4476-4536, :5217-5310). */
+  private def staticPick(base: CE, paths: Seq[Seq[PToken]], errPath: String): CE = {
+    val root = new ONode
+    def conflict(): Nothing =
+      throw RmError("ExprError", errPath, "path conflicts with non-object value")
+    def insert(node: PNode, toks: Seq[PToken], ce: CE): Unit = (node, toks.head) match {
+      case (o: ONode, PKey(k)) =>
+        if (toks.size == 1) o.fields(k) = PLeaf(ce)
+        else {
+          val wantArr = toks(1).isInstanceOf[PIdx]
+          val entry = o.fields.getOrElseUpdate(k, if (wantArr) new ANode else new ONode)
+          entry match {
+            case _: ANode if wantArr => insert(entry, toks.tail, ce)
+            case _: ONode if !wantArr => insert(entry, toks.tail, ce)
+            case _ => conflict()
+          }
+        }
+      case (a: ANode, PIdx(i)) =>
+        a.max = math.max(a.max, i)
+        if (toks.size == 1) a.items(i) = PLeaf(ce)
+        else {
+          val wantArr = toks(1).isInstanceOf[PIdx]
+          val entry = a.items.getOrElseUpdate(i, if (wantArr) new ANode else new ONode)
+          entry match {
+            case _: ANode if wantArr => insert(entry, toks.tail, ce)
+            case _: ONode if !wantArr => insert(entry, toks.tail, ce)
+            case _ => conflict()
+          }
+        }
+      case _ => conflict()
+    }
+    paths.foreach { toks =>
+      getPathCE(base, toks).foreach(ce => insert(root, toks, ce))
+    }
+    val res = materializeNode(root)
+    CE(res.value, base.missing, res.tpe)
+  }
+
+  /** omit: rebuild dropping paths (remove_path, transform.rs:5312-5340);
+    * removing inside one array element makes elements heterogeneous, so
+    * such arrays re-encode as variant elements. */
+  private def staticOmit(base: CE, paths: Seq[Seq[PToken]], errPath: String): CE = {
+    paths.foreach { p =>
+      if (p.last.isInstanceOf[PIdx])
+        throw RmError("ExprError", errPath, "array indexes are not allowed at path end")
+    }
+    removePaths(base, paths)
+  }
+
+  private def removePaths(base: CE, paths: Seq[Seq[PToken]]): CE = base.tpe match {
+    case st: StructType =>
+      val keyPaths = paths.collect { case PKey(k) +: rest => (k, rest) }
+      val dropWhole = keyPaths.collect { case (k, rest) if rest.isEmpty => k }.toSet
+      val subPaths = keyPaths.filter(_._2.nonEmpty).groupMap(_._1)(_._2)
+      val fs = st.fields.toSeq.flatMap { f =>
+        if (dropWhole(f.name)) None
+        else subPaths.get(f.name) match {
+          case Some(sub) =>
+            Some(f.name -> removePaths(CE(base.value.getField(f.name), base.missing, f.dataType), sub))
+          case None =>
+            Some(f.name -> CE(base.value.getField(f.name), base.missing, f.dataType))
+        }
+      }
+      CE(struct(fs.map { case (k, ce) => ce.valueOrNull.as(k) }: _*), base.missing,
+        StructType(fs.map { case (k, ce) => StructField(k, ce.tpe) }))
+    case ArrayType(et, _) =>
+      val idxPaths = paths.collect { case PIdx(i) +: rest if rest.nonEmpty => (i, rest) }
+      if (idxPaths.isEmpty) base
+      else {
+        val byIdx = idxPaths.groupMap(_._1)(_._2)
+        val v = transform(base.value, (x, i) => {
+          val xCE = CE.present(x, et)
+          byIdx.foldLeft(toVariant(xCE)) { case (acc, (idx, sub)) =>
+            when(i === idx, toVariant(removePaths(xCE, sub))).otherwise(acc)
+          }
+        })
+        CE(v, base.missing, ArrayType(VariantType))
+      }
+    case _ => base // removing through a scalar: no-op (remove_path)
+  }
+
+  /** pick/omit with per-record path arrays: inclusion is decided at run
+    * time, so the result is a JSON fragment built over the static field
+    * tree and parsed to a Variant. Arrays are included/excluded whole. */
+  private def dynPickOmit(base: CE, pathsCol: Column, isPick: Boolean): CE = {
+    val st = base.tpe.asInstanceOf[StructType]
+    def render(prefix: Seq[String]): String = PathParser.formatTokens(prefix.map(PKey(_)))
+    def escKey(k: String): String = k.replace("\\", "\\\\").replace("\"", "\\\"")
+    def objFrag(cur: Column, t: StructType, prefix: Seq[String]): Column = {
+      val parts = t.fields.toSeq.map { f =>
+        val p = prefix :+ f.name
+        val exact = array_contains(pathsCol, render(p))
+        val fieldVal = cur.getField(f.name)
+        val whole = jsonFragment(fieldVal, f.dataType)
+        val content: Column = f.dataType match {
+          case cst: StructType =>
+            val sub = objFrag(fieldVal, cst, p)
+            if (isPick) when(exact, whole).otherwise(sub)
+            else when(exact, lit(null).cast(StringType)).otherwise(sub)
+          case _ =>
+            if (isPick) when(exact, whole).otherwise(lit(null).cast(StringType))
+            else when(exact, lit(null).cast(StringType)).otherwise(whole)
+        }
+        when(content.isNotNull, concat(lit("\"" + escKey(f.name) + "\":"), content))
+          .otherwise(lit(null).cast(StringType))
+      }
+      val joined = array_join(filter(array(parts: _*), c => c.isNotNull), ",")
+      if (isPick) // a nested object with nothing picked is excluded
+        when(joined === "", lit(null).cast(StringType))
+          .otherwise(concat(lit("{"), joined, lit("}")))
+      else concat(lit("{"), joined, lit("}"))
+    }
+    val rootFrag = coalesce(objFrag(base.value, st, Nil), lit("{}"))
+    CE(parse_json(rootFrag), base.missing, VariantType)
+  }
+
+  /** entries → map with LAST-occurrence-wins duplicate keys (the
+    * reference's insertion semantics for from_entries). */
+  private def lastWinMap(arr: CE, keyOf: Column => Column, valOf: Column => Column,
+      vt: DataType): CE = {
+    val decorated = transform(arr.value, (e, i) =>
+      struct(keyOf(e).as("k"), valOf(e).as("v"), i.as("i")))
+    val kept = filter(decorated, p =>
+      size(filter(decorated, q =>
+        q.getField("k") === p.getField("k") && q.getField("i") > p.getField("i"))) === 0)
+    CE(map_from_entries(transform(kept, p => struct(p.getField("k"), p.getField("v")))),
+      arr.missing, MapType(StringType, vt))
+  }
+
+  /** unflatten build: insertion-ordered nested objects from parsed key
+    * paths (set_path_object_only, transform.rs:5151-5215). */
+  private def unflattenTree(base: CE, parsed: Seq[(Seq[String], StructField)]): CE = {
+    val root = new ONode
+    def insert(node: ONode, path: Seq[String], ce: CE): Unit =
+      if (path.size == 1) node.fields(path.head) = PLeaf(ce)
+      else {
+        val entry = node.fields.getOrElseUpdate(path.head, new ONode)
+        insert(entry.asInstanceOf[ONode], path.tail, ce) // conflicts pre-checked
+      }
+    parsed.foreach { case (path, f) =>
+      insert(root, path, CE(base.value.getField(f.name), lit(false), f.dataType))
+    }
+    materializeNode(root)
+  }
+
+  /** Strict cast_value semantics (transform.rs:5925-6002): int rejects
+    * non-integral and non-numeric values, float rejects non-finite, bool
+    * accepts only booleans and "true"/"false". Data-dependent failures
+    * raise (TypeCastFailed, path) from the executor. */
+  def strictCast(e: CE, to: String, path: String): CE = {
+    def fail(msg: String): Column = RmError.raiseCol("TypeCastFailed", path, msg)
+    val numRe = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$"
+    val intRe = "^[+-]?\\d+$"
+    to match {
+      case "string" => rmToString(e)
+      case "int" =>
+        val v = e.tpe match {
+          case LongType | IntegerType | ShortType | ByteType => e.value.cast(LongType)
+          case DoubleType | FloatType =>
+            val d = e.value.cast(DoubleType)
+            when(d.isNull, lit(null).cast(LongType))
+              .when(isnan(d) || d === Double.PositiveInfinity ||
+                d === Double.NegativeInfinity || d =!= floor(d),
+                fail("cannot cast to int").cast(LongType))
+              .otherwise(d.cast(LongType))
+          case StringType | VariantType =>
+            // reference: s.parse::<i64>() — integer strings only, "3.0" errors
+            val s = e.value.cast(StringType)
+            when(s.isNull, lit(null).cast(LongType))
+              .when(s.rlike(intRe), s.cast(LongType))
+              .otherwise(fail("cannot cast to int").cast(LongType))
+          case NullType => lit(null).cast(LongType)
+          case BooleanType => fail("cannot cast to int").cast(LongType)
+          case t => throw CompileError(s"int cast from $t")
+        }
+        CE(v, e.missing, LongType)
+      case "float" =>
+        val v = e.tpe match {
+          case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType =>
+            val d = e.value.cast(DoubleType)
+            when(d.isNull, lit(null).cast(DoubleType))
+              .when(isnan(d) || d === Double.PositiveInfinity ||
+                d === Double.NegativeInfinity, fail("number is not finite").cast(DoubleType))
+              .otherwise(d)
+          case StringType | VariantType =>
+            val s = e.value.cast(StringType)
+            when(s.isNull, lit(null).cast(DoubleType))
+              .when(s.rlike(numRe), s.cast(DoubleType))
+              .otherwise(fail("cannot cast to float").cast(DoubleType))
+          case NullType => lit(null).cast(DoubleType)
+          case BooleanType => fail("cannot cast to float").cast(DoubleType)
+          case t => throw CompileError(s"float cast from $t")
+        }
+        CE(v, e.missing, DoubleType)
+      case "bool" =>
+        val v = e.tpe match {
+          case BooleanType => e.value
+          case StringType | VariantType =>
+            val s = e.value.cast(StringType)
+            when(s.isNull, lit(null).cast(BooleanType))
+              .when(lower(s) === "true", true)
+              .when(lower(s) === "false", false)
+              .otherwise(fail("cannot cast to bool").cast(BooleanType))
+          case NullType => lit(null).cast(BooleanType)
+          case _ => fail("cannot cast to bool").cast(BooleanType)
+        }
+        CE(v, e.missing, BooleanType)
+      case other => throw CompileError(s"unknown cast type: $other")
     }
   }
 

@@ -90,7 +90,9 @@ object Model {
   sealed trait Step
   case class StepMappings(mappings: Seq[Mapping]) extends Step
   case class StepRecordWhen(cond: Cond) extends Step
-  case class StepAssert(cond: Cond, code: String, message: String) extends Step
+  /** One assert: failing `when` raises AssertionFailed with the code/message. */
+  case class AssertSpec(when: Cond, code: String, message: String)
+  case class StepAsserts(asserts: Seq[AssertSpec]) extends Step
   /** branch to other rule FILES: condition routes each record to then/else;
     * return=true ⇒ sub-rule output REPLACES the record's output and later
     * steps are skipped; return=false ⇒ deep-merge into @out

@@ -24,9 +24,10 @@ object Validator {
     "first", "last", "find", "find_index", "contains", "index_of", "unique",
     "partition", "unzip", "zip", "zip_with",
     "sum", "avg", "min", "max", "reduce", "fold", "sort_by",
-    "lookup", "lookup_first",
+    "lookup", "lookup_all", "lookup_first",
     "merge", "deep_merge", "pick", "omit", "keys", "values", "entries",
-    "from_entries", "group_by", "key_by", "distinct_by",
+    "from_entries", "object_flatten", "object_unflatten",
+    "group_by", "key_by", "distinct_by",
     "date_format", "to_unixtime")
 
   private val refNamespaces = Set("input", "context", "out", "item", "acc")

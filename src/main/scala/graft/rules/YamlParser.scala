@@ -84,12 +84,22 @@ object YamlParser {
       if (m.contains("mappings")) StepMappings(parseMappings(m("mappings")))
       else if (m.contains("record_when")) StepRecordWhen(parseCondOrExpr(m("record_when")))
       else if (m.contains("asserts")) {
-        // single-assert shorthand: take the first assert spec
-        val a = asList(m("asserts"), "asserts").head
-        val am = asMap(a, "assert")
-        StepAssert(parseCondOrExpr(am("cond")),
-          am.get("code").map(_.toString).getOrElse("AssertionFailed"),
-          am.get("message").map(_.toString).getOrElse(""))
+        // each assert: {when|cond, error: {code, message}} or flat code/message
+        StepAsserts(asList(m("asserts"), "asserts").map { a =>
+          val am = asMap(a, "assert")
+          val cond = parseCondOrExpr(am.getOrElse("when",
+            am.getOrElse("cond", throw RuleParseError("assert needs when"))))
+          val (code, msg) = am.get("error") match {
+            case Some(e) =>
+              val em = asMap(e, "error")
+              (em.get("code").map(_.toString).getOrElse("AssertionFailed"),
+                em.get("message").map(_.toString).getOrElse(""))
+            case None =>
+              (am.get("code").map(_.toString).getOrElse("AssertionFailed"),
+                am.get("message").map(_.toString).getOrElse(""))
+          }
+          AssertSpec(cond, code, msg)
+        })
       } else if (m.contains("branch")) {
         val bm = asMap(m("branch"), "branch")
         StepBranch(
@@ -148,6 +158,7 @@ object YamlParser {
     case Seq("item", "index") => ERef(RItemIndex, Nil)
     case Seq("item", "value", rest @ _*) => ERef(RItem, rest)
     case Seq("item", rest @ _*) => ERef(RItem, rest)
+    case Seq("acc", "value", rest @ _*) => ERef(RAcc, rest)
     case Seq("acc", rest @ _*) => ERef(RAcc, rest)
     case other => throw RuleParseError(s"unknown ref namespace: ${other.headOption.getOrElse("")}")
   }
@@ -218,7 +229,15 @@ object YamlParser {
           // element is the initial pipe value ($); model as a pipe starting
           // at $ (reference v2_eval.rs:955-1045)
           SMap(EPipe(ERef(RPipe, Nil), asList(value, "map body").map(parsePipeStep)))
-        case op => SOp(op, asList(value, s"args of $op").map(parseExpr))
+        case op =>
+          // v2 lookup returns the (possibly empty) match array; v1 lookup
+          // yields missing on no-match — keep them apart by name
+          val opName = if (op == "lookup") "lookup_all" else op
+          SOp(opName, value match {
+            // single non-list arg shorthand: `pick: "@input.paths"`
+            case l: java.util.List[_] => l.asScala.toSeq.map(parseExpr)
+            case other => Seq(parseExpr(other))
+          })
       }
     case other => throw RuleParseError(s"bad pipe step: $other")
   }
@@ -235,9 +254,25 @@ object YamlParser {
         case other => throw RuleParseError(s"chain element must be op call, got $other")
       })
     } else if (m.contains("op")) {
-      EOp(m("op").toString, m.get("args").map(asList(_, "args").map(parseExpr)).getOrElse(Nil))
+      EOp(m("op").toString, m.get("args").map(asList(_, "args").map(parseV1Arg)).getOrElse(Nil))
     } else if (m.size == 1 && m.contains("lit")) ELit(toJValue(m("lit")))
     else throw RuleParseError(s"bad v1 expr keys: ${m.keys.mkString(",")}")
+  }
+
+  /** v1 op arguments: a YAML list of plain scalars/lists is a LITERAL array
+    * (pick/omit path lists, zip literals) — v1 has no pipe syntax, so only
+    * maps are expression forms there. */
+  private def parseV1Arg(v: Any): Expr = v match {
+    case l: java.util.List[_] if isJsonLiteral(l) => ELit(toJValue(l))
+    case other => parseExpr(other)
+  }
+
+  private def isJsonLiteral(v: Any): Boolean = v match {
+    case null => true
+    case _: String | _: java.lang.Boolean | _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Double | _: java.lang.Float | _: java.math.BigInteger => true
+    case l: java.util.List[_] => l.asScala.forall(isJsonLiteral)
+    case _ => false
   }
 
   /** Conditions: v2 map forms (eq/ne/gt/gte/lt/lte/all/any/not/match); a v1

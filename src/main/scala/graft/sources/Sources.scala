@@ -35,26 +35,52 @@ object Sources {
     }
   }
 
+  /** JSON documents ingest with a Jackson-driven schema instead of Spark's
+    * inference: field order is preserved, empty objects survive as
+    * zero-field structs, and fields whose values mix types (or are
+    * all-null) become VariantType — which also preserves the reference's
+    * absent-vs-null distinction on those fields (absent → SQL null,
+    * explicit null → variant null). Document-mode JSON is a driver-side
+    * whole-file parse in the reference too; NDJSON stays the scalable
+    * splittable path. */
   def json(spark: SparkSession, path: String, recordsPath: Seq[String]): DataFrame = {
-    val doc = spark.read.option("multiLine", true).json(path)
-    if (recordsPath.isEmpty) doc
-    else {
-      val target = recordsPath.foldLeft[org.apache.spark.sql.Column](null) {
-        (acc, seg) => if (acc == null) col(seg) else acc.getField(seg)
-      }
-      val tpe = recordsPath.foldLeft[DataType](doc.schema) {
-        case (st: StructType, seg) => st(seg).dataType
-        case (t, seg) => throw new IllegalArgumentException(s"records_path $seg into $t")
-      }
-      tpe match {
-        case ArrayType(_: StructType, _) =>
-          doc.select(explode(target).as("rec")).select("rec.*")
-        case _: StructType =>
-          doc.select(target.as("rec")).select("rec.*") // object → one record
-        case t =>
-          throw new IllegalArgumentException(s"records_path points at scalar $t")
-      }
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    val doc = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val target = recordsPath.foldLeft(doc) { (cur, seg) =>
+      val next = if (cur != null && cur.isObject) cur.get(seg) else null
+      if (next == null)
+        throw new IllegalArgumentException(s"records_path segment '$seg' not found")
+      next
     }
+    val records: Seq[JsonNode] =
+      if (target.isArray) target.elements.asScala.toSeq
+      else if (target.isObject) Seq(target)
+      else throw new IllegalArgumentException("records_path points at a scalar")
+
+    def infer(nodes: Seq[JsonNode]): DataType = {
+      val nn = nodes.filter(n => n != null && !n.isNull)
+      if (nn.isEmpty) VariantType
+      else if (nn.forall(_.isObject)) {
+        val names = scala.collection.mutable.LinkedHashSet.empty[String]
+        nn.foreach(_.fieldNames.asScala.foreach(names += _))
+        StructType(names.toSeq.map(k => StructField(k, infer(nn.map(_.get(k))))))
+      } else if (nn.forall(_.isArray))
+        ArrayType(infer(nn.flatMap(_.elements.asScala)))
+      else if (nn.forall(_.isTextual)) StringType
+      else if (nn.forall(_.isBoolean)) BooleanType
+      else if (nn.forall(_.isIntegralNumber)) LongType
+      else if (nn.forall(_.isNumber)) DoubleType
+      else VariantType
+    }
+    val schema = infer(records) match {
+      case st: StructType => st
+      case t => throw new IllegalArgumentException(s"records are not objects: $t")
+    }
+    import spark.implicits._
+    val lines = records.map(mapper.writeValueAsString)
+    spark.read.schema(schema).json(spark.createDataset(lines))
   }
 
   /** NDJSON (one JSON record per line) — splittable, the scalable shape. */

@@ -212,9 +212,10 @@ class EngineSpec extends AnyFunSuite {
     // null payload is a real value (≠ missing)
     assert(rows(1).isNullAt(0))
     assert(rows(1).getSeq[String](1).toSeq == Seq("new"))
-    // no match → missing → null at the typed boundary
+    // no match: lookup_first → missing → null; v2 lookup → EMPTY array
+    // (v1 lookup would be missing — reference tv25 vs t06 dialect split)
     assert(rows(2).isNullAt(0))
-    assert(rows(2).isNullAt(1))
+    assert(rows(2).getSeq[String](1).isEmpty)
   }
 
   test("missing vs null: default applies only to missing; JSON sink drops missing") {

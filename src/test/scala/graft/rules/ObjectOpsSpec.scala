@@ -94,7 +94,7 @@ class ObjectOpsSpec extends AnyFunSuite {
       """version: 1
         |mappings:
         |  - target: by_parity
-        |    expr: { op: group_by, args: [ { ref: "input.nums" }, { op: "-", args: [ { ref: "item.value" }, { op: "*", args: [ 2, { op: "int", args: [ { op: "/", args: [ { ref: "item.value" }, 2 ] } ] } ] } ] } ] }
+        |    expr: { op: group_by, args: [ { ref: "input.nums" }, { op: "-", args: [ { ref: "item.value" }, { op: "*", args: [ 2, { op: "round", args: [ { op: "-", args: [ { op: "/", args: [ { ref: "item.value" }, 2 ] }, 0.5 ] } ] } ] } ] } ] }
         |  - target: keyed
         |    expr: { op: key_by, args: [ { ref: "input.nums" }, { ref: "item.value" } ] }
         |  - target: dedup
