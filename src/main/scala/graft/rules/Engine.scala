@@ -105,10 +105,15 @@ object Engine {
       case StepBranch(cond, thenPath, elsePath, ret) =>
         val c = compileCond(cond, env.copy(out = out))
         val keep = coalesce(c.value, lit(false)) && !c.missing
-        val thenOut = compileSubRule(ruleLoader(thenPath), out, env)
-        val elseOut = elsePath.map(p => compileSubRule(ruleLoader(p), out, env))
-          .getOrElse(scala.collection.immutable.ListMap.empty[String, CE])
-        val branchOut = mergeBranchOutputs(keep, thenOut, elseOut)
+        val thenC = compileSubRule(ruleLoader(thenPath), out, env)
+        val elseC = elsePath.map(p => compileSubRule(ruleLoader(p), out, env))
+        // sub-rule record_when / per-record finalize drops apply only to
+        // the records routed to that side
+        val rowKeep = when(keep, thenC.keep.getOrElse(lit(true)))
+          .otherwise(elseC.flatMap(_.keep).getOrElse(lit(true)))
+        df = df.filter(rowKeep)
+        val branchOut = mergeBranchOutputs(keep, thenC.out,
+          elseC.map(_.out).getOrElse(scala.collection.immutable.ListMap.empty[String, CE]))
         if (ret) { out = branchOut; replaced = true } // output replaced, stop
         else out = deepMergeOut(out, branchOut)
     }
@@ -116,14 +121,20 @@ object Engine {
     Compiled(df, out, env)
   }
 
-  /** Compile a branch sub-rule's mappings: its @input is the CURRENT @out
-    * (transform.rs:491-527). One nesting level of sub-rules; sub-rule
-    * record_when/finalize are not supported in branches yet. */
+  /** A compiled branch sub-rule: its output fields plus an optional
+    * per-record keep predicate (record_when / per-record finalize drops). */
+  private case class SubCompiled(
+      out: scala.collection.immutable.ListMap[String, CE],
+      keep: Option[Column])
+
+  /** Compile a branch sub-rule: its @input is the CURRENT @out
+    * (transform.rs:491-527). The sub-transform runs PER RECORD — its whole
+    * "record set" is the one record being branched — so record_when and
+    * finalize compile to per-record predicates and projections: filter/
+    * record_when gate the record, offset≥1 or limit=0 drop it, sort is a
+    * no-op, and wrap sees @out as the one-record array (tv40/tv41). */
   private def compileSubRule(sub: RuleFile,
-      out: scala.collection.immutable.ListMap[String, CE], outer: Env)
-      : scala.collection.immutable.ListMap[String, CE] = {
-    require(sub.finalizeSpec.isEmpty && sub.recordWhen.isEmpty,
-      "branch sub-rules with record_when/finalize are not supported yet")
+      out: scala.collection.immutable.ListMap[String, CE], outer: Env): SubCompiled = {
     val subInput: Seq[String] => CE = {
       case Seq() =>
         CE.present(struct(out.map { case (n, ce) => ce.valueOrNull.as(n) }.toSeq: _*),
@@ -131,8 +142,12 @@ object Engine {
       case Seq(head, rest @ _*) =>
         out.get(head).map(descend(_, rest)).getOrElse(CE.missing)
     }
-    var subOut = scala.collection.immutable.ListMap.empty[String, CE]
     val subEnv = Env(input = subInput, context = outer.context)
+    var keep: Option[Column] = sub.recordWhen.map { cond =>
+      val c = compileCond(cond, subEnv)
+      coalesce(c.value, lit(false)) && !c.missing
+    }
+    var subOut = scala.collection.immutable.ListMap.empty[String, CE]
     val ms = sub.mappings ++ sub.steps.collect { case StepMappings(m) => m }.flatten
     for ((m, mi) <- ms.zipWithIndex) {
       val mapped = compileMapping(m, subEnv.copy(out = subOut), s"mappings[$mi]")
@@ -141,7 +156,33 @@ object Engine {
         else nest(subOut.get(key), m.target.tail, mapped)
       subOut = subOut + (key -> merged)
     }
-    subOut
+    sub.finalizeSpec.foreach { fin =>
+      val recType = StructType(subOut.map { case (n, ce) => StructField(n, ce.tpe) }.toSeq)
+      val rec = struct(subOut.map { case (n, ce) => ce.valueOrNull.as(n) }.toSeq: _*)
+      val itemCE = CE.present(rec, recType)
+      val finEnv = Env(
+        input = { path => path.headOption.flatMap(subOut.get)
+          .map(ce => descend(ce, path.tail)).getOrElse(CE.missing) },
+        context = outer.context, item = Some(itemCE), itemIndex = Some(lit(0L)))
+      fin.filter.foreach { cond =>
+        val c = compileCond(cond, finEnv)
+        val p = coalesce(c.value, lit(false)) && !c.missing
+        keep = Some(keep.map(_ && p).getOrElse(p))
+      }
+      fin.offset.foreach { n =>
+        if (n >= 1) keep = Some(lit(false))
+      }
+      fin.limit.foreach { n =>
+        if (n <= 0) keep = Some(lit(false))
+      }
+      if (fin.wrap.nonEmpty) {
+        val wenv = Env(input = _ => CE.missing, context = outer.context,
+          outWhole = Some(CE.present(array(rec), ArrayType(recType))))
+        subOut = scala.collection.immutable.ListMap(
+          fin.wrap.map { case (n, wv) => n -> compileWrap(wv, wenv) }: _*)
+      }
+    }
+    SubCompiled(subOut, keep)
   }
 
   /** Route each record's branch outputs by the condition: a field produced
@@ -179,7 +220,20 @@ object Engine {
         case Some(old) if old.tpe == b.tpe =>
           CE(when(!b.missing, b.value).otherwise(old.value),
             b.missing && old.missing, b.tpe)
-        case _ => b // new field, or type change ⇒ overwrite
+        case Some(old) if old.tpe.isInstanceOf[StructType] && b.tpe.isInstanceOf[StructType] =>
+          // differently-shaped objects DEEP-merge (tv42: branch adds
+          // user.name next to the existing user.id); rows where the branch
+          // produced nothing keep the old object padded to the merged shape
+          val m = ExprCompiler.mergeStructs(old, b, deep = true)
+          val mt = m.tpe.asInstanceOf[StructType]
+          val oldNames = old.tpe.asInstanceOf[StructType].fieldNames.toSet
+          val oldPadded = struct(mt.fields.toSeq.map { f =>
+            (if (oldNames.contains(f.name)) old.value.getField(f.name)
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*)
+          CE(when(!b.missing, m.value).otherwise(oldPadded),
+            b.missing && old.missing, m.tpe)
+        case _ => b // new field, or scalar type change ⇒ overwrite
       }
       result = result + (k -> merged)
     }

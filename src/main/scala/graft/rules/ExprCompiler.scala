@@ -487,10 +487,17 @@ object ExprCompiler {
             when(pos === 0 || length(from.value) === 0, a0.value).otherwise(
               concat(substring(a0.value, lit(1), pos - 1), to.value,
                 a0.value.substr(pos + length(from.value), length(a0.value))))
-          case "regex" | "regex_all" =>
-            // Java-regex replace; "regex" (first-only) approximated as all —
-            // exact first-only needs a custom expression (tracked)
-            regexp_replace(a0.value, from.value, to.value)
+          case "regex_all" => regexp_replace(a0.value, from.value, to.value)
+          case "regex" =>
+            // first-match-only (transform.rs:2155-2236): locate the first
+            // match, regex-replace within just that span (keeps $1 group
+            // substitution), splice the remainder back unchanged
+            val pos = call_function("regexp_instr", a0.value, from.value)
+            val m = call_function("regexp_extract", a0.value, from.value, lit(0))
+            when(pos === 0, a0.value).otherwise(concat(
+              a0.value.substr(lit(1), pos - 1),
+              regexp_replace(m, from.value, to.value),
+              a0.value.substr(pos + length(m), length(a0.value))))
         }
         CE(v, a0.missing || from.missing || to.missing, StringType)
       case "split" =>
@@ -1376,7 +1383,7 @@ object ExprCompiler {
 
   /** Shallow/recursive struct merge, right wins (merge_object,
     * transform.rs:5059-5076). */
-  private def mergeStructs(l: CE, r: CE, deep: Boolean): CE = (l.tpe, r.tpe) match {
+  private[rules] def mergeStructs(l: CE, r: CE, deep: Boolean): CE = (l.tpe, r.tpe) match {
     case (ls: StructType, rs: StructType) =>
       val names = (ls.fieldNames ++ rs.fieldNames.filterNot(ls.fieldNames.contains)).toSeq
       val fields = names.map { n =>

@@ -42,6 +42,7 @@ object Validator {
       case _ => return Seq(ValidationError("InvalidRuleFile", ""))
     }
     val errors = Seq.newBuilder[ValidationError]
+    val v2 = root.get("version").forall(_.toString != "1")
 
     // input.csv.delimiter must be a single character (transform.rs:813-820)
     for {
@@ -57,16 +58,13 @@ object Validator {
       case _ => errors += ValidationError("InvalidWhenType", "record_when")
     }
 
-    val mappings = root.get("mappings").collect {
-      case l: java.util.List[_] => l.asScala.toSeq
-    }.getOrElse(Nil)
-
     var seenTargets = Set.empty[String]
     var definedOut = Set.empty[String]
-    mappings.zipWithIndex.foreach {
+
+    def checkMappings(ms: Seq[Any], prefix: String): Unit = ms.zipWithIndex.foreach {
       case (m: java.util.Map[_, _], i) =>
         val mm = mapOf(m)
-        val base = s"mappings[$i]"
+        val base = s"$prefix[$i]"
 
         // exactly one of source/value/expr (validator.rs duplicate/exclusive)
         val has = Seq("source", "value", "expr").count(mm.contains)
@@ -98,20 +96,127 @@ object Validator {
         // expr tree checks: ref namespaces, item-scope, forward @out refs,
         // unknown ops, lookup arg shapes
         mm.get("expr").foreach(e =>
-          checkExpr(e, s"$base.expr", inItemScope = false, definedOut, errors))
+          checkExpr(e, s"$base.expr", inItemScope = false, definedOut, errors,
+            asPipe = v2))
 
         mm.get("target").map(_.toString).foreach { t =>
           definedOut += PathParser.parse(t).headOption.getOrElse(t)
         }
       case _ => ()
     }
+
+    checkMappings(root.get("mappings").collect {
+      case l: java.util.List[_] => l.asScala.toSeq
+    }.getOrElse(Nil), "mappings")
+
+    // steps: mappings continue the @out/target tracking; branch `when` must
+    // be a condition (a value-typed v1 op is InvalidWhenType — tv26_v05)
+    root.get("steps").collect { case l: java.util.List[_] => l.asScala.toSeq }
+      .getOrElse(Nil).zipWithIndex.foreach {
+        case (s: java.util.Map[_, _], si) =>
+          val sm = mapOf(s)
+          sm.get("mappings").collect { case l: java.util.List[_] => l.asScala.toSeq }
+            .foreach(ms => checkMappings(ms, s"steps[$si].mappings"))
+          sm.get("branch").collect { case m: java.util.Map[_, _] => mapOf(m) }
+            .foreach { bm =>
+              // branch sub-rules (external files) may define any @out field:
+              // later forward-out checks are suppressed via the sentinel
+              definedOut += "*"
+              bm.get("when") match {
+                case Some(w: java.util.Map[_, _]) =>
+                  val wm = mapOf(w)
+                  val condKeys = Set("all", "any", "not", "eq", "ne", "gt", "gte",
+                    "lt", "lte", "match")
+                  val boolOps = Set("and", "or", "not", "==", "!=", "<", "<=", ">",
+                    ">=", "~=", "contains", "bool")
+                  val isCond = wm.size == 1 && condKeys.contains(wm.keys.head)
+                  val isBoolOp = wm.get("op").exists(o => boolOps.contains(o.toString))
+                  if (!isCond && !isBoolOp)
+                    errors += ValidationError("InvalidWhenType", s"steps[$si].branch.when")
+                case Some(_: java.lang.Boolean) | None => ()
+                case Some(_) =>
+                  errors += ValidationError("InvalidWhenType", s"steps[$si].branch.when")
+              }
+            }
+        case _ => ()
+      }
+
+    // finalize.wrap values are pipes (tv43: unknown op inside a wrap pipe)
+    root.get("finalize").collect { case m: java.util.Map[_, _] => mapOf(m) }
+      .flatMap(_.get("wrap")).collect { case m: java.util.Map[_, _] => mapOf(m) }
+      .foreach { wm =>
+        def walkWrap(v: Any, path: String): Unit = v match {
+          case m: java.util.Map[_, _] =>
+            mapOf(m).foreach { case (k, vv) => walkWrap(vv, s"$path.$k") }
+          case other =>
+            checkExpr(other, path, inItemScope = false, definedOut, errors, asPipe = v2)
+        }
+        wm.foreach { case (k, v) => walkWrap(v, s"finalize.wrap.$k") }
+      }
+
     errors.result()
   }
 
   private def checkExpr(e: Any, path: String, inItemScope: Boolean,
       definedOut: Set[String],
-      errors: scala.collection.mutable.Builder[ValidationError, Seq[ValidationError]]): Unit =
+      errors: scala.collection.mutable.Builder[ValidationError, Seq[ValidationError]],
+      asPipe: Boolean = false): Unit =
     e match {
+      case l: java.util.List[_] if asPipe =>
+        // v2 pipe: [start, step, ...] — an empty pipe is invalid; bare
+        // strings past position 0 are op names; single-key maps are steps
+        val items = l.asScala.toSeq
+        if (items.isEmpty) {
+          errors += ValidationError("InvalidExprShape", path)
+          return
+        }
+        items.zipWithIndex.foreach { case (item, j) =>
+          val p = s"$path[$j]"
+          item match {
+            case s: String if j > 0 && !s.startsWith("@") && !s.startsWith("lit:") && s != "$" =>
+              if (!knownOps.contains(s)) errors += ValidationError("UnknownOp", p)
+            case m: java.util.Map[_, _] =>
+              val mm = mapOf(m)
+              // v1-form maps ({op}/{ref}/{chain}) keep their own handling
+              if (mm.size == 1 && !mm.contains("op") && !mm.contains("ref") &&
+                  !mm.contains("chain")) mm.head match {
+                case ("let", v) =>
+                  v match {
+                    case bm: java.util.Map[_, _] => mapOf(bm).foreach { case (k, be) =>
+                      checkExpr(be, s"$p.let.$k", inItemScope, definedOut, errors, asPipe = true)
+                    }
+                    case _ => ()
+                  }
+                case ("if", v) =>
+                  v match {
+                    case im: java.util.Map[_, _] =>
+                      val imm = mapOf(im)
+                      imm.get("then").foreach(checkExpr(_, s"$p.then", inItemScope, definedOut, errors, asPipe = true))
+                      imm.get("else").foreach(checkExpr(_, s"$p.else", inItemScope, definedOut, errors, asPipe = true))
+                    case _ => ()
+                  }
+                case ("map", v) =>
+                  checkExpr(v, s"$p.map", inItemScope = true, definedOut, errors, asPipe = true)
+                case ("lit", _) => ()
+                case (op, v) =>
+                  val opName = if (op == "lookup") "lookup_all" else op
+                  if (!knownOps.contains(opName))
+                    errors += ValidationError("UnknownOp", p)
+                  val scoped = inItemScope || scopeOps.contains(op)
+                  v match {
+                    case al: java.util.List[_] =>
+                      al.asScala.toSeq.zipWithIndex.foreach { case (a, k) =>
+                        checkExpr(a, s"$p.args[$k]", scoped, definedOut, errors,
+                          asPipe = a.isInstanceOf[java.util.List[_]])
+                      }
+                    case other =>
+                      checkExpr(other, s"$p.args[0]", scoped, definedOut, errors)
+                  }
+              }
+            case other =>
+              checkExpr(other, p, inItemScope, definedOut, errors)
+          }
+        }
       case m: java.util.Map[_, _] =>
         val mm = mapOf(m)
         if (mm.contains("ref")) {
@@ -127,7 +232,8 @@ object Validator {
               // namespace code, fixture v11)
               errors += ValidationError("InvalidRefNamespace", path)
             case Some("out") =>
-              if (tokens.size > 1 && !definedOut.contains(tokens(1)))
+              if (tokens.size > 1 && !definedOut.contains(tokens(1)) &&
+                  !definedOut.contains("*"))
                 errors += ValidationError("ForwardOutReference", path)
             case _ => ()
           }
@@ -166,7 +272,8 @@ object Validator {
           case _: Exception => Nil
         }
         tokens.headOption match {
-          case Some("out") if tokens.size > 1 && !definedOut.contains(tokens(1)) =>
+          case Some("out") if tokens.size > 1 && !definedOut.contains(tokens(1)) &&
+              !definedOut.contains("*") =>
             errors += ValidationError("ForwardOutReference", path)
           case Some("item") | Some("acc") if !inItemScope =>
             errors += ValidationError("InvalidRefNamespace", path)

@@ -177,7 +177,10 @@ class FixtureCompatSpec extends AnyFunSuite {
     "tv36_branch_uses_out",
     "tv37_root_refs",
     "tv38_finalize_filter_offset",
-    "tv39_finalize_filter_index")
+    "tv39_finalize_filter_index",
+    "tv40_branch_return_filter",
+    "tv41_branch_finalize_wrap",
+    "tv42_branch_deep_merge")
 
   val errorFixtures = Seq(
     "r01_float_non_finite",

@@ -24,7 +24,13 @@ class ValidatorSpec extends AnyFunSuite {
     "v08_invalid_path",
     "v09_invalid_when_type",
     "v10_invalid_record_when_type",
-    "v11_invalid_item_ref")
+    "v11_invalid_item_ref",
+    "tv26_v01_unknown_op",
+    "tv26_v02_forward_out_ref",
+    "tv26_v03_literal_start_unknown_op",
+    "tv26_v04_empty_pipe",
+    "tv26_v05_branch_when_v1_non_bool",
+    "tv43_finalize_wrap_invalid_expr")
 
   fixtures.foreach { name =>
     test(s"validation fixture: $name") {
@@ -42,7 +48,9 @@ class ValidatorSpec extends AnyFunSuite {
   }
 
   test("valid rule files produce no errors") {
-    for (f <- Seq("t01_csv_basic", "t03_json_out_context", "t14_expr_chain")) {
+    for (f <- Seq("t01_csv_basic", "t03_json_out_context", "t14_expr_chain",
+        "tv25_lookup", "tv29_v2_out_sibling_ok", "tv39_finalize_filter_index",
+        "tv41_branch_return_out_update")) {
       val errs = Validator.validate(
         Files.readString(Paths.get(s"$fixtureRoot/$f/rules.yaml")))
       assert(errs.isEmpty, s"$f should validate clean, got $errs")
