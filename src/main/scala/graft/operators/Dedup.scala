@@ -23,6 +23,23 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Cache barriers registered here so long-lived sessions can release
+    * them: every dedup query stages expensive shared subtrees with
+    * `.cache()` (interpreted HOFs re-evaluate inlined expressions per
+    * element — a measured 25× difference), and [[unpersistAll]] frees the
+    * blocks once the query's results are consumed. */
+  private val barriers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def barrier(df: DataFrame): DataFrame = synchronized {
+    val c = df.cache(); barriers += c; c
+  }
+
+  /** Release every cache barrier created since the last call. */
+  def unpersistAll(): Unit = synchronized {
+    barriers.foreach(_.unpersist(blocking = false))
+    barriers.clear()
+  }
+
   /** Exact-duplicate groups by content digest: digest → (canonical id,
     * member count). One shuffle on the 128-bit digest. */
   def exactDupGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -48,59 +65,56 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
   }
 
-  /** Exact pairwise Jaccard over shingle sets, via explode + self-join on
-    * shared shingles — |A∩B| from the join, |A| and |B| from per-doc counts.
-    * Only emits pairs above `threshold`. */
-  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    // materialize the shingle explosion once: it feeds BOTH sides of the
-    // self-join plus the size aggregate, and higher-order shingle exprs are
-    // interpreted (no codegen) — recomputing them 3× dominates runtime.
-    // The cached set is (doc id, shingle) — tiny relative to the corpus.
-    val sh = docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
-      .cache()
-    val sz = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("da"), col("y.doc").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sa"), col("da") === col("sa.doc"))
-      .join(sz.as("sb"), col("db") === col("sb.doc"))
+  /** One row per (doc, shingle-hash), with the doc's set size carried on
+    * every row: the join key is an 8-byte long (never the shingle string),
+    * and |A| / |B| ride along into the intersection aggregate — no extra
+    * size joins. 64-bit collisions are negligible at any corpus size that
+    * fits a join. Cached: the explosion feeds both self-join sides. */
+  private def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    barrier(docs
+      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .select(col("doc"), size(col("sh")).as("n_sh"),
+        explode(transform(col("sh"), s => xxhash64(s))).as("h")))
+
+  /** (da, db, inter, jaccard ≥ threshold) from shared-hash pairs. */
+  private def jaccardFromPairs(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"), min(col("na")).as("n_a"), min(col("nb")).as("n_b"))
       .select(col("da"), col("db"), col("inter"),
         (col("inter").cast(DoubleType) /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Exact pairwise Jaccard over shingle sets, via explode + self-join on
+    * shared shingle hashes — |A∩B| from the join, |A| and |B| carried on
+    * the joined rows. Only emits pairs above `threshold`. Quadratic worst
+    * case: at scale this runs ONLY behind LSH candidates
+    * ([[minhashDupPairs]]), never standalone. */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleHashRows(docs, textCol, idCol, n)
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+    jaccardFromPairs(pairs, threshold)
   }
 
-  /** MinHash signature of length k over the shingle array.
-    *
-    * Each shingle string is hashed ONCE (xxhash64); the k "permutations"
-    * re-hash that fixed-width long together with the permutation index —
-    * much cheaper than re-hashing the string k times, fully independent,
-    * and free of the long-overflow ANSI errors an affine (a·h+b) map hits
-    * under Spark 4's default ANSI mode.
-    *
-    * IMPORTANT: only use this Column form when `shingleHashes` is already a
-    * bound attribute. If the shingle expression is inlined here, the outer
-    * per-permutation lambda re-evaluates the whole shingle build (split +
-    * concat + O(n²) interpreted array_distinct) k times per row — use
-    * `minhashSignatures` (the staged DataFrame form) instead. */
+  /** MinHash signature of length k over the shingle array: each shingle
+    * string is hashed ONCE (xxhash64, codegen'd), then the k-permutation
+    * min pass runs inside [[graft.functions.MinHashSignature]] — a single
+    * native expression, one JIT loop per row, no interpreted HOFs. */
   def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleHashes, h => xxhash64(i, h))))
+    graft.functions.MinHashSignature.signature(shingleHashes, k)
 
-  /** Staged signature computation: shingle build + base hash materialize
-    * ONCE per doc (cache barrier — project-collapse would otherwise inline
-    * them into the k-permutation lambda), then the k-min pass runs over the
-    * bound hash array. Output: (doc, sig array<long>[k]). */
+  /** (doc, sig array<long>[k]) — the shingle build + hash arg is evaluated
+    * once per row inside the signature expression's projection. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc"),
-        transform(shingles(col(textCol), n), s => xxhash64(s)).as("shh"))
-      .cache()
-    hashed.select(col("doc"), minhashSignature(col("shh"), k).as("sig"))
-  }
+      n: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      minhashSignature(transform(shingles(col(textCol), n), s => xxhash64(s)), k).as("sig"))
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one long. Docs sharing any band key are candidate
@@ -117,12 +131,13 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    // cache the banded signatures: the bucket self-join would otherwise
-    // recompute them for both sides. Cached size = bands longs per doc.
-    val sig = minhashSignatures(docs, textCol, idCol, n, k)
-    val banded = sig.select(col("doc"),
-      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
-      .cache()
+    // two barriers: the signature (the per-band lambda would otherwise
+    // re-evaluate the whole shingle+signature build per band — interpreted
+    // HOFs inline projected subtrees), then the banded keys (the bucket
+    // self-join reads them from both sides). Cached size: k longs per doc.
+    val sig = barrier(minhashSignatures(docs, textCol, idCol, n, k))
+    val banded = barrier(sig.select(col("doc"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh"))))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
@@ -136,21 +151,14 @@ object Dedup {
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val cand = lshCandidatePairs(docs, textCol, idCol, n, k, bands)
-    val sh = docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
-      .cache()
-    val sz = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    // intersection counted only for candidate pairs: join shingles through cand
-    val inter = cand
+    val sh = shingleHashRows(docs, textCol, idCol, n)
+    // intersection counted ONLY for candidate pairs: route the shingle-hash
+    // rows through the candidate set; set sizes ride along
+    val pairs = cand
       .join(sh.as("x"), col("da") === col("x.doc"))
-      .join(sh.as("y"), col("db") === col("y.doc") && col("x.s") === col("y.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.as("sa"), col("da") === col("sa.doc"))
-      .join(sz.as("sb"), col("db") === col("sb.doc"))
-      .select(col("da"), col("db"), col("inter"),
-        (col("inter").cast(DoubleType) /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .join(sh.as("y"), col("db") === col("y.doc") && col("x.h") === col("y.h"))
+      .select(col("da"), col("db"), col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+    jaccardFromPairs(pairs, threshold)
   }
 
   /** Oracle-reproducible SimHash via explode + one hash-aggregate: tokens
