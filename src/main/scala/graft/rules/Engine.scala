@@ -364,6 +364,11 @@ object Engine {
       }
       fin.sort.foreach { s =>
         val key = resolveFromSchema(outSchema, col(_))(s.by)
+        // a sort key no mapping produces is a rule error, not an empty sort
+        // (apply_finalize rejects unknown keys — transform.rs:636-650)
+        if (key eq CE.missing)
+          throw RmError("InvalidRef", "finalize.sort.by",
+            s"unknown sort key: ${s.by.mkString(".")}")
         val k = if (s.descending) key.value.desc else key.value.asc
         result = result.orderBy(k, col("__order").asc) // stable: ties keep input order
       }
@@ -398,9 +403,13 @@ object Engine {
         CE(when(base.missing, dc.value.cast(tpe)).otherwise(base.value.cast(tpe)),
           lit(false), tpe)
       case None if m.required =>
+        // a statically-missing required ref has NullType, whose JSON
+        // encoding is a constant — widen so the raising column is actually
+        // read by the sink and the error fires per kept record (p02)
+        val tpe = if (base.tpe == NullType) StringType else base.tpe
         CE(when(keep && (base.missing || base.value.isNull),
           RmError.raiseCol("MissingRequired", pathBase, "required value is missing")
-            .cast(base.tpe)).otherwise(base.value), lit(false), base.tpe)
+            .cast(tpe)).otherwise(base.value.cast(tpe)), lit(false), tpe)
       case None => base
     }
 

@@ -1,0 +1,122 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI contract tests against the reference exit codes (main.rs:152-165):
+  * 0 ok, 1 I/O failure, 2 validation errors, 3 transform errors — driven
+  * over the reference's own fixtures. */
+class CliSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/crates/rulemorph/tests/fixtures"
+
+  private case class R(code: Int, out: String, err: String)
+
+  private def cli(args: String*): R = {
+    val out = new ByteArrayOutputStream(); val err = new ByteArrayOutputStream()
+    val code = Cli.run(args, new PrintStream(out, true), new PrintStream(err, true))
+    R(code, out.toString, err.toString)
+  }
+
+  test("validate: clean rule file exits 0") {
+    val r = cli("validate", "-r", s"$fixtures/t01_csv_basic/rules.yaml")
+    assert(r.code == 0, r.err)
+  }
+
+  test("validate: invalid rule exits 2 with E line on stderr") {
+    val r = cli("validate", "-r", s"$fixtures/v02_duplicate_target/rules.yaml")
+    assert(r.code == 2)
+    assert(r.err.startsWith("E "), r.err)
+  }
+
+  test("validate: missing file exits 1") {
+    val r = cli("validate", "-r", "/nonexistent/rules.yaml")
+    assert(r.code == 1)
+    assert(r.err.contains("failed to read rules"), r.err)
+  }
+
+  test("transform: t01 csv fixture round-trips to the golden output") {
+    val r = cli("transform",
+      "-r", s"$fixtures/t01_csv_basic/rules.yaml",
+      "-i", s"$fixtures/t01_csv_basic/input.csv")
+    assert(r.code == 0, r.err)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val got = mapper.readTree(r.out)
+    val want = mapper.readTree(
+      Files.readString(Paths.get(s"$fixtures/t01_csv_basic/expected.json")))
+    assert(got == want, s"got ${r.out}")
+  }
+
+  test("transform: --ndjson emits one record per line (t12 golden)") {
+    val r = cli("transform",
+      "-r", s"$fixtures/t12_ndjson_csv/rules.yaml",
+      "-i", s"$fixtures/t12_ndjson_csv/input.csv", "--ndjson")
+    assert(r.code == 0, r.err)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val got = r.out.trim.split("\n").map(mapper.readTree)
+    val want = Files.readString(Paths.get(s"$fixtures/t12_ndjson_csv/expected.ndjson"))
+      .trim.split("\n").map(mapper.readTree)
+    assert(got.toSeq == want.toSeq, r.out)
+  }
+
+  test("transform: runtime error exits 3 with kind on stderr") {
+    val r = cli("transform",
+      "-r", s"$fixtures/r09_asserts_failed/rules.yaml",
+      "-i", s"$fixtures/r09_asserts_failed/input.json")
+    assert(r.code == 3, s"code=${r.code} out=${r.out}")
+    assert(r.err.contains("AssertionFailed"), r.err)
+  }
+
+  test("transform: -e json emits a structured error array") {
+    val r = cli("transform",
+      "-r", s"$fixtures/r09_asserts_failed/rules.yaml",
+      "-i", s"$fixtures/r09_asserts_failed/input.json", "-e", "json")
+    assert(r.code == 3)
+    assert(r.err.contains("\"type\":\"transform\""), r.err)
+    assert(r.err.contains("\"kind\":\"AssertionFailed\""), r.err)
+  }
+
+  test("preflight: ok fixture exits 0, error fixture exits 3") {
+    val ok = cli("preflight",
+      "-r", s"$fixtures/p01_preflight_ok/rules.yaml",
+      "-i", s"$fixtures/p01_preflight_ok/input.json")
+    assert(ok.code == 0, ok.err)
+    val bad = cli("preflight",
+      "-r", s"$fixtures/p02_preflight_missing_required/rules.yaml",
+      "-i", s"$fixtures/p02_preflight_missing_required/input.json")
+    assert(bad.code == 3, s"code=${bad.code}")
+    assert(bad.err.contains("MissingRequired"), bad.err)
+  }
+
+  test("preflight: missing input file exits 1") {
+    val r = cli("preflight",
+      "-r", s"$fixtures/p01_preflight_ok/rules.yaml",
+      "-i", "/nonexistent/input.json")
+    assert(r.code == 1)
+  }
+
+  test("generate: rust dto to stdout matches the golden file") {
+    val r = cli("generate", "-r", s"$fixtures/dto01_basic/rules.yaml", "-l", "rust")
+    assert(r.code == 0, r.err)
+    val want = Files.readString(Paths.get(s"$fixtures/dto01_basic/expected_rust.rs"))
+      .replaceAll("\\s+$", "")
+    assert(r.out.trim == want)
+  }
+
+  test("generate: ts alias works; unknown language exits 1") {
+    assert(cli("generate", "-r", s"$fixtures/dto01_basic/rules.yaml", "-l", "ts").code == 0)
+    assert(cli("generate", "-r", s"$fixtures/dto01_basic/rules.yaml", "-l", "cobol").code == 1)
+  }
+
+  test("generate: -o writes the file") {
+    val tmp = Files.createTempDirectory("cli").resolve("dto.rs")
+    val r = cli("generate", "-r", s"$fixtures/dto02_steps/rules.yaml",
+      "-l", "rust", "-o", tmp.toString)
+    assert(r.code == 0, r.err)
+    val want = Files.readString(Paths.get(s"$fixtures/dto02_steps/expected_rust.rs"))
+      .replaceAll("\\s+$", "")
+    assert(Files.readString(tmp).trim == want)
+  }
+}
