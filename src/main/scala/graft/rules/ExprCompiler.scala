@@ -840,9 +840,22 @@ object ExprCompiler {
         })
         CE(date_format(ts, outFmt), a0.missing, StringType)
       case "to_unixtime" =>
-        // [value, unit?("s"|"ms")]
-        val unit = litString(1).getOrElse("s")
-        val ts = DateOps.parseCascade(rmToString(a0).value, Nil)
+        // [value, unit|tz?, tz?] — with three args the middle one MUST be a
+        // unit; with two it may be a unit or a timezone offset the naive
+        // input is interpreted in (eval_to_unixtime, transform.rs:2653-2734)
+        val nArgs = allArgs.size
+        val (unit, tz1) = litString(1) match {
+          case Some(u @ ("s" | "ms")) => (u, None)
+          case Some(s) if nArgs == 2 && DateOps.looksLikeTimezone(s) => ("s", Some(s))
+          case Some(_) => throw RmError("ExprError", argPathStr(1), "unit must be s or ms")
+          case None => ("s", None)
+        }
+        val offset = litString(2).orElse(tz1).map(DateOps.normalizeOffset)
+        val ts0 = DateOps.parseCascade(rmToString(a0).value, Nil)
+        // naive wall-clock read in the offset zone → UTC instant; the
+        // reference leaves tz-carrying inputs on their own offset, which
+        // rules express by omitting the tz arg
+        val ts = offset.map(o => to_utc_timestamp(ts0, o)).getOrElse(ts0)
         val v = unit match {
           case "ms" => unix_millis(ts)
           case _ => unix_timestamp(ts)

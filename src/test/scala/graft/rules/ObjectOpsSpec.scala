@@ -127,4 +127,37 @@ class ObjectOpsSpec extends AnyFunSuite {
     assert(r.getString(1) == "2024-01-02")
     assert(r.getLong(2) == 1704164645L) // 2024-01-02 03:04:05 UTC
   }
+
+  test("to_unixtime timezone args: naive input read in a fixed offset (transform.rs:2653-2734)") {
+    import spark.implicits._
+    val input = Seq(Tuple1("2024-01-02 03:04:05")).toDF("d")
+    val out = run(
+      """version: 1
+        |mappings:
+        |  - target: utc_s
+        |    expr: { op: to_unixtime, args: [ { ref: "input.d" } ] }
+        |  - target: tokyo_s
+        |    expr: { op: to_unixtime, args: [ { ref: "input.d" }, "+09:00" ] }
+        |  - target: tokyo_ms
+        |    expr: { op: to_unixtime, args: [ { ref: "input.d" }, "ms", "+0900" ] }
+        |  - target: nyc_s
+        |    expr: { op: to_unixtime, args: [ { ref: "input.d" }, "s", "-05:00" ] }
+        |""".stripMargin, input)
+    val r = out.collect()(0)
+    val utc = 1704164645L
+    assert(r.getLong(0) == utc)
+    assert(r.getLong(1) == utc - 9 * 3600)       // 03:04 Tokyo is 9h before 03:04 UTC
+    assert(r.getLong(2) == (utc - 9 * 3600) * 1000L)
+    assert(r.getLong(3) == utc + 5 * 3600)
+    // a three-arg call whose middle arg is not a unit is an ExprError
+    val err = intercept[ExprCompiler.RmError] {
+      run(
+        """version: 1
+          |mappings:
+          |  - target: bad
+          |    expr: { op: to_unixtime, args: [ { ref: "input.d" }, "+09:00", "+09:00" ] }
+          |""".stripMargin, input).collect()
+    }
+    assert(err.kind == "ExprError" && err.message.contains("unit must be s or ms"))
+  }
 }
