@@ -38,9 +38,28 @@ object Cli {
       case Some("preflight") => runPreflight(parseFlags(args.tail), err)
       case Some("transform") => runTransform(parseFlags(args.tail), out, err)
       case Some("generate") => runGenerate(parseFlags(args.tail), out, err)
+      case Some("serve") => runServe(parseFlags(args.tail), out, err)
       case _ =>
-        err.println("usage: rulemorph <validate|preflight|transform|generate> [flags]")
+        err.println("usage: rulemorph <validate|preflight|transform|generate|serve> [flags]")
         1
+    }
+  }
+
+  /** `serve -r endpoints.yaml [--port N]` — run the endpoint engine over
+    * the JDK HttpServer until interrupted. */
+  private def runServe(f: Flags, out: PrintStream, err: PrintStream): Int = {
+    val rules = f.opts.get("--rules") match {
+      case Some(p) => p
+      case None => err.println("failed to read rules: --rules is required"); return 1
+    }
+    val port = f.opts.get("--port").flatMap(_.toIntOption).getOrElse(8080)
+    try {
+      val server = graft.endpoint.Server.start(session, rules, port)
+      out.println(s"listening on http://127.0.0.1:${server.getAddress.getPort}")
+      Thread.currentThread.join() // serve until killed
+      0
+    } catch {
+      case NonFatal(e) => err.println(s"server error: ${e.getMessage}"); 1
     }
   }
 

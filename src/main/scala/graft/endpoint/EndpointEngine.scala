@@ -1,0 +1,543 @@
+package graft.endpoint
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, HttpTimeoutException}
+import java.nio.file.{Files, Path, Paths}
+import java.time.Duration
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.rules._
+import graft.rules.Model._
+import EndpointModel._
+
+/** The serving engine for `endpoint` rules (reference
+  * endpoint_engine.rs:321-592): an HTTP request becomes the virtual
+  * `@input` record {method, path, query, headers, body}, the endpoint's
+  * `input` mappings reshape it, each `steps[]` rule transforms the running
+  * record (normal rules through the SAME compiled Catalyst plans the batch
+  * engine runs; `network` rules through an outbound HTTP call with
+  * timeout/retry/select), and `reply` evaluates status/body v2 exprs over
+  * the final record. Errors route through step-then-endpoint `catch` specs
+  * keyed by exact status > 4xx/5xx pattern > timeout > default
+  * (endpoint_engine.rs:1479-1515). Every request appends a trace.
+  *
+  * Scale note: this surface exists for request/reply parity with the
+  * reference; the 100 TB path is the SAME rule files compiled once over a
+  * dataset (Engine.transform) — per-record serving here deliberately reuses
+  * those plans rather than maintaining a second interpreter.
+  */
+class EndpointEngine(
+    spark: SparkSession,
+    endpointYamlPath: String,
+    internalBase: String = "",
+    val traces: TraceStore = new TraceStore()) {
+
+  private val mapper = new ObjectMapper()
+  private val baseDir: Path =
+    Option(Paths.get(endpointYamlPath).getParent).getOrElse(Paths.get("."))
+  private val endpointFile: EndpointFile =
+    EndpointModel.parseRuleKind(Files.readString(Paths.get(endpointYamlPath))) match {
+      case EndpointRule(spec) => spec
+      case _ => throw EndpointParseError(s"$endpointYamlPath is not an endpoint rule")
+    }
+  private val http: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  // loaded rule files by resolved path (plans compile once per rule)
+  private val ruleCache = scala.collection.concurrent.TrieMap.empty[String, RuleKind]
+
+  import EndpointEngine.{EndpointError, EndpointFailure, HttpResult}
+
+  // -- request handling ---------------------------------------------------
+
+  /** Handle one request; pure of any server framework so tests can drive
+    * it directly. Query is the raw query string (null/empty ok). */
+  def handle(method: String, path: String, query: String,
+      headers: Seq[(String, String)], body: Option[String]): HttpResult = {
+    val started = System.nanoTime()
+    val matched = endpointFile.endpoints.iterator
+      .flatMap(e => if (e.method == method.toUpperCase)
+        e.path.matchPath(path).map(e -> _) else None)
+      .nextOption()
+    matched match {
+      case None => HttpResult(404, Seq("content-type" -> "application/json"),
+        """{"error":"no endpoint matched"}""")
+      case Some((endpoint, pathParams)) =>
+        val trace = new TraceBuilder(method, path)
+        val result = runEndpoint(endpoint, pathParams, query, headers, body, trace)
+        traces.append(trace.finish(result.status, (System.nanoTime() - started) / 1000))
+        result
+    }
+  }
+
+  private def runEndpoint(endpoint: EndpointDef, pathParams: Map[String, String],
+      query: String, headers: Seq[(String, String)], body: Option[String],
+      trace: TraceBuilder): HttpResult = {
+    // @input = {method, path, query, headers, body?} (build_input_from_parts)
+    val inputEither: Either[EndpointError, ObjectNode] =
+      try Right(buildInput(endpoint, pathParams, query, headers, body))
+      catch {
+        case EndpointFailure(e) => Left(e)
+        case NonFatal(e) => Left(EndpointError.invalid(e.getMessage))
+      }
+
+    var current: JsonNode = inputEither.getOrElse(mapper.createObjectNode())
+    var failed: Option[EndpointError] = inputEither.left.toOption
+    trace.input(current)
+
+    // input mappings reshape @input; their output REPLACES it
+    if (failed.isEmpty && endpoint.input.nonEmpty) {
+      val inputRule = RuleFile(version = 2, mappings = endpoint.input)
+      try current = transformValue(inputRule, current, configContext(None, None), baseDir)
+      catch {
+        case EndpointFailure(e) => failed = Some(e)
+        case NonFatal(e) => failed = Some(EndpointError.transform(rootMessage(e)))
+      }
+    }
+    failed.foreach { err =>
+      runCatch(endpoint.catchSpec, err, current, None) match {
+        case Some(next) => current = next; failed = None
+        case None => ()
+      }
+    }
+
+    // steps: output of each becomes the next @input
+    if (failed.isEmpty) {
+      val it = endpoint.steps.iterator
+      var break = false
+      while (it.hasNext && !break && failed.isEmpty) {
+        val step = it.next()
+        val stepStarted = System.nanoTime()
+        val skip = step.when.exists { cond =>
+          !evalCond(cond, current, configContext(step.withParams, None))
+        }
+        if (skip) trace.step(step.rulePath, "skipped", (System.nanoTime() - stepStarted) / 1000)
+        else {
+          try {
+            current = executeRule(step.rulePath, current, step.withParams)
+            trace.step(step.rulePath, "ok", (System.nanoTime() - stepStarted) / 1000)
+          } catch {
+            case NonFatal(e) =>
+              val err = e match {
+                case EndpointFailure(inner) => inner
+                case other => EndpointError.transform(rootMessage(other))
+              }
+              runCatch(step.catchSpec, err, current, step.withParams)
+                .orElse {
+                  val r = runCatch(endpoint.catchSpec, err, current, None)
+                  if (r.isDefined) break = true // endpoint-level catch ends the pipeline
+                  r
+                } match {
+                case Some(next) =>
+                  current = next
+                  trace.step(step.rulePath, "ok", (System.nanoTime() - stepStarted) / 1000)
+                case None =>
+                  failed = Some(err)
+                  trace.step(step.rulePath, "error", (System.nanoTime() - stepStarted) / 1000)
+              }
+          }
+        }
+      }
+    }
+
+    failed match {
+      case Some(err) =>
+        trace.error(err.toJson)
+        HttpResult(500, Seq("content-type" -> "application/json"),
+          s"""{"error":${quote(err.message)}}""")
+      case None =>
+        try buildReply(endpoint, current)
+        catch {
+          case NonFatal(e) =>
+            val err = EndpointError.invalid(rootMessage(e))
+            runCatch(endpoint.catchSpec, err, current, None) match {
+              case Some(next) =>
+                try buildReply(endpoint, next)
+                catch {
+                  case NonFatal(e2) =>
+                    trace.error(err.toJson)
+                    HttpResult(500, Seq("content-type" -> "application/json"),
+                      s"""{"error":${quote(rootMessage(e2))}}""")
+                }
+              case None =>
+                trace.error(err.toJson)
+                HttpResult(500, Seq("content-type" -> "application/json"),
+                  s"""{"error":${quote(err.message)}}""")
+            }
+        }
+    }
+  }
+
+  private def buildInput(endpoint: EndpointDef, pathParams: Map[String, String],
+      query: String, headers: Seq[(String, String)], body: Option[String]): ObjectNode = {
+    val input = mapper.createObjectNode()
+    input.put("method", endpoint.method)
+    val pathObj = mapper.createObjectNode()
+    pathParams.foreach { case (k, v) => pathObj.put(k, v) }
+    input.set[JsonNode]("path", pathObj)
+    // query: single-valued only; duplicates are an error routed to catch
+    val queryObj = mapper.createObjectNode()
+    Option(query).filter(_.nonEmpty).foreach { q =>
+      q.split("&").filter(_.nonEmpty).foreach { pair =>
+        val Array(k, v) = (pair.split("=", 2) ++ Array("")).take(2)
+        val key = java.net.URLDecoder.decode(k, "UTF-8")
+        if (queryObj.has(key))
+          throw EndpointFailure(EndpointError.invalid(s"duplicate query param: $key"))
+        queryObj.put(key, java.net.URLDecoder.decode(v, "UTF-8"))
+      }
+    }
+    input.set[JsonNode]("query", queryObj)
+    // headers: lowercased keys, same-name values comma-joined
+    val headerObj = mapper.createObjectNode()
+    headers.groupBy(_._1.toLowerCase).toSeq.sortBy(_._1).foreach { case (k, vs) =>
+      headerObj.put(k, vs.map(_._2).mkString(","))
+    }
+    input.set[JsonNode]("headers", headerObj)
+    body.filter(_.nonEmpty).foreach { b =>
+      val parsed =
+        try mapper.readTree(b)
+        catch { case NonFatal(e) =>
+          throw EndpointFailure(EndpointError.invalid(s"invalid body JSON: ${e.getMessage}")) }
+      input.set[JsonNode]("body", parsed)
+    }
+    input
+  }
+
+  /** @context for steps/catches: {config: {internal_base}} plus optional
+    * `params` (step `with`) and `error` (inside catch rules). */
+  private def configContext(params: Option[JValue], error: Option[EndpointError]): JValue = {
+    var fields: Seq[(String, JValue)] =
+      Seq("config" -> JObject(Seq("internal_base" -> JString(internalBase))))
+    params.foreach(p => fields :+= ("params" -> p))
+    error.foreach { e =>
+      fields :+= ("error" -> JObject(Seq(
+        "kind" -> JString(e.kind),
+        "status" -> e.status.map(s => JLong(s.toLong): JValue).getOrElse(JNull),
+        "message" -> JString(e.message))))
+    }
+    JObject(fields)
+  }
+
+  // -- rule execution -----------------------------------------------------
+
+  private def loadRule(rulePath: String): RuleKind =
+    ruleCache.getOrElseUpdate(rulePath, {
+      val resolved = baseDir.resolve(rulePath).normalize()
+      EndpointModel.parseRuleKind(Files.readString(resolved))
+    })
+
+  private def executeRule(rulePath: String, input: JsonNode,
+      withParams: Option[JValue]): JsonNode =
+    loadRule(rulePath) match {
+      case NormalRule(rule) =>
+        transformValue(rule, input, configContext(withParams, None),
+          Option(baseDir.resolve(rulePath).normalize().getParent).getOrElse(baseDir))
+      case NetworkRule(spec) =>
+        executeNetwork(spec, input, configContext(withParams, None))
+      case EndpointRule(_) =>
+        throw EndpointFailure(EndpointError.invalid("step rule must be normal or network"))
+    }
+
+  /** Run a normal rule over the running record (object = one record,
+    * array = the record set); finalize makes the output an array. */
+  private def transformValue(rule: RuleFile, value: JsonNode, context: JValue,
+      ruleBaseDir: Path): JsonNode = {
+    val outputs =
+      try Engine.toJsonRecords(rule, recordDf(value), context,
+          nullAsMissing = true, Engine.fileLoader(ruleBaseDir.toString))
+        .collect().map(r => mapper.readTree(r.getString(0)))
+      catch {
+        case e: ExprCompiler.RmError =>
+          throw EndpointFailure(EndpointError.transform(e.getMessage))
+        case NonFatal(e) =>
+          val rm = ExprCompiler.RmError.fromThrowable(e)
+          throw EndpointFailure(EndpointError.transform(
+            rm.map(_.getMessage).getOrElse(rootMessage(e))))
+      }
+    if (rule.finalizeSpec.exists(_.wrap.nonEmpty))
+      outputs.headOption.getOrElse(mapper.createObjectNode())
+    else if (rule.finalizeSpec.isDefined || value.isArray) {
+      val arr = mapper.createArrayNode()
+      outputs.foreach(arr.add)
+      arr
+    } else outputs.headOption.getOrElse(mapper.createObjectNode())
+  }
+
+  /** One-record (or record-array) DataFrame through the standard JSON
+    * source, so ingestion semantics match the batch engine exactly. */
+  private def recordDf(value: JsonNode): DataFrame = {
+    val tmp = Files.createTempFile("endpoint_rec", ".json")
+    try {
+      Files.writeString(tmp, mapper.writeValueAsString(value))
+      graft.sources.Sources.json(spark, tmp.toString, Nil)
+    } finally tmp.toFile.deleteOnExit()
+  }
+
+  /** Evaluate one v2 expr against the running pipeline value: objects are
+    * the record; arrays (a finalized record set) are wrapped so bare
+    * `@input` resolves to the whole array. */
+  private def evalJson(e: Expr, value: JsonNode, ctx: JValue): Option[String] =
+    if (value.isArray) {
+      val obj = mapper.createObjectNode()
+      obj.set[JsonNode]("__v", value)
+      Engine.evalExprJson(e, recordDf(obj), ctx, prefix = Seq("__v"))
+    } else Engine.evalExprJson(e, recordDf(value), ctx)
+
+  private def evalCond(c: Cond, value: JsonNode, ctx: JValue): Boolean =
+    if (value.isArray) {
+      val obj = mapper.createObjectNode()
+      obj.set[JsonNode]("__v", value)
+      Engine.evalCondOnce(c, recordDf(obj), ctx, prefix = Seq("__v"))
+    } else Engine.evalCondOnce(c, recordDf(value), ctx)
+
+  // -- catch --------------------------------------------------------------
+
+  /** Exact status > 4xx/5xx > timeout > default (CatchSpec::match_target). */
+  private def matchCatch(spec: Map[String, String], err: EndpointError): Option[String] = {
+    err.status.flatMap { s =>
+      spec.get(s.toString).orElse {
+        val pattern = if (s >= 400 && s < 500) "4xx" else if (s >= 500 && s < 600) "5xx" else ""
+        if (pattern.nonEmpty) spec.get(pattern) else None
+      }
+    }.orElse(if (err.kind == "Timeout") spec.get("timeout") else None)
+      .orElse(spec.get("default"))
+  }
+
+  /** Run the matched catch rule with @context.error carrying the failure;
+    * None = no match (fall through). */
+  private def runCatch(spec: Map[String, String], err: EndpointError,
+      input: JsonNode, params: Option[JValue]): Option[JsonNode] =
+    matchCatch(spec, err).map { target =>
+      loadRule(target) match {
+        case NormalRule(rule) =>
+          transformValue(rule, input, configContext(params, Some(err)),
+            Option(baseDir.resolve(target).normalize().getParent).getOrElse(baseDir))
+        case _ => throw EndpointFailure(EndpointError.invalid("catch rule must be normal"))
+      }
+    }
+
+  // -- network ------------------------------------------------------------
+
+  private def executeNetwork(spec: NetworkSpec, input: JsonNode,
+      context: JValue): JsonNode = {
+    def catchOr(err: EndpointError): JsonNode =
+      runCatch(spec.catchSpec, err, input, None)
+        .getOrElse(throw EndpointFailure(err))
+
+    val url =
+      try evalJson(spec.url, input, context) match {
+        case Some(s) =>
+          val n = mapper.readTree(s)
+          if (!n.isTextual)
+            return catchOr(EndpointError.invalid("request.url must be a string"))
+          n.asText
+        case None => return catchOr(EndpointError.invalid("request.url is missing"))
+      }
+      catch { case NonFatal(e) => return catchOr(EndpointError.invalid(rootMessage(e))) }
+
+    val body: Option[String] =
+      try {
+        if (spec.body.isDefined)
+          evalJson(spec.body.get, input, context) // missing ⇒ no body
+        else if (spec.bodyMap.nonEmpty)
+          Some(mapper.writeValueAsString(
+            transformValue(RuleFile(version = 2, mappings = spec.bodyMap), input, context, baseDir)))
+        else spec.bodyRule.map { rp =>
+          mapper.writeValueAsString(executeRule(rp, input, None))
+        }
+      } catch {
+        case EndpointFailure(e) => return catchOr(e)
+        case NonFatal(e) => return catchOr(EndpointError.invalid(rootMessage(e)))
+      }
+
+    var attempt = 0
+    while (true) {
+      sendRequest(spec, url, body) match {
+        case Right(value) =>
+          spec.select match {
+            case Some(tokens) =>
+              var cur: JsonNode = value
+              for (tok <- tokens) tok match {
+                case PathParser.PKey(k) =>
+                  cur = if (cur != null && cur.isObject) cur.get(k) else null
+                case PathParser.PIdx(i) =>
+                  cur = if (cur != null && cur.isArray) cur.get(i) else null
+              }
+              if (cur == null)
+                return catchOr(EndpointError.invalid("select path not found"))
+              return cur
+            case None => return value
+          }
+        case Left(err) =>
+          val retryable = err.kind == "Timeout" || err.kind == "Network"
+          spec.retry match {
+            case Some(retry) if retryable && attempt < retry.max =>
+              Thread.sleep(retry.delayMs(attempt))
+              attempt += 1
+            case _ => return catchOr(err)
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def sendRequest(spec: NetworkSpec, url: String,
+      body: Option[String]): Either[EndpointError, JsonNode] = {
+    try {
+      val builder = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(spec.timeoutMs))
+      val publisher = body match {
+        case Some(b) => HttpRequest.BodyPublishers.ofString(b)
+        case None => HttpRequest.BodyPublishers.noBody()
+      }
+      builder.method(spec.method, publisher)
+      spec.headers.foreach { case (k, v) => builder.header(k, v) }
+      if (body.isDefined && !spec.headers.exists(_._1 == "content-type"))
+        builder.header("content-type", "application/json")
+      val response = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+      val status = response.statusCode()
+      if (status >= 400) Left(EndpointError.httpStatus(status))
+      else {
+        val text = response.body()
+        if (text == null || text.isEmpty) Right(mapper.nullNode())
+        else
+          try Right(mapper.readTree(text))
+          catch { case NonFatal(e) =>
+            Left(EndpointError.network(s"invalid JSON response: ${e.getMessage}")) }
+      }
+    } catch {
+      case _: HttpTimeoutException => Left(EndpointError.timeout)
+      case NonFatal(e) => Left(EndpointError.network(rootMessage(e)))
+    }
+  }
+
+  // -- reply --------------------------------------------------------------
+
+  private def buildReply(endpoint: EndpointDef, current: JsonNode): HttpResult = {
+    val ctx = configContext(None, None)
+    val status = evalJson(endpoint.reply.status, current, ctx) match {
+      case Some(s) =>
+        val n = mapper.readTree(s)
+        val v =
+          if (n.isIntegralNumber) n.asInt
+          else if (n.isTextual) n.asText.toIntOption.getOrElse(
+            throw EndpointFailure(EndpointError.invalid("status must be integer")))
+          else throw EndpointFailure(EndpointError.invalid("status must be integer"))
+        if (v < 100 || v > 599)
+          throw EndpointFailure(EndpointError.invalid("status out of range"))
+        v
+      case None => throw EndpointFailure(EndpointError.invalid("status must be integer"))
+    }
+    val bodyText = endpoint.reply.body.map { b =>
+      evalJson(b, current, ctx).getOrElse("null") // missing ⇒ null
+    }
+    var headers = endpoint.reply.headers
+    if (bodyText.isDefined && !headers.exists(_._1 == "content-type"))
+      headers :+= ("content-type" -> "application/json")
+    HttpResult(status, headers, bodyText.getOrElse(""))
+  }
+
+  private def rootMessage(e: Throwable): String = {
+    var cur = e
+    while (cur.getCause != null && cur.getCause != cur) cur = cur.getCause
+    Option(cur.getMessage).getOrElse(cur.getClass.getSimpleName)
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
+object EndpointEngine {
+  final case class HttpResult(status: Int, headers: Seq[(String, String)], body: String)
+
+  private[endpoint] final case class EndpointError(
+      kind: String, status: Option[Int], message: String) {
+    def toJson: JsonNode = {
+      val o = new ObjectMapper().createObjectNode()
+      o.put("kind", kind)
+      status match { case Some(s) => o.put("status", s); case None => o.putNull("status") }
+      o.put("message", message)
+      o
+    }
+  }
+  private[endpoint] object EndpointError {
+    def timeout: EndpointError = EndpointError("Timeout", None, "timeout")
+    def httpStatus(s: Int): EndpointError = EndpointError("HttpStatus", Some(s), s"http status $s")
+    def network(msg: String): EndpointError = EndpointError("Network", None, msg)
+    def transform(msg: String): EndpointError = EndpointError("Transform", None, msg)
+    def invalid(msg: String): EndpointError = EndpointError("Invalid", None, msg)
+  }
+  private[endpoint] final case class EndpointFailure(error: EndpointError)
+    extends RuntimeException(error.message)
+}
+
+/** Bounded in-memory request trace store (reference trace_store.rs:45-180
+  * re-expressed without the filesystem dependency): every handled request
+  * appends {id, method, path, status, duration_us, steps[], error?}; the
+  * admin surface lists and fetches them. */
+final class TraceStore(capacity: Int = 1000) {
+  private val mapper = new ObjectMapper()
+  private val entries = new java.util.ArrayDeque[JsonNode]()
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  private[endpoint] def append(node: ObjectNode): String = synchronized {
+    val id = s"trace-${counter.incrementAndGet()}"
+    node.put("id", id)
+    entries.addLast(node)
+    if (entries.size > capacity) entries.removeFirst()
+    id
+  }
+
+  def list(): Seq[JsonNode] = synchronized { entries.asScala.toSeq }
+
+  def get(id: String): Option[JsonNode] = synchronized {
+    entries.asScala.find(e => e.path("id").asText == id)
+  }
+
+  def listJson: String = synchronized {
+    mapper.writeValueAsString(entries.asScala.toArray)
+  }
+}
+
+private final class TraceBuilder(method: String, path: String) {
+  private val mapper = new ObjectMapper()
+  private val node = mapper.createObjectNode()
+  private val steps = mapper.createArrayNode()
+  node.put("method", method)
+  node.put("path", path)
+  node.put("status", "ok")
+
+  def input(v: JsonNode): Unit = node.set[JsonNode]("input", v.deepCopy[JsonNode]())
+
+  def step(rule: String, status: String, durationUs: Long): Unit = {
+    val s = mapper.createObjectNode()
+    s.put("rule", rule)
+    s.put("status", status)
+    s.put("duration_us", durationUs)
+    steps.add(s)
+  }
+
+  def error(err: JsonNode): Unit = {
+    node.put("status", "error")
+    node.set[JsonNode]("error", err)
+  }
+
+  def finish(httpStatus: Int, durationUs: Long): ObjectNode = {
+    node.put("http_status", httpStatus)
+    node.put("duration_us", durationUs)
+    node.set[JsonNode]("steps", steps)
+    node
+  }
+}

@@ -456,6 +456,41 @@ object Engine {
     }
   }
 
+  /** Single-record expression evaluation for the serving edge (endpoint
+    * reply status/body, network url/body): the SAME compiled Column the
+    * batch plans use, driven over a one-row DataFrame. Returns the JSON
+    * encoding of the value, or None when the expression is missing. */
+  /** `prefix` re-roots `@input` below a wrapper column — the serving edge
+    * wraps non-object pipeline values (arrays) as {"__v": value} so the
+    * same schema-driven resolver applies. */
+  private def singleRecordEnv(input: DataFrame, context: JValue,
+      prefix: Seq[String]): ExprCompiler.Env = {
+    val base = resolveFromSchema(
+      input.schema.fields.map(f => f.name -> f.dataType).toSeq, col(_))
+    ExprCompiler.Env(
+      input = if (prefix.isEmpty) base else (path => base(prefix ++ path)),
+      context = context)
+  }
+
+  def evalExprJson(e: Expr, input: DataFrame, context: JValue,
+      prefix: Seq[String] = Nil): Option[String] = {
+    val ce = ExprCompiler.compile(e, singleRecordEnv(input, context, prefix))
+    val row = input.limit(1)
+      .select(ExprCompiler.jsonFragment(ce.valueOrNull, ce.tpe).as("v"),
+        coalesce(ce.missing, lit(false)).as("m"))
+      .collect()(0)
+    if (row.getBoolean(1) || row.isNullAt(0)) None else Some(row.getString(0))
+  }
+
+  /** Single-record condition evaluation (endpoint step `when`). */
+  def evalCondOnce(c: Cond, input: DataFrame, context: JValue,
+      prefix: Seq[String] = Nil): Boolean = {
+    val ce = compileCond(c, singleRecordEnv(input, context, prefix))
+    val row = input.limit(1)
+      .select((coalesce(ce.value, lit(false)) && !ce.missing).as("v")).collect()(0)
+    row.getBoolean(0)
+  }
+
   /** Resolver over an ordered (name, type) schema; deeper path segments
     * descend through structs/arrays; unknown head ⇒ missing; the EMPTY path
     * is the whole record as a struct (`@input` bare ref). */

@@ -56,7 +56,7 @@ object YamlParser {
     }
   }
 
-  private def parseMappings(v: Any): Seq[Mapping] =
+  private[graft] def parseMappings(v: Any): Seq[Mapping] =
     asList(v, "mappings").map(parseMapping)
 
   private def parseMapping(v: Any): Mapping = {
@@ -176,7 +176,7 @@ object YamlParser {
   /** Expression entry: YAML list ⇒ v2 pipe; map ⇒ v1 object form;
     * scalar string starting with '@' or equal to '$' ⇒ v2 ref; else literal
     * (reference dialect dispatch, transform.rs:965-997). */
-  private[rules] def parseExpr(v: Any): Expr = v match {
+  private[graft] def parseExpr(v: Any): Expr = v match {
     case l: java.util.List[_] => parsePipe(l.asScala.toSeq)
     case m: java.util.Map[_, _] => parseV1Expr(mapOf(m))
     case s: String => parsePipeStart(s)
@@ -278,7 +278,7 @@ object YamlParser {
   /** Conditions: v2 map forms (eq/ne/gt/gte/lt/lte/all/any/not/match); a v1
     * expression anywhere a condition is allowed becomes CExpr (must evaluate
     * to boolean). */
-  private[rules] def parseCond(v: Any): Cond = v match {
+  private[graft] def parseCond(v: Any): Cond = v match {
     case m: java.util.Map[_, _] =>
       val mm = mapOf(m)
       if (mm.size == 1) {
@@ -311,7 +311,7 @@ object YamlParser {
 
   // ---- YAML plumbing ----
 
-  private[rules] def toJValue(v: Any): JValue = v match {
+  private[graft] def toJValue(v: Any): JValue = v match {
     case null => JNull
     case b: java.lang.Boolean => JBool(b)
     case i: java.lang.Integer => JLong(i.longValue)
