@@ -69,13 +69,16 @@ object Dedup {
     * every row: the join key is an 8-byte long (never the shingle string),
     * and |A| / |B| ride along into the intersection aggregate — no extra
     * size joins. 64-bit collisions are negligible at any corpus size that
-    * fits a join. Cached: the explosion feeds both self-join sides. */
+    * fits a join. The hash array comes from ONE native codegen'd pass
+    * ([[graft.functions.ShingleHashes]]) — no interpreted HOFs, no
+    * materialized shingle strings. Cached: the explosion feeds both
+    * self-join sides. */
   private def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     barrier(docs
-      .select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
-      .select(col("doc"), size(col("sh")).as("n_sh"),
-        explode(transform(col("sh"), s => xxhash64(s))).as("h")))
+      .select(col(idCol).as("doc"),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("shh"))
+      .select(col("doc"), size(col("shh")).as("n_sh"), explode(col("shh")).as("h")))
 
   /** (da, db, inter, jaccard ≥ threshold) from shared-hash pairs. */
   private def jaccardFromPairs(pairs: DataFrame, threshold: Double): DataFrame =
@@ -109,12 +112,13 @@ object Dedup {
   def minhashSignature(shingleHashes: Column, k: Int): Column =
     graft.functions.MinHashSignature.signature(shingleHashes, k)
 
-  /** (doc, sig array<long>[k]) — the shingle build + hash arg is evaluated
-    * once per row inside the signature expression's projection. */
+  /** (doc, sig array<long>[k]) — shingle hashing and the k-min pass are
+    * two native expressions composed in one codegen'd projection. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int): DataFrame =
     docs.select(col(idCol).as("doc"),
-      minhashSignature(transform(shingles(col(textCol), n), s => xxhash64(s)), k).as("sig"))
+      minhashSignature(
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n), k).as("sig"))
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one long. Docs sharing any band key are candidate
