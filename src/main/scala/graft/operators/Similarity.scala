@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane LSH bucketed variant as the scale path.
   *
-  * All vector math is `zip_with` + `aggregate` over `array<double>` — pure
-  * codegen'd expressions, summed in index order (deterministic, and
-  * bit-identical to any engine that folds the list sequentially).
+  * Vector math runs in native codegen'd expressions
+  * ([[graft.functions.CosineSimilarity]], [[graft.functions.HyperplaneBuckets]])
+  * that accumulate in ascending index order — deterministic, and
+  * bit-identical to a sequential fold (and the DuckDB oracle's
+  * LIST_COSINE_SIMILARITY / left-associated projection sums).
   *
   * Scale notes: brute force is a broadcast-nested-loop — right for a small
   * query set against a big corpus (queries broadcast, corpus scanned once).
@@ -26,7 +28,8 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosineSimilarity(a, b)
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
@@ -78,8 +81,9 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, k: Int, planes: Int, tables: Int, dims: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-    val buckets = array((0 until tables).map(t =>
-      hyperplaneBucket(col("vec"), planes, t, dims)): _*)
+    // all table buckets in ONE native pass per vector (same ±1 weights and
+    // accumulation order as hyperplaneBucket — the oracle SQL is unchanged)
+    val buckets = graft.functions.VectorOps.hyperplaneBuckets(col("vec"), planes, tables)
     val withBucket = base.select(col("id"), col("vec"),
       posexplode(buckets).as(Seq("tbl", "bucket")))
     val queries = withBucket.filter(col("id") < nQueries)
