@@ -98,8 +98,15 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingleHashRows(docs, textCol, idCol, n)
+    // size prefilter inside the join: J ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    // pair whose size ratio is below the threshold can never pass the final
+    // filter — prune it before the intersection aggregate ever sees it
+    // (the standard length filter of all-pairs similarity joins)
+    val sizeOk =
+      col("x.n_sh").cast(DoubleType) >= lit(threshold) * col("y.n_sh") &&
+        col("y.n_sh").cast(DoubleType) >= lit(threshold) * col("x.n_sh")
     val pairs = sh.as("x").join(sh.as("y"),
-        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc") && sizeOk)
       .select(col("x.doc").as("da"), col("y.doc").as("db"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
     jaccardFromPairs(pairs, threshold)
