@@ -53,18 +53,6 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles (distinct), the unit of near-dup similarity.
-    * A doc with fewer than n tokens has no shingles (empty array — the
-    * sequence() guard matters: Spark infers step -1 for start > stop). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < n, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-  }
-
   /** One row per (doc, shingle-hash), with the doc's set size carried on
     * every row: the join key is an 8-byte long (never the shingle string),
     * and |A| / |B| ride along into the intersection aggregate — no extra

@@ -1115,15 +1115,14 @@ object ExprCompiler {
           struct(k, element_at(filter(a0.value, (x, i) => keyOf(x, i) === k), -1)))),
           a0.missing, MapType(StringType, et))
       case "distinct_by" =>
-        // first occurrence of each key wins, original order preserved
+        // first occurrence of each key wins, original order preserved:
+        // stringified keys from the lambda, then ONE linear native pass
+        // (the filter-inside-filter combinator form is O(n²) per array)
         val et = elemTypeOf(a0)
         val lam = lambda(1, et)
-        def keyOf(x: Column, i: Column): Column = rmToString(lam(x, i)).value
-        val decorated = transform(a0.value, (x, i) => struct(x.as("x"), i.as("i"), keyOf(x, i).as("k")))
-        val kept = filter(decorated, p =>
-          size(filter(decorated, q =>
-            q.getField("k") === p.getField("k") && q.getField("i") < p.getField("i"))) === 0)
-        CE(transform(kept, p => p.getField("x")), a0.missing, a0.tpe)
+        val keys = transform(a0.value, (x, i) => rmToString(lam(x, i)).value)
+        CE(graft.functions.DistinctByKey.distinctBy(a0.value, keys),
+          a0.missing, a0.tpe)
 
       case other => throw CompileError(s"unsupported op: $other")
     }
