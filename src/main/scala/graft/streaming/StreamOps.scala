@@ -1,10 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.rules.Model.RuleFile
 import graft.rules.Engine
+
+/** One closed activity session per key: events within the gap of each
+  * other chain into a session; a longer silence closes it. Top-level so
+  * the Product encoders codegen cleanly. */
+case class Session(key: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+/** flatMapGroupsWithState per-key state: the open session's bounds. */
+case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
 /** Structured Streaming surface (SURVEY §2.9). The reference's streaming is
   * record-at-a-time NDJSON with `finalize` forbidden (transform.rs:168-173);
@@ -42,4 +52,53 @@ object StreamOps {
   def streamingDedup(events: DataFrame, tsCol: String, keys: Seq[String],
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
+
+  /** Custom keyed state via flatMapGroupsWithState (the operation the
+    * built-in windows can't express: variable-length inactivity-gap
+    * sessions). Event-time timeout closes a session once the watermark
+    * passes its gap horizon, so state is bounded and emission is
+    * deterministic wrt the watermark; within one trigger, a batch of
+    * events for a key is processed in timestamp order. Works identically
+    * on batch Datasets (state is per-invocation there). */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+      gapMs: Long, watermark: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark) // after the cast: metadata rides the final attribute
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState[SessionState, Session](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      case (key, rows, state: GroupState[SessionState]) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var cur = state.getOption
+        if (state.hasTimedOut) {
+          cur.foreach(s => out += Session(key,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n))
+          state.remove()
+        } else {
+          for ((_, ts) <- rows.toSeq.sortBy(_._2.getTime)) {
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+              case Some(s) => // silence longer than the gap: close and restart
+                out += Session(key,
+                  new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+          }
+        }
+        out.iterator
+    }
+  }
 }

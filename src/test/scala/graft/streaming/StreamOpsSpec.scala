@@ -81,4 +81,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(0).getAs[Long]("n") == 2L) // two clicks in hour 0
     assert(rows(1).getAs[Long]("n") == 1L)
   }
+
+  test("inactivity-gap sessionization via flatMapGroupsWithState custom state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // timestamps sit well above epoch 0: the initial watermark IS epoch 0
+    // and stateful ops drop events at-or-before it as late
+    def ts(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF.toDF("user", "ts")
+    val q = StreamOps.sessionize(events, "ts", "user", gapMs = 30000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+
+    // one session forming per user
+    input.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5)))
+    q.processAllAvailable()
+    // ten minutes later: watermark passes user 1's gap horizon (session
+    // closes by timeout); user 2's silence closes its first session inline
+    // and opens a second
+    input.addData((2L, ts(600)))
+    q.processAllAvailable()
+    // advance the watermark again so user 2's second session times out too
+    input.addData((3L, ts(1200)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out").orderBy("key", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000 - 1000,
+        r.getTimestamp(2).getTime / 1000 - 1000, r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 10L, 2L),    // two events chained, closed by timeout
+      (2L, 5L, 5L, 1L),     // closed inline by the long silence
+      (2L, 600L, 600L, 1L)) // closed by the second watermark advance
+    ) // user 3's session is still open — correctly unemitted
+  }
 }
