@@ -160,29 +160,17 @@ object Dedup {
     jaccardFromPairs(pairs, threshold)
   }
 
-  /** Oracle-reproducible SimHash via explode + one hash-aggregate: tokens
-    * explode (narrow), each token hashed to 60 bits of its md5 (a hash both
-    * this engine and any SQL oracle can compute), then ONE shuffle on the
-    * doc id aggregates the 60 per-bit ±1 sums with map-side partial
-    * aggregation — the scale shape for cross-record signatures, and fully
-    * codegen'd (no interpreted HOF lambdas, unlike [[simhash64]]).
+  /** Oracle-reproducible SimHash: each token hashed to 60 bits of its md5
+    * (a hash both this engine and any SQL oracle can compute), per-bit ±1
+    * sums signed into the signature. All of a document's tokens live in its
+    * own row, so the whole signature is ONE narrow native pass
+    * ([[graft.functions.Md5SimHash]]) — no explode, no shuffle, and the
+    * same result as the oracle's exploded 60-column aggregate.
     * Output: (doc, simhash long with `bits` significant bits). */
   def simhashAgg(docs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 60): DataFrame = {
-    require(bits <= 60, "15 md5 hex chars = 60 hash bits available")
-    val hashed = docs
-      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("tok"))
-      .select(col("doc"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("th"))
-    val bitSums = (0 until bits).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$b"))
-    val sig = (0 until bits)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    hashed.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc"), sig.as("simhash"))
-  }
+      bits: Int = 60): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.Md5SimHash.simhash(col(textCol), bits).as("simhash"))
 
   /** 64-bit SimHash over tokens: per bit position, sum ±1 weighted by each
     * token-hash's bit, take the sign. Hamming-close simhashes ⇒ similar
