@@ -60,4 +60,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
       s"rule plan did not prune unused columns: $readSchema")
   }
+
+  test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
+    // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
+    // pin both the operator name and its codegen placement
+    val docs = graft.Tables.documents(spark, dir)
+    val sigPlan = planOf(graft.operators.Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64))
+    assert(sigPlan.contains("rm_shingle_hashes") && sigPlan.contains("rm_minhash_signature"),
+      s"expected native shingle+minhash expressions in:\n$sigPlan")
+    // "*(n)" prefixes mark whole-stage-codegen stages in plan toString
+    assert(sigPlan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(")),
+      s"native minhash projection fell out of codegen:\n$sigPlan")
+
+    val simPlan = planOf(graft.operators.Dedup.simhashAgg(docs, "text", "doc_id"))
+    assert(simPlan.contains("rm_md5_simhash"), s"expected native simhash in:\n$simPlan")
+    assert(!simPlan.contains("Exchange"),
+      s"per-row simhash must not shuffle:\n$simPlan")
+
+    val emb = graft.Tables.embeddings(spark, dir)
+    val annPlan = planOf(graft.operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding", 5, 3))
+    assert(annPlan.contains("rm_cosine_similarity"),
+      s"expected native cosine in:\n$annPlan")
+    val lshPlan = planOf(graft.operators.Similarity.lshTopK(
+      emb, "vec_id", "embedding", 5, 3, planes = 4, tables = 4, dims = 64))
+    assert(lshPlan.contains("rm_hyperplane_buckets"),
+      s"expected native bucket expression in:\n$lshPlan")
+  }
 }
