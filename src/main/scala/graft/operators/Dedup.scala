@@ -59,14 +59,15 @@ object Dedup {
     * size joins. 64-bit collisions are negligible at any corpus size that
     * fits a join. The hash array comes from ONE native codegen'd pass
     * ([[graft.functions.ShingleHashes]]) — no interpreted HOFs, no
-    * materialized shingle strings. Cached: the explosion feeds both
-    * self-join sides. */
+    * materialized shingle strings, and cheap enough that recomputing it on
+    * each self-join side beats paying a cache materialization job (the
+    * barrier predates the native expression). */
   private def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
-    barrier(docs
+    docs
       .select(col(idCol).as("doc"),
         graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("shh"))
-      .select(col("doc"), size(col("shh")).as("n_sh"), explode(col("shh")).as("h")))
+      .select(col("doc"), size(col("shh")).as("n_sh"), explode(col("shh")).as("h"))
 
   /** (da, db, inter, jaccard ≥ threshold) from shared-hash pairs. */
   private def jaccardFromPairs(pairs: DataFrame, threshold: Double): DataFrame =
