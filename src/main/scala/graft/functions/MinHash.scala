@@ -106,3 +106,75 @@ object MinHashSignature {
   def signature(shingleHashes: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingleHashes), k))
 }
+
+/** LSH band keys of a MinHash signature: the signature split into `bands`
+  * runs of `rowsPerBand` values, each run mixed (with its band index) into
+  * one long key. Docs sharing any band key are candidate pairs.
+  *
+  * Band keys are INTERNAL join keys — never oracle-compared — so any
+  * deterministic mix works; what matters is that equal band slices map to
+  * equal keys, collisions are ~2⁻⁶⁴, and the whole candidates projection
+  * (shingles → signature → band keys) stays one codegen'd pass with no
+  * cache barriers (the Column-combinator band lambda re-inlined the
+  * signature per band — the round-1/2 HOF gotcha this family eliminates).
+  */
+case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(bands > 0 && rowsPerBand > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rm_minhash_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      MinHashBandKeys.compute(input.asInstanceOf[ArrayData], bands, rowsPerBand))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.MinHashBandKeys$$.MODULE$$.compute(
+         |    $c, $bands, $rowsPerBand));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(sig: ArrayData, bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix(b.toLong)
+      var r = 0
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        h = mix(h ^ (if (idx < sig.numElements()) sig.getLong(idx) else 0L))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Column form: the band-key array of a signature column. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinHashBandKeys(Bridge.expression(signature), bands, rowsPerBand))
+}

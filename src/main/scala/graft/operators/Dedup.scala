@@ -116,28 +116,27 @@ object Dedup {
       minhashSignature(
         graft.functions.ShingleHashes.shingleHashes(col(textCol), n), k).as("sig"))
 
-  /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
-    * each band hashed to one long. Docs sharing any band key are candidate
-    * pairs. banding: with b bands of r rows, a pair with Jaccard j collides
-    * with probability 1-(1-j^r)^b — 16×4 catches j≥0.8 with p>0.999. */
+  /** LSH band keys: the signature split into `bands` runs of `rowsPerBand`,
+    * each mixed to one long key in a native pass
+    * ([[graft.functions.MinHashBandKeys]]). Docs sharing any band key are
+    * candidate pairs. banding: with b bands of r rows, a pair with Jaccard
+    * j collides with probability 1-(1-j^r)^b — 16×4 catches j≥0.8 with
+    * p>0.999. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+    graft.functions.MinHashBandKeys.bandKeys(signature, bands, rowsPerBand)
 
   /** Candidate pairs from LSH bucket collisions: explode band keys, shuffle
-    * on (band index implicit in key, band hash), pair up within buckets.
-    * Output is distinct (da < db) pairs — the ONLY pairs that ever see an
-    * exact-Jaccard verification at scale. */
+    * on (band index, band hash), pair up within buckets. Output is distinct
+    * (da < db) pairs — the ONLY pairs that ever see an exact-Jaccard
+    * verification at scale. The whole shingles→signature→band-keys build is
+    * one codegen'd projection, cheap enough to recompute on each self-join
+    * side — no cache barriers (they predated the native expressions). */
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    // two barriers: the signature (the per-band lambda would otherwise
-    // re-evaluate the whole shingle+signature build per band — interpreted
-    // HOFs inline projected subtrees), then the banded keys (the bucket
-    // self-join reads them from both sides). Cached size: k longs per doc.
-    val sig = barrier(minhashSignatures(docs, textCol, idCol, n, k))
-    val banded = barrier(sig.select(col("doc"),
-      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh"))))
+    val banded = minhashSignatures(docs, textCol, idCol, n, k)
+      .select(col("doc"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc") < col("y.doc"))
