@@ -16,29 +16,13 @@ import org.apache.spark.sql.types._
   *   - exact Jaccard self-joins on shared shingles; fine for verification,
   *     quadratic in the worst case — at scale it runs ONLY on LSH candidate
   *     pairs (candidateJaccardPairs), never all-pairs.
-  *   - MinHash: shingle hashes are computed once (one xxhash64 per shingle),
-  *     then k affine permutations run over the precomputed hash array —
-  *     O(shingles + k·shingles) cheap long ops per doc, no re-hashing.
-  *     LSH bands shuffle (band_id, band_hash) pairs, i.e. k longs per doc.
+  *   - MinHash: the whole shingles → signature → band-keys build is one
+  *     codegen'd projection of native expressions (graft.functions) —
+  *     O(shingles + k·shingles) primitive long ops per doc, no interpreted
+  *     HOFs, no cache barriers. LSH bands shuffle (band, band_key) pairs,
+  *     i.e. `bands` longs per doc, never the body.
   */
 object Dedup {
-
-  /** Cache barriers registered here so long-lived sessions can release
-    * them: every dedup query stages expensive shared subtrees with
-    * `.cache()` (interpreted HOFs re-evaluate inlined expressions per
-    * element — a measured 25× difference), and [[unpersistAll]] frees the
-    * blocks once the query's results are consumed. */
-  private val barriers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def barrier(df: DataFrame): DataFrame = synchronized {
-    val c = df.cache(); barriers += c; c
-  }
-
-  /** Release every cache barrier created since the last call. */
-  def unpersistAll(): Unit = synchronized {
-    barriers.foreach(_.unpersist(blocking = false))
-    barriers.clear()
-  }
 
   /** Exact-duplicate groups by content digest: digest → (canonical id,
     * member count). One shuffle on the 128-bit digest. */
