@@ -39,9 +39,25 @@ object Cli {
       case Some("transform") => runTransform(parseFlags(args.tail), out, err)
       case Some("generate") => runGenerate(parseFlags(args.tail), out, err)
       case Some("serve") => runServe(parseFlags(args.tail), out, err)
+      case Some("validate-rules-dir") => runValidateRulesDir(parseFlags(args.tail), err)
       case _ =>
-        err.println("usage: rulemorph <validate|preflight|transform|generate|serve> [flags]")
+        err.println("usage: rulemorph <validate|preflight|transform|generate|serve|validate-rules-dir> [flags]")
         1
+    }
+  }
+
+  /** `validate-rules-dir -r <dir>` — validate endpoint.yaml and every rule
+    * file it references (exit 0 clean, 2 with errors — main.rs:182-191). */
+  private def runValidateRulesDir(f: Flags, err: PrintStream): Int = {
+    val dir = f.opts.get("--rules-dir").orElse(f.opts.get("--rules")) match {
+      case Some(p) => Paths.get(p)
+      case None => err.println("failed to read rules dir: --rules-dir is required"); return 1
+    }
+    val errors = graft.endpoint.RulesDirValidator.validate(dir)
+    if (errors.isEmpty) 0
+    else {
+      errors.foreach(e => err.println(e.render))
+      2
     }
   }
 

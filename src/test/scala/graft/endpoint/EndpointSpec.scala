@@ -354,6 +354,44 @@ class EndpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("validate-rules-dir: clean dir passes; bad refs and network catches are flagged") {
+    // the directory contract expects endpoint.yaml as the entry file
+    Files.copy(dir.resolve("endpoints.yaml"), dir.resolve("endpoint.yaml"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(RulesDirValidator.validate(dir).isEmpty)
+
+    val bad = Files.createTempDirectory("rulesdir_bad")
+    Files.writeString(bad.resolve("endpoint.yaml"),
+      """version: 2
+        |type: endpoint
+        |endpoints:
+        |  - method: GET
+        |    path: /x
+        |    steps:
+        |      - rule: ./missing.yaml
+        |    catch:
+        |      default: ./net.yaml
+        |    reply:
+        |      status: 200
+        |""".stripMargin)
+    Files.writeString(bad.resolve("net.yaml"),
+      """version: 2
+        |type: network
+        |request: { method: GET, url: "http://x" }
+        |timeout: 1s
+        |""".stripMargin)
+    val errors = RulesDirValidator.validate(bad)
+    assert(errors.exists(e => e.code == "FileReadFailed" && e.file.endsWith("missing.yaml")))
+    assert(errors.exists(e => e.code == "InvalidCatchRule" && e.file.endsWith("net.yaml")))
+    // the CLI surface: exit 2 with E lines
+    val errStream = new java.io.ByteArrayOutputStream()
+    val code = graft.Cli.run(Seq("validate-rules-dir", "--rules-dir", bad.toString),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream(), true),
+      new java.io.PrintStream(errStream, true))
+    assert(code == 2)
+    assert(errStream.toString.contains("E FileReadFailed"))
+  }
+
   test("every request leaves a trace with steps and duration") {
     val before = engine.traces.list().size
     engine.handle("GET", "/users/1", "", Nil, None)
