@@ -35,20 +35,51 @@ object Mcp {
   def main(args: Array[String]): Unit = {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     val out = System.out
-    var line = in.readLine()
-    while (line != null) {
-      val trimmed = line.trim
-      if (trimmed.nonEmpty) {
+    var contentLength = false // reply in the framing the client speaks
+    var message = readMessage(in)
+    while (message != null) {
+      val (text, framed) = message
+      contentLength = framed
+      if (text.nonEmpty) {
         val response =
-          try handle(mapper.readTree(trimmed))
+          try handle(mapper.readTree(text))
           catch {
             case NonFatal(_) =>
               Some(errorResponse(mapper.nullNode(), -32700, "Parse error"))
           }
-        response.foreach { r => out.println(mapper.writeValueAsString(r)); out.flush() }
+        response.foreach { r =>
+          val body = mapper.writeValueAsString(r)
+          if (contentLength) out.print(s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body")
+          else out.println(body)
+          out.flush()
+        }
       }
-      line = in.readLine()
+      message = readMessage(in)
     }
+  }
+
+  /** One inbound message in either stdio framing (reference read_message):
+    * a `Content-Length:` header block followed by that many bytes, or one
+    * JSON object per line. Returns (text, wasContentLength), null on EOF. */
+  private[mcp] def readMessage(in: java.io.BufferedReader): (String, Boolean) = {
+    var line = in.readLine()
+    while (line != null && line.trim.isEmpty) line = in.readLine()
+    if (line == null) return null
+    val header = line.trim
+    if (header.toLowerCase.startsWith("content-length:")) {
+      val length = header.substring("content-length:".length).trim.toInt
+      // consume the rest of the header block up to the blank line
+      var h = in.readLine()
+      while (h != null && h.trim.nonEmpty) h = in.readLine()
+      val buf = new Array[Char](length)
+      var read = 0
+      while (read < length) {
+        val n = in.read(buf, read, length - read)
+        if (n < 0) return null
+        read += n
+      }
+      (new String(buf), true)
+    } else (header, false)
   }
 
   private lazy val session: SparkSession = {

@@ -63,8 +63,13 @@ object EngineQueries {
   def ruleLookup(spark: SparkSession, dir: String): DataFrame = {
     // context = nation table as a literal array (it is 25 rows — exactly the
     // reference's broadcast-style context); big dims go through the
-    // broadcast-join path instead (Relational.lookup)
-    val nations = Tables.nation(spark, dir).collect().map { r =>
+    // broadcast-join path instead (Relational.lookup). The guard keeps a
+    // mis-pointed dimension from being baked into the plan as literals.
+    val nationDf = Tables.nation(spark, dir)
+    val dimCount = nationDf.count()
+    require(dimCount <= 10000,
+      s"in-plan lookup context capped at 10k rows (got $dimCount); use the broadcast-join path")
+    val nations = nationDf.collect().map { r =>
       JObject(Seq("key" -> JLong(r.getInt(0).toLong), "name" -> JString(r.getString(1))))
     }
     val ctx = JObject(Seq("nations" -> JArray(nations.toSeq)))

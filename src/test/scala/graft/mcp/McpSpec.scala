@@ -200,6 +200,16 @@ class McpSpec extends AnyFunSuite {
     assert(byTarget("score").castTo.contains("int"))
   }
 
+  test("stdio framing: line-delimited and Content-Length messages both parse") {
+    def reader(s: String) = new java.io.BufferedReader(new java.io.StringReader(s))
+    val lineMsg = Mcp.readMessage(reader("""{"jsonrpc":"2.0","id":1,"method":"ping"}""" + "\n"))
+    assert(lineMsg == ("""{"jsonrpc":"2.0","id":1,"method":"ping"}""", false))
+    val body = """{"jsonrpc":"2.0","id":2,"method":"ping"}"""
+    val framed = Mcp.readMessage(reader(s"Content-Length: ${body.length}\r\n\r\n$body"))
+    assert(framed == (body, true))
+    assert(Mcp.readMessage(reader("")) == null)
+  }
+
   test("resources and prompts round-trip") {
     val list = call("""{"jsonrpc":"2.0","id":5,"method":"resources/list"}""")
     val uris = list.path("result").path("resources").elements.asScala
