@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-parity of each native expression against the Column-combinator
+  * formulation it replaced — the end-to-end oracle proves the queries, this
+  * pins the expressions themselves so a refactor can't drift the hash
+  * family or accumulation order. */
+class NativeExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ShingleHashes equals the split+window+distinct+xxhash64 combinator form") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b", // duplicate shingles exercise the dedupe
+      "one two",         // fewer than n tokens: empty
+      "x  y   z q",      // consecutive spaces produce empty tokens
+      "")
+    val df = texts.toDF("text")
+    val n = 3
+    val toks = split(col("text"), " ")
+    val combinator =
+      when(size(toks) < n, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    val rows = df.select(
+      ShingleHashes.shingleHashes(col("text"), n).as("native"),
+      transform(combinator, s => xxhash64(s)).as("legacy")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingle hash mismatch: $r")
+    }
+  }
+
+  test("CosineSimilarity equals the sequential aggregate/zip_with fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val legacy = dot(col("a"), col("b")) /
+      (sqrt(dot(col("a"), col("a"))) * sqrt(dot(col("b"), col("b"))))
+    val rows = df.select(
+      VectorOps.cosineSimilarity(col("a"), col("b")).as("native"),
+      legacy.as("legacy")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"cosine drift: $r"))
+  }
+
+  test("HyperplaneBuckets equals the per-table projection combinator form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(10)(Seq.fill(64)(rnd.nextDouble() * 2 - 1)).toDF("vec")
+    val planes = 4; val tables = 8; val dims = 64
+    val legacy = array((0 until tables).map(t =>
+      graft.operators.Similarity.hyperplaneBucket(col("vec"), planes, t, dims)): _*)
+    val rows = df.select(
+      VectorOps.hyperplaneBuckets(col("vec"), planes, tables).as("native"),
+      legacy.as("legacy")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"bucket drift: $r"))
+  }
+
+  test("Md5SimHash equals the exploded md5 bit-sum aggregate") {
+    import spark.implicits._
+    val bits = 60
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "completely different words here"),
+      (3L, "the cat sat on the mat today")).toDF("doc", "text")
+    val hashed = df
+      .select(col("doc"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType).as("th"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val sig = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val legacy = hashed.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"), sig.as("simhash"))
+    val native = df.select(col("doc"), Md5SimHash.simhash(col("text"), bits).as("simhash"))
+    val l = legacy.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nv = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nv == l, s"simhash drift: native=$nv legacy=$l")
+  }
+
+  test("DistinctByKey keeps first occurrences and all null-keyed elements") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("aa", "ab", "ba", "bb", "aa"))).toDF("xs")
+    val keys = transform(col("xs"), x => substring(x, 1, 1)) // key = first char
+    val kept = df.select(DistinctByKey.distinctBy(col("xs"), keys).as("r"))
+      .collect()(0).getSeq[String](0)
+    assert(kept == Seq("aa", "ba")) // first per key, original order
+    val nullKeys = df.select(DistinctByKey.distinctBy(col("xs"),
+      transform(col("xs"), _ => lit(null).cast(StringType))).as("r"))
+      .collect()(0).getSeq[String](0)
+    assert(nullKeys == Seq("aa", "ab", "ba", "bb", "aa")) // null keys never collapse
+  }
+
+  test("MinHashSignature is deterministic and order-invariant over the hash set") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(5L, 1L, 9L, 3L), Seq(3L, 9L, 1L, 5L)), // same set, different order
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val rows = df.select(
+      MinHashSignature.signature(col("a"), 16).as("sa"),
+      MinHashSignature.signature(col("b"), 16).as("sb")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(rows(1).getSeq[Long](0).forall(_ == Long.MaxValue)) // empty set sentinel
+  }
+}
