@@ -294,13 +294,13 @@ object Cli {
     case "json" =>
       val items = errors.map { e =>
         val path = if (e.path.nonEmpty) s""","path":${jsonStr(e.path)}""" else ""
-        s"""{"type":"validation","code":${jsonStr(e.code)},"message":${jsonStr(e.code)}$path}"""
+        s"""{"type":"validation","code":${jsonStr(e.code)},"message":${jsonStr(e.text)}$path}"""
       }
       err.println(items.mkString("[", ",", "]"))
     case _ =>
       errors.foreach { e =>
         val path = if (e.path.nonEmpty) s" path=${e.path}" else ""
-        err.println(s"E ${e.code}$path msg=\"${e.code}\"")
+        err.println(s"E ${e.code}$path msg=\"${e.text}\"")
       }
   }
 

@@ -270,14 +270,10 @@ class EndpointEngine(
   }
 
   /** One-record (or record-array) DataFrame through the standard JSON
-    * source, so ingestion semantics match the batch engine exactly. */
-  private def recordDf(value: JsonNode): DataFrame = {
-    val tmp = Files.createTempFile("endpoint_rec", ".json")
-    try {
-      Files.writeString(tmp, mapper.writeValueAsString(value))
-      graft.sources.Sources.json(spark, tmp.toString, Nil)
-    } finally tmp.toFile.deleteOnExit()
-  }
+    * source, so ingestion semantics match the batch engine exactly —
+    * straight from the in-memory node, no per-request temp file. */
+  private def recordDf(value: JsonNode): DataFrame =
+    graft.sources.Sources.jsonNode(spark, value, Nil)
 
   /** Evaluate one v2 expr against the running pipeline value: objects are
     * the record; arrays (a finalized record set) are wrapped so bare

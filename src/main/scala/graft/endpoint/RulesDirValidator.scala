@@ -68,7 +68,7 @@ object RulesDirValidator {
         case NormalRule(_) =>
           Validator.validate(text).foreach { ve =>
             errors += RulesDirError(ve.code, resolved.toString,
-              Some(ve.path).filter(_.nonEmpty), ve.code)
+              Some(ve.path).filter(_.nonEmpty), ve.text)
           }
         case NetworkRule(net) =>
           if (asCatch)

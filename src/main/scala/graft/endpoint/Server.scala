@@ -18,7 +18,10 @@ object Server {
       internalBase: String = ""): HttpServer = {
     val engine = new EndpointEngine(spark, endpointYaml,
       if (internalBase.nonEmpty) internalBase else s"http://127.0.0.1:$port")
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // loopback-only, matching the reference server's 127.0.0.1 bind —
+    // the trace admin surface and rule-driven transforms must not be
+    // exposed on the wildcard address
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         try {

@@ -33,7 +33,7 @@ object Mcp {
   }
 
   def main(args: Array[String]): Unit = {
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    val in = new java.io.BufferedInputStream(System.in)
     val out = System.out
     var contentLength = false // reply in the framing the client speaks
     var message = readMessage(in)
@@ -59,27 +59,40 @@ object Mcp {
   }
 
   /** One inbound message in either stdio framing (reference read_message):
-    * a `Content-Length:` header block followed by that many bytes, or one
-    * JSON object per line. Returns (text, wasContentLength), null on EOF. */
-  private[mcp] def readMessage(in: java.io.BufferedReader): (String, Boolean) = {
-    var line = in.readLine()
-    while (line != null && line.trim.isEmpty) line = in.readLine()
+    * a `Content-Length:` header block followed by that many BYTES, or one
+    * JSON object per line. Content-Length counts bytes, so the framed body
+    * is read from the raw stream with read-exact and only then decoded as
+    * UTF-8 — a Reader-based read would count chars and desync on any
+    * multibyte payload. Returns (text, wasContentLength), null on EOF. */
+  private[mcp] def readMessage(in: java.io.InputStream): (String, Boolean) = {
+    var line = readLineBytes(in)
+    while (line != null && line.trim.isEmpty) line = readLineBytes(in)
     if (line == null) return null
     val header = line.trim
     if (header.toLowerCase.startsWith("content-length:")) {
       val length = header.substring("content-length:".length).trim.toInt
       // consume the rest of the header block up to the blank line
-      var h = in.readLine()
-      while (h != null && h.trim.nonEmpty) h = in.readLine()
-      val buf = new Array[Char](length)
+      var h = readLineBytes(in)
+      while (h != null && h.trim.nonEmpty) h = readLineBytes(in)
+      val buf = new Array[Byte](length)
       var read = 0
       while (read < length) {
         val n = in.read(buf, read, length - read)
         if (n < 0) return null
         read += n
       }
-      (new String(buf), true)
+      (new String(buf, "UTF-8"), true)
     } else (header, false)
+  }
+
+  /** Read one `\n`-terminated line as bytes, decode UTF-8; null on EOF
+    * with nothing read. A trailing `\r` is stripped by the caller's trim. */
+  private def readLineBytes(in: java.io.InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    new String(buf.toByteArray, "UTF-8")
   }
 
   private lazy val session: SparkSession = {
@@ -391,7 +404,7 @@ object Mcp {
         val arr = mapper.createArrayNode()
         errors.foreach { e =>
           val o = obj(); o.put("type", "validation"); o.put("code", e.code)
-          o.put("message", e.code)
+          o.put("message", e.text)
           if (e.path.nonEmpty) o.put("path", e.path)
           arr.add(o)
         }
@@ -472,7 +485,7 @@ object Mcp {
         val errArr = mapper.createArrayNode()
         errors.foreach { e =>
           val o = obj(); o.put("type", "validation"); o.put("code", e.code)
-          o.put("message", e.code)
+          o.put("message", e.text)
           if (e.path.nonEmpty) o.put("path", e.path)
           errArr.add(o)
         }

@@ -11,7 +11,12 @@ import org.yaml.snakeyaml.Yaml
   */
 object Validator {
 
-  case class ValidationError(code: String, path: String)
+  /** `message` carries the reference's human-readable wording
+    * (validator.rs / v2_validator.rs emit sites) alongside the code —
+    * CLI `-e json`/text and MCP meta errors surface it distinctly. */
+  case class ValidationError(code: String, path: String, message: String = "") {
+    def text: String = if (message.nonEmpty) message else code
+  }
 
   /** Ops the engine compiles (ExprCompiler) — the unknown-op check. */
   val knownOps: Set[String] = Set(
@@ -39,7 +44,7 @@ object Validator {
   def validate(yamlText: String): Seq[ValidationError] = {
     val root = new Yaml().load[Any](yamlText) match {
       case m: java.util.Map[_, _] => mapOf(m)
-      case _ => return Seq(ValidationError("InvalidRuleFile", ""))
+      case _ => return Seq(ValidationError("InvalidRuleFile", "", "rule file must be a YAML mapping"))
     }
     val errors = Seq.newBuilder[ValidationError]
     val v2 = root.get("version").forall(_.toString != "1")
@@ -50,12 +55,12 @@ object Validator {
       csv <- in.get("csv").collect { case m: java.util.Map[_, _] => mapOf(m) }
       d <- csv.get("delimiter")
       if d.toString.length != 1
-    } errors += ValidationError("InvalidDelimiterLength", "input.csv.delimiter")
+    } errors += ValidationError("InvalidDelimiterLength", "input.csv.delimiter", "csv.delimiter must be a single character")
 
     // record_when must be a condition/expr object, not a bare scalar
     root.get("record_when").foreach {
       case _: java.util.Map[_, _] | _: java.util.List[_] => ()
-      case _ => errors += ValidationError("InvalidWhenType", "record_when")
+      case _ => errors += ValidationError("InvalidWhenType", "record_when", "when/record_when must evaluate to boolean")
     }
 
     var seenTargets = Set.empty[String]
@@ -68,7 +73,7 @@ object Validator {
 
         // exactly one of source/value/expr (validator.rs duplicate/exclusive)
         val has = Seq("source", "value", "expr").count(mm.contains)
-        if (has == 0) errors += ValidationError("MissingMappingValue", base)
+        if (has == 0) errors += ValidationError("MissingMappingValue", base, "mapping must define source, value, or expr")
 
         // target path validity + duplicates; targets are objects-only dot
         // paths — array indexes are invalid (set_path, transform.rs:6075)
@@ -76,21 +81,21 @@ object Validator {
           case Some(t) =>
             val parsed = try Some(PathParser.parse(t)) catch { case _: Exception => None }
             parsed match {
-              case None => errors += ValidationError("InvalidPath", s"$base.target")
+              case None => errors += ValidationError("InvalidPath", s"$base.target", "target path is invalid")
               case Some(segs) if segs.exists(_.forall(_.isDigit)) && t.contains("[") =>
-                errors += ValidationError("InvalidPath", s"$base.target")
+                errors += ValidationError("InvalidPath", s"$base.target", "target path must not include indexes")
               case Some(_) =>
                 if (seenTargets.contains(t))
-                  errors += ValidationError("DuplicateTarget", s"$base.target")
+                  errors += ValidationError("DuplicateTarget", s"$base.target", "mapping.target is duplicated")
                 seenTargets += t
             }
-          case None => errors += ValidationError("InvalidPath", s"$base.target")
+          case None => errors += ValidationError("InvalidPath", s"$base.target", "target path is invalid")
         }
 
         // when must be an expression object
         mm.get("when").foreach {
           case _: java.util.Map[_, _] | _: java.util.List[_] => ()
-          case _ => errors += ValidationError("InvalidWhenType", s"$base.when")
+          case _ => errors += ValidationError("InvalidWhenType", s"$base.when", "when/record_when must evaluate to boolean")
         }
 
         // expr tree checks: ref namespaces, item-scope, forward @out refs,
@@ -132,10 +137,10 @@ object Validator {
                   val isCond = wm.size == 1 && condKeys.contains(wm.keys.head)
                   val isBoolOp = wm.get("op").exists(o => boolOps.contains(o.toString))
                   if (!isCond && !isBoolOp)
-                    errors += ValidationError("InvalidWhenType", s"steps[$si].branch.when")
+                    errors += ValidationError("InvalidWhenType", s"steps[$si].branch.when", "when/record_when must evaluate to boolean")
                 case Some(_: java.lang.Boolean) | None => ()
                 case Some(_) =>
-                  errors += ValidationError("InvalidWhenType", s"steps[$si].branch.when")
+                  errors += ValidationError("InvalidWhenType", s"steps[$si].branch.when", "when/record_when must evaluate to boolean")
               }
             }
         case _ => ()
@@ -167,14 +172,14 @@ object Validator {
         // strings past position 0 are op names; single-key maps are steps
         val items = l.asScala.toSeq
         if (items.isEmpty) {
-          errors += ValidationError("InvalidExprShape", path)
+          errors += ValidationError("InvalidExprShape", path, "v2 pipe must be a non-empty array")
           return
         }
         items.zipWithIndex.foreach { case (item, j) =>
           val p = s"$path[$j]"
           item match {
             case s: String if j > 0 && !s.startsWith("@") && !s.startsWith("lit:") && s != "$" =>
-              if (!knownOps.contains(s)) errors += ValidationError("UnknownOp", p)
+              if (!knownOps.contains(s)) errors += ValidationError("UnknownOp", p, "expr.op is not supported")
             case m: java.util.Map[_, _] =>
               val mm = mapOf(m)
               // v1-form maps ({op}/{ref}/{chain}) keep their own handling
@@ -201,7 +206,7 @@ object Validator {
                 case (op, v) =>
                   val opName = if (op == "lookup") "lookup_all" else op
                   if (!knownOps.contains(opName))
-                    errors += ValidationError("UnknownOp", p)
+                    errors += ValidationError("UnknownOp", p, "expr.op is not supported")
                   val scoped = inItemScope || scopeOps.contains(op)
                   v match {
                     case al: java.util.List[_] =>
@@ -225,22 +230,22 @@ object Validator {
           }
           tokens.headOption match {
             case Some(ns) if !refNamespaces.contains(ns) =>
-              errors += ValidationError("InvalidRefNamespace", path)
+              errors += ValidationError("InvalidRefNamespace", path, "ref namespace must be input|context|out")
             case Some("item") | Some("acc") if !inItemScope =>
               // @item/@acc only valid inside map/filter/reduce scopes
               // (v2_validator.rs:958-area; reference reports the same
               // namespace code, fixture v11)
-              errors += ValidationError("InvalidRefNamespace", path)
+              errors += ValidationError("InvalidRefNamespace", path, "ref namespace must be input|context|out")
             case Some("out") =>
               if (tokens.size > 1 && !definedOut.contains(tokens(1)) &&
                   !definedOut.contains("*"))
-                errors += ValidationError("ForwardOutReference", path)
+                errors += ValidationError("ForwardOutReference", path, "out reference must point to previous mappings")
             case _ => ()
           }
         } else if (mm.contains("op")) {
           val op = mm("op").toString
           if (!knownOps.contains(op))
-            errors += ValidationError("UnknownOp", s"$path.op")
+            errors += ValidationError("UnknownOp", s"$path.op", "expr.op is not supported")
           val args = mm.get("args").collect {
             case l: java.util.List[_] => l.asScala.toSeq
           }.getOrElse(Nil)
@@ -248,7 +253,7 @@ object Validator {
           // (get_op_arg_range / arg-shape table, v2_validator.rs:812-862)
           if ((op == "lookup" || op == "lookup_first") && args.size >= 2 &&
               !args(1).isInstanceOf[String])
-            errors += ValidationError("InvalidArgs", s"$path.args[1]")
+            errors += ValidationError("InvalidArgs", s"$path.args[1]", "lookup key must be a literal string path")
           val scoped = inItemScope || scopeOps.contains(op)
           args.zipWithIndex.foreach { case (a, j) =>
             checkExpr(a, s"$path.args[$j]", scoped, definedOut, errors)
@@ -274,9 +279,9 @@ object Validator {
         tokens.headOption match {
           case Some("out") if tokens.size > 1 && !definedOut.contains(tokens(1)) &&
               !definedOut.contains("*") =>
-            errors += ValidationError("ForwardOutReference", path)
+            errors += ValidationError("ForwardOutReference", path, "out reference must point to previous mappings")
           case Some("item") | Some("acc") if !inItemScope =>
-            errors += ValidationError("InvalidRefNamespace", path)
+            errors += ValidationError("InvalidRefNamespace", path, "ref namespace must be input|context|out")
           case _ => ()
         }
       case _ => ()

@@ -44,10 +44,20 @@ object Sources {
     * whole-file parse in the reference too; NDJSON stays the scalable
     * splittable path. */
   def json(spark: SparkSession, path: String, recordsPath: Seq[String]): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    jsonNode(spark,
+      mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path))),
+      recordsPath)
+  }
+
+  /** Same ingest from an already-parsed document — the serving surfaces
+    * (endpoint engine, MCP) hold records in memory and need no temp file. */
+  def jsonNode(spark: SparkSession,
+      doc: com.fasterxml.jackson.databind.JsonNode,
+      recordsPath: Seq[String]): DataFrame = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
     import scala.jdk.CollectionConverters._
     val mapper = new ObjectMapper()
-    val doc = mapper.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
     val target = recordsPath.foldLeft(doc) { (cur, seg) =>
       val next = if (cur != null && cur.isObject) cur.get(seg) else null
       if (next == null)
@@ -74,6 +84,14 @@ object Sources {
       else if (nn.forall(_.isNumber)) DoubleType
       else VariantType
     }
+    // An empty records array is a valid input (`[]` → empty record set,
+    // reference record iteration over zero records); infer would return
+    // VariantType for it, so short-circuit to a zero-column empty frame —
+    // mapping refs against it compile to missing, output is zero rows.
+    if (records.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Nil))
     val schema = infer(records) match {
       case st: StructType => st
       case t => throw new IllegalArgumentException(s"records are not objects: $t")

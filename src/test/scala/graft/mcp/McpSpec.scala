@@ -201,13 +201,28 @@ class McpSpec extends AnyFunSuite {
   }
 
   test("stdio framing: line-delimited and Content-Length messages both parse") {
-    def reader(s: String) = new java.io.BufferedReader(new java.io.StringReader(s))
+    def reader(s: String) = new java.io.ByteArrayInputStream(s.getBytes("UTF-8"))
     val lineMsg = Mcp.readMessage(reader("""{"jsonrpc":"2.0","id":1,"method":"ping"}""" + "\n"))
     assert(lineMsg == ("""{"jsonrpc":"2.0","id":1,"method":"ping"}""", false))
     val body = """{"jsonrpc":"2.0","id":2,"method":"ping"}"""
     val framed = Mcp.readMessage(reader(s"Content-Length: ${body.length}\r\n\r\n$body"))
     assert(framed == (body, true))
     assert(Mcp.readMessage(reader("")) == null)
+  }
+
+  test("Content-Length framing is byte-exact for multibyte UTF-8 payloads") {
+    // 日本語 rules_text: char count < byte count; a Reader-based read
+    // would under-consume and desync the next message
+    val body = """{"jsonrpc":"2.0","id":3,"method":"ping","note":"日本語テスト"}"""
+    val bytes = body.getBytes("UTF-8")
+    assert(bytes.length > body.length)
+    val next = """{"jsonrpc":"2.0","id":4,"method":"ping"}"""
+    val stream = new java.io.ByteArrayInputStream(
+      (s"Content-Length: ${bytes.length}\r\n\r\n$body" +
+        s"Content-Length: ${next.length}\r\n\r\n$next").getBytes("UTF-8"))
+    assert(Mcp.readMessage(stream) == (body, true))
+    assert(Mcp.readMessage(stream) == (next, true))
+    assert(Mcp.readMessage(stream) == null)
   }
 
   test("resources and prompts round-trip") {

@@ -28,6 +28,21 @@ class EngineSpec extends AnyFunSuite {
     Engine.toJsonRecords(YamlParser.parse(yaml), input, context).as[String].collect().toSeq
   }
 
+  test("empty JSON records array transforms to an empty record set") {
+    // `[]` is valid input: ingest yields a zero-column empty frame and the
+    // compiled plan emits zero records instead of failing (ADVICE round 2)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val input = graft.sources.Sources.jsonNode(spark, mapper.readTree("[]"), Nil)
+    assert(input.count() == 0)
+    val out = jsonRun(
+      """version: 2
+        |mappings:
+        |  - target: name
+        |    expr: ["@input.name", trim]
+        |""".stripMargin, input)
+    assert(out.isEmpty)
+  }
+
   test("v2 pipe: refs, bare ops, op steps, @out visibility (tv22 shape)") {
     import spark.implicits._
     val input = Seq(("  ada  ", 10.0), (" bob ", 20.0)).toDF("name", "base_price")
