@@ -29,6 +29,18 @@ object VectorOps {
   /** All `tables` hyperplane buckets of a vector in one pass. */
   def hyperplaneBuckets(vec: Column, planes: Int, tables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), planes, tables))
+
+  /** x / √(Σx²), the norm accumulated left-to-right (bit-identical to the
+    * `transform`/`aggregate` formulation and the oracle's spelled-out
+    * chain). */
+  def l2Normalize(vec: Column): Column =
+    Bridge.column(L2Normalize(Bridge.expression(vec)))
+
+  /** The `n` nearest centroid indices by squared L2, nearest first, ties
+    * to the lower index — one pass over all centroids per row. */
+  def nearestClusters(vec: Column, cents: Seq[Seq[Double]], n: Int): Column =
+    Bridge.column(NearestClusters(Bridge.expression(vec),
+      cents.map(_.toArray).toArray, n))
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -100,6 +112,106 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
+}
+
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rm_l2_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      L2Normalize.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.L2Normalize$$.MODULE$$.compute($c));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  def compute(vec: ArrayData): Array[Double] = {
+    val n = vec.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = vec.getDouble(i); s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = vec.getDouble(i) / nrm; i += 1 }
+    out
+  }
+}
+
+/** The `n` nearest of the baked-in centroids by squared L2 (accumulated
+  * index-ascending, like the oracle's spelled-out chain), nearest first,
+  * ties broken toward the lower centroid index — the IVF probe list. */
+case class NearestClusters(child: Expression, cents: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+
+  require(n > 0 && n <= cents.length)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rm_nearest_clusters"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      NearestClusters.compute(input.asInstanceOf[ArrayData], cents, n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.NearestClusters$$.MODULE$$.compute(
+         |    $c, $centsRef, $n));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestClusters =
+    copy(child = newChild)
+}
+
+object NearestClusters {
+  def compute(vec: ArrayData, cents: Array[Array[Double]], n: Int): Array[Long] =
+    compute(vec.toDoubleArray(), cents, n)
+
+  /** Same loop for driver-side k-means training (identical accumulation
+    * order, so training and the baked-in plan agree exactly). */
+  def compute(vec: Array[Double], cents: Array[Array[Double]], n: Int): Array[Long] = {
+    val k = cents.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val dims = math.min(vec.length, cent.length)
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        val diff = vec(d) - cent(d)
+        s += diff * diff
+        d += 1
+      }
+      dists(c) = s
+      c += 1
+    }
+    // selection of the n smallest (dist, index) — k is tiny (nlist)
+    val order = Array.range(0, k).sortBy(i => (dists(i), i))
+    order.take(n).map(_.toLong)
+  }
 }
 
 object HyperplaneBuckets {

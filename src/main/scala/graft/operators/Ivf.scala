@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF (inverted-file) coarse quantization over an embedding column — the
+  * classic cluster-pruned ANN scale path alongside the hyperplane-LSH
+  * variant in [[Similarity]], plus SemDeDup-style semantic dedup (pairs
+  * are only scored *within* a cluster, never across the whole corpus).
+  *
+  * Training is spherical k-means with a fully deterministic recipe so the
+  * result is reproducible under any partitioning and restatable in the
+  * DuckDB oracle:
+  *   - vectors are L2-normalized with the same left-associated fold the
+  *     oracle SQL spells out;
+  *   - init centroids are the per-dimension means of `id % nlist` groups;
+  *   - each Lloyd iteration re-assigns by squared-L2 argmin (ties broken
+  *     by cluster index) and recomputes means;
+  *   - every cross-record mean runs its SUM in DECIMAL(38,18) — exact,
+  *     therefore order-independent, therefore identical on 32 shuffle
+  *     partitions or 32k.
+  *
+  * Scale shape: training materializes each iteration's centroid table on
+  * the driver — `nlist`×dims doubles, the FAISS pattern (at 100 TB one
+  * trains on a bounded sample; each iteration here is ONE shuffle of
+  * (cluster, dim) partial sums with map-side combine). The trained
+  * centroids are then baked into the plan as literals, which makes
+  * assignment a *narrow projection* — `argmin` over `nlist` fold
+  * expressions, no join, no window, no shuffle — so assigning the full
+  * corpus scans it exactly once. Search touches only the probed clusters'
+  * members via an equi-join on the cluster id; dedup self-joins within
+  * the cluster only (n²/nlist, co-located under one shuffle key).
+  */
+object Ivf {
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Nearest-centroid id: a narrow whole-stage-codegen projection, no
+    * join or window — [[graft.functions.NearestClusters]] accumulates
+    * each squared-L2 index-ascending and breaks ties toward the lower
+    * cluster index, exactly the oracle's ROW_NUMBER ORDER BY dist, cl. */
+  def nearestCluster(e: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(graft.functions.VectorOps.nearestClusters(e, cents, 1), 1)
+
+  /** The `nprobe` nearest cluster ids, nearest first. */
+  def probeClusters(e: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    graft.functions.VectorOps.nearestClusters(e, cents, nprobe)
+
+  /** id + raw double vector + L2-normalized vector (native one-pass). */
+  def base(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val raw = asDouble(col(vecCol))
+    emb.select(col(idCol).as("id"), raw.as("raw"))
+      .withColumn("e", graft.functions.VectorOps.l2Normalize(col("raw")))
+  }
+
+  /** Spark's double→DECIMAL(38,18) cast semantics (Decimal(BigDecimal(d))
+    * goes through Double.toString), replicated so the driver-side training
+    * sums are bit-identical to what the distributed `sum(cast(v as
+    * decimal))` formulation would produce. Exact decimal addition is
+    * order-independent, so the grouping order cannot matter either. */
+  private def toDec(v: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+
+  /** Deterministic spherical k-means, trained driver-side from ONE collect
+    * of the (id, normalized-vector) pairs — the FAISS pattern (at 100 TB
+    * the input here is a bounded sample, not the corpus). Means sum in
+    * exact decimals (same cast semantics as a distributed decimal SUM);
+    * assignment reuses the same loop the native expression runs, so the
+    * oracle's distributed restatement produces identical centroids. */
+  def centroids(b: DataFrame, nlist: Int, iters: Int): Seq[Seq[Double]] = {
+    val rows = b.select(col("id"), col("e")).collect()
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val dims = if (vecs.isEmpty) 0 else vecs(0).length
+
+    def means(assignOf: Int => Int): Array[Array[Double]] = {
+      val sums = Array.fill(nlist, dims)(java.math.BigDecimal.ZERO)
+      val counts = new Array[Long](nlist)
+      var i = 0
+      while (i < vecs.length) {
+        val cl = assignOf(i)
+        counts(cl) += 1
+        var d = 0
+        while (d < dims) {
+          sums(cl)(d) = sums(cl)(d).add(toDec(vecs(i)(d)))
+          d += 1
+        }
+        i += 1
+      }
+      Array.tabulate(nlist, dims)((cl, d) => sums(cl)(d).doubleValue / counts(cl))
+    }
+
+    val init = means(i => (ids(i) % nlist).toInt)
+    val trained = (1 to iters).foldLeft(init) { (cents, _) =>
+      means(i => graft.functions.NearestClusters.compute(vecs(i), cents, 1)(0).toInt)
+    }
+    trained.map(_.toSeq).toSeq
+  }
+
+  /** (id, cl) assignment — a single narrow scan over the corpus. */
+  def assign(b: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    b.select(col("id"), nearestCluster(col("e"), cents).as("cl"))
+
+  /** IVF top-k: queries probe their `nprobe` nearest clusters, candidates
+    * are those clusters' members, exact cosine (native codegen expression)
+    * reranks. The only join is an equi-join on the cluster id. */
+  def topK(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      iters: Int, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val b = base(emb, idCol, vecCol)
+    val cents = centroids(b, nlist, iters)
+    val assigned = assign(b, cents)
+    val probes = b.filter(col("id") < nQueries)
+      .select(col("id").as("qid"),
+        explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
+    val cand = probes.join(assigned.select(col("id").as("cid"), col("cl")), "cl")
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val scored = cand
+      .join(b.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
+      .join(b.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+  }
+
+  /** SemDeDup: cosine-similar pairs scored only within a cluster — the
+    * self-join is n²/nlist instead of n², and at scale each cluster's
+    * members co-locate under one shuffle key. */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val b = base(emb, idCol, vecCol)
+    val withCl = b.withColumn("cl",
+      nearestCluster(col("e"), centroids(b, nlist, iters)))
+    val x = withCl.select(col("cl"), col("id").as("da"), col("raw").as("va"))
+    val y = withCl.select(col("cl"), col("id").as("db"), col("raw").as("vb"))
+    x.join(y, Seq("cl"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        graft.functions.VectorOps.cosineSimilarity(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

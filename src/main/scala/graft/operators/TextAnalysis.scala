@@ -21,6 +21,22 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** BPE-ish regex tokenization (GPT-2-style segment classes: letter runs,
+    * digit runs, punctuation runs, each absorbing one leading space). The
+    * pattern avoids lookaround so Java regex and RE2 (the oracle) agree. */
+  val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
+
+  /** Compression proxy: characters per BPE token (0 for empty text). */
+  def charsPerToken(text: Column): Column = {
+    val n = size(bpeTokens(text))
+    when(n === 0, lit(0.0)).otherwise(length(text).cast(DoubleType) / n)
+  }
+
   def charCount(text: Column): Column = length(text).cast(LongType)
 
   /** Mean token length in characters (0 for empty text). */

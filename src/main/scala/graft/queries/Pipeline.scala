@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Dedup, Ivf, Similarity, TextAnalysis => TA}
 
 /** LLM-training-data pipeline operators (dedup / similarity / text
   * analysis) as driver-checkable queries over the `documents` and
@@ -84,6 +84,32 @@ object Pipeline {
         nQueries = 50, k = 5, planes = 4, tables = 16, dims = 64)
       .orderBy("qid", "rank")
 
+  // IVF configuration shared by the query, the SemDeDup query, and the
+  // generated oracle SQL — one source of truth for the constants.
+  private val IvfDims = 64; private val IvfNlist = 10; private val IvfIters = 2
+  private val IvfNq = 50; private val IvfK = 5; private val IvfNprobe = 5
+  private val SemDedupThreshold = 0.35
+
+  def similarityIvf(spark: SparkSession, dir: String): DataFrame =
+    Ivf.topK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        nlist = IvfNlist, iters = IvfIters, nQueries = IvfNq, k = IvfK,
+        nprobe = IvfNprobe)
+      .orderBy("qid", "rank")
+
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    Ivf.semDedupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        nlist = IvfNlist, iters = IvfIters, threshold = SemDedupThreshold)
+      .orderBy("da", "db")
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("ws_tokens"),
+        TA.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TA.charsPerToken(col("text")).as("chars_per_token"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "q_text_stats"       -> (textStats _),
     "q_lang_id"          -> (langId _),
@@ -94,7 +120,10 @@ object Pipeline {
     "q_minhash_dedup"    -> (minhashDedup _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
-    "q_similarity_lsh"   -> (similarityLsh _))
+    "q_similarity_lsh"   -> (similarityLsh _),
+    "q_similarity_ivf"   -> (similarityIvf _),
+    "q_embedding_dedup"  -> (embeddingDedup _),
+    "q_token_stats"      -> (tokenStats _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -157,9 +186,66 @@ object Pipeline {
        |FROM ranked WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF oracle machinery: the deterministic spherical k-means of
+    * [[Ivf]] restated as chained CTEs. Every floating-point fold is
+    * spelled out as the same left-associated `0.0 + t1 + t2 + …` chain
+    * the Spark `aggregate` performs, and every cross-record mean runs its
+    * SUM in DECIMAL(38,18) in both engines, so centroids — and therefore
+    * assignments, probes, and pairs — agree bit-for-bit. */
+  private def ivfCtes: String = {
+    val dims = IvfDims
+    // 0.0 + (e[1]-c[1])^2 + ... — Ivf.sqDist's fold order
+    def distChain(e: String, c: String): String =
+      (0 until dims).map(d => s"($e[${d + 1}]-$c[${d + 1}])*($e[${d + 1}]-$c[${d + 1}])")
+        .mkString("0.0 + ", " + ", "")
+    val normChain = (0 until dims).map(d => s"raw[${d + 1}]*raw[${d + 1}]")
+      .mkString("0.0 + ", " + ", "")
+    val sb = new StringBuilder
+    sb ++= s"""WITH rawv AS (SELECT vec_id id, CAST(embedding AS DOUBLE[]) raw FROM embeddings),
+              |base AS (SELECT id, raw, LIST_TRANSFORM(raw, x -> x / sqrt($normChain)) e FROM rawv),
+              |ex AS (SELECT id, d, e[d+1] v FROM base, UNNEST(RANGE($dims)) t(d)),
+              |c0 AS (SELECT id % $IvfNlist cl, d, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM ex GROUP BY 1,2),
+              |cent0 AS (SELECT cl, LIST(cv ORDER BY d) c FROM c0 GROUP BY cl)""".stripMargin
+    var prev = "cent0"
+    for (it <- 1 to IvfIters) {
+      sb ++= s""",
+                |a$it AS (SELECT id, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
+                |cs$it AS (SELECT a.cl, x.d, CAST(SUM(CAST(x.v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM ex x JOIN a$it a ON a.id=x.id GROUP BY 1,2),
+                |cent$it AS (SELECT cl, LIST(cv ORDER BY d) c FROM cs$it GROUP BY cl)""".stripMargin
+      prev = s"cent$it"
+    }
+    sb ++= s""",
+              |assign AS (SELECT id, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
+              |probes AS (SELECT id qid, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c WHERE b.id<$IvfNq) WHERE rn<=$IvfNprobe)""".stripMargin
+    sb.result()
+  }
+
+  private val ivfSql =
+    s"""$ivfCtes,
+       |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl=p.cl WHERE a.id<>p.qid),
+       |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) sim FROM cand JOIN rawv q ON q.id=qid JOIN rawv c ON c.id=cid),
+       |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) rank FROM scored)
+       |SELECT qid, CAST(rank AS BIGINT) rank, cid, sim FROM ranked WHERE rank<=$IvfK ORDER BY qid, rank""".stripMargin
+
+  private val semDedupSql =
+    s"""$ivfCtes,
+       |pairs AS (SELECT x.id da, y.id db, LIST_COSINE_SIMILARITY(bx.raw, bv.raw) sim
+       |          FROM assign x JOIN assign y ON x.cl=y.cl AND x.id<y.id
+       |          JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id)
+       |SELECT da, db, sim FROM pairs WHERE sim>=$SemDedupThreshold ORDER BY da, db""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_simhash" -> simhashSql,
     "q_similarity_lsh" -> lshSql,
+    "q_similarity_ivf" -> ivfSql,
+    "q_embedding_dedup" -> semDedupSql,
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+         |       CAST(LEN(regexp_extract_all(text, '${TA.bpePattern}')) AS BIGINT) AS bpe_tokens,
+         |       CASE WHEN LEN(regexp_extract_all(text, '${TA.bpePattern}')) = 0 THEN 0.0
+         |            ELSE CAST(LENGTH(text) AS DOUBLE) / LEN(regexp_extract_all(text, '${TA.bpePattern}')) END AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |       CAST(LENGTH(text) AS BIGINT) AS char_len,

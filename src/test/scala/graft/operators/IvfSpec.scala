@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF coarse quantization + SemDeDup: determinism under repartitioning
+  * (the decimal-mean claim), cluster sanity, ANN recall vs the exact
+  * brute force, and the within-cluster-only pair invariant. */
+class IvfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = graft.Tables.embeddings(spark, dir)
+
+  test("centroids are identical under different partitioning (decimal means)") {
+    val c1 = Ivf.centroids(Ivf.base(emb, "vec_id", "embedding"), nlist = 10, iters = 2)
+    val c2 = Ivf.centroids(Ivf.base(emb.repartition(13), "vec_id", "embedding"),
+      nlist = 10, iters = 2)
+    assert(c1.length == 10 && c1.forall(_.length == 64))
+    // bit-exact, not approximately equal — the whole point of decimal sums
+    assert(c1 == c2)
+  }
+
+  test("assignment is a narrow shuffle-free projection covering every vector") {
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val assigned = Ivf.assign(b, Ivf.centroids(b, nlist = 10, iters = 2))
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("id").distinct().count() == emb.count())
+    assert(assigned.select("cl").distinct().count() <= 10)
+    // literal centroids ⇒ no Exchange anywhere in the assignment plan
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("IVF top-k recall vs brute force is well above the probe fraction") {
+    val ivf = Ivf.topK(emb, "vec_id", "embedding", nlist = 10, iters = 2,
+        nQueries = 50, k = 5, nprobe = 5)
+      .select("qid", "cid")
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        nQueries = 50, k = 5)
+      .select("qid", "cid")
+    val hits = ivf.intersect(bf).count()
+    val recall = hits.toDouble / bf.count()
+    // noise-dominated synthetic embeddings: 0.7+ at nprobe=5/nlist=10
+    // (scanning ~half the corpus); real clustered embeddings do far better
+    assert(recall >= 0.65, s"recall@5 = $recall")
+  }
+
+  test("SemDeDup pairs are within-cluster, above threshold, and deduplicated") {
+    val pairs = Ivf.semDedupPairs(emb, "vec_id", "embedding",
+      nlist = 10, iters = 2, threshold = 0.35).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.35))
+    // every reported pair really shares a cluster
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val cl = Ivf.assign(b, Ivf.centroids(b, nlist = 10, iters = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.forall(r => cl(r.getLong(0)) == cl(r.getLong(1))))
+  }
+}
