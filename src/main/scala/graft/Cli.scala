@@ -39,10 +39,49 @@ object Cli {
       case Some("transform") => runTransform(parseFlags(args.tail), out, err)
       case Some("generate") => runGenerate(parseFlags(args.tail), out, err)
       case Some("serve") => runServe(parseFlags(args.tail), out, err)
+      case Some("ui") => runUi(parseFlags(args.tail), out, err)
       case Some("validate-rules-dir") => runValidateRulesDir(parseFlags(args.tail), err)
       case _ =>
-        err.println("usage: rulemorph <validate|preflight|transform|generate|serve|validate-rules-dir> [flags]")
+        err.println("usage: rulemorph <validate|preflight|transform|generate|serve|ui|validate-rules-dir> [flags]")
         1
+    }
+  }
+
+  /** `ui [--port N] [--data-dir D] [--ui-dir U] [--rules-dir R]
+    * [--api-mode rules|ui-only] [--no-ui]` — the reference's UI server
+    * (main.rs run_ui): the /api rules surface + the /internal trace/graph
+    * API + static UI assets. Exit 1 on config/server errors, 2 when the
+    * rules dir fails validation. */
+  private def runUi(f: Flags, out: PrintStream, err: PrintStream): Int = {
+    val apiMode = f.opts.getOrElse("--api-mode", "rules")
+    val uiEnabled = !f.bools.contains("--no-ui")
+    if (!uiEnabled && apiMode == "ui-only") {
+      err.println("ui-only mode cannot be used with --no-ui"); return 1
+    }
+    if (apiMode != "rules" && apiMode != "ui-only") {
+      err.println(s"unknown api mode: $apiMode"); return 1
+    }
+    val dataDir = Paths.get(f.opts.getOrElse("--data-dir", ".rulemorph"))
+    val rulesDir = f.opts.get("--rules-dir").map(Paths.get(_))
+      .getOrElse(dataDir.resolve("api_rules"))
+    if (apiMode == "rules" && Files.isDirectory(rulesDir)) {
+      val errors = graft.endpoint.RulesDirValidator.validate(rulesDir)
+      if (errors.nonEmpty) { errors.foreach(e => err.println(e.render)); return 2 }
+    }
+    val config = graft.endpoint.UiServer.Config(
+      port = f.opts.get("--port").flatMap(_.toIntOption).getOrElse(8080),
+      dataDir = dataDir,
+      uiDir = f.opts.get("--ui-dir").map(Paths.get(_)).filter(Files.isDirectory(_)),
+      rulesDir = Some(rulesDir),
+      apiMode = apiMode,
+      uiEnabled = uiEnabled)
+    try {
+      val server = graft.endpoint.UiServer.start(session, config)
+      out.println(s"rulemorph server listening on http://127.0.0.1:${server.getAddress.getPort}")
+      Thread.currentThread.join() // serve until killed
+      0
+    } catch {
+      case NonFatal(e) => err.println(s"server error: ${e.getMessage}"); 1
     }
   }
 
@@ -82,7 +121,7 @@ object Cli {
   /** clap-style flags: every option takes a value except the booleans. */
   private case class Flags(opts: Map[String, String], bools: Set[String])
 
-  private val boolFlags = Set("--ndjson", "-v", "--validate")
+  private val boolFlags = Set("--ndjson", "-v", "--validate", "--no-ui")
   private val aliases = Map(
     "-r" -> "--rules", "-i" -> "--input", "-f" -> "--format",
     "-c" -> "--context", "-o" -> "--output", "-e" -> "--error-format",

@@ -1,0 +1,220 @@
+package graft.endpoint
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.Executors
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** The reference's `ui` server (rulemorph_server/src/server.rs): the
+  * /api rules surface plus the UI's internal API —
+  *
+  *   - `GET  /internal/traces`       — trace metas, newest first
+  *   - `GET  /internal/traces/{id}`  — `{"trace": ...}` or 404
+  *   - `GET  /internal/stream`       — SSE; a `traces`/`updated` event on
+  *                                     every data-dir change, 15s keepalive
+  *   - `GET  /internal/api-graph`    — rules-dir dependency graph
+  *   - `POST /internal/import`       — copy a bundle's traces/rules in
+  *
+  * and static UI assets from `ui_dir` (fallback to index.html for SPA
+  * routes). Loopback-only, like the reference. `api_mode = rules` routes
+  * /api requests through every `type: endpoint` rule file found in `rules_dir`
+  * (first matching endpoint wins, in sorted file order). */
+object UiServer {
+
+  final case class Config(
+      port: Int = 8080,
+      dataDir: Path = Paths.get(".rulemorph"),
+      uiDir: Option[Path] = None,
+      rulesDir: Option[Path] = None,
+      apiMode: String = "rules", // rules | ui-only
+      uiEnabled: Boolean = true)
+
+  private val mapper = new ObjectMapper()
+
+  def start(spark: SparkSession, config: Config): HttpServer = {
+    val store = new FileTraceStore(config.dataDir)
+
+    // one engine per endpoint-type rule file in the rules dir
+    val engines: Seq[EndpointEngine] =
+      if (config.apiMode != "rules") Nil
+      else {
+        val dir = config.rulesDir.getOrElse(config.dataDir.resolve("api_rules"))
+        if (!Files.isDirectory(dir)) Nil
+        else Files.walk(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
+          .toSeq.sortBy(_.toString)
+          .filter { p =>
+            try EndpointModel.parseRuleKind(Files.readString(p))
+              .isInstanceOf[EndpointModel.EndpointRule]
+            catch { case NonFatal(_) => false }
+          }
+          .map(p => new EndpointEngine(spark, p.toString,
+            s"http://127.0.0.1:${config.port}"))
+      }
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", config.port), 0)
+    // SSE connections hold their handler thread — never run single-threaded
+    server.setExecutor(Executors.newCachedThreadPool())
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit =
+        try route(x)
+        catch { case NonFatal(e) =>
+          try sendJson(x, 500, s"""{"error":${quote(e.getMessage)}}""")
+          catch { case NonFatal(_) => () }
+        } finally {
+          if (!isSse(x)) x.close()
+        }
+
+      private def isSse(x: HttpExchange): Boolean =
+        x.getRequestURI.getPath == "/internal/stream"
+
+      private def route(x: HttpExchange): Unit = {
+        val path = x.getRequestURI.getPath
+        path match {
+          case "/internal/traces" =>
+            sendJson(x, 200, store.listJson)
+          case p if p.startsWith("/internal/traces/") =>
+            val id = p.stripPrefix("/internal/traces/")
+            store.get(id) match {
+              case Some(t) =>
+                val o = mapper.createObjectNode()
+                o.set[com.fasterxml.jackson.databind.JsonNode]("trace", t)
+                sendJson(x, 200, mapper.writeValueAsString(o))
+              case None => sendJson(x, 404, """{"error":"trace not found"}""")
+            }
+          case "/internal/api-graph" =>
+            sendJson(x, 200, ApiGraph.buildJson(store.dataDir))
+          case "/internal/import" =>
+            val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+            val bundle = Option(mapper.readTree(body).get("bundle_path"))
+              .filter(_.isTextual).map(_.asText)
+            bundle match {
+              case None => sendJson(x, 400, """{"error":"bundle_path is required"}""")
+              case Some(bp) =>
+                val (imported, ids, rules) = store.importBundle(Paths.get(bp))
+                val o = mapper.createObjectNode()
+                o.put("imported", imported)
+                val arr = mapper.createArrayNode()
+                ids.foreach(arr.add)
+                o.set[com.fasterxml.jackson.databind.JsonNode]("trace_ids", arr)
+                o.put("rules_imported", rules)
+                sendJson(x, 200, mapper.writeValueAsString(o))
+            }
+          case "/internal/stream" =>
+            serveSse(x, store)
+          case p if p.startsWith("/api/") && engines.nonEmpty =>
+            serveRulesApi(x, p)
+          case p if p.startsWith("/api/") && config.apiMode == "rules" =>
+            sendJson(x, 500, """{"error":"api engine not configured"}""")
+          case _ if config.uiEnabled && config.uiDir.isDefined =>
+            serveStatic(x, config.uiDir.get, path)
+          case _ =>
+            sendJson(x, 404, """{"error":"not found"}""")
+        }
+      }
+
+      private def serveRulesApi(x: HttpExchange, path: String): Unit = {
+        val headers = x.getRequestHeaders.entrySet.asScala.toSeq.flatMap { e =>
+          e.getValue.asScala.map(v => e.getKey -> v)
+        }
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        // the engine matches on the path under /api (reference strips the
+        // prefix at the router); try each endpoint file, first match wins
+        val sub = path.stripPrefix("/api")
+        val results = engines.iterator.map(_.handle(x.getRequestMethod,
+          if (sub.isEmpty) "/" else sub,
+          Option(x.getRequestURI.getRawQuery).getOrElse(""),
+          headers, if (body.isEmpty) None else Some(body)))
+        val result = results.find(r =>
+          !(r.status == 404 && r.body.contains("no endpoint matched")))
+          .getOrElse(EndpointEngine.HttpResult(404,
+            Seq("content-type" -> "application/json"),
+            """{"error":"no endpoint matched"}"""))
+        result.headers.foreach { case (k, v) => x.getResponseHeaders.add(k, v) }
+        val bytes = result.body.getBytes("UTF-8")
+        x.sendResponseHeaders(result.status, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+      }
+    })
+    server.start()
+    server
+  }
+
+  /** SSE loop: initial `traces`/`connected` event, an `updated` event when
+    * the trace dir's change stamp moves, comment keepalives every 15s.
+    * Runs on the handler's (cached-pool) thread until the client drops. */
+  private def serveSse(x: HttpExchange, store: FileTraceStore): Unit = {
+    x.getResponseHeaders.add("content-type", "text/event-stream")
+    x.getResponseHeaders.add("cache-control", "no-cache")
+    x.sendResponseHeaders(200, 0)
+    val out = x.getResponseBody
+    def send(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.flush() }
+    try {
+      send("event: traces\ndata: connected\n\n")
+      var stamp = store.changeStamp()
+      var sinceKeepalive = 0
+      while (true) {
+        Thread.sleep(1000)
+        val now = store.changeStamp()
+        if (now != stamp) {
+          stamp = now
+          send("event: traces\ndata: updated\n\n")
+          sinceKeepalive = 0
+        } else {
+          sinceKeepalive += 1
+          if (sinceKeepalive >= 15) { send(": keep-alive\n\n"); sinceKeepalive = 0 }
+        }
+      }
+    } catch {
+      case NonFatal(_) => () // client disconnected
+      case _: InterruptedException => ()
+    } finally x.close()
+  }
+
+  /** Static UI assets with SPA fallback to index.html; traversal-safe. */
+  private def serveStatic(x: HttpExchange, uiDir: Path, rawPath: String): Unit = {
+    val rel = rawPath.stripPrefix("/") match { case "" => "index.html"; case p => p }
+    val resolved = uiDir.resolve(rel).normalize()
+    val target =
+      if (resolved.startsWith(uiDir.normalize()) && Files.isRegularFile(resolved)) resolved
+      else uiDir.resolve("index.html")
+    if (!Files.isRegularFile(target)) {
+      sendJson(x, 404, """{"error":"not found"}"""); return
+    }
+    val bytes = Files.readAllBytes(target)
+    x.getResponseHeaders.add("content-type", contentTypeOf(target.toString))
+    x.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+  }
+
+  private def contentTypeOf(name: String): String =
+    if (name.endsWith(".html")) "text/html; charset=utf-8"
+    else if (name.endsWith(".js")) "text/javascript"
+    else if (name.endsWith(".css")) "text/css"
+    else if (name.endsWith(".json")) "application/json"
+    else if (name.endsWith(".svg")) "image/svg+xml"
+    else if (name.endsWith(".png")) "image/png"
+    else "application/octet-stream"
+
+  private def sendJson(x: HttpExchange, status: Int, body: String): Unit = {
+    x.getResponseHeaders.add("content-type", "application/json")
+    val bytes = body.getBytes("UTF-8")
+    x.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+  }
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

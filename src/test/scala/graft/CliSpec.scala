@@ -25,6 +25,28 @@ class CliSpec extends AnyFunSuite {
     assert(r.code == 0, r.err)
   }
 
+  test("ui: ui-only with --no-ui exits 1; invalid rules dir exits 2") {
+    val r1 = cli("ui", "--api-mode", "ui-only", "--no-ui")
+    assert(r1.code == 1 && r1.err.contains("ui-only mode cannot be used with --no-ui"))
+    val r2 = cli("ui", "--api-mode", "nope")
+    assert(r2.code == 1 && r2.err.contains("unknown api mode"))
+    // a rules dir whose endpoint references a missing rule fails validation
+    val dir = java.nio.file.Files.createTempDirectory("ui_bad_rules")
+    java.nio.file.Files.writeString(dir.resolve("endpoint.yaml"),
+      """type: endpoint
+        |endpoints:
+        |  - method: GET
+        |    path: /x
+        |    steps:
+        |      - rule: ./missing.yaml
+        |    reply:
+        |      status: [lit:200]
+        |""".stripMargin)
+    val r3 = cli("ui", "--rules-dir", dir.toString, "--data-dir",
+      java.nio.file.Files.createTempDirectory("ui_data").toString)
+    assert(r3.code == 2, s"${r3.code} ${r3.err}")
+  }
+
   test("validate: invalid rule exits 2 with E line on stderr") {
     val r = cli("validate", "-r", s"$fixtures/v02_duplicate_target/rules.yaml")
     assert(r.code == 2)

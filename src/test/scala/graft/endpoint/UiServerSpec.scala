@@ -1,0 +1,190 @@
+package graft.endpoint
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.{Files, Path}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `ui` server surface (reference rulemorph_server): /internal/traces
+  * list/get, bundle import, the api-graph, /api routing through the
+  * rules dir, static UI assets with SPA fallback, and the SSE stream. */
+class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val mapper = new ObjectMapper()
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var dataDir: Path = _
+  private var uiDir: Path = _
+  private var server: com.sun.net.httpserver.HttpServer = _
+  private var port: Int = 0
+
+  override def beforeAll(): Unit = {
+    dataDir = Files.createTempDirectory("ui_data")
+    uiDir = Files.createTempDirectory("ui_assets")
+    Files.createDirectories(dataDir.resolve("traces"))
+    val rulesDir = dataDir.resolve("api_rules")
+    Files.createDirectories(rulesDir)
+
+    Files.writeString(dataDir.resolve("traces/t1.json"),
+      """{"trace_id":"t1","status":"success","timestamp":"2026-08-12T10:00:00Z",
+        | "duration_us": 1200,
+        | "rule": {"name":"shape","type":"normal","version":2},
+        | "summary": {"record_total":1,"record_success":1,"record_failed":0},
+        | "steps": [{"rule":"shape.yaml","status":"success"}]}""".stripMargin)
+    Files.writeString(dataDir.resolve("traces/t2.json"),
+      """{"trace_id":"t2","status":"error","timestamp":"2026-08-12T11:00:00Z"}""")
+
+    Files.writeString(rulesDir.resolve("shape.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: name
+        |    expr: ["@input.name", trim, uppercase]
+        |""".stripMargin)
+    Files.writeString(rulesDir.resolve("endpoint.yaml"),
+      """type: endpoint
+        |endpoints:
+        |  - method: POST
+        |    path: /shape
+        |    input:
+        |      - target: name
+        |        expr: ["@input.body.name"]
+        |    steps:
+        |      - rule: ./shape.yaml
+        |    reply:
+        |      status: [lit:200]
+        |      body: ["@input"]
+        |""".stripMargin)
+    Files.writeString(rulesDir.resolve("fetch.yaml"),
+      """type: network
+        |request:
+        |  method: POST
+        |  url: ["lit:http://127.0.0.1:9/none"]
+        |timeout: 1s
+        |body_rule: ./shape.yaml
+        |""".stripMargin)
+
+    Files.writeString(uiDir.resolve("index.html"), "<html>rulemorph ui</html>")
+    Files.writeString(uiDir.resolve("app.js"), "console.log('ui')")
+
+    server = UiServer.start(spark, UiServer.Config(
+      port = 0, dataDir = dataDir, uiDir = Some(uiDir),
+      rulesDir = Some(rulesDir), apiMode = "rules", uiEnabled = true))
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private def http(method: String, path: String, body: Option[String] = None)
+      : (Int, String, String) = {
+    val conn = URI.create(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes("UTF-8"))
+    }
+    val status = conn.getResponseCode
+    val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+    val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+    (status, text, Option(conn.getHeaderField("content-type")).getOrElse(""))
+  }
+
+  test("traces list is newest-first with meta fields") {
+    val (status, body, _) = http("GET", "/internal/traces")
+    assert(status == 200)
+    val traces = mapper.readTree(body).get("traces")
+    assert(traces.size == 2)
+    assert(traces.get(0).get("trace_id").asText == "t2") // 11:00 > 10:00
+    assert(traces.get(1).get("trace_id").asText == "t1")
+    assert(traces.get(1).get("duration_us").asLong == 1200L)
+    assert(traces.get(1).get("summary").get("record_total").asLong == 1L)
+  }
+
+  test("trace by id wraps the document; unknown id is a 404") {
+    val (status, body, _) = http("GET", "/internal/traces/t1")
+    assert(status == 200)
+    val t = mapper.readTree(body).get("trace")
+    assert(t.get("trace_id").asText == "t1")
+    assert(t.get("steps").get(0).get("rule").asText == "shape.yaml")
+    val (missing, err, _) = http("GET", "/internal/traces/nope")
+    assert(missing == 404 && err.contains("trace not found"))
+  }
+
+  test("api-graph has endpoint/network/normal nodes and step/body_rule edges") {
+    val (status, body, _) = http("GET", "/internal/api-graph")
+    assert(status == 200)
+    val g = mapper.readTree(body)
+    val kinds = g.get("nodes").elements()
+    val byId = new scala.collection.mutable.HashMap[String, String]
+    kinds.forEachRemaining(n => byId(n.get("id").asText) = n.get("kind").asText)
+    assert(byId("api_rules/endpoint.yaml") == "endpoint")
+    assert(byId("api_rules/fetch.yaml") == "network")
+    assert(byId("api_rules/shape.yaml") == "normal")
+    var sawStep = false; var sawBody = false
+    g.get("edges").elements().forEachRemaining { e =>
+      if (e.get("kind").asText == "endpoint" &&
+          e.get("target").asText == "api_rules/shape.yaml") sawStep = true
+      if (e.get("kind").asText == "ref" &&
+          e.get("label").asText == "body_rule") sawBody = true
+    }
+    assert(sawStep && sawBody)
+  }
+
+  test("/api/* routes through the rules-dir endpoint engine") {
+    val (status, body, _) = http("POST", "/api/shape", Some("""{"name":"  ada "}"""))
+    assert(status == 200)
+    assert(mapper.readTree(body).get("name").asText == "ADA")
+    val (nf, err, _) = http("GET", "/api/nothing-here")
+    assert(nf == 404 && err.contains("no endpoint matched"))
+  }
+
+  test("bundle import copies traces and rules then reports counts") {
+    val bundle = Files.createTempDirectory("ui_bundle")
+    Files.createDirectories(bundle.resolve("traces"))
+    Files.createDirectories(bundle.resolve("rules"))
+    Files.writeString(bundle.resolve("traces/t3.json"),
+      """{"trace_id":"t3","status":"success","timestamp":"2026-08-12T12:00:00Z"}""")
+    Files.writeString(bundle.resolve("rules/extra.yaml"), "version: 2\nmappings: []\n")
+    val bundleJson = mapper.writeValueAsString(
+      mapper.getNodeFactory.textNode(bundle.toString))
+    val (status, body, _) = http("POST", "/internal/import",
+      Some(s"""{"bundle_path":$bundleJson}"""))
+    assert(status == 200)
+    val r = mapper.readTree(body)
+    assert(r.get("imported").asInt == 1)
+    assert(r.get("trace_ids").get(0).asText == "t3")
+    assert(r.get("rules_imported").asInt == 1)
+    val (s2, l2, _) = http("GET", "/internal/traces")
+    assert(s2 == 200 && mapper.readTree(l2).get("traces").size == 3)
+  }
+
+  test("static UI serves assets and falls back to index.html for SPA routes") {
+    val (s1, b1, ct1) = http("GET", "/")
+    assert(s1 == 200 && b1.contains("rulemorph ui") && ct1.startsWith("text/html"))
+    val (s2, b2, ct2) = http("GET", "/app.js")
+    assert(s2 == 200 && b2.contains("console.log") && ct2 == "text/javascript")
+    val (s3, b3, _) = http("GET", "/some/spa/route")
+    assert(s3 == 200 && b3.contains("rulemorph ui"))
+  }
+
+  test("SSE stream sends the initial traces event") {
+    val conn = URI.create(s"http://127.0.0.1:$port/internal/stream").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setReadTimeout(5000)
+    assert(conn.getResponseCode == 200)
+    assert(conn.getHeaderField("content-type").startsWith("text/event-stream"))
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+    assert(in.readLine() == "event: traces")
+    assert(in.readLine() == "data: connected")
+    conn.disconnect()
+  }
+}
