@@ -88,10 +88,14 @@ object ApiGraph {
 
     val yamlFiles =
       if (!Files.isDirectory(base)) Nil
-      else Files.walk(base).iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
-        .toSeq.sortBy(_.toString)
+      else {
+        val stream = Files.walk(base)
+        try stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
+          .toVector.sortBy(_.toString)
+        finally stream.close()
+      }
 
     for (p <- yamlFiles) {
       val parsed =

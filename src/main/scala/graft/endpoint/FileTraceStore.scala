@@ -24,6 +24,16 @@ final class FileTraceStore(val dataDir: Path) {
   def tracesDir: Path = dataDir.resolve("traces")
   def rulesDir: Path = dataDir.resolve("rules")
 
+  /** Files under `dir`, with the walk stream closed eagerly (Files.walk
+    * holds directory handles until closed). */
+  private def walkFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.walk(dir)
+      try stream.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+      finally stream.close()
+    }
+
   final case class Meta(traceId: String, status: String, timestamp: Option[String],
       durationUs: Option[Long], rule: Option[JsonNode], summary: Option[JsonNode],
       path: Path) {
@@ -58,11 +68,7 @@ final class FileTraceStore(val dataDir: Path) {
     } catch { case NonFatal(_) => None }
 
   private def scan(): Seq[Meta] =
-    if (!Files.isDirectory(tracesDir)) Nil
-    else Files.walk(tracesDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
-      .flatMap(parseMeta)
-      .toSeq
+    walkFiles(tracesDir).filter(_.toString.endsWith(".json")).flatMap(parseMeta)
 
   /** All trace metas, newest timestamp first (None timestamps last). */
   def list(): Seq[Meta] =
@@ -75,27 +81,22 @@ final class FileTraceStore(val dataDir: Path) {
   /** Copy the bundle's traces and rules trees into the data dir.
     * Returns (imported trace count, their ids, rule files imported). */
   def importBundle(bundlePath: Path): (Int, Seq[String], Int) = {
-    def copyTree(src: Path, dest: Path, keep: Path => Boolean): Seq[Path] =
-      if (!Files.isDirectory(src)) Nil
-      else Files.walk(src).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && keep(p))
-        .map { p =>
-          val target = dest.resolve(src.relativize(p))
-          Files.createDirectories(target.getParent)
-          Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          target
-        }.toSeq
-    val traceFiles = copyTree(bundlePath.resolve("traces"), tracesDir, _ => true)
+    def copyTree(src: Path, dest: Path): Seq[Path] =
+      walkFiles(src).map { p =>
+        val target = dest.resolve(src.relativize(p))
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        target
+      }
+    val traceFiles = copyTree(bundlePath.resolve("traces"), tracesDir)
     val imported = traceFiles.filter(_.toString.endsWith(".json")).flatMap(parseMeta)
-    val ruleFiles = copyTree(bundlePath.resolve("rules"), rulesDir, _ => true)
+    val ruleFiles = copyTree(bundlePath.resolve("rules"), rulesDir)
     (imported.size, imported.map(_.traceId), ruleFiles.size)
   }
 
   /** A change stamp for the SSE watcher: max mtime over trace files. */
   def changeStamp(): Long =
-    if (!Files.isDirectory(tracesDir)) 0L
-    else Files.walk(tracesDir).iterator().asScala
-      .filter(Files.isRegularFile(_))
+    walkFiles(tracesDir)
       .map(p => Files.getLastModifiedTime(p).toMillis)
       .foldLeft(0L)(math.max)
 

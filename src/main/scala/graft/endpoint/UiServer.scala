@@ -46,17 +46,22 @@ object UiServer {
       else {
         val dir = config.rulesDir.getOrElse(config.dataDir.resolve("api_rules"))
         if (!Files.isDirectory(dir)) Nil
-        else Files.walk(dir).iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
-          .toSeq.sortBy(_.toString)
-          .filter { p =>
+        else {
+          val stream = Files.walk(dir)
+          val files =
+            try stream.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
+              .toVector.sortBy(_.toString)
+            finally stream.close()
+          files.filter { p =>
             try EndpointModel.parseRuleKind(Files.readString(p))
               .isInstanceOf[EndpointModel.EndpointRule]
             catch { case NonFatal(_) => false }
           }
           .map(p => new EndpointEngine(spark, p.toString,
             s"http://127.0.0.1:${config.port}"))
+        }
       }
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", config.port), 0)
