@@ -41,6 +41,42 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("L2Normalize equals the aggregate-norm + transform-divide form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(20)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v")
+    val nrm = sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val rows = df.select(
+      VectorOps.l2Normalize(col("v")).as("native"),
+      transform(col("v"), x => x / nrm).as("legacy")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"normalize drift: $r")
+    }
+  }
+
+  test("NearestClusters equals the struct-array sort combinator form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.fill(30)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val cents = Seq.fill(7)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v")
+    def distTo(c: Seq[Double]) =
+      aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val structs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(distTo(c).as("dist"), lit(i.toLong).as("cl"))
+    }: _*)
+    val legacy = slice(transform(array_sort(structs), s => s.getField("cl")), 1, 3)
+    val rows = df.select(
+      VectorOps.nearestClusters(col("v"), cents, 3).as("native"),
+      legacy.as("legacy")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"argmin drift: $r")
+    }
+  }
+
   test("CosineSimilarity equals the sequential aggregate/zip_with fold") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
