@@ -53,6 +53,34 @@ object StreamOps {
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
+  /** Streaming near-dedup for a document stream: the SimHash-64 signature
+    * (native one-pass expression) keys the built-in streaming dedup, so
+    * bag-of-words-identical / near-identical documents collapse to their
+    * first arrival within the watermark horizon. A narrow projection plus
+    * Spark's keyed dedup state — no joins, state bounded by the watermark.
+    * The batch MinHash/LSH family stays the high-recall path; this is the
+    * cheap in-flight filter a training-data ingest stream runs first. */
+  def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("simhash", graft.operators.Dedup.simhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("simhash")
+
+  /** Streaming ingest gate: per-document quality metrics (narrow, codegen)
+    * + threshold filter — the first stage of a streaming training-data
+    * pipeline. Composes with [[streamingNearDedup]] and [[ruleStream]]. */
+  def qualityGate(docs: DataFrame, textCol: String, minQuality: Double,
+      lang: Option[String] = None): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val enriched = docs
+      .withColumn("quality", TA.qualityScore(col(textCol)))
+      .withColumn("lang_guess", TA.langId(col(textCol)))
+      .withColumn("n_tokens", TA.tokenCount(col(textCol)))
+    val gated = enriched.filter(col("quality") >= minQuality)
+    lang.fold(gated)(l => gated.filter(col("lang_guess") === l))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState (the operation the
     * built-in windows can't express: variable-length inactivity-gap
     * sessions). Event-time timeout closes a session once the watermark

@@ -59,6 +59,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](StreamOps.ruleStream(withFinalize, stream))
   }
 
+  test("streaming near-dedup collapses simhash-identical docs; quality gate filters") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-docs").toFile.getAbsolutePath
+    // doc 2 is a word-order shuffle of doc 1 (same bag of words -> same
+    // simhash); doc 3 is distinct; doc 4 is low-quality (one token)
+    Seq(
+      (1L, "2024-01-01 10:00:01", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "2024-01-01 10:00:02", "again and again the lazy dog jumps over the quick brown fox"),
+      (3L, "2024-01-01 10:00:03", "a completely different document about spark and the engine design"),
+      (4L, "2024-01-01 10:00:04", "x"))
+      .toDF("doc_id", "ts_s", "text")
+      .select(col("doc_id"), to_timestamp(col("ts_s")).as("ts"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+
+    val deduped = StreamOps.streamingNearDedup(stream, "text", "ts", "10 minutes")
+    val gated = StreamOps.qualityGate(deduped, "text", minQuality = 0.4)
+    val q = gated.select("doc_id", "quality", "lang_guess")
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("ingest_out").orderBy("doc_id").collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    // 2 collapsed into 1 (same simhash); 4 dropped by the quality gate
+    assert(ids == Seq(1L, 3L) || ids == Seq(2L, 3L), s"got $ids")
+    assert(rows.forall(_.getDouble(1) >= 0.4))
+  }
+
   test("watermarked windowed counts over a stream match the batch plan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-ev").toFile.getAbsolutePath
