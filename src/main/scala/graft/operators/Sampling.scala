@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic hash-based sampling and splitting for training-data
+  * pipelines. Random sampling (`df.sample`) is seed- and partitioning-
+  * dependent; a content-hash bucket is reproducible everywhere, stable
+  * under repartitioning and re-runs, and trivially auditable — the
+  * standard way to cut train/validation/test splits at corpus scale.
+  * All narrow projections, zero shuffle. */
+object Sampling {
+
+  /** Stable bucket in [0, mod): the top 60 bits of md5(key) — the same
+    * md5-prefix-to-long construction the SimHash family uses, so the
+    * DuckDB oracle spells it as ('0x' || substr(md5(x), 1, 15))::BIGINT. */
+  def hashBucket(key: Column, mod: Int): Column =
+    (conv(substring(md5(key.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % mod).cast(LongType)
+
+  /** train/test assignment: bucket < trainPct of 100 → "train". */
+  def trainTestSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol), 100))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train")).otherwise(lit("test")))
+
+  /** Deterministic pct% subsample. */
+  def sample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < pct)
+}

@@ -101,6 +101,29 @@ object Pipeline {
         nlist = IvfNlist, iters = IvfIters, threshold = SemDedupThreshold)
       .orderBy("da", "db")
 
+  /** Exact grouped percentiles of document token counts — corpus length
+    * diagnostics. Spark `percentile` and DuckDB `quantile_cont` both do
+    * linear interpolation on the sorted values, so the result is exact
+    * and hash-comparable (arrays avoided: one column per percentile). */
+  def docPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        TA.tokenCount(col("text")).cast("double").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n"), lit(0.5)).as("p50"),
+        percentile(col("n"), lit(0.9)).as("p90"),
+        percentile(col("n"), lit(0.99)).as("p99"))
+      .orderBy("lang")
+
+  /** Deterministic md5-bucket train/test assignment per document. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.trainTestSplit(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", trainPct = 90)
+      .select("doc_id", "lang", "bucket", "split")
+      .orderBy("doc_id")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -123,7 +146,9 @@ object Pipeline {
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_embedding_dedup"  -> (embeddingDedup _),
-    "q_token_stats"      -> (tokenStats _))
+    "q_token_stats"      -> (tokenStats _),
+    "q_doc_percentiles"  -> (docPercentiles _),
+    "q_train_split"      -> (trainSplit _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -239,6 +264,18 @@ object Pipeline {
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_embedding_dedup" -> semDedupSql,
+    "q_doc_percentiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.5) AS p50,
+        |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.9) AS p90,
+        |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_train_split" ->
+      """SELECT doc_id, lang,
+        |       ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+        |       CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |            THEN 'train' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
