@@ -144,6 +144,78 @@ object Dedup {
     jaccardFromPairs(pairs, threshold)
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair list: connected components
+    * labeled by each component's minimum doc id — a unique fixpoint, so
+    * the result is deterministic under any execution schedule.
+    *
+    * The pair list is orders of magnitude smaller than the corpus (it only
+    * holds actual duplicates), so the default path collects it and runs
+    * union-find on the driver — one Spark job total. When the list exceeds
+    * `driverLimit`, the classic distributed min-label propagation takes
+    * over: each iteration is one equi-join plus one min-aggregate,
+    * converging in O(diameter) iterations (near-dup clusters are shallow).
+    * Both paths compute the same fixpoint.
+    * Input: (da, db) pairs with da < db. Output: (doc_id, canonical_id)
+    * for every document that has at least one duplicate. */
+  def duplicateClusters(pairs: DataFrame, driverLimit: Int = 1 << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val firstBatch = pairs.select(col("da").cast("long"), col("db").cast("long"))
+      .limit(driverLimit + 1).as[(Long, Long)].collect()
+    if (firstBatch.length <= driverLimit) {
+      // driver union-find with path compression; root = component minimum
+      // because union always hangs the larger id under the smaller
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((a, b) <- firstBatch) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        } else parent.getOrElseUpdate(ra, ra)
+      }
+      val nodes = firstBatch.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      nodes.map(n => (n, find(n))).toDF("doc_id", "canonical_id")
+    } else distributedClusters(pairs)
+  }
+
+  /** Distributed min-label propagation (the >driverLimit path): labels
+    * converge to the per-component minimum; the driver only ever sees a
+    * changed-count per iteration. */
+  private def distributedClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .cache() // reused every iteration
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var converged = false
+    while (!converged) {
+      // min over self + neighbors' labels
+      val viaNeighbor = edges
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
+        .select(col("a").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    // the final label table stays cached (it is already materialized by the
+    // convergence count, and it is tiny — one row per duplicated doc);
+    // unpersisting it would force a full re-run of the iterative lineage
+    // when the caller consumes the result
+    labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
   /** Oracle-reproducible SimHash: each token hashed to 60 bits of its md5
     * (a hash both this engine and any SQL oracle can compute), per-bit ±1
     * sums signed into the signature. All of a document's tokens live in its

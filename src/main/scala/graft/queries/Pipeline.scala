@@ -69,6 +69,15 @@ object Pipeline {
         n = 3, k = 64, bands = 16, threshold = 0.8)
       .orderBy("da", "db")
 
+  /** Near-dup CLUSTERS: MinHash-LSH pairs → connected components, one
+    * (doc, canonical) row per duplicated document. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id",
+          n = 3, k = 64, bands = 16, threshold = 0.8)
+          .select("da", "db"))
+      .orderBy("doc_id")
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
       .withColumnRenamed("doc", "doc_id")
@@ -141,6 +150,7 @@ object Pipeline {
     "q_dedup_keep_first" -> (dedupKeepFirst _),
     "q_ngram_jaccard"    -> (ngramJaccard _),
     "q_minhash_dedup"    -> (minhashDedup _),
+    "q_dedup_clusters"   -> (dedupClusters _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_similarity_lsh"   -> (similarityLsh _),
@@ -334,6 +344,17 @@ object Pipeline {
     // threshold (16 bands × 4 rows ⇒ detection p > 0.999 at j ≥ 0.8, and the
     // pipeline is fully deterministic) — so it shares the exact-Jaccard oracle.
     "q_minhash_dedup" -> jaccardSql,
+    // Clusters: transitive closure of the same pair list via a recursive
+    // CTE; min-label per component is the unique fixpoint the distributed
+    // label propagation converges to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT da a, db b FROM jp UNION SELECT db a, da b FROM jp),
+         |reach AS (SELECT a AS node, a AS reachable FROM edges
+         |          UNION
+         |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable)
+         |SELECT node AS doc_id, MIN(reachable) AS canonical_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q_similarity_topk" ->
       """SELECT qid, rank, cid, sim FROM (
         |  SELECT q.vec_id qid, c.vec_id cid,
