@@ -78,6 +78,30 @@ object Pipeline {
           .select("da", "db"))
       .orderBy("doc_id")
 
+  /** The composed training-data cleaning pipeline, end to end: quality
+    * gate → exact dedup (keep the lowest doc_id per md5 digest) → near-dup
+    * removal (drop every non-canonical member of a MinHash cluster).
+    * Output: the surviving corpus (doc_id, lang, quality). */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+        TA.qualityScore(col("text")).as("quality"))
+      .filter(col("quality") >= 0.4)
+    // exact: one survivor per digest
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    val exactKept = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "text")
+    // near: drop non-canonical cluster members
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashDupPairs(docs, "text", "doc_id",
+        n = 3, k = 64, bands = 16, threshold = 0.8).select("da", "db"))
+    val nonCanonical = clusters.filter(col("doc_id") =!= col("canonical_id"))
+      .select("doc_id")
+    exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
       .withColumnRenamed("doc", "doc_id")
@@ -151,6 +175,7 @@ object Pipeline {
     "q_ngram_jaccard"    -> (ngramJaccard _),
     "q_minhash_dedup"    -> (minhashDedup _),
     "q_dedup_clusters"   -> (dedupClusters _),
+    "q_clean_corpus"     -> (cleanCorpus _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_similarity_lsh"   -> (similarityLsh _),
@@ -344,6 +369,34 @@ object Pipeline {
     // threshold (16 bands × 4 rows ⇒ detection p > 0.999 at j ≥ 0.8, and the
     // pipeline is fully deterministic) — so it shares the exact-Jaccard oracle.
     "q_minhash_dedup" -> jaccardSql,
+    // The composed cleaning pipeline: quality gate, exact keep-first by
+    // md5 digest, near-dup removal via the same recursive transitive
+    // closure; each stage reuses an already-oracled expression.
+    "q_clean_corpus" -> {
+      val qualityExpr =
+        s"""(LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+           | + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
+           | + LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS($stopList, x))) AS DOUBLE)
+           |         / LEN(STRING_SPLIT(text, ' ')) * 5.0, 1.0)) / 3.0""".stripMargin
+      s"""WITH RECURSIVE passed AS (
+         |  SELECT doc_id, lang, text, $qualityExpr AS quality
+         |  FROM documents
+         |  WHERE $qualityExpr >= 0.4),
+         |exact_kept AS (SELECT doc_id, lang, quality FROM (
+         |  SELECT doc_id, lang, quality,
+         |         ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) rn
+         |  FROM passed) WHERE rn = 1),
+         |jp AS ($jaccardSql),
+         |edges AS (SELECT da a, db b FROM jp UNION SELECT db a, da b FROM jp),
+         |reach AS (SELECT a AS node, a AS reachable FROM edges
+         |          UNION
+         |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
+         |noncanon AS (SELECT node FROM (
+         |  SELECT node, MIN(reachable) m FROM reach GROUP BY node) WHERE node <> m)
+         |SELECT doc_id, lang, quality FROM exact_kept
+         |WHERE doc_id NOT IN (SELECT node FROM noncanon)
+         |ORDER BY doc_id""".stripMargin
+    },
     // Clusters: transitive closure of the same pair list via a recursive
     // CTE; min-label per component is the unique fixpoint the distributed
     // label propagation converges to.
