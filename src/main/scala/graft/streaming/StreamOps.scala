@@ -63,7 +63,7 @@ object StreamOps {
   def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String): DataFrame =
     docs
-      .withColumn("simhash", graft.operators.Dedup.simhash64(col(textCol)))
+      .withColumn("simhash", graft.functions.Md5SimHash.simhash(col(textCol), 60))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("simhash")
 
