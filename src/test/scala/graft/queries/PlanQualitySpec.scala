@@ -61,6 +61,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rule plan did not prune unused columns: $readSchema")
   }
 
+  test("sampling and token stats are narrow: no Exchange, pruned scans") {
+    val docs = graft.Tables.documents(spark, dir)
+    val splitPlan = planOf(graft.operators.Sampling.trainTestSplit(
+      docs.select("doc_id", "lang"), "doc_id", 90))
+    assert(!splitPlan.contains("Exchange"),
+      s"hash-bucket split must not shuffle:\n$splitPlan")
+    val tokPlan = planOf(Pipeline.tokenStats(spark, dir).limit(1))
+    val readSchema = tokPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"token stats must scan only doc_id+text: $readSchema")
+  }
+
+  test("SemDeDup pairs join only on the cluster id — never all-pairs") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val plan = planOf(graft.operators.Ivf.semDedupPairs(
+      emb, "vec_id", "embedding", nlist = 10, iters = 1, threshold = 0.35))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup must not build an all-pairs join:\n$plan")
+    assert(plan.contains("rm_nearest_clusters") && plan.contains("rm_cosine_similarity"),
+      s"expected native assignment + cosine in:\n$plan")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement
