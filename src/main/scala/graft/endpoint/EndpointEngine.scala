@@ -479,20 +479,38 @@ object EndpointEngine {
     extends RuntimeException(error.message)
 }
 
-/** Bounded in-memory request trace store (reference trace_store.rs:45-180
-  * re-expressed without the filesystem dependency): every handled request
-  * appends {id, method, path, status, duration_us, steps[], error?}; the
-  * admin surface lists and fetches them. */
-final class TraceStore(capacity: Int = 1000) {
+/** Bounded in-memory request trace store (reference trace_store.rs:45-180):
+  * every handled request appends {id, method, path, status, duration_us,
+  * steps[], error?}; the admin surface lists and fetches them. With a
+  * `persistDir` (the UI server's data_dir/traces), each trace is also
+  * written as a JSON file so the `/internal/traces` file store sees it —
+  * the reference wires its engine to the same data-dir store. */
+final class TraceStore(capacity: Int = 1000,
+    persistDir: Option[java.nio.file.Path] = None) {
   private val mapper = new ObjectMapper()
   private val entries = new java.util.ArrayDeque[JsonNode]()
   private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private val startedAt = System.currentTimeMillis() // uniquify file ids across restarts
 
   private[endpoint] def append(node: ObjectNode): String = synchronized {
     val id = s"trace-${counter.incrementAndGet()}"
     node.put("id", id)
     entries.addLast(node)
     if (entries.size > capacity) entries.removeFirst()
+    persistDir.foreach { dir =>
+      val fileId = s"trace-$startedAt-${counter.get()}"
+      val persisted = node.deepCopy[ObjectNode]()
+      persisted.put("trace_id", fileId)
+      persisted.put("timestamp", java.time.Instant.now().toString)
+      // the engine marks "ok"/"error"; keep the file store's vocabulary
+      persisted.put("status",
+        if (node.path("status").asText == "ok") "success" else "error")
+      try {
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.writeString(dir.resolve(s"$fileId.json"),
+          mapper.writeValueAsString(persisted))
+      } catch { case scala.util.control.NonFatal(_) => () } // tracing is best-effort
+    }
     id
   }
 

@@ -60,7 +60,10 @@ object UiServer {
             catch { case NonFatal(_) => false }
           }
           .map(p => new EndpointEngine(spark, p.toString,
-            s"http://127.0.0.1:${config.port}"))
+            s"http://127.0.0.1:${config.port}",
+            // /api traces land in the data dir so /internal/traces sees
+            // them, matching the reference's shared data-dir store
+            new TraceStore(persistDir = Some(store.tracesDir))))
         }
       }
 

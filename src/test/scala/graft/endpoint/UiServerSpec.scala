@@ -138,12 +138,22 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sawStep && sawBody)
   }
 
-  test("/api/* routes through the rules-dir endpoint engine") {
+  test("/api/* routes through the rules-dir endpoint engine and leaves a trace") {
     val (status, body, _) = http("POST", "/api/shape", Some("""{"name":"  ada "}"""))
     assert(status == 200)
     assert(mapper.readTree(body).get("name").asText == "ADA")
     val (nf, err, _) = http("GET", "/api/nothing-here")
     assert(nf == 404 && err.contains("no endpoint matched"))
+    // the request's trace is persisted into the data dir and served by
+    // the internal trace API (the reference's shared data-dir store)
+    val (ts, tl, _) = http("GET", "/internal/traces")
+    assert(ts == 200)
+    val traces = mapper.readTree(tl).get("traces").elements()
+    var sawApi = false
+    traces.forEachRemaining { t =>
+      if (t.get("trace_id").asText.startsWith("trace-")) sawApi = true
+    }
+    assert(sawApi, s"expected a persisted /api trace in: $tl")
   }
 
   test("bundle import copies traces and rules then reports counts") {
@@ -162,8 +172,14 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.get("imported").asInt == 1)
     assert(r.get("trace_ids").get(0).asText == "t3")
     assert(r.get("rules_imported").asInt == 1)
+    // t3 is now indexed (other tests may have persisted /api traces too,
+    // so check membership rather than an exact count)
     val (s2, l2, _) = http("GET", "/internal/traces")
-    assert(s2 == 200 && mapper.readTree(l2).get("traces").size == 3)
+    assert(s2 == 200)
+    val ids = scala.collection.mutable.Set.empty[String]
+    mapper.readTree(l2).get("traces").elements()
+      .forEachRemaining(t => ids += t.get("trace_id").asText)
+    assert(Set("t1", "t2", "t3").subsetOf(ids), s"got $ids")
   }
 
   test("static UI serves assets and falls back to index.html for SPA routes") {
