@@ -157,6 +157,24 @@ object Pipeline {
       .select("doc_id", "lang", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Vocabulary building: the top-10 BPE tokens per language by frequency
+    * (count desc, token asc tiebreak) — explode is a narrow map, the
+    * count is one map-side-combined shuffle on (lang, token), the top-k
+    * is a bounded per-group window. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(TA.bpeTokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank").cast(LongType).as("rank"),
+        col("token"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -183,7 +201,8 @@ object Pipeline {
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
     "q_doc_percentiles"  -> (docPercentiles _),
-    "q_train_split"      -> (trainSplit _))
+    "q_train_split"      -> (trainSplit _),
+    "q_vocab_topk"       -> (vocabTopK _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -305,6 +324,14 @@ object Pipeline {
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.9) AS p90,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_vocab_topk" ->
+      s"""WITH toks AS (SELECT lang, UNNEST(regexp_extract_all(text, '${TA.bpePattern}')) AS token FROM documents),
+         |counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+         |ranked AS (SELECT lang, token, n,
+         |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+         |           FROM counts)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, token, n
+         |FROM ranked WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id, lang,
         |       ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
