@@ -144,6 +144,28 @@ object Dedup {
     jaccardFromPairs(pairs, threshold)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any n-gram
+    * with a benchmark set — the standard pre-training hygiene pass. The
+    * benchmark side is tiny (a few hundred eval documents), so its
+    * distinct shingle hashes broadcast and the check is one broadcast
+    * semi-join against the corpus shingles: a narrow scan of the corpus,
+    * no corpus-side shuffle. Output: (doc_id, n_hits) per contaminated
+    * corpus document. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val corpusSh = shingleRowsOf(corpus, textCol, idCol, n)
+    val benchSh = shingleRowsOf(benchmark, textCol, idCol, n)
+      .select(col("h")).distinct()
+    corpusSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  private def shingleRowsOf(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n)).as("h"))
+
   /** Duplicate CLUSTERS from a near-dup pair list: connected components
     * labeled by each component's minimum doc id — a unique fixpoint, so
     * the result is deterministic under any execution schedule.

@@ -102,6 +102,17 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
+    * 3-gram with the "benchmark" docs (doc_id < 10), with hit counts. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminatedDocs(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
       .withColumnRenamed("doc", "doc_id")
@@ -194,6 +205,7 @@ object Pipeline {
     "q_minhash_dedup"    -> (minhashDedup _),
     "q_dedup_clusters"   -> (dedupClusters _),
     "q_clean_corpus"     -> (cleanCorpus _),
+    "q_decontaminate"    -> (decontaminate _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_similarity_lsh"   -> (similarityLsh _),
@@ -324,6 +336,18 @@ object Pipeline {
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.9) AS p90,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // shingle sets are hashed on the Spark side (xxhash64) and literal on
+    // the oracle side; the (doc, matched-distinct-shingle) sets coincide,
+    // so the per-doc hit counts agree.
+    "q_decontaminate" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
+        |SELECT x.doc_id, COUNT(*) AS n_hits
+        |FROM sh x JOIN bench b ON x.s = b.s
+        |WHERE x.doc_id >= 10
+        |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT lang, UNNEST(regexp_extract_all(text, '${TA.bpePattern}')) AS token FROM documents),
          |counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
