@@ -84,6 +84,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected native assignment + cosine in:\n$plan")
   }
 
+  test("decontamination joins via broadcast; vocab top-k shuffles once") {
+    val docs = graft.Tables.documents(spark, dir)
+    val decon = planOf(graft.operators.Dedup.contaminatedDocs(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 10),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10),
+      "text", "doc_id", n = 3))
+    assert(decon.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$decon")
+    val vocab = planOf(Pipeline.vocabTopK(spark, dir).limit(1))
+    // explode + partial agg are narrow; the count and the window share the
+    // (lang, token)→lang shuffles — anything beyond 3 exchanges (partial
+    // agg, window repartition, final order) signals a regression
+    val exchanges = vocab.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"vocab top-k shuffled $exchanges times:\n$vocab")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement
