@@ -81,6 +81,21 @@ object StreamOps {
     lang.fold(gated)(l => gated.filter(col("lang_guess") === l))
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events for the same key whose timestamp lies within
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks and
+    * the join condition bounds the time range, so Spark can expire state
+    * on both sides — the joinable shape for unbounded × unbounded. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, watermark: String, before: String, after: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).as("l")
+    val r = right.withWatermark(tsCol, watermark).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $after"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState (the operation the
     * built-in windows can't express: variable-length inactivity-gap
     * sessions). Event-time timeout closes a session once the watermark

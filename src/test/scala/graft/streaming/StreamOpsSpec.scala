@@ -59,6 +59,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](StreamOps.ruleStream(withFinalize, stream))
   }
 
+  test("stream-stream interval join pairs events within the window, drops outside") {
+    import spark.implicits._
+    val ldir = Files.createTempDirectory("ss-left").toFile.getAbsolutePath
+    val rdir = Files.createTempDirectory("ss-right").toFile.getAbsolutePath
+    Seq((1L, "2024-01-01 10:00:00", "click"))
+      .toDF("uid", "ts_s", "kind")
+      .select(col("uid"), to_timestamp(col("ts_s")).as("ts"), col("kind"))
+      .write.mode("overwrite").parquet(ldir)
+    Seq(
+      (1L, "2024-01-01 10:00:30", "page_a"),  // within +1 minute
+      (1L, "2024-01-01 10:05:00", "page_b"),  // outside
+      (2L, "2024-01-01 10:00:10", "page_c"))  // wrong key
+      .toDF("uid", "ts_s", "page")
+      .select(col("uid"), to_timestamp(col("ts_s")).as("ts"), col("page"))
+      .write.mode("overwrite").parquet(rdir)
+
+    val lschema = spark.read.parquet(ldir).schema
+    val rschema = spark.read.parquet(rdir).schema
+    val joined = StreamOps.intervalJoin(
+      spark.readStream.schema(lschema).parquet(ldir),
+      spark.readStream.schema(rschema).parquet(rdir),
+      "uid", "ts", watermark = "10 minutes", before = "0 seconds", after = "1 minute")
+    val q = joined.select(col("l.uid"), col("kind"), col("page"))
+      .writeStream.format("memory").queryName("ssjoin_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("ssjoin_out").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(2) == "page_a")
+  }
+
   test("streaming near-dedup collapses simhash-identical docs; quality gate filters") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-docs").toFile.getAbsolutePath
