@@ -48,9 +48,14 @@ object Mcp {
               Some(errorResponse(mapper.nullNode(), -32700, "Parse error"))
           }
         response.foreach { r =>
-          val body = mapper.writeValueAsString(r)
-          if (contentLength) out.print(s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body")
-          else out.println(body)
+          // write explicit UTF-8 bytes: PrintStream.print would encode in
+          // the platform charset, desyncing the byte-counted framing on
+          // any non-UTF-8 locale
+          val bodyBytes = mapper.writeValueAsString(r).getBytes("UTF-8")
+          if (contentLength)
+            out.write(s"Content-Length: ${bodyBytes.length}\r\n\r\n".getBytes("UTF-8"))
+          out.write(bodyBytes)
+          if (!contentLength) out.write('\n')
           out.flush()
         }
       }
