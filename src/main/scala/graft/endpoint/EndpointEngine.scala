@@ -490,7 +490,11 @@ final class TraceStore(capacity: Int = 1000,
   private val mapper = new ObjectMapper()
   private val entries = new java.util.ArrayDeque[JsonNode]()
   private val counter = new java.util.concurrent.atomic.AtomicLong()
-  private val startedAt = System.currentTimeMillis() // uniquify file ids across restarts
+  // uniquify file ids across restarts AND across stores sharing one
+  // persist dir (the ui server builds one engine per endpoint rule file;
+  // same-millis startedAt values would collide and overwrite traces)
+  private val storeNonce =
+    java.lang.Long.toUnsignedString(new java.security.SecureRandom().nextLong(), 36)
 
   private[endpoint] def append(node: ObjectNode): String = synchronized {
     val id = s"trace-${counter.incrementAndGet()}"
@@ -498,7 +502,7 @@ final class TraceStore(capacity: Int = 1000,
     entries.addLast(node)
     if (entries.size > capacity) entries.removeFirst()
     persistDir.foreach { dir =>
-      val fileId = s"trace-$startedAt-${counter.get()}"
+      val fileId = s"trace-$storeNonce-${counter.get()}"
       val persisted = node.deepCopy[ObjectNode]()
       persisted.put("trace_id", fileId)
       persisted.put("timestamp", java.time.Instant.now().toString)

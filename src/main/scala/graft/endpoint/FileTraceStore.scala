@@ -74,9 +74,23 @@ final class FileTraceStore(val dataDir: Path) {
   def list(): Seq[Meta] =
     scan().sortBy(m => m.timestamp.getOrElse(""))(Ordering[String].reverse)
 
-  /** The full trace document by id. */
-  def get(traceId: String): Option[JsonNode] =
-    scan().find(_.traceId == traceId).map(m => mapper.readTree(Files.readString(m.path)))
+  /** The full trace document by id: `<id>.json` directly when the file is
+    * named after its trace_id (the engine's persisted traces are), else a
+    * lazy scan that stops at the first id match — never a full-store
+    * parse per lookup. */
+  def get(traceId: String): Option[JsonNode] = {
+    val direct = tracesDir.resolve(s"$traceId.json").normalize()
+    if (direct.startsWith(tracesDir.normalize()) && Files.isRegularFile(direct)) {
+      val doc = mapper.readTree(Files.readString(direct))
+      val idField = Option(doc.get("trace_id")).filter(_.isTextual).map(_.asText)
+      if (idField.forall(_ == traceId)) return Some(doc)
+    }
+    walkFiles(tracesDir).iterator
+      .filter(_.toString.endsWith(".json"))
+      .flatMap(p => parseMeta(p).filter(_.traceId == traceId))
+      .nextOption()
+      .map(m => mapper.readTree(Files.readString(m.path)))
+  }
 
   /** Copy the bundle's traces and rules trees into the data dir.
     * Returns (imported trace count, their ids, rule files imported). */
@@ -94,11 +108,16 @@ final class FileTraceStore(val dataDir: Path) {
     (imported.size, imported.map(_.traceId), ruleFiles.size)
   }
 
-  /** A change stamp for the SSE watcher: max mtime over trace files. */
-  def changeStamp(): Long =
-    walkFiles(tracesDir)
+  /** A change stamp for the SSE watcher: (max mtime, file count) folded
+    * into one value, so deletions and multiple writes within one mtime
+    * granule still move the stamp. */
+  def changeStamp(): Long = {
+    val files = walkFiles(tracesDir)
+    val maxMtime = files
       .map(p => Files.getLastModifiedTime(p).toMillis)
       .foldLeft(0L)(math.max)
+    maxMtime * 31L + files.size
+  }
 
   def listJson: String = {
     val arr: ArrayNode = mapper.createArrayNode()

@@ -51,7 +51,7 @@ object Ivf {
   /** id + raw double vector + L2-normalized vector (native one-pass). */
   def base(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val raw = asDouble(col(vecCol))
-    emb.select(col(idCol).as("id"), raw.as("raw"))
+    emb.select(col(idCol).cast(LongType).as("id"), raw.as("raw"))
       .withColumn("e", graft.functions.VectorOps.l2Normalize(col("raw")))
   }
 
@@ -65,16 +65,31 @@ object Ivf {
       .setScale(18, java.math.RoundingMode.HALF_UP)
 
   /** Deterministic spherical k-means, trained driver-side from ONE collect
-    * of the (id, normalized-vector) pairs — the FAISS pattern (at 100 TB
-    * the input here is a bounded sample, not the corpus). Means sum in
-    * exact decimals (same cast semantics as a distributed decimal SUM);
+    * of the (id, normalized-vector) pairs — the FAISS pattern. Past
+    * `maxTrainRows` the training set is a deterministic md5-bucket
+    * subsample (assignment/search still cover the full corpus), keeping
+    * the driver footprint bounded at any corpus size. Means sum in exact
+    * decimals (same cast semantics as a distributed decimal SUM);
     * assignment reuses the same loop the native expression runs, so the
-    * oracle's distributed restatement produces identical centroids. */
-  def centroids(b: DataFrame, nlist: Int, iters: Int): Seq[Seq[Double]] = {
-    val rows = b.select(col("id"), col("e")).collect()
-    val ids = rows.map(_.getLong(0))
-    val vecs = rows.map(_.getSeq[Double](1).toArray)
-    val dims = if (vecs.isEmpty) 0 else vecs(0).length
+    * oracle's distributed restatement produces identical centroids.
+    * Vectors with non-finite coordinates (e.g. a zero-norm embedding
+    * normalized to NaN) are excluded from training — they would poison
+    * every mean they touch. */
+  def centroids(b: DataFrame, nlist: Int, iters: Int,
+      maxTrainRows: Int = 1 << 20): Seq[Seq[Double]] = {
+    val total = b.count()
+    val trainDf =
+      if (total <= maxTrainRows) b
+      else {
+        // deterministic hash-bucket subsample sized to the budget
+        val pct = math.max(1, (maxTrainRows * 100L / total).toInt)
+        b.filter(Sampling.hashBucket(col("id"), 100) < pct)
+      }
+    val rows = trainDf.select(col("id").cast("long"), col("e")).collect()
+    val all = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val (ids, vecs) = all.filter(_._2.forall(java.lang.Double.isFinite)).unzip
+    require(vecs.nonEmpty, "IVF training needs at least one finite vector")
+    val dims = vecs(0).length
 
     def means(assignOf: Int => Int): Array[Array[Double]] = {
       val sums = Array.fill(nlist, dims)(java.math.BigDecimal.ZERO)
@@ -93,7 +108,9 @@ object Ivf {
       Array.tabulate(nlist, dims)((cl, d) => sums(cl)(d).doubleValue / counts(cl))
     }
 
-    val init = means(i => (ids(i) % nlist).toInt)
+    // floorMod so negative ids seed a valid group (the oracle's `%` is
+    // spelled ((id % n) + n) % n for the same behavior)
+    val init = means(i => java.lang.Math.floorMod(ids(i), nlist.toLong).toInt)
     val trained = (1 to iters).foldLeft(init) { (cents, _) =>
       means(i => graft.functions.NearestClusters.compute(vecs(i), cents, 1)(0).toInt)
     }

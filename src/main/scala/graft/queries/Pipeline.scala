@@ -295,7 +295,7 @@ object Pipeline {
     sb ++= s"""WITH rawv AS (SELECT vec_id id, CAST(embedding AS DOUBLE[]) raw FROM embeddings),
               |base AS (SELECT id, raw, LIST_TRANSFORM(raw, x -> x / sqrt($normChain)) e FROM rawv),
               |ex AS (SELECT id, d, e[d+1] v FROM base, UNNEST(RANGE($dims)) t(d)),
-              |c0 AS (SELECT id % $IvfNlist cl, d, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM ex GROUP BY 1,2),
+              |c0 AS (SELECT ((id % $IvfNlist) + $IvfNlist) % $IvfNlist cl, d, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM ex GROUP BY 1,2),
               |cent0 AS (SELECT cl, LIST(cv ORDER BY d) c FROM c0 GROUP BY cl)""".stripMargin
     var prev = "cent0"
     for (it <- 1 to IvfIters) {

@@ -53,19 +53,22 @@ object StreamOps {
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
-  /** Streaming near-dedup for a document stream: the SimHash-64 signature
+  /** Streaming near-dedup for a document stream: the SimHash signature
     * (native one-pass expression) keys the built-in streaming dedup, so
     * bag-of-words-identical / near-identical documents collapse to their
     * first arrival within the watermark horizon. A narrow projection plus
-    * Spark's keyed dedup state — no joins, state bounded by the watermark.
-    * The batch MinHash/LSH family stays the high-recall path; this is the
-    * cheap in-flight filter a training-data ingest stream runs first. */
+    * Spark's keyed dedup state. dropDuplicatesWithinWatermark is the
+    * state-bounded form: plain dropDuplicates on a non-event-time key
+    * would keep one state entry per distinct signature FOREVER on an
+    * unbounded stream; the within-watermark variant expires entries once
+    * the watermark passes them. The batch MinHash/LSH family stays the
+    * high-recall path; this is the cheap in-flight ingest filter. */
   def streamingNearDedup(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String): DataFrame =
     docs
       .withColumn("simhash", graft.functions.Md5SimHash.simhash(col(textCol), 60))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("simhash")
+      .dropDuplicatesWithinWatermark("simhash")
 
   /** Streaming ingest gate: per-document quality metrics (narrow, codegen)
     * + threshold filter — the first stage of a streaming training-data
