@@ -155,10 +155,48 @@ object UiServer {
     server
   }
 
+  /** One shared watcher per store computes the change stamp once per tick
+    * and bumps a generation counter — N connected SSE clients cost O(1)
+    * directory walks per second instead of N (the reference uses one
+    * trace_watch broadcast channel the same way). Daemon thread: dies
+    * with the JVM, idles with zero subscribers. */
+  private final class TraceWatcher(store: FileTraceStore) {
+    private val lock = new Object
+    @volatile private var generation = 0L
+    private val thread = new Thread(() => {
+      var stamp = store.changeStamp()
+      while (true) {
+        Thread.sleep(1000)
+        try {
+          val now = store.changeStamp()
+          if (now != stamp) {
+            stamp = now
+            lock.synchronized { generation += 1; lock.notifyAll() }
+          }
+        } catch { case NonFatal(_) => () }
+      }
+    }, "graft-trace-watcher")
+    thread.setDaemon(true)
+    thread.start()
+
+    /** Block up to `timeoutMs` for a generation newer than `seen`;
+      * returns the current generation. */
+    def awaitChange(seen: Long, timeoutMs: Long): Long = lock.synchronized {
+      if (generation == seen) lock.wait(timeoutMs)
+      generation
+    }
+    def current: Long = generation
+  }
+
+  private val watchers =
+    new java.util.concurrent.ConcurrentHashMap[Path, TraceWatcher]()
+
   /** SSE loop: initial `traces`/`connected` event, an `updated` event when
-    * the trace dir's change stamp moves, comment keepalives every 15s.
+    * the shared watcher reports a change, comment keepalives every 15s.
     * Runs on the handler's (cached-pool) thread until the client drops. */
   private def serveSse(x: HttpExchange, store: FileTraceStore): Unit = {
+    val watcher = watchers.computeIfAbsent(store.dataDir.toAbsolutePath,
+      _ => new TraceWatcher(store))
     x.getResponseHeaders.add("content-type", "text/event-stream")
     x.getResponseHeaders.add("cache-control", "no-cache")
     x.sendResponseHeaders(200, 0)
@@ -166,19 +204,13 @@ object UiServer {
     def send(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.flush() }
     try {
       send("event: traces\ndata: connected\n\n")
-      var stamp = store.changeStamp()
-      var sinceKeepalive = 0
+      var seen = watcher.current
       while (true) {
-        Thread.sleep(1000)
-        val now = store.changeStamp()
-        if (now != stamp) {
-          stamp = now
+        val now = watcher.awaitChange(seen, 15000)
+        if (now != seen) {
+          seen = now
           send("event: traces\ndata: updated\n\n")
-          sinceKeepalive = 0
-        } else {
-          sinceKeepalive += 1
-          if (sinceKeepalive >= 15) { send(": keep-alive\n\n"); sinceKeepalive = 0 }
-        }
+        } else send(": keep-alive\n\n") // timeout: prove the client is alive
       }
     } catch {
       case NonFatal(_) => () // client disconnected
