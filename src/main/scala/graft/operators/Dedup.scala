@@ -37,21 +37,25 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** (doc, shh array<long>) — each document's distinct shingle-hash set
+    * from ONE native codegen'd pass ([[graft.functions.ShingleHashes]]):
+    * no interpreted HOFs, no materialized shingle strings. This is the
+    * shareable tokenization artifact: the composed dedup paths persist it
+    * once and feed it to both the LSH candidate join and the verify join,
+    * so the corpus text is tokenized exactly once however many self-join
+    * sides consume the hashes. */
+  def shingleTable(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("shh"))
+
   /** One row per (doc, shingle-hash), with the doc's set size carried on
     * every row: the join key is an 8-byte long (never the shingle string),
     * and |A| / |B| ride along into the intersection aggregate — no extra
     * size joins. 64-bit collisions are negligible at any corpus size that
-    * fits a join. The hash array comes from ONE native codegen'd pass
-    * ([[graft.functions.ShingleHashes]]) — no interpreted HOFs, no
-    * materialized shingle strings, and cheap enough that recomputing it on
-    * each self-join side beats paying a cache materialization job (the
-    * barrier predates the native expression). */
-  private def shingleHashRows(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc"),
-        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("shh"))
-      .select(col("doc"), size(col("shh")).as("n_sh"), explode(col("shh")).as("h"))
+    * fits a join. */
+  private def shingleHashRows(sh: DataFrame): DataFrame =
+    sh.select(col("doc"), size(col("shh")).as("n_sh"), explode(col("shh")).as("h"))
 
   /** (da, db, inter, jaccard ≥ threshold) from shared-hash pairs. */
   private def jaccardFromPairs(pairs: DataFrame, threshold: Double): DataFrame =
@@ -70,7 +74,7 @@ object Dedup {
     * ([[minhashDupPairs]]), never standalone. */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleHashRows(docs, textCol, idCol, n)
+    val sh = shingleHashRows(shingleTable(docs, textCol, idCol, n))
     // size prefilter inside the join: J ≤ min(|A|,|B|)/max(|A|,|B|), so a
     // pair whose size ratio is below the threshold can never pass the final
     // filter — prune it before the intersection aggregate ever sees it
@@ -96,9 +100,11 @@ object Dedup {
     * two native expressions composed in one codegen'd projection. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-      minhashSignature(
-        graft.functions.ShingleHashes.shingleHashes(col(textCol), n), k).as("sig"))
+    minhashSignaturesFrom(shingleTable(docs, textCol, idCol, n), k)
+
+  /** Signatures from a precomputed [[shingleTable]] — the k-min pass only. */
+  def minhashSignaturesFrom(sh: DataFrame, k: Int): DataFrame =
+    sh.select(col("doc"), minhashSignature(col("shh"), k).as("sig"))
 
   /** LSH band keys: the signature split into `bands` runs of `rowsPerBand`,
     * each mixed to one long key in a native pass
@@ -116,9 +122,14 @@ object Dedup {
     * one codegen'd projection, cheap enough to recompute on each self-join
     * side — no cache barriers (they predated the native expressions). */
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int): DataFrame = {
+      n: Int, k: Int, bands: Int): DataFrame =
+    lshCandidatePairsFrom(shingleTable(docs, textCol, idCol, n), k, bands)
+
+  /** Candidate pairs from a precomputed (and possibly persisted)
+    * [[shingleTable]]. */
+  def lshCandidatePairsFrom(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
-    val banded = minhashSignatures(docs, textCol, idCol, n, k)
+    val banded = minhashSignaturesFrom(sh, k)
       .select(col("doc"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
     banded.as("x").join(banded.as("y"),
@@ -130,18 +141,89 @@ object Dedup {
 
   /** MinHash-LSH near-dup detection, end to end: LSH candidates, then exact
     * Jaccard verification restricted to those candidates. At 100 TB the
-    * candidate set is orders of magnitude smaller than all-pairs. */
+    * candidate set is orders of magnitude smaller than all-pairs.
+    * Tokenizes on the fly (fine for one-shot use); composed pipelines
+    * should build a [[shingleTable]], persist it, and call
+    * [[minhashDupPairsFrom]] so the corpus is tokenized exactly once. */
   def minhashDupPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val cand = lshCandidatePairs(docs, textCol, idCol, n, k, bands)
-    val sh = shingleHashRows(docs, textCol, idCol, n)
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    minhashDupPairsFrom(shingleTable(docs, textCol, idCol, n), k, bands, threshold)
+
+  /** [[minhashDupPairs]] over a precomputed [[shingleTable]]. When `sh` is
+    * persisted by the caller, every consumer (both candidate-join sides and
+    * both verify-join sides) reads the cached hash arrays — one
+    * tokenization scan total instead of four. */
+  def minhashDupPairsFrom(sh: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val cand = lshCandidatePairsFrom(sh, k, bands)
+    val shr = shingleHashRows(sh)
     // intersection counted ONLY for candidate pairs: route the shingle-hash
     // rows through the candidate set; set sizes ride along
     val pairs = cand
-      .join(sh.as("x"), col("da") === col("x.doc"))
-      .join(sh.as("y"), col("db") === col("y.doc") && col("x.h") === col("y.h"))
+      .join(shr.as("x"), col("da") === col("x.doc"))
+      .join(shr.as("y"), col("db") === col("y.doc") && col("x.h") === col("y.h"))
       .select(col("da"), col("db"), col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
     jaccardFromPairs(pairs, threshold)
+  }
+
+  /** The persistable MinHash-LSH signature index for incremental dedup:
+    * one row per document with its distinct shingle-hash set and LSH band
+    * keys — `|shh| + bands` longs per doc, never the body. In production
+    * this table is written to parquet once per ingested batch and each
+    * daily delta is deduped against it ([[dedupAgainstIndex]]) instead of
+    * re-deduping the whole corpus. */
+  def signatureIndex(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int): DataFrame =
+    shingleTable(docs, textCol, idCol, n)
+      .select(col("doc"), col("shh"),
+        lshBandKeys(minhashSignature(col("shh"), k), bands, k / bands)
+          .as("bandkeys"))
+
+  /** (doc, band, bh) rows of a [[signatureIndex]] — the LSH bucket keys. */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc"), posexplode(col("bandkeys")).as(Seq("band", "bh")))
+
+  /** Incremental (delta) dedup: dedup a NEW batch against an existing
+    * [[signatureIndex]] without touching the already-indexed corpus — the
+    * shape that keeps daily ingest at 100 TB from recomputing the world.
+    *
+    * A new document is dropped when a verified near-dup (exact Jaccard ≥
+    * `threshold` over the shingle sets) exists either (a) in the index or
+    * (b) earlier in the new batch (lower doc id) — the same pair-level
+    * predicate the batch dedup verifies, so a full-corpus batch re-run and
+    * the incremental composition agree on which documents survive.
+    * Returns the SURVIVORS in `signatureIndex` shape: append them to the
+    * index (`index.union(survivors)`) to complete the ingest.
+    *
+    * Scale shape: candidate generation joins band keys only (`bands` longs
+    * per doc, new-batch side is the small delta); verification computes
+    * `array_intersect` on the candidate pairs' hash sets only — no
+    * re-tokenization of the indexed corpus, no all-pairs anything. */
+  def dedupAgainstIndex(newSig: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame = {
+    val nb = bandRows(newSig)
+    val ib = bandRows(index)
+    // candidates: new doc × (index doc ∪ earlier new doc) sharing a bucket
+    val candIdx = nb.as("x").join(ib.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc").as("nd"), col("y.doc").as("od"))
+    val candNew = nb.as("x").join(nb.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("y.doc") < col("x.doc"))
+      .select(col("x.doc").as("nd"), col("y.doc").as("od"))
+    val cand = candIdx.union(candNew).distinct()
+    // verify on the hash SETS carried by the index rows: |A∩B| is one
+    // native array_intersect per candidate pair — nothing re-tokenizes
+    val allSh = index.select(col("doc"), col("shh"))
+      .union(newSig.select(col("doc"), col("shh")))
+    val dropped = cand
+      .join(allSh.select(col("doc").as("nd"), col("shh").as("sha")), Seq("nd"))
+      .join(allSh.select(col("doc").as("od"), col("shh").as("shb")), Seq("od"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter").cast(DoubleType) /
+        (size(col("sha")) + size(col("shb")) - col("inter")) >= threshold)
+      .select(col("nd").as("doc")).distinct()
+    newSig.join(dropped, Seq("doc"), "left_anti")
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any n-gram
@@ -216,14 +298,24 @@ object Dedup {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
     var converged = false
+    var iter = 0
     while (!converged) {
+      iter += 1
       // min over self + neighbors' labels
       val viaNeighbor = edges
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .select(col("a").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbor)
+      // the cache keeps the DATA from recomputing, but each iteration still
+      // nests one more join into the logical plan — on a high-diameter
+      // graph the analyzer/optimizer cost grows quadratically. A periodic
+      // localCheckpoint truncates the lineage (the data is already
+      // materialized by the convergence count, so it costs nothing extra).
+      val next0 = labels.union(viaNeighbor)
         .groupBy("node").agg(min("lbl").as("lbl"))
-        .cache()
+      // localCheckpoint persists on its own (that's how it truncates), so
+      // it replaces the cache() on checkpoint iterations
+      val next = if (iter % 10 == 0) next0.localCheckpoint(eager = false)
+                 else next0.cache()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -250,24 +342,4 @@ object Dedup {
     docs.select(col(idCol).as("doc"),
       graft.functions.Md5SimHash.simhash(col(textCol), bits).as("simhash"))
 
-  /** 64-bit SimHash over tokens: per bit position, sum ±1 weighted by each
-    * token-hash's bit, take the sign. Hamming-close simhashes ⇒ similar
-    * token distributions. Pure HOF arithmetic, no UDF. */
-  def simhash64(text: Column): Column = {
-    // shiftright/shiftleft in the Scala DSL take a literal Int shift; the
-    // shift here is the lambda-bound bit index, so go through the SQL
-    // function form (column-typed shift) via call_function.
-    def shr(v: Column, bits: Column): Column = call_function("shiftright", v, bits)
-    def shl(v: Column, bits: Column): Column = call_function("shiftleft", v, bits)
-    val tokHashes = transform(split(text, " "), t => xxhash64(t))
-    val bitSums = aggregate(
-      tokHashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(shr(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > 0, shl(lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
 }

@@ -65,19 +65,27 @@ object Ivf {
       .setScale(18, java.math.RoundingMode.HALF_UP)
 
   /** Deterministic spherical k-means, trained driver-side from ONE collect
-    * of the (id, normalized-vector) pairs — the FAISS pattern. Past
-    * `maxTrainRows` the training set is a deterministic md5-bucket
-    * subsample (assignment/search still cover the full corpus), keeping
-    * the driver footprint bounded at any corpus size. Means sum in exact
-    * decimals (same cast semantics as a distributed decimal SUM);
-    * assignment reuses the same loop the native expression runs, so the
-    * oracle's distributed restatement produces identical centroids.
+    * of the (id, normalized-vector) pairs — the FAISS pattern. The
+    * training set is capped by BYTES, not rows: past
+    * `maxTrainBytes / (dims × 8)` rows it becomes a deterministic
+    * md5-bucket subsample (assignment/search still cover the full
+    * corpus), so a 1024-dim corpus samples 16× fewer rows than a 64-dim
+    * one and the driver footprint stays bounded regardless of
+    * dimensionality. Means sum in exact decimals (same cast semantics as
+    * a distributed decimal SUM); assignment reuses the same loop the
+    * native expression runs, so the oracle's distributed restatement
+    * produces identical centroids.
     * Vectors with non-finite coordinates (e.g. a zero-norm embedding
     * normalized to NaN) are excluded from training — they would poison
     * every mean they touch. */
   def centroids(b: DataFrame, nlist: Int, iters: Int,
-      maxTrainRows: Int = 1 << 20): Seq[Seq[Double]] = {
+      maxTrainBytes: Long = 512L << 20): Seq[Seq[Double]] = {
     val total = b.count()
+    // dims from one row (cheap single-partition job); the cap in rows is
+    // budget / bytes-per-vector so high-dim corpora subsample harder
+    val sampleDims = b.select(size(col("e"))).head(1)
+    val dimsOf = if (sampleDims.isEmpty) 1 else math.max(1, sampleDims(0).getInt(0))
+    val maxTrainRows = math.max(nlist.toLong, maxTrainBytes / (dimsOf * 8L))
     val trainDf =
       if (total <= maxTrainRows) b
       else {
@@ -127,7 +135,14 @@ object Ivf {
   def topK(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
       iters: Int, nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     val b = base(emb, idCol, vecCol)
-    val cents = centroids(b, nlist, iters)
+    topKWith(b, centroids(b, nlist, iters), nQueries, k, nprobe)
+  }
+
+  /** [[topK]] with pre-trained centroids — the share-the-training form:
+    * train once ([[centroids]]), reuse for both ANN search and
+    * [[semDedupPairsWith]] instead of running k-means per query. */
+  def topKWith(b: DataFrame, cents: Seq[Seq[Double]], nQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
     val assigned = assign(b, cents)
     val probes = b.filter(col("id") < nQueries)
       .select(col("id").as("qid"),
@@ -152,8 +167,13 @@ object Ivf {
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String, nlist: Int,
       iters: Int, threshold: Double): DataFrame = {
     val b = base(emb, idCol, vecCol)
-    val withCl = b.withColumn("cl",
-      nearestCluster(col("e"), centroids(b, nlist, iters)))
+    semDedupPairsWith(b, centroids(b, nlist, iters), threshold)
+  }
+
+  /** [[semDedupPairs]] with pre-trained centroids (see [[topKWith]]). */
+  def semDedupPairsWith(b: DataFrame, cents: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val withCl = b.withColumn("cl", nearestCluster(col("e"), cents))
     val x = withCl.select(col("cl"), col("id").as("da"), col("raw").as("va"))
     val y = withCl.select(col("cl"), col("id").as("db"), col("raw").as("vb"))
     x.join(y, Seq("cl"))

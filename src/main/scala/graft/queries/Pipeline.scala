@@ -69,14 +69,25 @@ object Pipeline {
         n = 3, k = 64, bands = 16, threshold = 0.8)
       .orderBy("da", "db")
 
+  /** The composed paths tokenize the corpus ONCE: the (doc, shh)
+    * shingle table is persisted and shared by the LSH candidate join and
+    * the verify join (4 consumers, 1 tokenization scan). The result of
+    * [[Dedup.duplicateClusters]] is materialized eagerly (its default path
+    * collects the pair list for driver union-find), so the persist can be
+    * released before returning. */
+  private def nearDupClusters(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.duplicateClusters(
+      Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
+        .select("da", "db"))
+    finally sh.unpersist(blocking = false)
+  }
+
   /** Near-dup CLUSTERS: MinHash-LSH pairs → connected components, one
     * (doc, canonical) row per duplicated document. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(
-        Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id",
-          n = 3, k = 64, bands = 16, threshold = 0.8)
-          .select("da", "db"))
-      .orderBy("doc_id")
+    nearDupClusters(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** The composed training-data cleaning pipeline, end to end: quality
     * gate → exact dedup (keep the lowest doc_id per md5 digest) → near-dup
@@ -92,13 +103,35 @@ object Pipeline {
       .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
     val exactKept = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn", "text")
-    // near: drop non-canonical cluster members
-    val clusters = Dedup.duplicateClusters(
-      Dedup.minhashDupPairs(docs, "text", "doc_id",
-        n = 3, k = 64, bands = 16, threshold = 0.8).select("da", "db"))
+    // near: drop non-canonical cluster members (shingle table persisted
+    // once inside nearDupClusters — one tokenization scan)
+    val clusters = nearDupClusters(docs)
     val nonCanonical = clusters.filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id")
     exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental (delta) ingest dedup, composed over two batches: the
+    * even-id documents are the already-ingested corpus whose
+    * [[Dedup.signatureIndex]] is persisted; the odd-id documents are the
+    * new delta, deduped against that index ([[Dedup.dedupAgainstIndex]]:
+    * dropped when a verified near-dup exists in the index or earlier in
+    * the delta) with survivors appended. Output: the index membership
+    * after the ingest, tagged by provenance. In production the index is a
+    * parquet table (|shh|+bands longs per doc) and only the delta is ever
+    * tokenized — daily ingest never recomputes the world. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idxA = Dedup.signatureIndex(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", n = 3, k = 64, bands = 16).persist(lvl)
+    val sigB = Dedup.signatureIndex(docs.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id", n = 3, k = 64, bands = 16).persist(lvl)
+    val survivors = Dedup.dedupAgainstIndex(sigB, idxA, threshold = 0.8)
+    idxA.union(survivors)
+      .select(col("doc").as("doc_id"),
+        when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
       .orderBy("doc_id")
   }
 
@@ -134,16 +167,29 @@ object Pipeline {
   private val IvfNq = 50; private val IvfK = 5; private val IvfNprobe = 5
   private val SemDedupThreshold = 0.35
 
-  def similarityIvf(spark: SparkSession, dir: String): DataFrame =
-    Ivf.topK(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        nlist = IvfNlist, iters = IvfIters, nQueries = IvfNq, k = IvfK,
+  /** Train-once cache: the ANN query and the SemDeDup query run the same
+    * deterministic k-means over the same table, so within one JVM the
+    * centroids are memoized by (dir, nlist, iters) — running both queries
+    * trains exactly one k-means. (Training is deterministic, so a cached
+    * entry is bit-identical to a retrain.) */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[Seq[Double]]]
+  private def sharedCentroids(b: DataFrame, dir: String): Seq[Seq[Double]] =
+    centroidCache.getOrElseUpdate((dir, IvfNlist, IvfIters),
+      Ivf.centroids(b, IvfNlist, IvfIters))
+
+  def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    Ivf.topKWith(b, sharedCentroids(b, dir), nQueries = IvfNq, k = IvfK,
         nprobe = IvfNprobe)
       .orderBy("qid", "rank")
+  }
 
-  def embeddingDedup(spark: SparkSession, dir: String): DataFrame =
-    Ivf.semDedupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        nlist = IvfNlist, iters = IvfIters, threshold = SemDedupThreshold)
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    Ivf.semDedupPairsWith(b, sharedCentroids(b, dir), SemDedupThreshold)
       .orderBy("da", "db")
+  }
 
   /** Exact grouped percentiles of document token counts — corpus length
     * diagnostics. Spark `percentile` and DuckDB `quantile_cont` both do
@@ -204,6 +250,7 @@ object Pipeline {
     "q_ngram_jaccard"    -> (ngramJaccard _),
     "q_minhash_dedup"    -> (minhashDedup _),
     "q_dedup_clusters"   -> (dedupClusters _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_clean_corpus"     -> (cleanCorpus _),
     "q_decontaminate"    -> (decontaminate _),
     "q_simhash"          -> (simhash _),
@@ -416,6 +463,27 @@ object Pipeline {
         |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_ngram_jaccard" -> jaccardSql,
+    // Incremental ingest restated exactly: a new (odd-id) doc is dropped
+    // when a >= 0.8-Jaccard partner exists among the indexed (even-id)
+    // docs or among earlier odd-id docs; the LSH candidate step recovers
+    // all such pairs (same banding argument as q_minhash_dedup), so the
+    // exact-Jaccard restatement is the full semantics.
+    "q_dedup_incremental" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id nd, y.doc_id od, COUNT(*) inter
+        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 2 = 1
+        |            AND (y.doc_id % 2 = 0 OR y.doc_id < x.doc_id)
+        |          GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT nd AS doc_id
+        |            FROM inter JOIN sz sa ON sa.doc_id = nd JOIN sz sb ON sb.doc_id = od
+        |            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8)
+        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'index' ELSE 'new' END AS src
+        |FROM documents
+        |WHERE doc_id % 2 = 0 OR doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     // MinHash-LSH must recover exactly the pairs exact Jaccard finds at this
     // threshold (16 bands × 4 rows ⇒ detection p > 0.999 at j ≥ 0.8, and the
     // pipeline is fully deterministic) — so it shares the exact-Jaccard oracle.
