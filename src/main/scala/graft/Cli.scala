@@ -236,9 +236,10 @@ object Cli {
           case Right(v) => v
         }
         try {
-          Preflight.validate(rule, readInput(rule, inputPath), context,
+          val ws = Preflight.validate(rule, readInput(rule, inputPath), context,
             nullAsMissing = rule.input.format != "csv",
             ruleLoader = Engine.fileLoader(baseDir(rulesPath)))
+          emitTransformWarnings(ws, errorFormat(f), err)
           0
         } catch {
           case e: ExprCompiler.RmError => emitTransformError(e, errorFormat(f), err); 3
@@ -266,12 +267,15 @@ object Cli {
           case Left(code) => return code
           case Right(v) => v
         }
-        val records =
-          try Engine.toJsonRecords(rule, readInput(rule, inputPath), context,
+        val (records, warnings) =
+          try {
+            val jw = Engine.toJsonRecordsWithWarnings(rule,
+              readInput(rule, inputPath), context,
               nullAsMissing = rule.input.format != "csv",
               ruleLoader = Engine.fileLoader(baseDir(rulesPath)))
-            .collect().map(_.getString(0))
-          catch {
+            (jw.output.collect().map(_.getString(0)),
+              Engine.collectWarnings(jw.warnings))
+          } catch {
             case e: ExprCompiler.RmError => emitTransformError(e, errorFormat(f), err); return 3
             case NonFatal(e) =>
               ExprCompiler.RmError.fromThrowable(e) match {
@@ -284,7 +288,10 @@ object Cli {
           if (f.bools.contains("--ndjson")) records.mkString("\n")
           else if (wrapped) records.headOption.getOrElse("{}") // wrap ⇒ one object
           else records.mkString("[", ",", "]")
-        writeOut(text, f, out, err)
+        // reference CLI order: output first, then warnings on stderr
+        val rc = writeOut(text, f, out, err)
+        emitTransformWarnings(warnings, errorFormat(f), err)
+        rc
     }
   }
 
@@ -340,6 +347,25 @@ object Cli {
       errors.foreach { e =>
         val path = if (e.path.nonEmpty) s" path=${e.path}" else ""
         err.println(s"E ${e.code}$path msg=\"${e.text}\"")
+      }
+  }
+
+  /** Reference emit_transform_warnings (rulemorph_cli main.rs:652-678):
+    * text `W <Kind> path=<p> msg="<m>"` per warning; json one array of
+    * {"type":"warning","kind","message","path"} — both to stderr, nothing
+    * when there are no warnings. */
+  private def emitTransformWarnings(ws: Seq[Engine.Warning], format: String,
+      err: PrintStream): Unit = if (ws.nonEmpty) format match {
+    case "json" =>
+      val items = ws.map { w =>
+        val path = if (w.path.nonEmpty) s""","path":${jsonStr(w.path)}""" else ""
+        s"""{"type":"warning","kind":${jsonStr(w.kind)},"message":${jsonStr(w.message)}$path}"""
+      }
+      err.println(items.mkString("[", ",", "]"))
+    case _ =>
+      ws.foreach { w =>
+        val path = if (w.path.nonEmpty) s" path=${w.path}" else ""
+        err.println(s"W ${w.kind}$path msg=\"${w.message}\"")
       }
   }
 

@@ -428,11 +428,13 @@ object Mcp {
       val loader = rulesPath.map(p =>
         Engine.fileLoader(Option(Paths.get(p).getParent).map(_.toString).getOrElse(".")))
         .getOrElse(Engine.noLoader)
-      val records =
-        try Engine.toJsonRecords(rule, df, context,
+      val (records, warnings) =
+        try {
+          val jw = Engine.toJsonRecordsWithWarnings(rule, df, context,
             nullAsMissing = rule.input.format != "csv", loader)
-          .collect().map(_.getString(0))
-        catch {
+          (jw.output.collect().map(_.getString(0)),
+            Engine.collectWarnings(jw.warnings))
+        } catch {
           case NonFatal(e) =>
             val rm = ExprCompiler.RmError.fromThrowable(e)
             val msg = rm.map(r => s"E ${r.kind} path=${r.path} msg=\"${r.message}\"")
@@ -468,6 +470,18 @@ object Mcp {
       }
       val result = contentResult(responseText)
       val meta = obj()
+      // meta.warnings mirrors the reference's warnings_to_json
+      // (rulemorph_mcp main.rs:974-976, :4830-4845)
+      if (warnings.nonEmpty) {
+        val warr = mapper.createArrayNode()
+        warnings.foreach { w =>
+          val o = obj(); o.put("type", "warning"); o.put("kind", w.kind)
+          o.put("message", w.message)
+          if (w.path.nonEmpty) o.put("path", w.path)
+          warr.add(o)
+        }
+        meta.set[JsonNode]("warnings", warr)
+      }
       outputPath.foreach(meta.put("output_path", _))
       if (truncated) { meta.put("output_bytes", outputBytes); meta.put("truncated", true) }
       val exceeds = maxBytes.exists(outputBytes > _)

@@ -23,6 +23,12 @@ object Engine {
 
   final case class EngineError(message: String) extends RuntimeException(message)
 
+  /** The reference's TransformWarning (error.rs:127): a non-fatal,
+    * per-record diagnostic produced when a `when` / `record_when`
+    * condition errors at eval time — the mapping or record is skipped and
+    * the run continues (transform.rs:1041-1091). */
+  final case class Warning(kind: String, path: String, message: String)
+
   /** Loads branch sub-rule files by the path string written in the rule. */
   type RuleLoader = String => RuleFile
   val noLoader: RuleLoader =
@@ -34,18 +40,23 @@ object Engine {
     YamlParser.parse(java.nio.file.Files.readString(path))
   }
 
-  /** Compiled rule: the filtered input (with a stable __order column) and
-    * the ordered map of top-level output fields as (value, missing) pairs. */
+  /** Compiled rule: the filtered input (with a stable __order column), the
+    * ordered map of top-level output fields as (value, missing) pairs, and
+    * — in warnings mode — the per-row keep predicate (record-level drops
+    * are NOT filtered out of `df` so dropped records' warnings survive)
+    * plus the per-row warning struct columns in reference emission order. */
   private case class Compiled(df: DataFrame,
-      out: scala.collection.immutable.ListMap[String, CE], env: Env)
+      out: scala.collection.immutable.ListMap[String, CE], env: Env,
+      keep: Column = lit(true), warns: Seq[Column] = Nil)
 
   private def compilePlan(rule: RuleFile, input: DataFrame, context: JValue,
-      nullAsMissing: Boolean, ruleLoader: RuleLoader): Compiled = {
+      nullAsMissing: Boolean, ruleLoader: RuleLoader,
+      collectWarnings: Boolean = false): Compiled = {
     // stable input order for finalize's stable sort: monotonically
     // increasing id encodes (partition, offset) = scan order, captured
     // before any shuffle. Only attached when a finalize sort will consume
     // it — it is unsupported on streaming inputs and dead weight otherwise.
-    val needsOrder = rule.finalizeSpec.exists(_.sort.isDefined)
+    val needsOrder = rule.finalizeSpec.exists(_.sort.isDefined) || collectWarnings
     val ordered = input.withColumn("__order",
       if (needsOrder) monotonically_increasing_id() else lit(0L))
     val baseResolver = resolveFromSchema(
@@ -63,12 +74,38 @@ object Engine {
       else baseResolver
     var env = Env(input = inputResolver, context = context)
 
+    var df = ordered
+    // record-level keep state: in warnings mode, record drops accumulate
+    // here instead of filtering `df`, so a dropped record's earlier
+    // warnings still reach the side channel (the reference extends the
+    // warning vec even when apply_rule_to_record returns None)
+    var keepCol: Column = lit(true)
+    val warns = scala.collection.mutable.ArrayBuffer.empty[Column]
+
+    /** Apply a record-level keep predicate. A predicate that can raise is
+      * wrapped in [[CaughtCond]] so an eval error drops the record (plus a
+      * warning in warnings mode) instead of aborting the job —
+      * eval_record_when semantics (transform.rs:1065-1091). Pure
+      * predicates keep their plain, pushdown-friendly filter form outside
+      * warnings mode. */
+    def applyRecordPred(raw: Column, path: String): Unit =
+      if (CaughtCond.canRaise(raw)) {
+        val cc = CaughtCond(raw, path)
+        if (collectWarnings) {
+          warns += when(keepCol && cc.getField("kind").isNotNull,
+            struct(cc.getField("kind").as("kind"), cc.getField("path").as("path"),
+              cc.getField("message").as("message")))
+          keepCol = keepCol && cc.getField("ok")
+        } else df = df.filter(cc.getField("ok"))
+      } else {
+        if (collectWarnings) keepCol = keepCol && coalesce(raw, lit(false))
+        else df = df.filter(raw) // filter drops null = false; no coalesce (it blocks pushdown)
+      }
+
     // record_when: false or error ⇒ record dropped (transform.rs:1065-1091)
-    var df = rule.recordWhen match {
-      case Some(cond) =>
-        val c = compileCond(cond, env)
-        ordered.filter(c.value && !c.missing) // filter drops null = false; no coalesce (it blocks pushdown)
-      case None => ordered
+    rule.recordWhen.foreach { cond =>
+      val c = compileCond(cond, env.copy(errPath = "record_when"))
+      applyRecordPred(c.value && !c.missing, "record_when")
     }
 
     // ordered mappings + steps IN ORDER: later steps see @out as built so
@@ -77,48 +114,78 @@ object Engine {
     // pathPrefix threads the reference's error-path identity
     // (mappings[i] / steps[i].mappings[j]) into raised errors.
     var out = scala.collection.immutable.ListMap.empty[String, CE]
-    def applyMappings(ms: Seq[Mapping], pathPrefix: String): Unit =
+    def applyMappings(ms: Seq[Mapping], pathPrefix: String): Unit = {
+      // snapshot: a mapping's when-warning only fires on records still
+      // alive when the mapping runs (dropped records never evaluate it)
+      val alive = keepCol
       for ((m, mi) <- ms.zipWithIndex) {
-        val mapped = compileMapping(m, env.copy(out = out), s"$pathPrefix[$mi]")
+        val onWarn: Column => Unit =
+          if (collectWarnings) w => warns += when(alive, w) else _ => ()
+        val mapped = compileMapping(m, env.copy(out = out), s"$pathPrefix[$mi]", onWarn)
         val key = m.target.head
         val merged = if (m.target.size == 1) mapped
           else nest(out.get(key), m.target.tail, mapped)
         out = out + (key -> merged)
       }
+    }
     applyMappings(rule.mappings, "mappings")
 
     var replaced = false // branch return:true ends step processing
     for ((s, si) <- rule.steps.zipWithIndex if !replaced) s match {
       case StepMappings(ms) => applyMappings(ms, s"steps[$si].mappings")
       case StepRecordWhen(cond) =>
-        val c = compileCond(cond, env.copy(out = out))
-        df = df.filter(c.value && !c.missing)
+        val c = compileCond(cond,
+          env.copy(out = out, errPath = s"steps[$si].record_when"))
+        applyRecordPred(c.value && !c.missing, s"steps[$si].record_when")
       case StepAsserts(asserts) =>
+        // asserts are hard errors (AssertionFailed aborts the transform),
+        // but only for records still alive — in warnings mode dead rows
+        // ride along in df, so the raise must be gated on the keep state
+        val alive = keepCol
         for ((a, ai) <- asserts.zipWithIndex) {
           val c = compileCond(a.when, env.copy(out = out))
           df = df.filter(
-            when(!coalesce(c.value, lit(false)),
+            when(alive && !coalesce(c.value, lit(false)),
               RmError.raiseCol("AssertionFailed", s"steps[$si].asserts[$ai]",
                 s"${a.code}: ${a.message}").cast(BooleanType))
               .otherwise(lit(true)))
         }
       case StepBranch(cond, thenPath, elsePath, ret) =>
-        val c = compileCond(cond, env.copy(out = out))
-        val keep = coalesce(c.value, lit(false)) && !c.missing
-        val thenC = compileSubRule(ruleLoader(thenPath), out, env)
-        val elseC = elsePath.map(p => compileSubRule(ruleLoader(p), out, env))
+        val c = compileCond(cond, env.copy(out = out, errPath = s"steps[$si].when"))
+        val rawKeep = coalesce(c.value, lit(false)) && !c.missing
+        // a branch condition that errors routes to the else side plus a
+        // warning, like any other when (eval_when, transform.rs:1041-1063)
+        val keep =
+          if (CaughtCond.canRaise(rawKeep)) {
+            val cc = CaughtCond(rawKeep, s"steps[$si].when")
+            if (collectWarnings) {
+              val alive = keepCol
+              warns += when(alive && cc.getField("kind").isNotNull,
+                struct(cc.getField("kind").as("kind"), cc.getField("path").as("path"),
+                  cc.getField("message").as("message")))
+            }
+            cc.getField("ok")
+          } else rawKeep
+        val alive = keepCol
+        val onThenWarn: Column => Unit =
+          if (collectWarnings) w => warns += when(alive && keep, w) else _ => ()
+        val onElseWarn: Column => Unit =
+          if (collectWarnings) w => warns += when(alive && !keep, w) else _ => ()
+        val thenC = compileSubRule(ruleLoader(thenPath), out, env, onThenWarn)
+        val elseC = elsePath.map(p => compileSubRule(ruleLoader(p), out, env, onElseWarn))
         // sub-rule record_when / per-record finalize drops apply only to
         // the records routed to that side
         val rowKeep = when(keep, thenC.keep.getOrElse(lit(true)))
           .otherwise(elseC.flatMap(_.keep).getOrElse(lit(true)))
-        df = df.filter(rowKeep)
+        if (collectWarnings) keepCol = keepCol && coalesce(rowKeep, lit(false))
+        else df = df.filter(rowKeep)
         val branchOut = mergeBranchOutputs(keep, thenC.out,
           elseC.map(_.out).getOrElse(scala.collection.immutable.ListMap.empty[String, CE]))
         if (ret) { out = branchOut; replaced = true } // output replaced, stop
         else out = deepMergeOut(out, branchOut)
     }
     env = env.copy(out = out)
-    Compiled(df, out, env)
+    Compiled(df, out, env, keepCol, warns.toSeq)
   }
 
   /** A compiled branch sub-rule: its output fields plus an optional
@@ -134,7 +201,8 @@ object Engine {
     * record_when gate the record, offset≥1 or limit=0 drop it, sort is a
     * no-op, and wrap sees @out as the one-record array (tv40/tv41). */
   private def compileSubRule(sub: RuleFile,
-      out: scala.collection.immutable.ListMap[String, CE], outer: Env): SubCompiled = {
+      out: scala.collection.immutable.ListMap[String, CE], outer: Env,
+      onWarn: Column => Unit = _ => ()): SubCompiled = {
     val subInput: Seq[String] => CE = {
       case Seq() =>
         CE.present(struct(out.map { case (n, ce) => ce.valueOrNull.as(n) }.toSeq: _*),
@@ -144,13 +212,24 @@ object Engine {
     }
     val subEnv = Env(input = subInput, context = outer.context)
     var keep: Option[Column] = sub.recordWhen.map { cond =>
-      val c = compileCond(cond, subEnv)
-      coalesce(c.value, lit(false)) && !c.missing
+      val c = compileCond(cond, subEnv.copy(errPath = "record_when"))
+      val raw = coalesce(c.value, lit(false)) && !c.missing
+      if (CaughtCond.canRaise(raw)) {
+        val cc = CaughtCond(raw, "record_when")
+        onWarn(when(cc.getField("kind").isNotNull,
+          struct(cc.getField("kind").as("kind"), cc.getField("path").as("path"),
+            cc.getField("message").as("message"))))
+        cc.getField("ok")
+      } else raw
     }
+    // a record the sub-rule's record_when dropped never evaluates the
+    // sub-rule's mappings, so its when-warnings are gated on the keep
+    val subAlive = keep.getOrElse(lit(true))
+    val onSubWarn: Column => Unit = w => onWarn(when(subAlive, w))
     var subOut = scala.collection.immutable.ListMap.empty[String, CE]
     val ms = sub.mappings ++ sub.steps.collect { case StepMappings(m) => m }.flatten
     for ((m, mi) <- ms.zipWithIndex) {
-      val mapped = compileMapping(m, subEnv.copy(out = subOut), s"mappings[$mi]")
+      val mapped = compileMapping(m, subEnv.copy(out = subOut), s"mappings[$mi]", onSubWarn)
       val key = m.target.head
       val merged = if (m.target.size == 1) mapped
         else nest(subOut.get(key), m.target.tail, mapped)
@@ -289,8 +368,41 @@ object Engine {
     * so the object is assembled at plan time from per-field JSON fragments —
     * one concat per record, fully codegen'd, no driver loop. */
   def toJsonRecords(rule: RuleFile, input: DataFrame, context: JValue = JNull,
-      nullAsMissing: Boolean = false, ruleLoader: RuleLoader = noLoader): DataFrame = {
-    val c = compilePlan(rule, input, context, nullAsMissing, ruleLoader)
+      nullAsMissing: Boolean = false, ruleLoader: RuleLoader = noLoader): DataFrame =
+    jsonSink(rule, compilePlan(rule, input, context, nullAsMissing, ruleLoader), context)
+
+  /** The reference's transform_with_warnings (transform.rs:194-249): the
+    * JSON output plus the warnings side channel as a second DataFrame
+    * (kind, path, message — reference emission order: record order, and
+    * within a record, record_when first then mappings in order). Dropped
+    * records keep their warnings: the output plan filters on the keep
+    * predicate while the warnings plan reads every record. */
+  final case class JsonWithWarnings(output: DataFrame, warnings: DataFrame)
+
+  def toJsonRecordsWithWarnings(rule: RuleFile, input: DataFrame,
+      context: JValue = JNull, nullAsMissing: Boolean = false,
+      ruleLoader: RuleLoader = noLoader): JsonWithWarnings = {
+    val c = compilePlan(rule, input, context, nullAsMissing, ruleLoader,
+      collectWarnings = true)
+    val output = jsonSink(rule, c.copy(df = c.df.filter(c.keep)), context)
+    val warnings =
+      if (c.warns.isEmpty)
+        c.df.select(lit("").as("kind"), lit("").as("path"), lit("").as("message"))
+          .limit(0)
+      else c.df
+        .select(col("__order"), array(c.warns: _*).as("__w"))
+        .select(col("__order"), explode(filter(col("__w"), w => w.isNotNull)).as("w"))
+        .orderBy("__order")
+        .select(col("w.kind").as("kind"), col("w.path").as("path"),
+          col("w.message").as("message"))
+    JsonWithWarnings(output, warnings)
+  }
+
+  /** Collect a warnings DataFrame into reference-shaped [[Warning]]s. */
+  def collectWarnings(warnings: DataFrame): Seq[Warning] =
+    warnings.collect().toSeq.map(r => Warning(r.getString(0), r.getString(1), r.getString(2)))
+
+  private def jsonSink(rule: RuleFile, c: Compiled, context: JValue): DataFrame = {
     val cols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq ++
       c.out.map { case (name, ce) => ce.missing.as(s"__miss_$name") }.toSeq
     val projected = applyFinalize(rule, c.df.select(cols :+ col("__order"): _*), context)
@@ -380,8 +492,11 @@ object Engine {
 
   /** One mapping: when-gate → expr → default/required → cast
     * (eval_mapping, transform.rs:953-1039). `pathBase` is the reference
-    * error path of this mapping (e.g. "mappings[0]"). */
-  private def compileMapping(m: Mapping, env: Env, pathBase: String): CE = {
+    * error path of this mapping (e.g. "mappings[0]"). A when-condition
+    * that errors at eval time skips the mapping and reports through
+    * `onWarn` (eval_when, transform.rs:1041-1063) instead of aborting. */
+  private def compileMapping(m: Mapping, env: Env, pathBase: String,
+      onWarn: Column => Unit = _ => ()): CE = {
     val base = ExprCompiler.compile(m.expr, env.copy(errPath = s"$pathBase.expr"))
 
     // when gate FIRST (eval_when, transform.rs:1041-1063): a skipped mapping
@@ -389,8 +504,15 @@ object Engine {
     // guarded by `keep` or skipped records would raise it
     val keep: Column = m.when match {
       case Some(cond) =>
-        val c = compileCond(cond, env)
-        coalesce(c.value, lit(false)) && !c.missing
+        val c = compileCond(cond, env.copy(errPath = s"$pathBase.when"))
+        val raw = coalesce(c.value, lit(false)) && !c.missing
+        if (CaughtCond.canRaise(raw)) {
+          val cc = CaughtCond(raw, s"$pathBase.when")
+          onWarn(when(cc.getField("kind").isNotNull,
+            struct(cc.getField("kind").as("kind"), cc.getField("path").as("path"),
+              cc.getField("message").as("message"))))
+          cc.getField("ok")
+        } else raw
       case None => lit(true)
     }
 

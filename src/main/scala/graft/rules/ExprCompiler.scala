@@ -53,7 +53,10 @@ object ExprCompiler {
             val parts = m.substring(i + marker.length).split("\\|", 3)
             if (parts.length >= 2)
               return Some(RmError(parts(0), parts(1),
-                if (parts.length > 2) parts(2) else ""))
+                if (parts.length > 2)
+                  // raise_error appends " SQLSTATE: P0001" to the message
+                  parts(2).replaceFirst("\\s*SQLSTATE: [A-Z0-9]{5}\\s*$", "")
+                else ""))
           }
         }
         cur = cur.getCause
@@ -1345,16 +1348,16 @@ object ExprCompiler {
             when(d.isNull, lit(null).cast(LongType))
               .when(isnan(d) || d === Double.PositiveInfinity ||
                 d === Double.NegativeInfinity || d =!= floor(d),
-                fail("cannot cast to int").cast(LongType))
+                fail("failed to cast to int").cast(LongType))
               .otherwise(d.cast(LongType))
           case StringType | VariantType =>
             // reference: s.parse::<i64>() — integer strings only, "3.0" errors
             val s = e.value.cast(StringType)
             when(s.isNull, lit(null).cast(LongType))
               .when(s.rlike(intRe), s.cast(LongType))
-              .otherwise(fail("cannot cast to int").cast(LongType))
+              .otherwise(fail("failed to cast to int").cast(LongType))
           case NullType => lit(null).cast(LongType)
-          case BooleanType => fail("cannot cast to int").cast(LongType)
+          case BooleanType => fail("failed to cast to int").cast(LongType)
           case t => throw CompileError(s"int cast from $t")
         }
         CE(v, e.missing, LongType)
@@ -1364,15 +1367,15 @@ object ExprCompiler {
             val d = e.value.cast(DoubleType)
             when(d.isNull, lit(null).cast(DoubleType))
               .when(isnan(d) || d === Double.PositiveInfinity ||
-                d === Double.NegativeInfinity, fail("number is not finite").cast(DoubleType))
+                d === Double.NegativeInfinity, fail("failed to cast to float").cast(DoubleType))
               .otherwise(d)
           case StringType | VariantType =>
             val s = e.value.cast(StringType)
             when(s.isNull, lit(null).cast(DoubleType))
               .when(s.rlike(numRe), s.cast(DoubleType))
-              .otherwise(fail("cannot cast to float").cast(DoubleType))
+              .otherwise(fail("failed to cast to float").cast(DoubleType))
           case NullType => lit(null).cast(DoubleType)
-          case BooleanType => fail("cannot cast to float").cast(DoubleType)
+          case BooleanType => fail("failed to cast to float").cast(DoubleType)
           case t => throw CompileError(s"float cast from $t")
         }
         CE(v, e.missing, DoubleType)
@@ -1384,9 +1387,9 @@ object ExprCompiler {
             when(s.isNull, lit(null).cast(BooleanType))
               .when(lower(s) === "true", true)
               .when(lower(s) === "false", false)
-              .otherwise(fail("cannot cast to bool").cast(BooleanType))
+              .otherwise(fail("failed to cast to bool").cast(BooleanType))
           case NullType => lit(null).cast(BooleanType)
-          case _ => fail("cannot cast to bool").cast(BooleanType)
+          case _ => fail("failed to cast to bool").cast(BooleanType)
         }
         CE(v, e.missing, BooleanType)
       case other => throw CompileError(s"unknown cast type: $other")

@@ -20,15 +20,20 @@ import Model._
   */
 object Preflight {
 
-  /** Validate `rule` against `input`. Returns normally when every record
-    * transforms cleanly; throws [[ExprCompiler.RmError]] with the
+  /** Validate `rule` against `input`. Returns the run's warnings (the
+    * reference's preflight IS "run and return warnings",
+    * preflight_validate_with_warnings, transform.rs:309-361) when every
+    * record transforms cleanly; throws [[ExprCompiler.RmError]] with the
     * reference's (kind, path) on the first failure. */
   def validate(rule: RuleFile, input: DataFrame, context: JValue = JNull,
       nullAsMissing: Boolean = false,
-      ruleLoader: Engine.RuleLoader = Engine.noLoader): Unit = {
-    try Engine.toJsonRecords(rule, input, context, nullAsMissing, ruleLoader)
-      .foreach(_ => ())
-    catch {
+      ruleLoader: Engine.RuleLoader = Engine.noLoader): Seq[Engine.Warning] = {
+    try {
+      val jw = Engine.toJsonRecordsWithWarnings(rule, input, context,
+        nullAsMissing, ruleLoader)
+      jw.output.foreach(_ => ())
+      Engine.collectWarnings(jw.warnings)
+    } catch {
       case e: ExprCompiler.RmError => throw e
       case t: Throwable => throw ExprCompiler.RmError.fromThrowable(t).getOrElse(t)
     }
