@@ -20,7 +20,36 @@ object YamlParser {
 
   final case class RuleParseError(message: String) extends RuntimeException(message)
 
+  /** Parsed-rule LRU keyed by the exact YAML text, mirroring the
+    * reference's parse_rule_file cache (lib.rs:37-59, capacity 128): a
+    * serving loop (MCP transform, endpoint reload, CLI batch) that sends
+    * the same rules_text repeatedly parses it once. RuleFile is an
+    * immutable case-class tree, so sharing the cached instance is safe.
+    * Parse FAILURES are not cached (they throw before insertion). */
+  private val CacheCapacity = 128
+  private val cache =
+    new java.util.LinkedHashMap[String, RuleFile](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, RuleFile]): Boolean =
+        size() > CacheCapacity
+    }
+  private val parsed = new java.util.concurrent.atomic.AtomicLong
+
+  /** Number of actual (non-cached) parses — observable cache behavior. */
+  def parseCount: Long = parsed.get
+
   def parse(yamlText: String): RuleFile = {
+    val hit = cache.synchronized(cache.get(yamlText))
+    if (hit != null) hit
+    else {
+      val rule = parseUncached(yamlText)
+      cache.synchronized(cache.put(yamlText, rule))
+      rule
+    }
+  }
+
+  private def parseUncached(yamlText: String): RuleFile = {
+    parsed.incrementAndGet()
     val root = asMap(new Yaml().load[Any](yamlText), "rule file")
     val version = root.get("version").map(v => toInt(v, "version")).getOrElse(2)
     val input = root.get("input").map(parseInput).getOrElse(InputSpec())

@@ -25,6 +25,26 @@ case class SessionState(startMs: Long, lastMs: Long, n: Long)
   */
 object StreamOps {
 
+  /** Session conf that moves streaming keyed state into RocksDB with
+    * changelog checkpointing — the production backend for the ingest
+    * path: the default HDFSBackedStateStore keeps every state key
+    * ON-HEAP per executor, which caps [[streamingNearDedup]] /
+    * [[sessionize]] at toy state sizes and invites GC stalls at 100 TB
+    * watermark horizons. RocksDB spills to local disk (state size
+    * bounded by disk, not heap) and changelog checkpointing uploads
+    * per-batch deltas instead of full snapshots. Must be set BEFORE the
+    * query starts (provider is fixed at query start). */
+  val rocksDbStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
+  /** Apply [[rocksDbStateConf]] to a session (runtime conf — applies to
+    * queries started afterwards). */
+  def useRocksDbState(spark: org.apache.spark.sql.SparkSession): Unit =
+    rocksDbStateConf.foreach { case (k, v) => spark.conf.set(k, v) }
+
   /** Apply a rule to a streaming DataFrame. Enforces the reference's
     * restriction: finalize (a global sort/limit) is meaningless on an
     * unbounded stream and is rejected, exactly like the reference's NDJSON

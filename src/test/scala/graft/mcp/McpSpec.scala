@@ -243,4 +243,21 @@ class McpSpec extends AnyFunSuite {
     val content = got.path("result").path("messages").get(0).path("content").asText
     assert(content.contains("Errors:\n[]"))
   }
+
+  test("repeated transform with identical rules_text parses the rule once (LRU, lib.rs:37-59)") {
+    // unique rules text so earlier tests' cache entries can't interfere
+    val rules = "version: 1\ninput:\n  format: json\n  json: {}\nmappings:\n" +
+      "  - target: \"lru_probe\"\n    source: \"id\"\n"
+    val args =
+      s"""{"rules_text": ${mapper.writeValueAsString(rules)},
+         | "input_text": "[{\\"id\\": 7}]"}""".stripMargin
+    toolCall("transform", args) // first call: parses (or was never seen)
+    val after1 = graft.rules.YamlParser.parseCount
+    val r2 = toolCall("transform", args)
+    val r3 = toolCall("transform", args)
+    assert(graft.rules.YamlParser.parseCount == after1, "cached rule re-parsed")
+    val text = r3.path("content").get(0).path("text").asText
+    assert(mapper.readTree(text) == mapper.readTree("""[{"lru_probe":7}]"""))
+    assert(!r2.path("isError").asBoolean(false))
+  }
 }

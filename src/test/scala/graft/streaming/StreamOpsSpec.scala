@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -118,6 +120,45 @@ class StreamOpsSpec extends AnyFunSuite {
     // 2 collapsed into 1 (same simhash); 4 dropped by the quality gate
     assert(ids == Seq(1L, 3L) || ids == Seq(2L, 3L), s"got $ids")
     assert(rows.forall(_.getDouble(1) >= 0.4))
+  }
+
+  test("streaming near-dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-rocks").toFile.getAbsolutePath
+    Seq(
+      (1L, "2024-01-01 10:00:01", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "2024-01-01 10:00:02", "again and again the lazy dog jumps over the quick brown fox"),
+      (3L, "2024-01-01 10:00:03", "a completely different document about spark and the engine design"))
+      .toDF("doc_id", "ts_s", "text")
+      .select(col("doc_id"), to_timestamp(col("ts_s")).as("ts"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+
+    val before = StreamOps.rocksDbStateConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StreamOps.useRocksDbState(spark)
+    try {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val ckpt = Files.createTempDirectory("rocks-ckpt").toFile.getAbsolutePath
+      val q = StreamOps.streamingNearDedup(stream, "text", "ts", "10 minutes")
+        .select("doc_id")
+        .writeStream.format("memory").queryName("rocks_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val ids = spark.table("rocks_out").orderBy("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 3L) || ids == Seq(2L, 3L), s"got $ids")
+      // the dedup state actually lived in RocksDB: the checkpoint carries
+      // RocksDB SST/changelog files, not the HDFS-backed .delta layout
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(stateFiles.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+        s"no RocksDB changelog/snapshot files under $ckpt/state: $stateFiles")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("watermarked windowed counts over a stream match the batch plan") {
