@@ -121,8 +121,8 @@ object UiServer {
             serveRulesApi(x, p)
           case p if p.startsWith("/api/") && config.apiMode == "rules" =>
             sendJson(x, 500, """{"error":"api engine not configured"}""")
-          case _ if config.uiEnabled && config.uiDir.isDefined =>
-            serveStatic(x, config.uiDir.get, path)
+          case _ if config.uiEnabled =>
+            serveStatic(x, config.uiDir, path)
           case _ =>
             sendJson(x, 404, """{"error":"not found"}""")
         }
@@ -218,18 +218,43 @@ object UiServer {
     } finally x.close()
   }
 
-  /** Static UI assets with SPA fallback to index.html; traversal-safe. */
-  private def serveStatic(x: HttpExchange, uiDir: Path, rawPath: String): Unit = {
+  /** Static UI assets with SPA fallback to index.html; traversal-safe.
+    * With no `--ui-dir`, the built-in minimal bundle ships as classpath
+    * resources under graft/ui/ (trace list/detail + api-graph views over
+    * the /internal APIs), so `graft ui` renders out of the box like the
+    * reference's bundled rulemorph_ui frontend. A user-supplied dir
+    * fully replaces the bundle (file missing there ⇒ its index.html). */
+  private def serveStatic(x: HttpExchange, uiDir: Option[Path], rawPath: String): Unit = {
     val rel = rawPath.stripPrefix("/") match { case "" => "index.html"; case p => p }
-    val resolved = uiDir.resolve(rel).normalize()
-    val target =
-      if (resolved.startsWith(uiDir.normalize()) && Files.isRegularFile(resolved)) resolved
-      else uiDir.resolve("index.html")
-    if (!Files.isRegularFile(target)) {
-      sendJson(x, 404, """{"error":"not found"}"""); return
+    uiDir match {
+      case Some(dir) =>
+        val resolved = dir.resolve(rel).normalize()
+        val target =
+          if (resolved.startsWith(dir.normalize()) && Files.isRegularFile(resolved)) resolved
+          else dir.resolve("index.html")
+        if (!Files.isRegularFile(target)) {
+          sendJson(x, 404, """{"error":"not found"}"""); return
+        }
+        sendAsset(x, target.toString, Files.readAllBytes(target))
+      case None =>
+        // classpath bundle; resource names are fixed strings (no user
+        // path reaches the classloader unless it maps to a bundled file)
+        val safe = if (rel.matches("[A-Za-z0-9._-]+")) rel else "index.html"
+        val res = Option(getClass.getResourceAsStream(s"/graft/ui/$safe"))
+          .orElse(Option(getClass.getResourceAsStream("/graft/ui/index.html")))
+        res match {
+          case Some(in) =>
+            val bytes = try in.readAllBytes() finally in.close()
+            val name = if (getClass.getResource(s"/graft/ui/$safe") != null) safe
+                       else "index.html"
+            sendAsset(x, name, bytes)
+          case None => sendJson(x, 404, """{"error":"not found"}""")
+        }
     }
-    val bytes = Files.readAllBytes(target)
-    x.getResponseHeaders.add("content-type", contentTypeOf(target.toString))
+  }
+
+  private def sendAsset(x: HttpExchange, name: String, bytes: Array[Byte]): Unit = {
+    x.getResponseHeaders.add("content-type", contentTypeOf(name))
     x.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) x.getResponseBody.write(bytes)
   }

@@ -191,6 +191,37 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s3 == 200 && b3.contains("rulemorph ui"))
   }
 
+  test("without --ui-dir the built-in bundle renders the trace UI out of the box") {
+    // a second server over the same data dir, no user ui dir
+    val bundled = UiServer.start(spark, UiServer.Config(
+      port = 0, dataDir = dataDir, uiDir = None,
+      rulesDir = None, apiMode = "ui-only", uiEnabled = true))
+    val bp = bundled.getAddress.getPort
+    def get(path: String): (Int, String, String) = {
+      val conn = URI.create(s"http://127.0.0.1:$bp$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      val status = conn.getResponseCode
+      val stream = if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+      (status, text, Option(conn.getHeaderField("content-type")).getOrElse(""))
+    }
+    try {
+      val (s1, b1, ct1) = get("/")
+      assert(s1 == 200 && ct1.startsWith("text/html"))
+      // the page is wired to the live internal APIs this server serves
+      assert(b1.contains("/internal/traces"))
+      assert(b1.contains("/internal/api-graph"))
+      assert(b1.contains("/internal/stream"))
+      // SPA fallback works for the bundle too
+      val (s2, b2, _) = get("/some/spa/route")
+      assert(s2 == 200 && b2.contains("/internal/traces"))
+      // and the trace data the page fetches is really there (>= the two
+      // seeded traces; earlier tests may have imported more)
+      val (s3, b3, _) = get("/internal/traces")
+      assert(s3 == 200 && mapper.readTree(b3).get("traces").size >= 2)
+    } finally bundled.stop(0)
+  }
+
   test("SSE stream sends the initial traces event") {
     val conn = URI.create(s"http://127.0.0.1:$port/internal/stream").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
