@@ -295,38 +295,37 @@ object Dedup {
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .union(pairs.select(col("db").as("a"), col("da").as("b")))
       .cache() // reused every iteration
+    // Eager localCheckpoint EVERY iteration, not cache(): each iteration's
+    // plan references `labels` twice (the union arm and the neighbor
+    // join), so a cached formulation nests the previous InMemoryRelation
+    // twice per level and the logical tree DOUBLES per iteration — AQE's
+    // plan-change logging then renders an exponentially-sized explain
+    // string and OOMs the driver near diameter 40. A checkpointed
+    // iteration is a flat LogicalRDD: plan size stays O(1) at any
+    // diameter, and the checkpoint stores one (node, lbl) row per
+    // duplicated doc in executor-local storage — the same footprint the
+    // cache held. Superseded checkpoints are freed by the ContextCleaner
+    // once unreferenced.
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
+      .localCheckpoint()
     var converged = false
-    var iter = 0
     while (!converged) {
-      iter += 1
       // min over self + neighbors' labels
       val viaNeighbor = edges
         .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .select(col("a").as("node"), col("lbl"))
-      // the cache keeps the DATA from recomputing, but each iteration still
-      // nests one more join into the logical plan — on a high-diameter
-      // graph the analyzer/optimizer cost grows quadratically. A periodic
-      // localCheckpoint truncates the lineage (the data is already
-      // materialized by the convergence count, so it costs nothing extra).
-      val next0 = labels.union(viaNeighbor)
+      val next = labels.union(viaNeighbor)
         .groupBy("node").agg(min("lbl").as("lbl"))
-      // localCheckpoint persists on its own (that's how it truncates), so
-      // it replaces the cache() on checkpoint iterations
-      val next = if (iter % 10 == 0) next0.localCheckpoint(eager = false)
-                 else next0.cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
     }
     edges.unpersist()
-    // the final label table stays cached (it is already materialized by the
-    // convergence count, and it is tiny — one row per duplicated doc);
-    // unpersisting it would force a full re-run of the iterative lineage
-    // when the caller consumes the result
+    // the final label table is checkpointed (already materialized), so the
+    // caller's consumption does not re-run the iterative lineage
     labels.select(col("node").as("doc_id"), col("lbl").as("canonical_id"))
   }
 

@@ -51,4 +51,18 @@ class ClusterPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("distributed label propagation survives a diameter-55 path graph (localCheckpoint)") {
+    import spark.implicits._
+    // a pure path 0-1-2-...-55: min-label propagation needs one iteration
+    // per hop, so the iterative plan nests ~55 joins — the periodic
+    // localCheckpoint (every 10 iterations) must keep analysis cost flat
+    // instead of quadratic. driverLimit=1 forces the distributed path.
+    val n = 55
+    val pairs = (0L until n.toLong).map(i => (i, i + 1))
+    val got = Dedup.duplicateClusters(pairs.toDF("da", "db"), driverLimit = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L to n.toLong).map(_ -> 0L).toMap
+    assert(got == expected)
+  }
 }
