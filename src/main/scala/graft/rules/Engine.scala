@@ -86,8 +86,12 @@ object Engine {
       * wrapped in [[CaughtCond]] so an eval error drops the record (plus a
       * warning in warnings mode) instead of aborting the job —
       * eval_record_when semantics (transform.rs:1065-1091). Pure
-      * predicates keep their plain, pushdown-friendly filter form outside
-      * warnings mode. */
+      * predicates keep their plain, pushdown-friendly filter form —
+      * even in warnings mode, as long as no warning site precedes the
+      * drop: a record dropped by a pure predicate carries no warning of
+      * its own, so filtering it away is only wrong if it might already
+      * hold earlier warnings (then the drop must become keep-state so
+      * those warnings still reach the side channel). */
     def applyRecordPred(raw: Column, path: String): Unit =
       if (CaughtCond.canRaise(raw)) {
         val cc = CaughtCond(raw, path)
@@ -98,7 +102,8 @@ object Engine {
           keepCol = keepCol && cc.getField("ok")
         } else df = df.filter(cc.getField("ok"))
       } else {
-        if (collectWarnings) keepCol = keepCol && coalesce(raw, lit(false))
+        if (collectWarnings && warns.nonEmpty)
+          keepCol = keepCol && coalesce(raw, lit(false))
         else df = df.filter(raw) // filter drops null = false; no coalesce (it blocks pushdown)
       }
 
@@ -177,7 +182,10 @@ object Engine {
         // the records routed to that side
         val rowKeep = when(keep, thenC.keep.getOrElse(lit(true)))
           .otherwise(elseC.flatMap(_.keep).getOrElse(lit(true)))
-        if (collectWarnings) keepCol = keepCol && coalesce(rowKeep, lit(false))
+        // same pure-drop rule as applyRecordPred: only records that might
+        // already carry warnings must survive their drop
+        if (collectWarnings && warns.nonEmpty)
+          keepCol = keepCol && coalesce(rowKeep, lit(false))
         else df = df.filter(rowKeep)
         val branchOut = mergeBranchOutputs(keep, thenC.out,
           elseC.map(_.out).getOrElse(scala.collection.immutable.ListMap.empty[String, CE]))

@@ -61,6 +61,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rule plan did not prune unused columns: $readSchema")
   }
 
+  test("warnings-mode transform keeps the pure record_when pushed into the scan") {
+    // the warnings path must not tax the common case: with no
+    // error-capable condition anywhere, a pure record_when still filters
+    // (and pushes) instead of becoming a keep column
+    val rule = YamlParser.parse(
+      """version: 2
+        |record_when: { gte: ["@input.l_quantity", 30] }
+        |mappings:
+        |  - target: orderkey
+        |    source: l_orderkey
+        |""".stripMargin)
+    val jw = Engine.toJsonRecordsWithWarnings(rule, graft.Tables.lineitem(spark, dir))
+    val plan = planOf(jw.output)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(l_quantity"),
+      s"warnings-mode plan lost the pushed record_when filter:\n$plan")
+  }
+
   test("sampling and token stats are narrow: no Exchange, pruned scans") {
     val docs = graft.Tables.documents(spark, dir)
     val splitPlan = planOf(graft.operators.Sampling.trainTestSplit(
