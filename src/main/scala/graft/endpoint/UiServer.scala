@@ -238,8 +238,11 @@ object UiServer {
         sendAsset(x, target.toString, Files.readAllBytes(target))
       case None =>
         // classpath bundle; resource names are fixed strings (no user
-        // path reaches the classloader unless it maps to a bundled file)
-        val safe = if (rel.matches("[A-Za-z0-9._-]+")) rel else "index.html"
+        // path reaches the classloader unless it maps to a bundled file);
+        // dots-only segments ("."/"..") would resolve to directories on an
+        // exploded classpath, so they fall back like any other SPA route
+        val safe = if (rel.matches("[A-Za-z0-9._-]+") && !rel.forall(_ == '.')) rel
+                   else "index.html"
         val res = Option(getClass.getResourceAsStream(s"/graft/ui/$safe"))
           .orElse(Option(getClass.getResourceAsStream("/graft/ui/index.html")))
         res match {

@@ -213,11 +213,14 @@ object Dedup {
       .select(col("x.doc").as("nd"), col("y.doc").as("od"))
     val cand = candIdx.union(candNew).distinct()
     // verify on the hash SETS carried by the index rows: |A∩B| is one
-    // native array_intersect per candidate pair — nothing re-tokenizes
+    // native array_intersect per candidate pair — nothing re-tokenizes.
+    // nd resolves from the NEW batch only, od from index ∪ new: if a doc
+    // id ever appeared on both sides, resolving nd from the union would
+    // attribute the indexed doc's shingle set to the new doc
     val allSh = index.select(col("doc"), col("shh"))
       .union(newSig.select(col("doc"), col("shh")))
     val dropped = cand
-      .join(allSh.select(col("doc").as("nd"), col("shh").as("sha")), Seq("nd"))
+      .join(newSig.select(col("doc").as("nd"), col("shh").as("sha")), Seq("nd"))
       .join(allSh.select(col("doc").as("od"), col("shh").as("shb")), Seq("od"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .filter(col("inter").cast(DoubleType) /

@@ -81,9 +81,10 @@ object Ivf {
   def centroids(b: DataFrame, nlist: Int, iters: Int,
       maxTrainBytes: Long = 512L << 20): Seq[Seq[Double]] = {
     val total = b.count()
-    // dims from one row (cheap single-partition job); the cap in rows is
-    // budget / bytes-per-vector so high-dim corpora subsample harder
-    val sampleDims = b.select(size(col("e"))).head(1)
+    // dims from one non-null row (cheap single-partition job); the cap in
+    // rows is budget / bytes-per-vector so high-dim corpora subsample
+    // harder. Null vectors are skipped here like they are in training.
+    val sampleDims = b.filter(col("e").isNotNull).select(size(col("e"))).head(1)
     val dimsOf = if (sampleDims.isEmpty) 1 else math.max(1, sampleDims(0).getInt(0))
     val maxTrainRows = math.max(nlist.toLong, maxTrainBytes / (dimsOf * 8L))
     val trainDf =

@@ -128,11 +128,20 @@ object Pipeline {
       "text", "doc_id", n = 3, k = 64, bands = 16).persist(lvl)
     val sigB = Dedup.signatureIndex(docs.filter(col("doc_id") % 2 === 1),
       "text", "doc_id", n = 3, k = 64, bands = 16).persist(lvl)
-    val survivors = Dedup.dedupAgainstIndex(sigB, idxA, threshold = 0.8)
-    idxA.union(survivors)
-      .select(col("doc").as("doc_id"),
-        when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
-      .orderBy("doc_id")
+    try {
+      val survivors = Dedup.dedupAgainstIndex(sigB, idxA, threshold = 0.8)
+      // materialize the (tiny) membership result so both signature caches
+      // can be released before returning — otherwise every call leaves two
+      // CacheManager entries resident for the JVM's lifetime
+      idxA.union(survivors)
+        .select(col("doc").as("doc_id"),
+          when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally {
+      idxA.unpersist(blocking = false)
+      sigB.unpersist(blocking = false)
+    }
   }
 
   /** Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
@@ -169,13 +178,27 @@ object Pipeline {
 
   /** Train-once cache: the ANN query and the SemDeDup query run the same
     * deterministic k-means over the same table, so within one JVM the
-    * centroids are memoized by (dir, nlist, iters) — running both queries
-    * trains exactly one k-means. (Training is deterministic, so a cached
-    * entry is bit-identical to a retrain.) */
+    * centroids are memoized by (dir, data stamp, nlist, iters) — running
+    * both queries trains exactly one k-means. (Training is deterministic,
+    * so a cached entry is bit-identical to a retrain.) The stamp is the
+    * embeddings table's max file mtime + file count, so a rewritten table
+    * at the same path retrains instead of silently reusing stale
+    * centroids. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[Seq[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), Seq[Seq[Double]]]
+  private def embStamp(dir: String): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val s = java.nio.file.Files.walk(p)
+      val files =
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
+        finally s.close()
+      files.map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(0L)(math.max) * 31 + files.size
+    } catch { case scala.util.control.NonFatal(_) => 0L }
   private def sharedCentroids(b: DataFrame, dir: String): Seq[Seq[Double]] =
-    centroidCache.getOrElseUpdate((dir, IvfNlist, IvfIters),
+    centroidCache.getOrElseUpdate((dir, embStamp(dir), IvfNlist, IvfIters),
       Ivf.centroids(b, IvfNlist, IvfIters))
 
   def similarityIvf(spark: SparkSession, dir: String): DataFrame = {

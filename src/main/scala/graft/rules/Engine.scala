@@ -399,8 +399,12 @@ object Engine {
           .limit(0)
       else c.df
         .select(col("__order"), array(c.warns: _*).as("__w"))
-        .select(col("__order"), explode(filter(col("__w"), w => w.isNotNull)).as("w"))
-        .orderBy("__order")
+        // posexplode: the within-record position is part of the sort key —
+        // relying on sort stability for equal __order rows is not a Spark
+        // contract (an external-sort spill may interleave equal keys)
+        .select(col("__order"),
+          posexplode(filter(col("__w"), w => w.isNotNull)).as(Seq("__pos", "w")))
+        .orderBy("__order", "__pos")
         .select(col("w.kind").as("kind"), col("w.path").as("path"),
           col("w.message").as("message"))
     JsonWithWarnings(output, warnings)
