@@ -67,26 +67,47 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-  /** Exact pairwise Jaccard over shingle sets, via explode + self-join on
-    * shared shingle hashes — |A∩B| from the join, |A| and |B| carried on
-    * the joined rows. Only emits pairs above `threshold`. Quadratic worst
-    * case: at scale this runs ONLY behind LSH candidates
-    * ([[minhashDupPairs]]), never standalone. */
+  /** Exact pairwise Jaccard over shingle sets with PREFIX filtering (the
+    * all-pairs similarity-join prefix filter, as in PPJoin/SSJoin-family
+    * systems): under any global total order on shingle hashes, two sets
+    * with J ≥ t must share an element among each set's first
+    * `n − ⌈t·n⌉ + 1` smallest hashes — so only the prefix hashes enter
+    * the candidate self-join (≈ (1−t)·n rows/doc instead of n, i.e.
+    * ~25× fewer collision pairs at t = 0.8), the size-ratio filter
+    * prunes inside the join, and the exact intersection is ONE native
+    * `array_intersect` per surviving candidate pair. Still exact, still
+    * worst-case quadratic on adversarial data — at extreme scale run it
+    * behind LSH candidates ([[minhashDupPairs]]). */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingleHashRows(shingleTable(docs, textCol, idCol, n))
-    // size prefilter inside the join: J ≤ min(|A|,|B|)/max(|A|,|B|), so a
-    // pair whose size ratio is below the threshold can never pass the final
-    // filter — prune it before the intersection aggregate ever sees it
-    // (the standard length filter of all-pairs similarity joins)
+      n: Int, threshold: Double): DataFrame =
+    jaccardPairsFrom(shingleTable(docs, textCol, idCol, n), threshold)
+
+  /** [[jaccardPairs]] over a precomputed (and persistable) [[shingleTable]]. */
+  def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    val sorted = sh.select(col("doc"), array_sort(col("shh")).as("shh"),
+      size(col("shh")).as("n_sh"))
+    val plen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .cast(IntegerType)
+    val pr = sorted.select(col("doc"), col("n_sh"),
+      explode(slice(col("shh"), lit(1), greatest(plen, lit(0)))).as("h"))
     val sizeOk =
       col("x.n_sh").cast(DoubleType) >= lit(threshold) * col("y.n_sh") &&
         col("y.n_sh").cast(DoubleType) >= lit(threshold) * col("x.n_sh")
-    val pairs = sh.as("x").join(sh.as("y"),
+    val cand = pr.as("x").join(pr.as("y"),
         col("x.h") === col("y.h") && col("x.doc") < col("y.doc") && sizeOk)
-      .select(col("x.doc").as("da"), col("y.doc").as("db"),
-        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-    jaccardFromPairs(pairs, threshold)
+      .select(col("x.doc").as("da"), col("y.doc").as("db")).distinct()
+    val full = sorted.select(col("doc"), col("shh"), col("n_sh"))
+    cand
+      .join(full.select(col("doc").as("da"), col("shh").as("sha"),
+        col("n_sh").as("na")), Seq("da"))
+      .join(full.select(col("doc").as("db"), col("shh").as("shb"),
+        col("n_sh").as("nb")), Seq("db"))
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature of length k over the shingle array: each shingle

@@ -60,9 +60,20 @@ object Pipeline {
       .select(col("user_id"), col("event_type"), col("event_id"))
       .orderBy("user_id", "event_type")
 
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(spark, dir), "text", "doc_id", n = 3, threshold = 0.8)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // shingle table persisted once for the 4 self-join consumers; the
+    // pair-list result is tiny, so it is materialized and the persist
+    // released before returning
+    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "text", "doc_id", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // checkpoint BEFORE the orderBy: a global sort's range-partitioner
+    // sampling re-executes its child, which would run the whole join
+    // pipeline twice; sorting the checkpointed (tiny) pair list is free
+    try Dedup.jaccardPairsFrom(sh, threshold = 0.8)
+      .localCheckpoint()
       .orderBy("da", "db")
+    finally sh.unpersist(blocking = false)
+  }
 
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id",
@@ -132,12 +143,14 @@ object Pipeline {
       val survivors = Dedup.dedupAgainstIndex(sigB, idxA, threshold = 0.8)
       // materialize the (tiny) membership result so both signature caches
       // can be released before returning — otherwise every call leaves two
-      // CacheManager entries resident for the JVM's lifetime
+      // CacheManager entries resident for the JVM's lifetime. Checkpoint
+      // BEFORE the orderBy: the global sort's sampling pass would
+      // otherwise execute the dedup pipeline twice.
       idxA.union(survivors)
         .select(col("doc").as("doc_id"),
           when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
-        .orderBy("doc_id")
         .localCheckpoint()
+        .orderBy("doc_id")
     } finally {
       idxA.unpersist(blocking = false)
       sigB.unpersist(blocking = false)
