@@ -141,4 +141,36 @@ class CliSpec extends AnyFunSuite {
       .replaceAll("\\s+$", "")
     assert(Files.readString(tmp).trim == want)
   }
+
+  test("transform/preflight: when-eval error emits W lines on stderr, exit 0") {
+    // emit_transform_warnings parity (reference main.rs:652-678): text
+    // form `W <Kind> path=… msg="…"`, json form an array of warning
+    // objects — and warnings do NOT fail the run
+    val dir = Files.createTempDirectory("cli_warn")
+    val rules = dir.resolve("rules.yaml")
+    Files.writeString(rules,
+      """version: 1
+        |input: { format: json }
+        |mappings:
+        |  - target: "flag"
+        |    value: "big"
+        |    when:
+        |      op: ">"
+        |      args: [ { op: "int", args: [ { ref: "input.n" } ] }, 5 ]
+        |""".stripMargin)
+    val input = dir.resolve("input.json")
+    Files.writeString(input, """[{"n": "10"}, {"n": "abc"}]""")
+    val r = cli("transform", "-r", rules.toString, "-i", input.toString)
+    assert(r.code == 0, r.err)
+    assert(r.out.contains("""[{"flag":"big"},{}]"""), r.out)
+    assert(r.err.contains(
+      """W TypeCastFailed path=mappings[0].when.args[0] msg="failed to cast to int""""),
+      r.err)
+    val rj = cli("transform", "-r", rules.toString, "-i", input.toString,
+      "-e", "json")
+    assert(rj.code == 0 && rj.err.contains(""""type":"warning"""") &&
+      rj.err.contains(""""kind":"TypeCastFailed""""), rj.err)
+    val rp = cli("preflight", "-r", rules.toString, "-i", input.toString)
+    assert(rp.code == 0 && rp.err.contains("W TypeCastFailed"), rp.err)
+  }
 }
