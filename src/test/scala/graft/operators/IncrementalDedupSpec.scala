@@ -62,6 +62,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(survivorIds(delta2, idx2) == Set(15L))
   }
 
+  test("first ingest: empty index dedups the delta against itself only") {
+    val emptyIdx = sig(Nil)
+    val delta = sig(Seq(
+      1L -> text("a"),
+      3L -> text("a", edits = Seq(49)), // dup of earlier 1 → drop
+      5L -> text("b")))
+    assert(survivorIds(delta, emptyIdx) == Set(1L, 5L))
+  }
+
+  test("empty delta survives as nothing; index unchanged by union") {
+    val idx = sig(Seq(0L -> text("a")))
+    val none = Dedup.dedupAgainstIndex(sig(Nil), idx, T)
+    assert(none.count() == 0)
+    assert(idx.union(none).select("doc").collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("incremental composition matches the full-batch pair predicate") {
     // full corpus: evens indexed, odds are the delta — survivors must be
     // exactly the odds with no qualifying jaccardPairs partner
