@@ -60,6 +60,12 @@ object CaughtCond {
     StructField("path", StringType),
     StructField("message", StringType)))
 
+  /** The (kind, path, message) element type of a warnings array column. */
+  val warningSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("path", StringType),
+    StructField("message", StringType)))
+
   /** Wrap a keep predicate; see class doc. */
   def apply(keep: Column, defaultPath: String): Column =
     Bridge.column(CaughtCond(Bridge.expression(keep), defaultPath))

@@ -56,7 +56,11 @@ object Engine {
     // increasing id encodes (partition, offset) = scan order, captured
     // before any shuffle. Only attached when a finalize sort will consume
     // it — it is unsupported on streaming inputs and dead weight otherwise.
-    val needsOrder = rule.finalizeSpec.exists(_.sort.isDefined) || collectWarnings
+    // __order also serializes warning emission (batch only — streams
+    // cannot host monotonically_increasing_id, and the streaming warnings
+    // shape is per-row anyway, no cross-row ordering needed)
+    val needsOrder = (rule.finalizeSpec.exists(_.sort.isDefined) ||
+      collectWarnings) && !input.isStreaming
     val ordered = input.withColumn("__order",
       if (needsOrder) monotonically_increasing_id() else lit(0L))
     val baseResolver = resolveFromSchema(
@@ -413,6 +417,30 @@ object Engine {
   /** Collect a warnings DataFrame into reference-shaped [[Warning]]s. */
   def collectWarnings(warnings: DataFrame): Seq[Warning] =
     warnings.collect().toSeq.map(r => Warning(r.getString(0), r.getString(1), r.getString(2)))
+
+  /** Streaming-compatible warnings shape: ONE DataFrame carrying the
+    * typed output columns plus `_kept` (record survived) and `_warnings`
+    * (array<struct<kind,path,message>>, the record's own warnings in
+    * order) — the per-item (output, warnings) pairs of the reference's
+    * transform_stream (transform.rs:87-161), expressible under a
+    * streaming sink where a second side-channel DataFrame cannot exist.
+    * Rows are emitted when kept OR warned; no global sort or collect, so
+    * it composes with readStream. Finalize (banned in stream mode
+    * anyway) is not applied. */
+  def transformWithWarningsColumn(rule: RuleFile, input: DataFrame,
+      context: JValue = JNull, nullAsMissing: Boolean = false,
+      ruleLoader: RuleLoader = noLoader): DataFrame = {
+    require(rule.finalizeSpec.isEmpty,
+      "transformWithWarningsColumn does not apply finalize (stream shape)")
+    val c = compilePlan(rule, input, context, nullAsMissing, ruleLoader,
+      collectWarnings = true)
+    val warnsCol =
+      if (c.warns.isEmpty) array().cast(ArrayType(CaughtCond.warningSchema))
+      else filter(array(c.warns: _*), w => w.isNotNull)
+    val outCols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq
+    c.df.select(outCols ++ Seq(c.keep.as("_kept"), warnsCol.as("_warnings")): _*)
+      .filter(col("_kept") || size(col("_warnings")) > 0)
+  }
 
   private def jsonSink(rule: RuleFile, c: Compiled, context: JValue): DataFrame = {
     val cols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq ++

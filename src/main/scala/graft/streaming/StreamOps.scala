@@ -55,6 +55,17 @@ object StreamOps {
     Engine.transform(rule, stream)
   }
 
+  /** [[ruleStream]] with the reference streaming mode's per-item warnings
+    * (transform_stream yields (output, warnings) per record): output
+    * columns plus `_kept` and `_warnings`, rows emitted when kept or
+    * warned — the side channel as a column, the only shape an unbounded
+    * sink can carry. */
+  def ruleStreamWithWarnings(rule: RuleFile, stream: DataFrame): DataFrame = {
+    require(rule.finalizeSpec.isEmpty,
+      "finalize is not supported in stream mode (matches reference NDJSON mode)")
+    Engine.transformWithWarningsColumn(rule, stream)
+  }
+
   /** Watermarked tumbling-window aggregation over an event-time column:
     * the scalable form of "group by time bucket". Late data beyond the
     * watermark is dropped; state is bounded. */

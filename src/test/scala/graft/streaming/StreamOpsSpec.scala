@@ -122,6 +122,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(1) >= 0.4))
   }
 
+  test("rule stream carries per-item warnings as a column (reference stream mode)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-warn").toFile.getAbsolutePath
+    Seq((1L, "10"), (2L, "abc"), (3L, "3"))
+      .toDF("id", "n").write.mode("overwrite").parquet(dir)
+    val rule = YamlParser.parse(
+      """version: 1
+        |input: { format: json }
+        |mappings:
+        |  - target: "id"
+        |    source: "id"
+        |  - target: "flag"
+        |    value: "big"
+        |    when:
+        |      op: ">"
+        |      args: [ { op: "int", args: [ { ref: "input.n" } ] }, 5 ]
+        |""".stripMargin)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.ruleStreamWithWarnings(rule, stream)
+      .writeStream.format("memory").queryName("warn_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("warn_out").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getBoolean(rows(0).fieldIndex("_kept"))))
+    val warnsOf = rows.map(r =>
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("_warnings"))
+        .map(w => (w.getString(0), w.getString(1))))
+    assert(warnsOf(0).isEmpty && warnsOf(2).isEmpty)
+    assert(warnsOf(1) == Seq(("TypeCastFailed", "mappings[1].when.args[0]")))
+    // the erroring when skipped the mapping: flag null for record 2
+    assert(rows(1).isNullAt(rows(1).fieldIndex("flag")))
+    assert(rows(0).getString(rows(0).fieldIndex("flag")) == "big")
+  }
+
   test("streaming near-dedup runs on the RocksDB state store provider") {
     import spark.implicits._
     val dir = Files.createTempDirectory("stream-rocks").toFile.getAbsolutePath
