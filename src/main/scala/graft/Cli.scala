@@ -267,6 +267,8 @@ object Cli {
           case Left(code) => return code
           case Right(v) => v
         }
+        if (f.bools.contains("--ndjson"))
+          return runTransformNdjson(rule, inputPath, context, rulesPath, f, out, err)
         val (records, warnings) =
           try {
             val jw = Engine.toJsonRecordsWithWarnings(rule,
@@ -285,14 +287,49 @@ object Cli {
           }
         val wrapped = rule.finalizeSpec.exists(_.wrap.nonEmpty)
         val text =
-          if (f.bools.contains("--ndjson")) records.mkString("\n")
-          else if (wrapped) records.headOption.getOrElse("{}") // wrap ⇒ one object
+          if (wrapped) records.headOption.getOrElse("{}") // wrap ⇒ one object
           else records.mkString("[", ",", "]")
-        // reference CLI order: output first, then warnings on stderr
-        val rc = writeOut(text, f, out, err)
+        // reference emission order (main.rs:288-305): warnings on stderr
+        // BEFORE the output write
         emitTransformWarnings(warnings, errorFormat(f), err)
-        rc
+        writeOut(text, f, out, err)
     }
+  }
+
+  /** Reference run_transform_ndjson (main.rs:310-385): the per-item
+    * stream shape — each item's warnings hit stderr before its output
+    * line (dropped items emit warnings only), so json error format
+    * produces one array PER warned item, not one combined array.
+    * finalize is rejected up front (transform.rs:168-173). */
+  private def runTransformNdjson(rule: RuleFile,
+      inputPath: String, context: JValue, rulesPath: Path,
+      f: Flags, out: PrintStream, err: PrintStream): Int = {
+    if (rule.finalizeSpec.nonEmpty) {
+      emitTransformError(ExprCompiler.RmError("InvalidInput", "",
+        "finalize is not supported in stream mode"), errorFormat(f), err)
+      return 3
+    }
+    val rows =
+      try Engine.ndjsonWithWarnings(rule, readInput(rule, inputPath), context,
+        nullAsMissing = rule.input.format != "csv",
+        ruleLoader = Engine.fileLoader(baseDir(rulesPath))).collect()
+      catch {
+        case e: ExprCompiler.RmError => emitTransformError(e, errorFormat(f), err); return 3
+        case NonFatal(e) =>
+          ExprCompiler.RmError.fromThrowable(e) match {
+            case Some(rm) => emitTransformError(rm, errorFormat(f), err); return 3
+            case None => err.println(s"transform failed: ${e.getMessage}"); return 3
+          }
+      }
+    val lines = Seq.newBuilder[String]
+    rows.foreach { r =>
+      val ws = r.getSeq[org.apache.spark.sql.Row](1)
+      emitTransformWarnings(
+        ws.map(w => Engine.Warning(w.getString(0), w.getString(1), w.getString(2))),
+        errorFormat(f), err)
+      if (!r.isNullAt(0)) lines += r.getString(0)
+    }
+    writeOut(lines.result().mkString("\n"), f, out, err)
   }
 
   private def runGenerate(f: Flags, out: PrintStream, err: PrintStream): Int =

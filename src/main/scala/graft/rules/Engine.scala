@@ -442,6 +442,37 @@ object Engine {
       .filter(col("_kept") || size(col("_warnings")) > 0)
   }
 
+  /** Per-item shape of the reference's transform_stream
+    * (transform.rs:163-190) for the CLI's NDJSON mode: one row per input
+    * record that survived OR warned, in record order, carrying `json`
+    * (null when the record was dropped — the reference item's
+    * `output: None`) and `warnings` (the record's own warnings in
+    * emission order). The CLI interleaves: each item's warnings go to
+    * stderr before that item's output line (main.rs:350-377). Finalize
+    * is banned in stream mode; callers reject it before compiling. */
+  def ndjsonWithWarnings(rule: RuleFile, input: DataFrame,
+      context: JValue = JNull, nullAsMissing: Boolean = false,
+      ruleLoader: RuleLoader = noLoader): DataFrame = {
+    require(rule.finalizeSpec.isEmpty, "finalize is not supported in stream mode")
+    val c = compilePlan(rule, input, context, nullAsMissing, ruleLoader,
+      collectWarnings = true)
+    val frags = c.out.toSeq.map { case (name, ce) =>
+      when(ce.missing, lit(null).cast(StringType))
+        .otherwise(concat(lit("\"" + name + "\":"), jsonEncode(ce.valueOrNull, ce.tpe)))
+    }
+    val recordJson = concat(lit("{"), concat_ws(",", frags: _*), lit("}"))
+    val warnsCol =
+      if (c.warns.isEmpty) array().cast(ArrayType(CaughtCond.warningSchema))
+      else filter(array(c.warns: _*), w => w.isNotNull)
+    // when() treats a null keep predicate as false — same drop semantics
+    // as the filter() in toJsonRecordsWithWarnings
+    c.df.select(col("__order"), when(c.keep, recordJson).as("json"),
+        warnsCol.as("warnings"))
+      .filter(col("json").isNotNull || size(col("warnings")) > 0)
+      .orderBy("__order")
+      .select("json", "warnings")
+  }
+
   private def jsonSink(rule: RuleFile, c: Compiled, context: JValue): DataFrame = {
     val cols = c.out.map { case (name, ce) => ce.valueOrNull.as(name) }.toSeq ++
       c.out.map { case (name, ce) => ce.missing.as(s"__miss_$name") }.toSeq

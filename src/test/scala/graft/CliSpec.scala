@@ -173,4 +173,73 @@ class CliSpec extends AnyFunSuite {
     val rp = cli("preflight", "-r", rules.toString, "-i", input.toString)
     assert(rp.code == 0 && rp.err.contains("W TypeCastFailed"), rp.err)
   }
+
+  test("transform --ndjson: finalize is rejected like the reference stream mode") {
+    // transform_stream refuses finalize (transform.rs:168-173); the CLI
+    // surfaces it as a transform error, exit 3
+    val dir = Files.createTempDirectory("cli_ndjson_fin")
+    val rules = dir.resolve("rules.yaml")
+    Files.writeString(rules,
+      """version: 1
+        |input: { format: json }
+        |mappings:
+        |  - target: "n"
+        |    source: "n"
+        |finalize:
+        |  limit: 1
+        |""".stripMargin)
+    val input = dir.resolve("input.json")
+    Files.writeString(input, """[{"n": 1}, {"n": 2}]""")
+    val r = cli("transform", "-r", rules.toString, "-i", input.toString, "--ndjson")
+    assert(r.code == 3, s"${r.code} ${r.err}")
+    assert(r.err.contains(
+      """E InvalidInput msg="finalize is not supported in stream mode""""), r.err)
+  }
+
+  test("transform --ndjson: warnings are emitted per item, dropped items keep theirs") {
+    // run_transform_ndjson (main.rs:350-377): each item's warnings are
+    // emitted before its output line — in json error format that is one
+    // array PER warned item (two records warn ⇒ two arrays), and an item
+    // dropped by record_when still reports its warning without a line
+    val dir = Files.createTempDirectory("cli_ndjson_warn")
+    val rules = dir.resolve("rules.yaml")
+    Files.writeString(rules,
+      """version: 1
+        |input: { format: json }
+        |mappings:
+        |  - target: "flag"
+        |    value: "big"
+        |    when:
+        |      op: ">"
+        |      args: [ { op: "int", args: [ { ref: "input.n" } ] }, 5 ]
+        |""".stripMargin)
+    val input = dir.resolve("input.json")
+    Files.writeString(input, """[{"n": "abc"}, {"n": "10"}, {"n": "xyz"}]""")
+    val rj = cli("transform", "-r", rules.toString, "-i", input.toString,
+      "--ndjson", "-e", "json")
+    assert(rj.code == 0, rj.err)
+    assert(rj.out.trim == "{}\n{\"flag\":\"big\"}\n{}", rj.out)
+    val arrays = rj.err.linesIterator.filter(_.nonEmpty).toSeq
+    assert(arrays.size == 2, s"expected one warning array per warned item: ${rj.err}")
+    assert(arrays.forall(a => a.startsWith("""[{"type":"warning"""") &&
+      a.contains(""""kind":"TypeCastFailed"""")), rj.err)
+
+    // record_when eval error ⇒ item dropped, warning still emitted
+    val rules2 = dir.resolve("rules2.yaml")
+    Files.writeString(rules2,
+      """version: 1
+        |input: { format: json }
+        |record_when:
+        |  op: ">"
+        |  args: [ { op: "int", args: [ { ref: "input.n" } ] }, 5 ]
+        |mappings:
+        |  - target: "n"
+        |    source: "n"
+        |""".stripMargin)
+    val r2 = cli("transform", "-r", rules2.toString, "-i", input.toString, "--ndjson")
+    assert(r2.code == 0, r2.err)
+    assert(r2.out.trim == "{\"n\":\"10\"}", r2.out)
+    val wLines = r2.err.linesIterator.filter(_.startsWith("W ")).toSeq
+    assert(wLines.size == 2 && wLines.forall(_.contains("TypeCastFailed")), r2.err)
+  }
 }
