@@ -102,4 +102,86 @@ object TextAnalysis {
     * word order — the cheap first pass before MinHash. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+
+  /** One row per word-n-gram OCCURRENCE: (keep-columns..., gram), grams
+    * joined with single spaces. Built as posexplode + per-document
+    * `lead` windows — a distributed stream (one shuffle on the id), never
+    * a per-document quadratic lambda: interpreted HOFs re-evaluate inlined
+    * subtrees per element, which this shape avoids by construction.
+    * Documents with fewer than n tokens produce no rows. */
+  def ngramRows(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int, keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+    val keepCols = (idCol +: keep).map(col)
+    val toks = docs.select(keepCols :+
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")): _*)
+    val parts = (0 until n).map {
+      case 0 => col("__tok")
+      case i => lead("__tok", i).over(w)
+    }
+    // concat (not concat_ws) so a null lead at document end nulls the
+    // whole gram — dropped by the filter, same as the oracle's `||`
+    val gram = concat(parts.flatMap(p => Seq(lit(" "), p)).drop(1): _*)
+    toks.select(keepCols :+ gram.as("gram"): _*).filter(col("gram").isNotNull)
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) per document:
+    * `top_bigram` / `top_bigram_frac` — the most frequent word bigram
+    * (ties: lexicographically smallest) and the fraction of the document's
+    * characters its occurrences cover — and `dup_trigram_frac`, the
+    * character fraction covered by trigrams occurring more than once.
+    * Values are unclamped (a pathological doc can exceed 1.0). Two
+    * map-side-combined aggregations keyed on (doc, gram); no per-document
+    * quadratic work, so the shape survives any corpus size. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, charsCol: String): org.apache.spark.sql.DataFrame = {
+    val g2 = ngramRows(docs, textCol, idCol, n = 2, keep = Seq(charsCol))
+    val g3 = ngramRows(docs, textCol, idCol, n = 3)
+    val c2 = g2.groupBy(col(idCol), col(charsCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cnt").desc, col("gram").asc)
+    val top2 = c2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col(idCol), col("gram"),
+        (col("cnt") * length(col("gram"))).cast(DoubleType).as("topchars"))
+    val d3 = g3.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))).as("dupchars"))
+    docs.select(col(idCol), col(charsCol))
+      .join(top2, Seq(idCol), "left")
+      .join(d3, Seq(idCol), "left")
+      .select(col(idCol), col("gram").as("top_bigram"),
+        when(col(charsCol) === 0 || col("topchars").isNull, lit(0.0))
+          .otherwise(col("topchars") / col(charsCol)).as("top_bigram_frac"),
+        when(col(charsCol) === 0 || col("dupchars").isNull, lit(0.0))
+          .otherwise(col("dupchars").cast(DoubleType) / col(charsCol)).as("dup_trigram_frac"))
+  }
+
+  /** Corpus-wide boilerplate: trigrams appearing in ≥ minDf distinct
+    * documents are boilerplate; per document, the count and fraction of
+    * its distinct trigrams that are. The doc-frequency pass is one
+    * map-side-combined shuffle on the gram; the (small) boilerplate set
+    * broadcasts back, so the corpus side never shuffles for membership —
+    * the benchmark-decontamination shape. Documents with no trigrams
+    * produce no row. */
+  def boilerplateStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, minDf: Int): org.apache.spark.sql.DataFrame = {
+    // distinct (doc, gram) persisted once: it feeds both the global
+    // doc-frequency count and the per-doc membership aggregate
+    val g3 = ngramRows(docs, textCol, idCol, n = 3).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val boiler = g3.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf).select(col("gram"), lit(1).as("__b"))
+      g3.join(broadcast(boiler), Seq("gram"), "left")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("__b"), lit(0))).cast(LongType).as("n_boiler"))
+        .select(col(idCol), col("n_grams"), col("n_boiler"),
+          (col("n_boiler").cast(DoubleType) / col("n_grams")).as("boiler_frac"))
+        .localCheckpoint()
+    } finally g3.unpersist(blocking = false)
+  }
 }

@@ -268,6 +268,54 @@ object Pipeline {
       .orderBy("lang", "rank")
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    * the fraction of characters covered by the most frequent word bigram
+    * (count × gram chars / doc chars) and by duplicated word trigrams
+    * (grams occurring more than once). High values flag boilerplate-like,
+    * repetitive documents. Two map-side-combined aggregations over the
+    * exploded n-gram stream — scale-safe at any corpus size (keys are
+    * (doc, gram); no per-document quadratic work). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    TA.repetitionStats(Tables.documents(spark, dir), "text", "doc_id", "n_chars")
+      .orderBy("doc_id")
+
+  /** Corpus-wide boilerplate detection: 3-grams appearing in ≥ minDf
+    * distinct documents are "boilerplate"; per document, the fraction of
+    * its distinct 3-grams that are boilerplate. The doc-frequency count is
+    * one map-side-combined shuffle on the gram; the (small) boilerplate
+    * set is broadcast back — the corpus side never shuffles for the
+    * membership test, the same shape as benchmark decontamination. */
+  def boilerplate(spark: SparkSession, dir: String, minDf: Int = 5): DataFrame =
+    TA.boilerplateStats(Tables.documents(spark, dir), "text", "doc_id", minDf)
+      .orderBy("doc_id")
+
+  /** PII scrubbing audit over a contact-card string assembled from
+    * customer fields (the synthetic tables carry no raw PII, so the query
+    * builds a deterministic one — the OPERATOR is [[graft.operators.Redact]]
+    * and runs unmodified over any real column): the full default rule
+    * chain (email → IPv4 → phone → digit runs) plus per-rule counts.
+    * Pure narrow projection; no shuffle. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Redact
+    val contact = concat(
+      lit("user"), col("c_custkey").cast(StringType),
+      lit("@example.com tel +1 555-"),
+      lpad((col("c_custkey") % 10000).cast(StringType), 4, "0"),
+      lit(" ip 10.0."), col("c_nationkey").cast(StringType),
+      lit("."), (col("c_custkey") % 256).cast(StringType),
+      lit(" port "), (col("c_custkey") % 90 + 10).cast(StringType),
+      lit(" acct "), (col("c_custkey") + 7000000).cast(StringType))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(col("c_custkey"),
+        Redact.scrub(col("contact")).as("scrubbed"),
+        Redact.matchCount(col("contact"), Redact.email).as("n_emails"),
+        Redact.matchCount(col("contact"), Redact.ipv4).as("n_ips"),
+        Redact.matchCount(col("contact"), Redact.phone).as("n_phones"),
+        Redact.matchCount(col("contact"), Redact.digitRun).as("n_ids"))
+      .orderBy("c_custkey")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -297,7 +345,10 @@ object Pipeline {
     "q_token_stats"      -> (tokenStats _),
     "q_doc_percentiles"  -> (docPercentiles _),
     "q_train_split"      -> (trainSplit _),
-    "q_vocab_topk"       -> (vocabTopK _))
+    "q_vocab_topk"       -> (vocabTopK _),
+    "q_quality_repetition" -> (repetitionStats _),
+    "q_boilerplate"      -> ((s: SparkSession, d: String) => boilerplate(s, d)),
+    "q_pii_scrub"        -> (piiScrub _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -408,8 +459,64 @@ object Pipeline {
        |          JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id)
        |SELECT da, db, sim FROM pairs WHERE sim>=$SemDedupThreshold ORDER BY da, db""".stripMargin
 
+  // Redact rule patterns injected verbatim (single-quoted SQL strings do
+  // not process backslashes, so Java-regex and RE2 see the same pattern;
+  // every pattern avoids lookaround for exactly this reason).
+  private def rx(r: graft.operators.Redact.Rule): String = r.pattern.replace("'", "''")
+
+  private val piiScrubSql = {
+    import graft.operators.Redact
+    // single-line: the outer template's stripMargin would otherwise eat
+    // the leading | of a line-initial ||
+    val contact = "'user' || c_custkey || '@example.com tel +1 555-' || " +
+      "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.0.' || c_nationkey || '.' || (c_custkey % 256) || " +
+      "' port ' || (c_custkey % 90 + 10) || ' acct ' || (c_custkey + 7000000)"
+    val scrub = Redact.defaults.foldLeft("contact") { (acc, r) =>
+      s"regexp_replace($acc, '${rx(r)}', '${r.replacement}', 'g')"
+    }
+    s"""WITH c AS (SELECT c_custkey, $contact AS contact FROM customer)
+       |SELECT c_custkey, $scrub AS scrubbed,
+       |  CAST(len(regexp_extract_all(contact, '${rx(Redact.email)}')) AS BIGINT) n_emails,
+       |  CAST(len(regexp_extract_all(contact, '${rx(Redact.ipv4)}')) AS BIGINT) n_ips,
+       |  CAST(len(regexp_extract_all(contact, '${rx(Redact.phone)}')) AS BIGINT) n_phones,
+       |  CAST(len(regexp_extract_all(contact, '${rx(Redact.digitRun)}')) AS BIGINT) n_ids
+       |FROM c ORDER BY c_custkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_simhash" -> simhashSql,
+    "q_quality_repetition" ->
+      """WITH t AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) tok,
+        |                  unnest(range(len(string_split(text, ' ')))) pos
+        |           FROM documents),
+        |g AS (SELECT doc_id, n_chars,
+        |             tok || ' ' || lead(tok, 1) OVER w AS g2,
+        |             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3
+        |      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |c2 AS (SELECT doc_id, n_chars, g2, count(*) cnt FROM g WHERE g2 IS NOT NULL GROUP BY 1, 2, 3),
+        |top2 AS (SELECT doc_id, g2, cnt FROM (
+        |   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g2 ASC) rn FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT doc_id, g3, count(*) cnt FROM g WHERE g3 IS NOT NULL GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(g3) END) dupchars FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id, t.g2 AS top_bigram,
+        |       CASE WHEN d.n_chars = 0 OR t.cnt IS NULL THEN 0.0
+        |            ELSE t.cnt * LENGTH(t.g2) * 1.0 / d.n_chars END AS top_bigram_frac,
+        |       CASE WHEN d.n_chars = 0 OR x.dupchars IS NULL THEN 0.0
+        |            ELSE x.dupchars * 1.0 / d.n_chars END AS dup_trigram_frac
+        |FROM documents d LEFT JOIN top2 t ON t.doc_id = d.doc_id LEFT JOIN d3 x ON x.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+        |boiler AS (SELECT s FROM (SELECT s, COUNT(*) df FROM sh GROUP BY s) WHERE df >= 5)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams,
+        |       CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n_boiler,
+        |       SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS boiler_frac
+        |FROM sh LEFT JOIN boiler b ON b.s = sh.s
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" -> piiScrubSql,
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_embedding_dedup" -> semDedupSql,

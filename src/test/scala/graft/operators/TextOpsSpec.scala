@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-5 text operators: n-gram row streams,
+  * Gopher-style repetition stats, corpus boilerplate fractions, and the
+  * PII redaction rule chain. */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+  }
+
+  test("ngramRows: occurrences in order, short docs drop out") {
+    val d = docs(1L -> "a b c d", 2L -> "x y", 3L -> "solo")
+    val g2 = TextAnalysis.ngramRows(d, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(g2.toSeq == Seq((1L, "a b"), (1L, "b c"), (1L, "c d"), (2L, "x y")))
+    val g3 = TextAnalysis.ngramRows(d, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(g3.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("repetitionStats: top bigram coverage and duplicated trigram fraction") {
+    // "x y x y z": bigrams x y (2), y x, y z -> top "x y", 2*3/9 chars;
+    // trigrams all unique -> dup 0. "a b a b a b": top bigram "a b" (3),
+    // trigrams "a b a" (2) and "b a b" (2) -> dupchars 4*5 over 11 chars.
+    val d = docs(1L -> "x y x y z", 2L -> "a b a b a b")
+    val r = TextAnalysis.repetitionStats(d, "text", "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(r(0) == ((1L, "x y", 6.0 / 9, 0.0)))
+    assert(r(1) == ((2L, "a b", 9.0 / 11, 20.0 / 11)))
+  }
+
+  test("repetitionStats: tie on count breaks to the smallest gram; tiny docs get 0.0") {
+    val d = docs(1L -> "b a c a", 2L -> "one")
+    val r = TextAnalysis.repetitionStats(d, "text", "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // all bigrams occur once -> lexicographically smallest "a c" wins
+    assert(r(0) == ((1L, Some("a c"), 3.0 / 7, 0.0)))
+    assert(r(1) == ((2L, None, 0.0, 0.0)))
+  }
+
+  test("boilerplateStats: grams crossing minDf flag their documents") {
+    val common = "the quick brown" // shared trigram across 3 docs
+    val d = docs(
+      1L -> s"$common fox",
+      2L -> s"$common dog",
+      3L -> s"$common cat jumps",
+      4L -> "entirely different words here")
+    val r = TextAnalysis.boilerplateStats(d, "text", "doc_id", minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // docs 1-2: grams {the quick brown, quick brown fox|dog} -> 1 of 2
+    assert(r(0) == ((1L, 2L, 1L, 0.5)))
+    assert(r(1) == ((2L, 2L, 1L, 0.5)))
+    // doc 3 has 3 grams, 1 boilerplate
+    assert(r(2)._1 == 3L && r(2)._3 == 1L)
+    // doc 4: nothing shared
+    assert(r(3) == ((4L, 2L, 0L, 0.0)))
+  }
+
+  test("redact: default chain masks email, ip, phone, digit runs in order") {
+    import spark.implicits._
+    val d = Seq(
+      "write to bob.smith+x@corp.example.org or call +1 (555) 123-4567",
+      "server 192.168.001.254 port 80, acct 123456",
+      "no pii here 123").toDF("t")
+    val out = d.select(Redact.scrub(col("t")).as("s"),
+      Redact.matchCount(col("t"), Redact.email).as("ne"),
+      Redact.matchCount(col("t"), Redact.ipv4).as("ni"),
+      Redact.matchCount(col("t"), Redact.phone).as("np"),
+      Redact.matchCount(col("t"), Redact.digitRun).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == (("write to <EMAIL> or call <PHONE>", 1L, 0L, 1L, 1L)))
+    assert(out(1) == (("server <IP> port 80, acct <ID>", 0L, 1L, 0L, 1L)))
+    assert(out(2) == (("no pii here 123", 0L, 0L, 0L, 0L)))
+  }
+
+  test("redact: chain order means the ip wins over phone/digit rules") {
+    import spark.implicits._
+    val d = Seq("10.0.0.1").toDF("t")
+    assert(d.select(Redact.scrub(col("t"))).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().head == "<IP>")
+  }
+}
