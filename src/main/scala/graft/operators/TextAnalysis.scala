@@ -103,28 +103,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
 
-  /** One row per word-n-gram OCCURRENCE: (keep-columns..., gram), grams
-    * joined with single spaces. Built as posexplode + per-document
-    * `lead` windows — a distributed stream (one shuffle on the id), never
-    * a per-document quadratic lambda: interpreted HOFs re-evaluate inlined
-    * subtrees per element, which this shape avoids by construction.
-    * Documents with fewer than n tokens produce no rows. */
+  /** One row per word-n-gram (keep-columns..., gram), grams joined with
+    * single spaces — every occurrence in document order, or first
+    * occurrences only with `distinct = true`. A narrow explode over the
+    * native [[graft.functions.ShingleText]] expression: no shuffle, no
+    * per-document quadratic lambda (the posexplode + `lead`-window
+    * formulation this replaced cost a full shuffle+sort on the id before
+    * any aggregation could start). Documents with fewer than n tokens
+    * produce no rows. */
   def ngramRows(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      idCol: String, n: Int, keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+      idCol: String, n: Int, keep: Seq[String] = Nil,
+      distinct: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("__pos")
     val keepCols = (idCol +: keep).map(col)
-    val toks = docs.select(keepCols :+
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")): _*)
-    val parts = (0 until n).map {
-      case 0 => col("__tok")
-      case i => lead("__tok", i).over(w)
-    }
-    // concat (not concat_ws) so a null lead at document end nulls the
-    // whole gram — dropped by the filter, same as the oracle's `||`
-    val gram = concat(parts.flatMap(p => Seq(lit(" "), p)).drop(1): _*)
-    toks.select(keepCols :+ gram.as("gram"): _*).filter(col("gram").isNotNull)
+    docs.select(keepCols :+
+      explode(graft.functions.ShingleText.shingleText(col(textCol), n, distinct))
+        .as("gram"): _*)
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) per document:
@@ -168,9 +162,10 @@ object TextAnalysis {
     * produce no row. */
   def boilerplateStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minDf: Int): org.apache.spark.sql.DataFrame = {
-    // distinct (doc, gram) persisted once: it feeds both the global
-    // doc-frequency count and the per-doc membership aggregate
-    val g3 = ngramRows(docs, textCol, idCol, n = 3).distinct()
+    // per-doc-distinct grams straight from the native expression (no
+    // distinct() shuffle needed); persisted once — it feeds both the
+    // global doc-frequency count and the per-doc membership aggregate
+    val g3 = ngramRows(docs, textCol, idCol, n = 3, distinct = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val boiler = g3.groupBy("gram").agg(count(lit(1)).as("df"))

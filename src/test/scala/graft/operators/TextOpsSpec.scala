@@ -30,6 +30,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g3.toSeq == Seq((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("ngramRows is a narrow map: no Exchange, and distinct=true dedupes in-row") {
+    val d = docs(1L -> "a b a b")
+    val plan = TextAnalysis.ngramRows(d, "text", "doc_id", 2, distinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gram stream must not shuffle:\n$plan")
+    val g = TextAnalysis.ngramRows(d, "text", "doc_id", 2, distinct = true)
+      .collect().map(_.getString(1))
+    assert(g.toSeq == Seq("a b", "b a"))
+  }
+
   test("repetitionStats: top bigram coverage and duplicated trigram fraction") {
     // "x y x y z": bigrams x y (2), y x, y z -> top "x y", 2*3/9 chars;
     // trigrams all unique -> dup 0. "a b a b a b": top bigram "a b" (3),
