@@ -28,4 +28,32 @@ object Sampling {
   /** Deterministic pct% subsample. */
   def sample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), 100) < pct)
+
+  /** Stratified subsample: a different deterministic percentage per
+    * stratum (e.g. downsample dominant languages, keep the tail whole).
+    * Strata absent from `pcts` fall back to `defaultPct`. Still a narrow
+    * filter — the per-stratum rate is a CASE over the stratum column,
+    * zero shuffle at any scale. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      pcts: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), 100) < rate)
+  }
+
+  /** Exactly-k-per-group deterministic sample: rank group members by
+    * (md5 bucket, id) and keep the first k — a reproducible "reservoir"
+    * whose membership is stable under re-runs and repartitioning. One
+    * bounded per-group window (the top-k shape, same as vocabTopK);
+    * skewed groups cost one hot partition, the usual top-k caveat. */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(hashBucket(col(idCol), 1000000).asc, col(idCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
 }

@@ -242,6 +242,21 @@ object Pipeline {
         percentile(col("n"), lit(0.99)).as("p99"))
       .orderBy("lang")
 
+  /** Stratified deterministic subsample: 30% of en, 60% of de, 90% of
+    * everything else — the downsample-the-dominant-language shape. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 30, "de" -> 60), defaultPct = 90)
+      .orderBy("doc_id")
+
+  /** Exactly 25 documents per language, deterministically chosen. */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.samplePerGroup(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", "lang", k = 25)
+      .orderBy("doc_id")
+
   /** Deterministic md5-bucket train/test assignment per document. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.trainTestSplit(
@@ -348,7 +363,9 @@ object Pipeline {
     "q_vocab_topk"       -> (vocabTopK _),
     "q_quality_repetition" -> (repetitionStats _),
     "q_boilerplate"      -> ((s: SparkSession, d: String) => boilerplate(s, d)),
-    "q_pii_scrub"        -> (piiScrub _))
+    "q_pii_scrub"        -> (piiScrub _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_sample_per_group" -> (samplePerGroup _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -517,6 +534,18 @@ object Pipeline {
         |FROM sh LEFT JOIN boiler b ON b.s = sh.s
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" -> piiScrubSql,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+        |      CASE WHEN lang = 'en' THEN 30 WHEN lang = 'de' THEN 60 ELSE 90 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 ASC,
+        |                    doc_id ASC) rn
+        |  FROM documents) WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_embedding_dedup" -> semDedupSql,

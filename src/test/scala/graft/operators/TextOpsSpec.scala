@@ -81,6 +81,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(3) == ((4L, 2L, 0L, 0.0)))
   }
 
+  test("stratifiedSample: per-stratum rates, deterministic and narrow") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, if (i < 200) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s = Sampling.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 0, "de" -> 100), defaultPct = 50)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en") && byLang("de") == 100L)
+    // re-run and repartition give the identical member set
+    val a = s.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.stratifiedSample(d.repartition(7), "doc_id", "lang",
+        Map("en" -> 0, "de" -> 100), defaultPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("samplePerGroup: exactly k per group, stable under repartitioning") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, (i % 3).toString)).toDF("doc_id", "g")
+    val s = Sampling.samplePerGroup(d, "doc_id", "g", k = 5)
+    val counts = s.groupBy("g").count().collect().map(_.getLong(1))
+    assert(counts.length == 3 && counts.forall(_ == 5L))
+    val a = s.collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.samplePerGroup(d.repartition(11), "doc_id", "g", k = 5)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("redact: default chain masks email, ip, phone, digit runs in order") {
     import spark.implicits._
     val d = Seq(
