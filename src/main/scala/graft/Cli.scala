@@ -309,27 +309,31 @@ object Cli {
         "finalize is not supported in stream mode"), errorFormat(f), err)
       return 3
     }
-    val rows =
-      try Engine.ndjsonWithWarnings(rule, readInput(rule, inputPath), context,
-        nullAsMissing = rule.input.format != "csv",
-        ruleLoader = Engine.fileLoader(baseDir(rulesPath))).collect()
-      catch {
-        case e: ExprCompiler.RmError => emitTransformError(e, errorFormat(f), err); return 3
-        case NonFatal(e) =>
-          ExprCompiler.RmError.fromThrowable(e) match {
-            case Some(rm) => emitTransformError(rm, errorFormat(f), err); return 3
-            case None => err.println(s"transform failed: ${e.getMessage}"); return 3
-          }
+    try {
+      // toLocalIterator keeps the record-at-a-time stream shape: one
+      // sorted partition is resident at a time, not the whole output —
+      // errors can surface mid-iteration, hence the enclosing catch
+      val rows = Engine.ndjsonWithWarnings(rule, readInput(rule, inputPath),
+        context, nullAsMissing = rule.input.format != "csv",
+        ruleLoader = Engine.fileLoader(baseDir(rulesPath))).toLocalIterator()
+      val lines = Seq.newBuilder[String]
+      import scala.jdk.CollectionConverters._
+      rows.asScala.foreach { r =>
+        val ws = r.getSeq[org.apache.spark.sql.Row](1)
+        emitTransformWarnings(
+          ws.map(w => Engine.Warning(w.getString(0), w.getString(1), w.getString(2))),
+          errorFormat(f), err)
+        if (!r.isNullAt(0)) lines += r.getString(0)
       }
-    val lines = Seq.newBuilder[String]
-    rows.foreach { r =>
-      val ws = r.getSeq[org.apache.spark.sql.Row](1)
-      emitTransformWarnings(
-        ws.map(w => Engine.Warning(w.getString(0), w.getString(1), w.getString(2))),
-        errorFormat(f), err)
-      if (!r.isNullAt(0)) lines += r.getString(0)
+      writeOut(lines.result().mkString("\n"), f, out, err)
+    } catch {
+      case e: ExprCompiler.RmError => emitTransformError(e, errorFormat(f), err); 3
+      case NonFatal(e) =>
+        ExprCompiler.RmError.fromThrowable(e) match {
+          case Some(rm) => emitTransformError(rm, errorFormat(f), err); 3
+          case None => err.println(s"transform failed: ${e.getMessage}"); 3
+        }
     }
-    writeOut(lines.result().mkString("\n"), f, out, err)
   }
 
   private def runGenerate(f: Flags, out: PrintStream, err: PrintStream): Int =

@@ -417,6 +417,16 @@ object Mcp {
           errors.map(e => s"E ${e.code} path=${e.path}").mkString("\n"), Some(arr)))
       }
     }
+    // ndjson goes through the stream shape (reference transform_to_ndjson
+    // → transform_stream, main.rs:4576-4601), which refuses finalize
+    if (ndjson && rule.finalizeSpec.nonEmpty) {
+      val r = ExprCompiler.RmError("InvalidInput", "",
+        "finalize is not supported in stream mode")
+      val o = obj(); o.put("type", "transform"); o.put("kind", r.kind)
+      o.put("message", r.message); o.put("path", r.path)
+      return Left(ToolError(
+        s"E ${r.kind} path=${r.path} msg=\"${r.message}\"", Some(arr(o))))
+    }
     // stage the sample through a temp file so the standard sources read it
     val suffix = if (rule.input.format == "csv") ".csv" else ".json"
     val tmp = Files.createTempFile("mcp_input", suffix)

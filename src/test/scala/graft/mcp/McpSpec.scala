@@ -70,6 +70,21 @@ class McpSpec extends AnyFunSuite {
     assert(kind == "TypeCastFailed")
   }
 
+  test("transform tool: ndjson mode rejects finalize like the stream shape") {
+    val result = toolCall("transform",
+      """{"rules_text": "version: 1\ninput:\n  format: json\n  json: {}\nmappings:\n  - target: \"id\"\n    source: \"id\"\nfinalize:\n  limit: 1\n",
+        | "input_text": "[{\"id\": 1}, {\"id\": 2}]", "ndjson": true}""".stripMargin)
+    assert(result.path("isError").asBoolean)
+    val e = result.path("meta").path("errors").get(0)
+    assert(e.path("kind").asText == "InvalidInput")
+    assert(e.path("message").asText == "finalize is not supported in stream mode")
+    // without ndjson the same rule applies finalize normally
+    val ok = toolCall("transform",
+      """{"rules_text": "version: 1\ninput:\n  format: json\n  json: {}\nmappings:\n  - target: \"id\"\n    source: \"id\"\nfinalize:\n  limit: 1\n",
+        | "input_text": "[{\"id\": 1}, {\"id\": 2}]"}""".stripMargin)
+    assert(ok.path("content").get(0).path("text").asText == """[{"id":1}]""")
+  }
+
   test("transform tool: missing input params is invalid params (-32602)") {
     val r = call(
       """{"jsonrpc":"2.0","id":9,"method":"tools/call",
