@@ -50,6 +50,24 @@ object Similarity {
       .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
   }
 
+  /** Cross-table exact k-NN join: every row of `queries` against the whole
+    * `corpus` (two different tables — the retrieval shape: eval queries vs
+    * a document index, new batch vs yesterday's corpus). The query side is
+    * broadcast (it is the small side by construction); the corpus streams
+    * through one narrow scan, so the cost is one corpus pass regardless of
+    * cluster size. For corpus-scale query sets use the LSH/IVF paths. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, qidCol: String,
+      qvecCol: String, cidCol: String, cvecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qvec"))
+    val c = corpus.select(col(cidCol).as("cid"), asDouble(col(cvecCol)).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+  }
+
   /** Deterministic ±1 hyperplane weight via splitmix64 of (plane, dim) — no
     * RNG state, reproducible everywhere, baked into the plan as literals so
     * the projection is a plain zip_with dot product. */

@@ -178,6 +178,16 @@ object Pipeline {
         nQueries = 50, k = 5)
       .orderBy("qid", "rank")
 
+  /** Two-table retrieval: vec_id < 50 as the query set, the rest as the
+    * corpus — the eval-queries-vs-index shape of [[Similarity.knnJoin]]. */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnJoin(
+        emb.filter(col("vec_id") < 50), emb.filter(col("vec_id") >= 50),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("qid", "rank")
+  }
+
   def similarityLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         nQueries = 50, k = 5, planes = 4, tables = 16, dims = 64)
@@ -354,6 +364,7 @@ object Pipeline {
     "q_decontaminate"    -> (decontaminate _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
+    "q_knn_join"         -> (knnJoin _),
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_embedding_dedup"  -> (embeddingDedup _),
@@ -706,5 +717,13 @@ object Pipeline {
         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |           ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q_knn_join" ->
+      """SELECT qid, rank, cid, sim FROM (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |         LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) sim,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
 }
