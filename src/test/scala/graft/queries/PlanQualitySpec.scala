@@ -90,6 +90,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"token stats must scan only doc_id+text: $readSchema")
   }
 
+  test("PII redaction is a narrow codegen projection: no Exchange, no UDF") {
+    import org.apache.spark.sql.functions.col
+    val cust = graft.Tables.customer(spark, dir)
+    val plan = planOf(cust.select(col("c_custkey"),
+      graft.operators.Redact.scrub(col("c_name")).as("masked")))
+    assert(!plan.contains("Exchange"), s"scrub must not shuffle:\n$plan")
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan.contains("*(1) Project"), s"scrub must stay in codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"scrub must be native regexp_replace, not a UDF:\n$plan")
+  }
+
   test("SemDeDup pairs join only on the cluster id — never all-pairs") {
     val emb = graft.Tables.embeddings(spark, dir)
     val plan = planOf(graft.operators.Ivf.semDedupPairs(
