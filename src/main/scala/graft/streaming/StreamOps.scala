@@ -115,6 +115,41 @@ object StreamOps {
     lang.fold(gated)(l => gated.filter(col("lang_guess") === l))
   }
 
+  /** Continuous incremental-ingest dedup: every micro-batch of the
+    * document stream is deduped against the PERSISTED MinHash signature
+    * index with the same batch operators the daily job uses
+    * ([[graft.operators.Dedup.signatureIndex]] /
+    * [[graft.operators.Dedup.dedupAgainstIndex]]), and its survivors are
+    * appended to the index — the 100 TB ingest loop (tokenize only the
+    * delta, never the indexed corpus) run continuously via foreachBatch.
+    * First batch against a missing index bootstraps it (within-batch
+    * dups still collapse). The caller starts the returned writer with
+    * its own checkpoint/trigger; exactly-once of the parquet append is
+    * per-batch (foreachBatch reruns a failed batch — appends are
+    * idempotent per epoch only if the caller checkpoints, the standard
+    * foreachBatch contract). */
+  def incrementalIngest(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, n: Int, k: Int, bands: Int, threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sig = Dedup.signatureIndex(batch.toDF(), textCol, idCol, n, k, bands)
+        val index =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath)))
+            spark.read.parquet(indexPath)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sig.schema)
+        // survivors come back in index shape; localCheckpoint before the
+        // append so the write does not re-read the index it appends to
+        val survivors = Dedup.dedupAgainstIndex(sig, index, threshold)
+          .localCheckpoint()
+        survivors.write.mode("append").parquet(indexPath)
+        ()
+    }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events for the same key whose timestamp lies within
     * [left.ts - before, left.ts + after]. Both sides carry watermarks and

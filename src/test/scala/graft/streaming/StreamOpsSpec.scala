@@ -219,6 +219,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n") == 1L)
   }
 
+  test("incrementalIngest: micro-batches dedup against the persisted index via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxPath = Files.createTempDirectory("ingest_idx").resolve("index").toString
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val q = StreamOps.incrementalIngest(docs, "text", "doc_id", idxPath,
+      n = 3, k = 64, bands = 16, threshold = 0.8).start()
+
+    // batch 1 bootstraps the index; doc 10 is a within-batch dup of doc 1
+    input.addData((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (10L, "alpha beta gamma delta epsilon"))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(idxPath).select("doc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after1 == Seq(1L, 2L), s"bootstrap batch: $after1")
+
+    // batch 2: doc 3 duplicates indexed doc 1 (dropped), doc 4 is new
+    input.addData((3L, "alpha beta gamma delta epsilon"),
+      (4L, "six seven eight nine ten"))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(idxPath).select("doc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after2 == Seq(1L, 2L, 4L), s"post-ingest index: $after2")
+  }
+
   test("inactivity-gap sessionization via flatMapGroupsWithState custom state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
