@@ -26,6 +26,30 @@ object Extensions {
         col("event_type"), col("n"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Batch inactivity-gap sessionization — the oracle-checked sibling of
+    * the streaming [[StreamOps.sessionize]]: a new session starts when a
+    * user's gap exceeds 30 minutes; session id = running count of session
+    * starts per user. Gaps compare FLOOR-second epochs on both engines so
+    * the nanosecond parquet timestamps cannot straddle the threshold
+    * differently (Spark sees µs, DuckDB ns). One shuffle on user_id
+    * serves both windows and the final aggregation — sessions never cross
+    * users, so the plan reuses the partitioning. */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("sec").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast(LongType).as("sec"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Binary payload + metadata projection — metadata-only access never
     * deserializes payload bytes at scan time (parquet column pruning). */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
@@ -52,6 +76,7 @@ object Extensions {
 
   val queries: Map[String, Q] = Map(
     "q_window_events"       -> (windowEvents _),
+    "q_sessionize"          -> (sessionizeBatch _),
     "q_multimodal_meta"     -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
@@ -61,6 +86,19 @@ object Extensions {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) sec FROM events),
+        |g AS (SELECT user_id, event_id, sec,
+        |        CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w > 1800
+        |             THEN 1 ELSE 0 END is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                          ROWS UNBOUNDED PRECEDING) session_id
+        |      FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) session_id,
+        |       COUNT(*) n_events, MIN(sec) start_sec, MAX(sec) end_sec
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
