@@ -188,6 +188,18 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 symmetric quantization of the embedding table — per-vector
+    * scale plus the quantized components (CSV string for hash
+    * comparability). */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        Quantize.int8Scale(col("embedding")).as("scale"),
+        Quantize.int8Csv(col("embedding")).as("q"))
+      .orderBy("vec_id")
+  }
+
   def similarityLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         nQueries = 50, k = 5, planes = 4, tables = 16, dims = 64)
@@ -365,6 +377,7 @@ object Pipeline {
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
+    "q_embedding_quantize" -> (embeddingQuantize _),
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_embedding_dedup"  -> (embeddingDedup _),
@@ -545,6 +558,14 @@ object Pipeline {
         |FROM sh LEFT JOIN boiler b ON b.s = sh.s
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" -> piiScrubSql,
+    "q_embedding_quantize" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |m AS (SELECT vec_id, e, LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) ma FROM b),
+        |s AS (SELECT vec_id, e, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM m)
+        |SELECT vec_id, scale,
+        |       ARRAY_TO_STRING(LIST_TRANSFORM(e,
+        |         x -> CAST(CAST(FLOOR(x * scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <

@@ -111,6 +111,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("quantize: int8 round-trip error bounded by half a step; zero vector safe") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = d.select(col("vec_id"),
+        Quantize.int8Scale(col("embedding")).as("scale"),
+        Quantize.int8(col("embedding")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    val (_, scale, q) = r(0)
+    assert(scale == 127.0) // max|x| = 1.0
+    assert(q == Seq(64L, -127L, 32L, 16L)) // floor(x*127 + 0.5)
+    // dequantized error ≤ half a quantization step
+    val orig = Seq(0.5, -1.0, 0.25, 0.125)
+    q.map(_.toDouble / scale).zip(orig).foreach { case (deq, x) =>
+      assert(math.abs(deq - x) <= 0.5 / scale + 1e-12)
+    }
+    assert(r(1) == ((2L, 0.0, Seq(0L, 0L, 0L, 0L))))
+  }
+
   test("redact: default chain masks email, ip, phone, digit runs in order") {
     import spark.implicits._
     val d = Seq(
