@@ -111,6 +111,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("saltedJoin: identical result set to the plain join, key spread across salts") {
+    import spark.implicits._
+    // one hot key (0) holding 80% of the fact rows
+    val facts = (0L until 500L).map(i => (if (i < 400) 0L else i % 7, i)).toDF("k", "fact_id")
+    val dims = (0L until 7L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = facts.join(dims, "k").select("k", "fact_id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedJoin(facts, dims, "k", "fact_id", salts = 8)
+      .select("k", "fact_id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    // the hot key's fact rows really do carry more than one distinct salt
+    val spread = facts.withColumn("__salt",
+        pmod(xxhash64(col("fact_id")), lit(8L)))
+      .filter(col("k") === 0L).select("__salt").distinct().count()
+    assert(spread > 1, s"hot key must spread across salts, got $spread")
+  }
+
   test("quantize: int8 round-trip error bounded by half a step; zero vector safe") {
     import spark.implicits._
     val d = Seq(
