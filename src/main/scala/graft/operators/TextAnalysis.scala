@@ -131,31 +131,23 @@ object TextAnalysis {
     * quadratic work, so the shape survives any corpus size. */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, charsCol: String): org.apache.spark.sql.DataFrame = {
-    // two independent narrow gram streams (bigrams, trigrams), each
-    // aggregated with map-side combine. Deliberately NOT fused into one
-    // cached (doc, gram, cnt) stream: that stream is input-sized, so
-    // materializing it costs more than the second codegen'd scan it
-    // would save — measured 2.3x slower at sf0.1
-    val g2 = ngramRows(docs, textCol, idCol, n = 2, keep = Seq(charsCol))
-    val g3 = ngramRows(docs, textCol, idCol, n = 3)
-    val c2 = g2.groupBy(col(idCol), col(charsCol), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("cnt").desc, col("gram").asc)
-    val top2 = c2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col(idCol), col("gram"),
-        (col("cnt") * length(col("gram"))).cast(DoubleType).as("topchars"))
-    val d3 = g3.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-      .groupBy(idCol)
-      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))).as("dupchars"))
-    docs.select(col(idCol), col(charsCol))
-      .join(top2, Seq(idCol), "left")
-      .join(d3, Seq(idCol), "left")
-      .select(col(idCol), col("gram").as("top_bigram"),
-        when(col(charsCol) === 0 || col("topchars").isNull, lit(0.0))
-          .otherwise(col("topchars") / col(charsCol)).as("top_bigram_frac"),
-        when(col(charsCol) === 0 || col("dupchars").isNull, lit(0.0))
-          .otherwise(col("dupchars").cast(DoubleType) / col(charsCol)).as("dup_trigram_frac"))
+    // the signals are PER-DOCUMENT, so no corpus aggregation is needed:
+    // one native in-row pass per n (graft.functions.GramStats) makes the
+    // whole operator a narrow shuffle-free projection — it composes with
+    // streaming and costs one scan at any corpus size. (The exploded
+    // groupBy formulation this replaced shuffled the full gram stream
+    // twice; a fused cached variant measured 2.3x slower still.)
+    import graft.functions.GramStats.gramStats
+    docs.select(col(idCol), col(charsCol),
+        gramStats(col(textCol), 2).as("s2"),
+        gramStats(col(textCol), 3).as("s3"))
+      .select(col(idCol), col("s2.top_gram").as("top_bigram"),
+        when(col(charsCol) === 0 || col("s2.top_cnt") === 0, lit(0.0))
+          .otherwise((col("s2.top_cnt") * length(col("s2.top_gram"))).cast(DoubleType)
+            / col(charsCol)).as("top_bigram_frac"),
+        when(col(charsCol) === 0, lit(0.0))
+          .otherwise(col("s3.dup_chars").cast(DoubleType) / col(charsCol))
+          .as("dup_trigram_frac"))
   }
 
   /** Corpus-wide boilerplate: trigrams appearing in ≥ minDf distinct

@@ -115,6 +115,29 @@ object StreamOps {
     lang.fold(gated)(l => gated.filter(col("lang_guess") === l))
   }
 
+  /** Streaming repetition gate: drop documents whose Gopher repetition
+    * signals (top-bigram / duplicated-trigram character fractions,
+    * computed IN-ROW by the native [[graft.functions.GramStats]]) exceed
+    * the thresholds. A narrow stateless filter — composes with
+    * [[qualityGate]] and [[streamingNearDedup]] in one ingest pipeline. */
+  def repetitionGate(docs: DataFrame, textCol: String,
+      maxTopBigramFrac: Double, maxDupTrigramFrac: Double): DataFrame = {
+    import graft.functions.GramStats.gramStats
+    val chars = length(col(textCol)).cast("double")
+    val s2 = gramStats(col(textCol), 2)
+    val s3 = gramStats(col(textCol), 3)
+    docs
+      .withColumn("top_bigram_frac",
+        when(chars === 0 || s2.getField("top_cnt") === 0, lit(0.0))
+          .otherwise((s2.getField("top_cnt") * length(s2.getField("top_gram")))
+            .cast("double") / chars))
+      .withColumn("dup_trigram_frac",
+        when(chars === 0, lit(0.0))
+          .otherwise(s3.getField("dup_chars").cast("double") / chars))
+      .filter(col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_trigram_frac") <= maxDupTrigramFrac)
+  }
+
   /** Continuous incremental-ingest dedup: every micro-batch of the
     * document stream is deduped against the PERSISTED MinHash signature
     * index with the same batch operators the daily job uses

@@ -50,6 +50,10 @@ class TextOpsSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(r(0) == ((1L, "x y", 6.0 / 9, 0.0)))
     assert(r(1) == ((2L, "a b", 9.0 / 11, 20.0 / 11)))
+    // in-row GramStats makes the whole operator shuffle-free
+    val plan = TextAnalysis.repetitionStats(d, "text", "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats must be narrow:\n$plan")
   }
 
   test("repetitionStats: tie on count breaks to the smallest gram; tiny docs get 0.0") {

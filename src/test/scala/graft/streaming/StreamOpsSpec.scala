@@ -219,6 +219,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n") == 1L)
   }
 
+  test("repetitionGate filters repetitive documents on a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val q = StreamOps.repetitionGate(docs, "text",
+        maxTopBigramFrac = 0.5, maxDupTrigramFrac = 0.5)
+      .writeStream.format("memory").queryName("rep_gate").outputMode("append").start()
+    input.addData(
+      (1L, "a healthy document with varied words throughout"),
+      (2L, "spam spam spam spam spam spam")) // top bigram covers ~everything
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("rep_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"kept: $kept")
+  }
+
   test("incrementalIngest: micro-batches dedup against the persisted index via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
