@@ -135,10 +135,15 @@ object Pipeline {
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val idxA = Dedup.signatureIndex(docs.filter(col("doc_id") % 2 === 0),
-      "text", "doc_id", n = 3, k = 64, bands = 16).persist(lvl)
-    val sigB = Dedup.signatureIndex(docs.filter(col("doc_id") % 2 === 1),
-      "text", "doc_id", n = 3, k = 64, bands = 16).persist(lvl)
+    // ONE signature pass over the corpus, split by parity afterwards —
+    // signatureIndex is a per-row projection, so filtering before or
+    // after it is identical; computing it once halves the tokenization
+    // work. (In production the even half IS a parquet table and only the
+    // delta is ever signed; this query builds both sides from scratch.)
+    val sig = Dedup.signatureIndex(docs, "text", "doc_id",
+      n = 3, k = 64, bands = 16).persist(lvl)
+    val idxA = sig.filter(col("doc") % 2 === 0)
+    val sigB = sig.filter(col("doc") % 2 === 1)
     try {
       val survivors = Dedup.dedupAgainstIndex(sigB, idxA, threshold = 0.8)
       // materialize the (tiny) membership result so both signature caches
@@ -151,10 +156,7 @@ object Pipeline {
           when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
         .localCheckpoint()
         .orderBy("doc_id")
-    } finally {
-      idxA.unpersist(blocking = false)
-      sigB.unpersist(blocking = false)
-    }
+    } finally sig.unpersist(blocking = false)
   }
 
   /** Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
