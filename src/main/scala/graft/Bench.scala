@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Median of a non-empty sequence (mean of the middle pair for even n). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // driver contract: local[32]
+    // Repetitions per query: median-of-3 by default. One-shot timing cannot
+    // distinguish a plan regression from machine noise (the r4->r5 bench drift
+    // was +31% across queries whose plans did not change); the median of 3
+    // steady-state runs is robust to a single GC pause / scheduler hiccup.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt max 1
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,19 +46,30 @@ object Bench {
         try fn(spark, wd).count() catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a throwing query must read as -1 in the JSON, not as a plausible
-      // fast timing — a broken run has to be distinguishable from a good one
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"bench: $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Measure: `reps` timed runs per query, report the MEDIAN plus the
+    // spread (max-min) so the JSON itself shows whether a number can be
+    // trusted. A throwing query must read as -1, not as a plausible fast
+    // timing — a broken run has to be distinguishable from a good one.
+    val timed = SparkEntry.queries.map { case (name, fn) =>
+      val runs = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name failed: ${e.getMessage}"); None }
+      }
+      name -> runs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = timed.map { case (name, runs) =>
+      name -> (if (runs.nonEmpty) median(runs) else -1.0)
+    }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = timed.map { case (k, runs) =>
+      val sp = if (runs.nonEmpty) runs.max - runs.min else -1.0
+      "\"" + k + "\":" + f"$sp%.4f"
+    }.mkString("{", ",", "}")
+    val total = medians.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$reps,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

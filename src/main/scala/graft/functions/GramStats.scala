@@ -81,16 +81,29 @@ object GramStats {
       i += 1
     }
     var topGram: String = null
+    var topUtf8: UTF8String = null
     var topCnt = 0
     var dupChars = 0L
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val g = e.getKey; val c = e.getValue
-      if (c > topCnt || (c == topCnt && (topGram == null || g.compareTo(topGram) < 0))) {
-        topGram = g; topCnt = c
+      if (c > topCnt) {
+        topGram = g; topUtf8 = null; topCnt = c
+      } else if (c == topCnt) {
+        // Ties break toward the UTF-8-binary-smallest gram, matching both
+        // Spark's string ordering and the DuckDB oracle. Java
+        // String.compareTo orders by UTF-16 code unit, which disagrees for
+        // supplementary-plane characters (surrogates 0xD800+ sort between
+        // BMP chars, while their UTF-8 bytes 0xF0+ sort after everything).
+        if (topUtf8 == null) topUtf8 = UTF8String.fromString(topGram)
+        val gu = UTF8String.fromString(g)
+        if (gu.compareTo(topUtf8) < 0) { topGram = g; topUtf8 = gu }
       }
-      if (c > 1) dupChars += c.toLong * g.length
+      // Character count = code points: Spark length(), DuckDB LENGTH, and
+      // the oracle's n_chars all count code points, while Java
+      // String.length counts UTF-16 units (2 per non-BMP char).
+      if (c > 1) dupChars += c.toLong * g.codePointCount(0, g.length)
     }
     new GenericInternalRow(Array[Any](UTF8String.fromString(topGram), topCnt.toLong, dupChars))
   }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.rmbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Symmetric int8 quantization of one vector in TWO in-row passes:
+  * `struct(scale, q, csv)` with scale = 127 / max|x| (0.0 for the zero
+  * vector), qᵢ = floor(xᵢ·scale + 0.5) ∈ [-127, 127], and csv the
+  * comma-joined component string (the bit-stable form the driver's hash
+  * comparator needs — emitted here because an `array_join(transform(...))`
+  * wrapper is a higher-order function and would knock the whole
+  * projection out of whole-stage codegen).
+  *
+  * Replaces the Column-HOF formulation in [[graft.operators.Quantize]],
+  * whose interpreted `transform` lambda re-evaluated the whole
+  * max-abs sub-expression per ELEMENT — O(d²) per row, and quantization
+  * is an index-build pass over the full corpus, exactly where a 100 TB
+  * pipeline pays d=1024+ per row. This expression is O(d) (one max-abs
+  * pass, one scale pass), codegen'd, and bit-identical to the lambda
+  * form: same abs/max/division/floor double ops in the same order.
+  *
+  * floor(x·scale + 0.5) rather than round(): half-away vs half-even
+  * round() semantics differ between Java, C, and SQL dialects, while
+  * floor(+0.5) is identical in every engine; with scale = 127/max|x| the
+  * extremes land exactly on ±127, so no clamp is needed.
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $t")
+  }
+
+  override def dataType: DataType = Int8Quantize.schema
+  override def prettyName: String = "rm_int8_quantize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Int8Quantize.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Int8Quantize$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+object Int8Quantize {
+
+  val schema: StructType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("csv", StringType, nullable = false)))
+
+  def compute(vec: ArrayData): InternalRow = {
+    val n = vec.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getDouble(i))
+      if (a > ma) ma = a
+      i += 1
+    }
+    val scale = if (ma == 0.0) 0.0 else 127.0 / ma
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(n * 5)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(vec.getDouble(i) * scale + 0.5).toLong
+      if (i > 0) sb.append(',')
+      sb.append(out(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      scale,
+      UnsafeArrayData.fromPrimitiveArray(out),
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+
+  /** Column form: `struct(scale double, q array<long>, csv string)`. */
+  def int8Quantize(vec: Column): Column =
+    Bridge.column(Int8Quantize(Bridge.expression(vec)))
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Int8Quantize
+
 /** Symmetric int8 vector quantization — the standard embedding-index
   * compression (FAISS SQ8 shape): per-vector scale = 127 / max|x|, each
   * component floor(x·scale + 0.5) ∈ [-127, 127]. 4× smaller than float32
@@ -15,35 +17,46 @@ import org.apache.spark.sql.types._
   * between Java, C, and SQL dialects); with scale = 127/max|x| the
   * extremes land exactly on ±127, so no clamp is needed.
   *
-  * Column-combinator HOFs (narrow, no shuffle). The scale sub-expression
-  * is re-evaluated per element by the interpreted lambda (O(d²) per row) —
-  * fine for the occasional index-build pass; a hot path would move the
-  * loop into a native expression like the graft.functions family.
+  * The hot loop is the native [[graft.functions.Int8Quantize]] expression
+  * (O(d) per row, codegen'd); `scale` and `q` are fields of its single
+  * struct, so Catalyst's subexpression elimination computes the vector
+  * once even when a projection selects both. The previous Column-HOF
+  * formulation ([[int8Lambda]], kept for parity testing) re-evaluated the
+  * max-abs sub-expression per element — O(d²) per row, interpreted.
+  * Everything stays narrow: no shuffle anywhere in this file.
   */
 object Quantize {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  private def quant(vec: Column): Column =
+    Int8Quantize.int8Quantize(asDouble(vec))
 
   /** Per-vector max-abs. */
   def maxAbs(vec: Column): Column =
     array_max(transform(asDouble(vec), x => abs(x)))
 
   /** 127 / max|x| (0.0 for the zero vector). */
-  def int8Scale(vec: Column): Column = {
-    val ma = maxAbs(vec)
-    when(ma === 0.0, lit(0.0)).otherwise(lit(127.0) / ma)
-  }
+  def int8Scale(vec: Column): Column = quant(vec).getField("scale")
 
   /** Quantized components as a long array. */
-  def int8(vec: Column): Column = {
-    val scale = int8Scale(vec)
+  def int8(vec: Column): Column = quant(vec).getField("q")
+
+  /** Reference Column-HOF formulation of [[int8]] — O(d²) per row and
+    * interpreted, retained ONLY as the parity oracle for the native
+    * expression (TextOpsSpec asserts both produce identical arrays). */
+  def int8Lambda(vec: Column): Column = {
+    val ma = maxAbs(vec)
+    val scale = when(ma === 0.0, lit(0.0)).otherwise(lit(127.0) / ma)
     transform(asDouble(vec), x => floor(x * scale + lit(0.5)).cast(LongType))
   }
 
   /** Comma-joined string form (array columns do not survive the driver's
-    * hash comparator; the CSV string is bit-stable). */
-  def int8Csv(vec: Column): Column =
-    array_join(transform(int8(vec), q => q.cast(StringType)), ",")
+    * hash comparator; the CSV string is bit-stable). A struct field of the
+    * same native expression — an `array_join(transform(...))` wrapper
+    * would be a higher-order function and drop the projection out of
+    * whole-stage codegen. */
+  def int8Csv(vec: Column): Column = quant(vec).getField("csv")
 
   /** Dequantized vector (for error measurement / reranking). */
   def dequantize(q: Column, scale: Column): Column =

@@ -143,6 +143,49 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(nullKeys == Seq("aa", "ab", "ba", "bb", "aa")) // null keys never collapse
   }
 
+  test("Int8Quantize equals the HOF lambda form on scale and components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.fill(25)(Seq.fill(64)(rnd.nextDouble() * 4 - 2)) :+
+      Seq.fill(64)(0.0) // zero vector must be safe in both forms
+    val df = vecs.toDF("v")
+    val legacyScale = {
+      val ma = array_max(transform(col("v"), x => abs(x)))
+      when(ma === 0.0, lit(0.0)).otherwise(lit(127.0) / ma)
+    }
+    val rows = df.select(
+      graft.operators.Quantize.int8Scale(col("v")).as("ns"),
+      legacyScale.as("ls"),
+      graft.operators.Quantize.int8(col("v")).as("nq"),
+      graft.operators.Quantize.int8Lambda(col("v")).as("lq")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"scale drift: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"component drift: $r")
+    }
+  }
+
+  test("GramStats counts code points and breaks ties in UTF-8 binary order") {
+    import spark.implicits._
+    // U+1F600 (😀) is 2 UTF-16 units / 1 code point / 4 UTF-8 bytes;
+    // U+FFFD is 1 unit / 1 code point / 3 UTF-8 bytes.
+    val smile = "😀"
+    val rep = "�"
+    // dup_chars must count CODE POINTS: "😀 x" appears twice -> 2 grams x
+    // 3 code points = 6, not 2 x 4 UTF-16 units = 8.
+    val dup = Seq(s"$smile x $smile x").toDF("t")
+      .select(GramStats.gramStats(col("t"), 2).as("g")).collect()(0).getStruct(0)
+    assert(dup.getString(0) == s"$smile x" && dup.getLong(1) == 2L)
+    assert(dup.getLong(2) == 6L, s"dup_chars must count code points, got ${dup.getLong(2)}")
+    // tie at count 1 between unigrams 😀 and U+FFFD: UTF-16 order picks 😀
+    // (surrogates 0xD83D < 0xFFFD) but UTF-8 binary order — what Spark's
+    // string comparison and the DuckDB oracle use — picks U+FFFD
+    // (0xEF... < 0xF0...).
+    val tie = Seq(s"$smile $rep").toDF("t")
+      .select(GramStats.gramStats(col("t"), 1).as("g")).collect()(0).getStruct(0)
+    assert(tie.getString(0) == rep,
+      s"tie must break in UTF-8 binary order, got '${tie.getString(0)}'")
+  }
+
   test("MinHashSignature is deterministic and order-invariant over the hash set") {
     import spark.implicits._
     val df = Seq(

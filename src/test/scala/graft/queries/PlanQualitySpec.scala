@@ -129,6 +129,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 3, s"vocab top-k shuffled $exchanges times:\n$vocab")
   }
 
+  test("int8 quantization is a narrow native projection inside WholeStageCodegen") {
+    import org.apache.spark.sql.functions.col
+    val plan = planOf(Pipeline.embeddingQuantize(spark, dir).limit(1))
+    assert(plan.contains("rm_int8_quantize"),
+      s"expected native quantize expression in:\n$plan")
+    // the "*(n)" codegen-stage marker sits after the "+-" tree prefix here
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("*(")),
+      s"quantize projection fell out of codegen:\n$plan")
+    // selecting scale AND q must not shuffle — both are fields of one
+    // struct-valued expression in a plain projection
+    val narrow = planOf(graft.Tables.embeddings(spark, dir).select(
+      graft.operators.Quantize.int8Scale(col("embedding")),
+      graft.operators.Quantize.int8(col("embedding"))))
+    assert(!narrow.contains("Exchange"), s"quantize must not shuffle:\n$narrow")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement
