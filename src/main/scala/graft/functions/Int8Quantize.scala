@@ -10,12 +10,16 @@ import org.apache.spark.sql.rmbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Symmetric int8 quantization of one vector in TWO in-row passes:
-  * `struct(scale, q, csv)` with scale = 127 / max|x| (0.0 for the zero
-  * vector), qᵢ = floor(xᵢ·scale + 0.5) ∈ [-127, 127], and csv the
+  * `struct(scale, q, csv, dq)` with scale = 127 / max|x| (0.0 for the
+  * zero vector), qᵢ = floor(xᵢ·scale + 0.5) ∈ [-127, 127], csv the
   * comma-joined component string (the bit-stable form the driver's hash
   * comparator needs — emitted here because an `array_join(transform(...))`
   * wrapper is a higher-order function and would knock the whole
-  * projection out of whole-stage codegen).
+  * projection out of whole-stage codegen), and dq the round-tripped
+  * dequantized vector qᵢ/scale (what a quantized-index search scores
+  * against — emitted here because composing a `transform` lambda with
+  * this expression would re-evaluate the whole quantization per ELEMENT,
+  * the O(d²) interpreted-HOF trap this expression exists to avoid).
   *
   * Replaces the Column-HOF formulation in [[graft.operators.Quantize]],
   * whose interpreted `transform` lambda re-evaluated the whole
@@ -57,7 +61,8 @@ object Int8Quantize {
   val schema: StructType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
     StructField("q", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("csv", StringType, nullable = false)))
+    StructField("csv", StringType, nullable = false),
+    StructField("dq", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   def compute(vec: ArrayData): InternalRow = {
     val n = vec.numElements()
@@ -70,10 +75,13 @@ object Int8Quantize {
     }
     val scale = if (ma == 0.0) 0.0 else 127.0 / ma
     val out = new Array[Long](n)
+    val dq = new Array[Double](n)
     val sb = new java.lang.StringBuilder(n * 5)
     i = 0
     while (i < n) {
       out(i) = math.floor(vec.getDouble(i) * scale + 0.5).toLong
+      // the zero vector round-trips to itself (scale 0 means every q is 0)
+      dq(i) = if (scale == 0.0) 0.0 else out(i).toDouble / scale
       if (i > 0) sb.append(',')
       sb.append(out(i))
       i += 1
@@ -81,7 +89,8 @@ object Int8Quantize {
     new GenericInternalRow(Array[Any](
       scale,
       UnsafeArrayData.fromPrimitiveArray(out),
-      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+      UnsafeArrayData.fromPrimitiveArray(dq)))
   }
 
   /** Column form: `struct(scale double, q array<long>, csv string)`. */

@@ -130,6 +130,46 @@ object Ivf {
   def assign(b: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
     b.select(col("id"), nearestCluster(col("e"), cents).as("cl"))
 
+  /** Persist a trained index as parquet — the [[Dedup.signatureIndex]]
+    * treatment applied to ANN: `path/centroids` holds (cl, centroid
+    * array<double>) and `path/assignments` the full-corpus (id, cl) map.
+    * Doubles round-trip parquet bit-exactly, so a search served from a
+    * re-read index is bit-identical to one served from the freshly
+    * trained centroids — "train once, reuse" survives JVM restarts, not
+    * just JVM lifetime. The centroid table is nlist rows (coalesced to
+    * one file); assignments are one narrow scan of the corpus. */
+  def writeIndex(b: DataFrame, cents: Seq[Seq[Double]], path: String): Unit = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("cl", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assign(b, cents).write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** Centroids back from a [[writeIndex]] parquet index, in cluster
+    * order — bit-identical to the trained values. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cl")
+      .select("cl", "centroid")
+      .collect().map(_.getSeq[Double](1)).toSeq
+
+  /** The persisted (id, cl) corpus assignment of a [[writeIndex]] index. */
+  def readAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/assignments")
+
+  /** True when a [[writeIndex]] index exists at `path`. Resolved through
+    * Hadoop's FileSystem so hdfs:///s3:// index locations work the same
+    * as local disk. */
+  def indexExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** IVF top-k: queries probe their `nprobe` nearest clusters, candidates
     * are those clusters' members, exact cosine (native codegen expression)
     * reranks. The only join is an equi-join on the cluster id. */

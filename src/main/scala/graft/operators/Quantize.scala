@@ -58,7 +58,19 @@ object Quantize {
     * whole-stage codegen. */
   def int8Csv(vec: Column): Column = quant(vec).getField("csv")
 
-  /** Dequantized vector (for error measurement / reranking). */
+  /** Dequantized vector from MATERIALIZED q/scale columns (a persisted
+    * int8 index read back from parquet) — there the lambda body is a plain
+    * column reference, so the interpreted transform is O(d). Do NOT feed
+    * it [[int8]]/[[int8Scale]] expressions directly: the lambda would
+    * re-evaluate the whole quantization per element (use [[roundTrip]],
+    * which the native expression emits in the same pass). */
   def dequantize(q: Column, scale: Column): Column =
-    transform(q, v => v.cast(DoubleType) / scale)
+    // scale 0 marks the zero vector (every q is 0): round-trip to zeros
+    // rather than tripping ANSI's divide-by-zero
+    transform(q, v => when(scale === 0.0, lit(0.0))
+      .otherwise(v.cast(DoubleType) / scale))
+
+  /** quantize→dequantize round trip of a vector in the native pass —
+    * the approximate vectors a quantized-index search scores against. */
+  def roundTrip(vec: Column): Column = quant(vec).getField("dq")
 }

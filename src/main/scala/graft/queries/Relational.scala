@@ -143,6 +143,28 @@ object Relational {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** The [[graft.operators.Skew.saltedJoin]] skew path on a real plan: the
+    * orders fact joins a status dimension on o_orderstatus — three distinct
+    * values, two of which each hold ~half the fact table, i.e. every key is
+    * a hot key no hash partitioning can split. The salt spreads each status
+    * across 8 sub-keys so no reducer owns a whole status. The dim side
+    * carries a shuffle-hash hint: salting is only meaningful when the dim
+    * cannot broadcast (a broadcast join needs no salt), so the hint pins
+    * the shuffled plan shape a too-big-to-broadcast production dim would
+    * produce naturally. Result set is identical to the plain join — only
+    * the partitioning changes, which is the invariant the oracle checks. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val statusDim = Seq(("O", "open"), ("F", "finished"), ("P", "pending"))
+      .toDF("o_orderstatus", "status_name")
+    val facts = Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+    graft.operators.Skew.saltedJoin(
+        facts, statusDim.hint("shuffle_hash"), "o_orderstatus",
+        discriminator = "o_orderkey", salts = 8)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("status_name"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_record_when"      -> (recordWhen _),
     "q_mapping_chain"    -> (mappingChain _),
@@ -152,7 +174,8 @@ object Relational {
     "q_lookup_first"     -> (lookupFirst _),
     "q_sort_limit_offset" -> (sortLimitOffset _),
     "q_topk_per_group"   -> (topkPerGroup _),
-    "q_distinct"         -> (distinctPairs _))
+    "q_distinct"         -> (distinctPairs _),
+    "q_salted_join"      -> (saltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_record_when" ->
@@ -205,5 +228,11 @@ object Relational {
         |  FROM lineitem) WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderkey, o_orderstatus, status_name
+        |FROM orders
+        |JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+        |  AS d(o_orderstatus, status_name) USING (o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin)
 }

@@ -157,10 +157,19 @@ class NativeExpressionsSpec extends AnyFunSuite {
       graft.operators.Quantize.int8Scale(col("v")).as("ns"),
       legacyScale.as("ls"),
       graft.operators.Quantize.int8(col("v")).as("nq"),
-      graft.operators.Quantize.int8Lambda(col("v")).as("lq")).collect()
+      graft.operators.Quantize.int8Lambda(col("v")).as("lq"),
+      graft.operators.Quantize.roundTrip(col("v")).as("ndq"),
+      // ANSI mode throws on x/0.0, so the legacy restatement guards the
+      // zero vector the same way the native pass defines it: dq = 0.0
+      transform(graft.operators.Quantize.int8Lambda(col("v")),
+        q => when(legacyScale === 0.0, lit(0.0))
+          .otherwise(q.cast(org.apache.spark.sql.types.DoubleType) / legacyScale))
+        .as("ldq")).collect()
     rows.foreach { r =>
       assert(r.getDouble(0) == r.getDouble(1), s"scale drift: $r")
       assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"component drift: $r")
+      assert(r.getSeq[Double](4) == r.getSeq[Double](5),
+        s"dequantize drift: ${r.getSeq[Double](4)} vs ${r.getSeq[Double](5)}")
     }
   }
 

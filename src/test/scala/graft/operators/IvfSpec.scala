@@ -53,6 +53,38 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"recall@5 = $recall")
   }
 
+  test("persisted index round-trips bit-exactly and reproduces the search untrained") {
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val cents = Ivf.centroids(b, nlist = 10, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      assert(!Ivf.indexExists(spark, idx))
+      Ivf.writeIndex(b, cents, idx)
+      assert(Ivf.indexExists(spark, idx))
+      // centroids: bit-identical after the parquet round trip
+      val reread = Ivf.readCentroids(spark, idx)
+      assert(reread == cents)
+      // assignments: the persisted corpus map equals a fresh assignment
+      val persisted = Ivf.readAssignments(spark, idx)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fresh = Ivf.assign(b, cents)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(persisted == fresh)
+      // the search served from the re-read index is bit-identical to one
+      // served from the trained centroids — no retraining required
+      def run(c: Seq[Seq[Double]]) =
+        Ivf.topKWith(b, c, nQueries = 20, k = 5, nprobe = 5)
+          .orderBy("qid", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(run(reread) == run(cents))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(idx)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("SemDeDup pairs are within-cluster, above threshold, and deduplicated") {
     val pairs = Ivf.semDedupPairs(emb, "vec_id", "embedding",
       nlist = 10, iters = 2, threshold = 0.35).collect()

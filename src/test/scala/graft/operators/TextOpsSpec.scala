@@ -133,6 +133,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(spread > 1, s"hot key must spread across salts, got $spread")
   }
 
+  test("candidate-restricted Jaccard equals the exact all-pairs formulation") {
+    // the LSH-candidate path (what q_ngram_jaccard now runs) must find the
+    // same verified pair set as the exact prefix-filtered self-join it
+    // replaced — on real documents, not just synthetic toys
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("da", "db", "inter", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val exact = pairs(Dedup.jaccardPairsFrom(sh, threshold = 0.8))
+    val viaLsh = pairs(Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8))
+    assert(exact.nonEmpty, "test corpus must contain near-duplicates")
+    assert(viaLsh == exact)
+  }
+
   test("quantize: int8 round-trip error bounded by half a step; zero vector safe") {
     import spark.implicits._
     val d = Seq(

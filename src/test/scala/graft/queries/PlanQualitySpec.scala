@@ -146,6 +146,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!narrow.contains("Exchange"), s"quantize must not shuffle:\n$narrow")
   }
 
+  test("salted join shuffles on (key, salt) — the hot key splits across reducers") {
+    val plan = planOf(Relational.saltedJoin(spark, dir).limit(1))
+    // the fact-side exchange must hash on the salt, not the bare status key
+    assert(plan.contains("__salt"),
+      s"expected the salt in the shuffle keys:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__salt")),
+      s"salted join must hash-partition on (key, salt):\n$plan")
+    // and the whole point is a NON-broadcast join (broadcast needs no salt)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted join must not degenerate to broadcast:\n$plan")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement
