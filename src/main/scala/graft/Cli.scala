@@ -309,23 +309,34 @@ object Cli {
         "finalize is not supported in stream mode"), errorFormat(f), err)
       return 3
     }
+    // each line is written the moment it is produced — the point of the
+    // toLocalIterator stream shape (one sorted partition resident at a
+    // time, never the whole output), and the reference's mid-stream-error
+    // semantics (BufWriter flush on drop, main.rs:350-377): lines already
+    // written stay written when an error surfaces mid-iteration
+    val fileWriter =
+      try f.opts.get("--output").map { p =>
+        val path = Paths.get(p)
+        Option(path.getParent).foreach(Files.createDirectories(_))
+        Files.newBufferedWriter(path)
+      } catch { case NonFatal(e) => err.println(s"failed to write output: $e"); return 1 }
+    def writeLine(line: String): Unit = fileWriter match {
+      case Some(w) => w.write(line); w.newLine()
+      case None => out.println(line)
+    }
     try {
-      // toLocalIterator keeps the record-at-a-time stream shape: one
-      // sorted partition is resident at a time, not the whole output —
-      // errors can surface mid-iteration, hence the enclosing catch
       val rows = Engine.ndjsonWithWarnings(rule, readInput(rule, inputPath),
         context, nullAsMissing = rule.input.format != "csv",
         ruleLoader = Engine.fileLoader(baseDir(rulesPath))).toLocalIterator()
-      val lines = Seq.newBuilder[String]
       import scala.jdk.CollectionConverters._
       rows.asScala.foreach { r =>
         val ws = r.getSeq[org.apache.spark.sql.Row](1)
         emitTransformWarnings(
           ws.map(w => Engine.Warning(w.getString(0), w.getString(1), w.getString(2))),
           errorFormat(f), err)
-        if (!r.isNullAt(0)) lines += r.getString(0)
+        if (!r.isNullAt(0)) writeLine(r.getString(0))
       }
-      writeOut(lines.result().mkString("\n"), f, out, err)
+      0
     } catch {
       case e: ExprCompiler.RmError => emitTransformError(e, errorFormat(f), err); 3
       case NonFatal(e) =>
@@ -333,7 +344,8 @@ object Cli {
           case Some(rm) => emitTransformError(rm, errorFormat(f), err); 3
           case None => err.println(s"transform failed: ${e.getMessage}"); 3
         }
-    }
+    } finally fileWriter.foreach(w =>
+      try w.close() catch { case NonFatal(e) => err.println(s"failed to write output: $e") })
   }
 
   private def runGenerate(f: Flags, out: PrintStream, err: PrintStream): Int =

@@ -267,6 +267,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The benchmark set's distinct shingle hashes — the (tiny, by
+    * construction) batch artifact the streaming decontamination gate
+    * ([[graft.streaming.StreamOps.decontaminationGate]]) bakes into its
+    * plan as an InSet probe. */
+  def benchmarkHashes(benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    shingleRowsOf(benchmark, textCol, idCol, n).select(col("h")).distinct()
+
   private def shingleRowsOf(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("doc"),

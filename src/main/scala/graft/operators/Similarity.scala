@@ -53,13 +53,25 @@ object Similarity {
   /** Cross-table exact k-NN join: every row of `queries` against the whole
     * `corpus` (two different tables — the retrieval shape: eval queries vs
     * a document index, new batch vs yesterday's corpus). The query side is
-    * broadcast (it is the small side by construction); the corpus streams
-    * through one narrow scan, so the cost is one corpus pass regardless of
-    * cluster size. For corpus-scale query sets use the LSH/IVF paths. */
+    * broadcast — it must be the SMALL side: every executor holds all of it
+    * in memory, and a query table past the broadcast limit
+    * (`spark.sql.maxBroadcastTableSize`, default 8 GB) or executor heap
+    * fails the job with a broadcast OOM, not a graceful fallback. The
+    * `maxBroadcastRows` guard (default 1M rows — ~½ GB at 64 float dims)
+    * fails fast with a clear message instead; raise it deliberately, or
+    * route corpus-scale query sets through the LSH/IVF paths, which never
+    * broadcast vectors. The corpus streams through one narrow scan, so
+    * the cost is one corpus pass regardless of cluster size. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, qidCol: String,
-      qvecCol: String, cidCol: String, cvecCol: String, k: Int): DataFrame = {
+      qvecCol: String, cidCol: String, cvecCol: String, k: Int,
+      maxBroadcastRows: Long = 1L << 20): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qvec"))
     val c = corpus.select(col(cidCol).as("cid"), asDouble(col(cvecCol)).as("cvec"))
+    val nQ = q.limit((maxBroadcastRows + 1).toInt).count()
+    require(nQ <= maxBroadcastRows,
+      s"knnJoin broadcasts the query side to every executor, but it exceeds " +
+        s"$maxBroadcastRows rows — use lshTopK/Ivf.topK for corpus-scale " +
+        s"query sets, or raise maxBroadcastRows deliberately")
     val scored = c.crossJoin(broadcast(q))
       .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)

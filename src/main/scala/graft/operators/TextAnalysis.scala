@@ -157,6 +157,16 @@ object TextAnalysis {
     * broadcasts back, so the corpus side never shuffles for membership —
     * the benchmark-decontamination shape. Documents with no trigrams
     * produce no row. */
+  /** The boilerplate gram set itself — n-grams appearing in ≥ minDf
+    * distinct documents, with their doc frequency: the batch artifact the
+    * streaming gate ([[graft.streaming.StreamOps.boilerplateGate]])
+    * consumes. One map-side-combined shuffle on the gram. */
+  def boilerplateGrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int, minDf: Int): org.apache.spark.sql.DataFrame =
+    ngramRows(docs, textCol, idCol, n, distinct = true)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   def boilerplateStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minDf: Int): org.apache.spark.sql.DataFrame = {
     // per-doc-distinct grams straight from the native expression (no

@@ -138,6 +138,50 @@ object StreamOps {
         col("dup_trigram_frac") <= maxDupTrigramFrac)
   }
 
+  /** Streaming boilerplate gate — the stream side of
+    * [[graft.operators.TextAnalysis.boilerplateStats]]: drop documents
+    * whose distinct n-gram set overlaps a batch-built boilerplate gram
+    * set above `maxBoilerFrac`. The set (grams in ≥ minDf docs, from
+    * [[graft.operators.TextAnalysis.boilerplateGrams]]) is baked into the
+    * plan; the membership test inside the array `filter` compiles to an
+    * In/InSet — one hash probe per gram against a set built once, not a
+    * per-row set rebuild. Stateless narrow filter: no shuffle, no
+    * streaming state, composes in append mode with [[qualityGate]] /
+    * [[repetitionGate]] / [[streamingNearDedup]]. The set is small by
+    * construction (corpus-frequent grams); a set too large to bake as
+    * literals would instead stream-static broadcast-join. Emits
+    * `n_grams` / `n_boiler` / `boiler_frac` alongside the kept rows. */
+  def boilerplateGate(docs: DataFrame, textCol: String,
+      boilerGrams: Seq[String], n: Int, maxBoilerFrac: Double): DataFrame = {
+    require(boilerGrams.nonEmpty, "empty boilerplate set: nothing to gate")
+    val grams = graft.functions.ShingleText.shingleText(col(textCol), n, distinct = true)
+    val hits = size(filter(grams, g => g.isInCollection(boilerGrams)))
+    docs
+      .withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("n_boiler", hits.cast("long"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_boiler").cast("double") / col("n_grams")))
+      .filter(col("boiler_frac") <= maxBoilerFrac)
+  }
+
+  /** Streaming benchmark decontamination — the stream side of
+    * [[graft.operators.Dedup.contaminatedDocs]]: drop documents sharing
+    * any n-gram with the benchmark set. The benchmark's distinct shingle
+    * hashes (8-byte longs, tiny by construction — a few hundred eval
+    * documents) bake into the plan as an InSet probe per gram; stateless,
+    * shuffle-free, append-mode-safe like [[boilerplateGate]]. */
+  def decontaminationGate(docs: DataFrame, textCol: String,
+      benchHashes: Seq[Long], n: Int): DataFrame = {
+    require(benchHashes.nonEmpty, "empty benchmark set: nothing to gate")
+    val hits = size(filter(
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n),
+      h => h.isInCollection(benchHashes)))
+    docs.withColumn("__hits", hits)
+      .filter(col("__hits") === 0)
+      .drop("__hits")
+  }
+
   /** Continuous incremental-ingest dedup: every micro-batch of the
     * document stream is deduped against the PERSISTED MinHash signature
     * index with the same batch operators the daily job uses
@@ -147,10 +191,12 @@ object StreamOps {
     * delta, never the indexed corpus) run continuously via foreachBatch.
     * First batch against a missing index bootstraps it (within-batch
     * dups still collapse). The caller starts the returned writer with
-    * its own checkpoint/trigger; exactly-once of the parquet append is
-    * per-batch (foreachBatch reruns a failed batch — appends are
-    * idempotent per epoch only if the caller checkpoints, the standard
-    * foreachBatch contract). */
+    * its own checkpoint/trigger. Retry caveat: the foreachBatch batchId
+    * is not used to key the append, so a batch replayed after a failure
+    * appends its survivors again — the rows are identical documents, so
+    * the re-ingested index still dedups correctly against them, but the
+    * index carries the duplicate rows; exactly-once would key the write
+    * by batchId (or write to a batchId-named subdirectory). */
   def incrementalIngest(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, n: Int, k: Int, bands: Int, threshold: Double)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -159,9 +205,14 @@ object StreamOps {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val sig = Dedup.signatureIndex(batch.toDF(), textCol, idCol, n, k, bands)
+        // probe through Hadoop's FileSystem, not java.nio: the index of a
+        // production ingest lives on hdfs:// or s3://, where a local-path
+        // check would always report "missing" and silently re-bootstrap
+        val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
+        val idxExists = idxHPath
+          .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
         val index =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath)))
-            spark.read.parquet(indexPath)
+          if (idxExists) spark.read.parquet(indexPath)
           else spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), sig.schema)
         // survivors come back in index shape; localCheckpoint before the

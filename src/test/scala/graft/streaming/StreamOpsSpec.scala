@@ -237,6 +237,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L), s"kept: $kept")
   }
 
+  test("boilerplate + decontamination gates filter a stream against batch-built sets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // batch side: build the boilerplate gram set (trigram "subscribe and
+    // like" appears in 3 corpus docs) and the benchmark hash set
+    val corpus = Seq(
+      (1L, "subscribe and like for more content today"),
+      (2L, "subscribe and like this channel now"),
+      (3L, "subscribe and like the video please"),
+      (4L, "a normal document about distributed query engines")).toDF("doc_id", "text")
+    val boiler = graft.operators.TextAnalysis
+      .boilerplateGrams(corpus, "text", "doc_id", n = 3, minDf = 3)
+      .select("gram").collect().map(_.getString(0)).toSeq
+    assert(boiler.contains("subscribe and like"))
+    val bench = Seq((100L, "the secret benchmark question answer")).toDF("doc_id", "text")
+    val benchHashes = graft.operators.Dedup
+      .benchmarkHashes(bench, "text", "doc_id", n = 3)
+      .collect().map(_.getLong(0)).toSeq
+
+    // stream side: gate two micro-batches through both filters
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val gated = StreamOps.decontaminationGate(
+      StreamOps.boilerplateGate(docs, "text", boiler, n = 3, maxBoilerFrac = 0.4),
+      "text", benchHashes, n = 3)
+    val q = gated.select("doc_id", "boiler_frac")
+      .writeStream.format("memory").queryName("gate_out").outputMode("append").start()
+    input.addData(
+      (10L, "subscribe and like now"), // 1 of 2 grams boilerplate = 0.5 > 0.4
+      (11L, "an original essay on watermark semantics in streams"))
+    q.processAllAvailable()
+    input.addData(
+      (12L, "contains the secret benchmark question answer verbatim here"), // contaminated
+      (13L, "another clean document with novel words entirely"))
+    q.processAllAvailable(); q.stop()
+
+    val kept = spark.table("gate_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 13L), s"kept: $kept")
+    // the gates are stateless narrow filters: no streaming state at all
+    assert(q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("incrementalIngest: micro-batches dedup against the persisted index via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
