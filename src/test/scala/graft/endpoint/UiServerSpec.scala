@@ -222,6 +222,28 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally bundled.stop(0)
   }
 
+  test("bundled UI renders structured trace detail from the fixture fields") {
+    // the bundle is vanilla JS fetching at runtime, so the spec pins the
+    // contract from both sides: the rendering machinery exists in the
+    // served page (steps table, summary counts, status pill, raw-json
+    // toggle, list filter, SSE live refresh of the open trace), and the
+    // fixture trace the store serves carries exactly the fields that
+    // machinery consumes
+    val in = getClass.getResourceAsStream("/graft/ui/index.html")
+    val html = new String(in.readAllBytes(), "UTF-8"); in.close()
+    for (marker <- Seq("renderTrace", "table", "steps", "summary",
+        "record_total", "record_failed", "duration_us", "raw json",
+        "filter", "EventSource", "showTrace(selected)", "api-graph"))
+      assert(html.contains(marker), s"bundle lost its '$marker' view")
+    val (s, body, _) = http("GET", "/internal/traces/t1")
+    assert(s == 200)
+    val t = mapper.readTree(body).get("trace")
+    assert(t.get("status").asText == "success")          // status pill
+    assert(t.get("duration_us").asLong == 1200L)         // header timing
+    assert(t.get("summary").get("record_total").asLong == 1L) // summary row
+    assert(t.get("steps").get(0).get("rule").asText == "shape.yaml") // steps table
+  }
+
   test("SSE stream sends the initial traces event") {
     val conn = URI.create(s"http://127.0.0.1:$port/internal/stream").toURL
       .openConnection().asInstanceOf[HttpURLConnection]
