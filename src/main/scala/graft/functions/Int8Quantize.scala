@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.rmbridge.Bridge
 import org.apache.spark.sql.types._
@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * comma-joined component string (the bit-stable form the driver's hash
   * comparator needs — emitted here because an `array_join(transform(...))`
   * wrapper is a higher-order function and would knock the whole
-  * projection out of whole-stage codegen), and dq the round-tripped
+  * projection out of whole-stage codegen), dq the round-tripped
   * dequantized vector qᵢ/scale (what a quantized-index search scores
   * against — emitted here because composing a `transform` lambda with
   * this expression would re-evaluate the whole quantization per ELEMENT,
-  * the O(d²) interpreted-HOF trap this expression exists to avoid).
+  * the O(d²) interpreted-HOF trap this expression exists to avoid), and
+  * bin the components packed one signed byte each — the PERSISTED index
+  * form: a parquet `binary` column is genuinely ¼ the bytes of the float
+  * vector, where an `array<long>` of the same values is not
+  * ([[Int8Dequantize]] is the matching native read path).
   *
   * Replaces the Column-HOF formulation in [[graft.operators.Quantize]],
   * whose interpreted `transform` lambda re-evaluated the whole
@@ -62,7 +66,8 @@ object Int8Quantize {
     StructField("scale", DoubleType, nullable = false),
     StructField("q", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("csv", StringType, nullable = false),
-    StructField("dq", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("dq", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("bin", BinaryType, nullable = false)))
 
   def compute(vec: ArrayData): InternalRow = {
     val n = vec.numElements()
@@ -76,12 +81,14 @@ object Int8Quantize {
     val scale = if (ma == 0.0) 0.0 else 127.0 / ma
     val out = new Array[Long](n)
     val dq = new Array[Double](n)
+    val bin = new Array[Byte](n)
     val sb = new java.lang.StringBuilder(n * 5)
     i = 0
     while (i < n) {
       out(i) = math.floor(vec.getDouble(i) * scale + 0.5).toLong
       // the zero vector round-trips to itself (scale 0 means every q is 0)
       dq(i) = if (scale == 0.0) 0.0 else out(i).toDouble / scale
+      bin(i) = out(i).toByte // in [-127, 127] by construction
       if (i > 0) sb.append(',')
       sb.append(out(i))
       i += 1
@@ -90,10 +97,62 @@ object Int8Quantize {
       scale,
       UnsafeArrayData.fromPrimitiveArray(out),
       org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
-      UnsafeArrayData.fromPrimitiveArray(dq)))
+      UnsafeArrayData.fromPrimitiveArray(dq),
+      bin))
   }
 
-  /** Column form: `struct(scale double, q array<long>, csv string)`. */
+  /** Column form: `struct(scale double, q array<long>, csv string,
+    * dq array<double>, bin binary)`. */
   def int8Quantize(vec: Column): Column =
     Bridge.column(Int8Quantize(Bridge.expression(vec)))
+}
+
+/** The read path of a byte-packed int8 index: binary components (one
+  * signed byte each, [[Int8Quantize]]'s `bin` field) + scale back to the
+  * dequantized double vector — one O(d) codegen'd pass per row, the same
+  * division the `dq` field performs at write time, so a search served
+  * from the persisted index scores bit-identically to one served from
+  * the in-flight quantization. */
+case class Int8Dequantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, double) inputs, got $l / $r")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "rm_int8_dequantize"
+
+  override protected def nullSafeEval(bin: Any, scale: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      Int8Dequantize.compute(bin.asInstanceOf[Array[Byte]], scale.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s) =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.Int8Dequantize$$.MODULE$$.compute($b, $s));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression)
+      : Int8Dequantize = copy(left = newLeft, right = newRight)
+}
+
+object Int8Dequantize {
+
+  def compute(bin: Array[Byte], scale: Double): Array[Double] = {
+    val out = new Array[Double](bin.length)
+    var i = 0
+    while (i < bin.length) {
+      // zero vector (scale 0) round-trips to zeros, matching the write side
+      out(i) = if (scale == 0.0) 0.0 else bin(i).toDouble / scale
+      i += 1
+    }
+    out
+  }
+
+  /** Column form. */
+  def int8Dequantize(bin: Column, scale: Column): Column =
+    Bridge.column(Int8Dequantize(Bridge.expression(bin), Bridge.expression(scale)))
 }

@@ -73,4 +73,28 @@ object Quantize {
   /** quantize→dequantize round trip of a vector in the native pass —
     * the approximate vectors a quantized-index search scores against. */
   def roundTrip(vec: Column): Column = quant(vec).getField("dq")
+
+  /** Byte-packed components (one signed byte each) — the persisted-index
+    * form: a parquet `binary` column really is ¼ the bytes of the float
+    * vector, where an `array<long>` of the same values is not. */
+  def int8Bytes(vec: Column): Column = quant(vec).getField("bin")
+
+  /** Persist the int8 index as parquet: (id, scale, bin) — one narrow
+    * quantization scan of the corpus, byte-packed on disk. This is the
+    * table a 100 TB retrieval deployment actually scans; the raw float
+    * vectors are touched only to rerank shortlist members. */
+  def writeIndex(emb: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String, path: String): Unit =
+    emb.select(col(idCol).as("id"),
+        int8Scale(col(vecCol)).as("scale"),
+        int8Bytes(col(vecCol)).as("bin"))
+      .write.mode("overwrite").parquet(path)
+
+  /** (id, dq) from a persisted [[writeIndex]] index — the native
+    * [[graft.functions.Int8Dequantize]] read path, one O(d) codegen'd
+    * pass per row, bit-identical to the write side's [[roundTrip]]. */
+  def readIndexVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path).select(col("id"),
+      graft.functions.Int8Dequantize.int8Dequantize(col("bin"), col("scale")).as("dq"))
 }

@@ -150,40 +150,42 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
-  /** Corpus-wide boilerplate: trigrams appearing in ≥ minDf distinct
-    * documents are boilerplate; per document, the count and fraction of
-    * its distinct trigrams that are. The doc-frequency pass is one
-    * map-side-combined shuffle on the gram; the (small) boilerplate set
-    * broadcasts back, so the corpus side never shuffles for membership —
-    * the benchmark-decontamination shape. Documents with no trigrams
-    * produce no row. */
   /** The boilerplate gram set itself — n-grams appearing in ≥ minDf
     * distinct documents, with their doc frequency: the batch artifact the
     * streaming gate ([[graft.streaming.StreamOps.boilerplateGate]])
-    * consumes. One map-side-combined shuffle on the gram. */
+    * consumes (which needs the STRINGS, hence ngramRows not the hashed
+    * form below). One map-side-combined shuffle on the gram. */
   def boilerplateGrams(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, n: Int, minDf: Int): org.apache.spark.sql.DataFrame =
     ngramRows(docs, textCol, idCol, n, distinct = true)
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
 
+  /** Corpus-wide boilerplate: trigrams appearing in ≥ minDf distinct
+    * documents are boilerplate; per document, the count and fraction of
+    * its distinct trigrams that are. Internally keyed on the 8-byte
+    * xxhash64 shingle hash, never the gram string: the doc-frequency
+    * shuffle moves one long per (doc, gram) — at corpus scale an
+    * order-of-magnitude fewer shuffle bytes than gram text — and the
+    * (small) boilerplate set broadcasts back as a long set, so the
+    * corpus side never shuffles for membership (the
+    * benchmark-decontamination shape; 64-bit collisions negligible, the
+    * [[Dedup]] stance). The per-doc-distinct hash set comes from ONE
+    * native pass ([[graft.functions.ShingleHashes]]) cheap enough to
+    * recompute per consumer — no cache barrier, so nothing corpus-sized
+    * is ever pinned in executor memory. Documents with no trigrams
+    * produce no row. */
   def boilerplateStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minDf: Int): org.apache.spark.sql.DataFrame = {
-    // per-doc-distinct grams straight from the native expression (no
-    // distinct() shuffle needed); persisted once — it feeds both the
-    // global doc-frequency count and the per-doc membership aggregate
-    val g3 = ngramRows(docs, textCol, idCol, n = 3, distinct = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val boiler = g3.groupBy("gram").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= minDf).select(col("gram"), lit(1).as("__b"))
-      g3.join(broadcast(boiler), Seq("gram"), "left")
-        .groupBy(idCol)
-        .agg(count(lit(1)).as("n_grams"),
-          sum(coalesce(col("__b"), lit(0))).cast(LongType).as("n_boiler"))
-        .select(col(idCol), col("n_grams"), col("n_boiler"),
-          (col("n_boiler").cast(DoubleType) / col("n_grams")).as("boiler_frac"))
-        .localCheckpoint()
-    } finally g3.unpersist(blocking = false)
+    val g3 = docs.select(col(idCol),
+      explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), 3)).as("h"))
+    val boiler = g3.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"), lit(1).as("__b"))
+    g3.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__b"), lit(0))).cast(LongType).as("n_boiler"))
+      .select(col(idCol), col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast(DoubleType) / col("n_grams")).as("boiler_frac"))
   }
 }

@@ -391,7 +391,10 @@ object Pipeline {
     * set is broadcast back — the corpus side never shuffles for the
     * membership test, the same shape as benchmark decontamination. */
   def boilerplate(spark: SparkSession, dir: String, minDf: Int = 5): DataFrame =
+    // checkpoint BEFORE the orderBy: the global sort's range-partitioner
+    // sampling would otherwise execute the df-count + membership join twice
     TA.boilerplateStats(Tables.documents(spark, dir), "text", "doc_id", minDf)
+      .localCheckpoint()
       .orderBy("doc_id")
 
   /** PII scrubbing audit over a contact-card string assembled from

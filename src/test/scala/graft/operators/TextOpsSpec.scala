@@ -170,6 +170,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 0.0, Seq(0L, 0L, 0L, 0L))))
   }
 
+  test("persisted int8 index: byte-packed parquet round-trips the dequantized vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = (Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(64)(rnd.nextFloat() * 4 - 2))) :+
+        (99L, Seq.fill(64)(0.0f))) // zero vector must round-trip to zeros
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("int8_idx").resolve("index").toString
+    Quantize.writeIndex(emb, "vec_id", "embedding", idx)
+    // the index really is byte-packed: binary column, d bytes per vector
+    val stored = spark.read.parquet(idx)
+    assert(stored.schema("bin").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(stored.collect().forall(_.getAs[Array[Byte]]("bin").length == 64))
+    // the native read path reproduces the write side's round trip exactly
+    val fromIndex = Quantize.readIndexVectors(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val inFlight = emb.select(col("vec_id"),
+        Quantize.roundTrip(col("embedding")).as("dq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fromIndex == inFlight)
+    // and the read plan is a narrow codegen'd scan: no Exchange, native op
+    val plan = Quantize.readIndexVectors(spark, idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && plan.contains("rm_int8_dequantize"),
+      s"index read must be a narrow native scan:\n$plan")
+  }
+
   test("redact: default chain masks email, ip, phone, digit runs in order") {
     import spark.implicits._
     val d = Seq(
