@@ -224,6 +224,71 @@ object StreamOps {
     }
   }
 
+  /** Continuous embedding-ingest dedup — the ANN twin of
+    * [[incrementalIngest]]: every micro-batch of the embedding stream is
+    * near-dup-checked against the PERSISTED byte-packed int8 index
+    * ([[graft.operators.Quantize.writeIndex]] shape) and its survivors
+    * are appended, quantized, to the index. Candidates come from shared
+    * hyperplane-LSH buckets (equi-join on (table, bucket) — the batch
+    * side is the small delta, the index side one narrow scan; never
+    * all-pairs); verification is exact cosine of the batch vector
+    * against the index's dequantized vector (native
+    * [[graft.functions.Int8Dequantize]] read path). A batch vector also
+    * drops when an EARLIER vector of the same batch (lower id) is a
+    * near-dup, so replaying the full stream equals one batch dedup.
+    * Same retry caveat as [[incrementalIngest]] (appends are not
+    * batchId-keyed). */
+  def embeddingIngest(emb: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, threshold: Double, planes: Int = 4,
+      tables: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Quantize
+    import graft.functions.{Int8Dequantize, VectorOps}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    emb.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().select(
+          col(idCol).cast(LongType).as("id"),
+          col(vecCol).cast(ArrayType(DoubleType)).as("vec"),
+          Quantize.int8Scale(col(vecCol)).as("scale"),
+          Quantize.int8Bytes(col(vecCol)).as("bin"))
+        val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
+        val idxExists = idxHPath
+          .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
+        def bucketRows(df: DataFrame, vec: Column) = df.select(
+          col("id"), vec.as("v"),
+          posexplode(VectorOps.hyperplaneBuckets(vec, planes, tables))
+            .as(Seq("tbl", "bucket")))
+        val newBk = bucketRows(b, col("vec"))
+        val idxBk =
+          if (idxExists)
+            bucketRows(spark.read.parquet(indexPath),
+              Int8Dequantize.int8Dequantize(col("bin"), col("scale")))
+          else spark.emptyDataFrame
+            .select(lit(0L).as("id"), lit(Array.empty[Double]).as("v"),
+              lit(0).as("tbl"), lit(0L).as("bucket")).limit(0)
+        // candidates: index ∪ earlier-in-batch sharing any bucket; a pair
+        // sharing several buckets scores its cosine once per shared bucket
+        // (bounded by `tables`) — cheaper than re-joining vectors after a
+        // pair-distinct for the small per-batch delta
+        def scored(other: DataFrame, extra: Column) = newBk.as("x")
+          .join(other.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") && extra)
+          .select(col("x.id").as("id"),
+            VectorOps.cosineSimilarity(col("x.v"), col("y.v")).as("sim"))
+        val dropped = scored(idxBk, lit(true))
+          .union(scored(newBk, col("y.id") < col("x.id")))
+          .filter(col("sim") >= threshold)
+          .select("id").distinct()
+        b.join(dropped, Seq("id"), "left_anti")
+          .select("id", "scale", "bin")
+          .localCheckpoint() // do not re-read the index the write appends to
+          .write.mode("append").parquet(indexPath)
+        ()
+    }
+  }
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events for the same key whose timestamp lies within
     * [left.ts - before, left.ts + after]. Both sides carry watermarks and

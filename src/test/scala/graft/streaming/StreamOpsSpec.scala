@@ -312,6 +312,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(after2 == Seq(1L, 2L, 4L), s"post-ingest index: $after2")
   }
 
+  test("embeddingIngest: micro-batches ANN-dedup against the persisted int8 index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxPath = Files.createTempDirectory("emb_idx").resolve("index").toString
+
+    // deterministic base vectors far apart; near-dups = tiny perturbations
+    def mix(z0: Long): Float = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+    }
+    def base(seed: Long) = Seq.tabulate(32)(d => mix(seed * 131 + d))
+    def nearDup(v: Seq[Float], seed: Long) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * mix(seed * 977 + d) }
+
+    val a = base(1); val b = base(2); val c = base(3)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val emb = input.toDF.toDF("vec_id", "embedding")
+    val q = StreamOps.embeddingIngest(emb, "vec_id", "embedding", idxPath,
+      threshold = 0.95, planes = 4, tables = 16).start()
+
+    // batch 1 bootstraps; id 10 is a within-batch near-dup of id 1
+    input.addData((1L, a), (2L, b), (10L, nearDup(a, 7)))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(idxPath).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after1 == Seq(1L, 2L), s"bootstrap batch: $after1")
+
+    // batch 2: id 3 near-dups indexed id 2 (dropped); id 4 is new
+    input.addData((3L, nearDup(b, 9)), (4L, c))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(idxPath).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after2 == Seq(1L, 2L, 4L), s"post-ingest index: $after2")
+    // the index is the byte-packed persisted form (¼ the float bytes)
+    val schema = spark.read.parquet(idxPath).schema
+    assert(schema("bin").dataType == org.apache.spark.sql.types.BinaryType)
+  }
+
   test("inactivity-gap sessionization via flatMapGroupsWithState custom state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
