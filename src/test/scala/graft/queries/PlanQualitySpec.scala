@@ -129,6 +129,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 3, s"vocab top-k shuffled $exchanges times:\n$vocab")
   }
 
+  test("boilerplate stats shuffle 8-byte hashes, broadcast the set, and never cache") {
+    val plan = planOf(graft.operators.TextAnalysis.boilerplateStats(
+      graft.Tables.documents(spark, dir), "text", "doc_id", minDf = 5))
+    // membership comes back via broadcast — the corpus never reshuffles for it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate membership must broadcast:\n$plan")
+    // the df-count exchange hashes the 8-byte shingle hash, not gram strings
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("h#")),
+      s"df count must shuffle the hash column:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"nothing corpus-sized may be pinned in executor memory:\n$plan")
+  }
+
   test("int8 quantization is a narrow native projection inside WholeStageCodegen") {
     import org.apache.spark.sql.functions.col
     val plan = planOf(Pipeline.embeddingQuantize(spark, dir).limit(1))
