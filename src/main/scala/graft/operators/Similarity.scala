@@ -67,7 +67,7 @@ object Similarity {
       maxBroadcastRows: Long = 1L << 20): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qvec"))
     val c = corpus.select(col(cidCol).as("cid"), asDouble(col(cvecCol)).as("cvec"))
-    val nQ = q.limit((maxBroadcastRows + 1).toInt).count()
+    val nQ = q.limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt).count()
     require(nQ <= maxBroadcastRows,
       s"knnJoin broadcasts the query side to every executor, but it exceeds " +
         s"$maxBroadcastRows rows — use lshTopK/Ivf.topK for corpus-scale " +

@@ -226,18 +226,21 @@ object StreamOps {
 
   /** Continuous embedding-ingest dedup — the ANN twin of
     * [[incrementalIngest]]: every micro-batch of the embedding stream is
-    * near-dup-checked against the PERSISTED byte-packed int8 index
-    * ([[graft.operators.Quantize.writeIndex]] shape) and its survivors
-    * are appended, quantized, to the index. Candidates come from shared
-    * hyperplane-LSH buckets (equi-join on (table, bucket) — the batch
-    * side is the small delta, the index side one narrow scan; never
-    * all-pairs); verification is exact cosine of the batch vector
-    * against the index's dequantized vector (native
-    * [[graft.functions.Int8Dequantize]] read path). A batch vector also
+    * near-dup-checked against the PERSISTED byte-packed int8 index and
+    * its survivors are appended, quantized, to the index. The index rows
+    * are (id, scale, bin, buckets): the hyperplane-LSH bucket keys are
+    * computed ONCE at append time (from the dequantized round-trip, so a
+    * rebuild from the index reproduces them) and stored, which means the
+    * per-batch candidate join scans only the (id, buckets) columns —
+    * 8·tables bytes per indexed vector under parquet column pruning,
+    * never the vector bytes. Only candidate rows are read back in full
+    * for the exact-cosine verification against the natively dequantized
+    * vector ([[graft.functions.Int8Dequantize]]). A batch vector also
     * drops when an EARLIER vector of the same batch (lower id) is a
     * near-dup, so replaying the full stream equals one batch dedup.
-    * Same retry caveat as [[incrementalIngest]] (appends are not
-    * batchId-keyed). */
+    * [[graft.operators.Quantize.readIndexVectors]] works on this shape
+    * too (the extra column is ignored). Same retry caveat as
+    * [[incrementalIngest]] (appends are not batchId-keyed). */
   def embeddingIngest(emb: DataFrame, idCol: String, vecCol: String,
       indexPath: String, threshold: Double, planes: Int = 4,
       tables: Int = 16)
@@ -252,37 +255,47 @@ object StreamOps {
           col(idCol).cast(LongType).as("id"),
           col(vecCol).cast(ArrayType(DoubleType)).as("vec"),
           Quantize.int8Scale(col(vecCol)).as("scale"),
-          Quantize.int8Bytes(col(vecCol)).as("bin"))
+          Quantize.int8Bytes(col(vecCol)).as("bin"),
+          VectorOps.hyperplaneBuckets(
+            Quantize.roundTrip(col(vecCol)), planes, tables).as("buckets"))
         val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
         val idxExists = idxHPath
           .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
-        def bucketRows(df: DataFrame, vec: Column) = df.select(
-          col("id"), vec.as("v"),
-          posexplode(VectorOps.hyperplaneBuckets(vec, planes, tables))
-            .as(Seq("tbl", "bucket")))
-        val newBk = bucketRows(b, col("vec"))
-        val idxBk =
+        def bucketRows(df: DataFrame) = df.select(col("id"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        val newBk = bucketRows(b)
+        // candidate PAIRS from shared buckets: index ∪ earlier-in-batch.
+        // The index side reads ONLY (id, buckets) — column pruning keeps
+        // vector bytes out of the scan
+        val candIdx =
           if (idxExists)
-            bucketRows(spark.read.parquet(indexPath),
-              Int8Dequantize.int8Dequantize(col("bin"), col("scale")))
-          else spark.emptyDataFrame
-            .select(lit(0L).as("id"), lit(Array.empty[Double]).as("v"),
-              lit(0).as("tbl"), lit(0L).as("bucket")).limit(0)
-        // candidates: index ∪ earlier-in-batch sharing any bucket; a pair
-        // sharing several buckets scores its cosine once per shared bucket
-        // (bounded by `tables`) — cheaper than re-joining vectors after a
-        // pair-distinct for the small per-batch delta
-        def scored(other: DataFrame, extra: Column) = newBk.as("x")
-          .join(other.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") && extra)
-          .select(col("x.id").as("id"),
-            VectorOps.cosineSimilarity(col("x.v"), col("y.v")).as("sim"))
-        val dropped = scored(idxBk, lit(true))
-          .union(scored(newBk, col("y.id") < col("x.id")))
-          .filter(col("sim") >= threshold)
-          .select("id").distinct()
+            newBk.as("x").join(
+                bucketRows(spark.read.parquet(indexPath)
+                  .select("id", "buckets")).as("y"),
+                col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket"))
+              .select(col("x.id").as("nid"), col("y.id").as("oid"))
+          else spark.range(0).select(col("id").as("nid"), col("id").as("oid"))
+        val candNew = newBk.as("x").join(newBk.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+              col("y.id") < col("x.id"))
+          .select(col("x.id").as("nid"), col("y.id").as("oid"))
+        val cand = candIdx.union(candNew).distinct()
+        // verify: exact cosine, vectors fetched ONLY for candidate rows —
+        // new side from the batch, old side from index ∪ batch dequantized
+        val oldVecs =
+          (if (idxExists)
+             spark.read.parquet(indexPath).select("id", "scale", "bin")
+               .union(b.select("id", "scale", "bin"))
+           else b.select("id", "scale", "bin"))
+            .select(col("id").as("oid"),
+              Int8Dequantize.int8Dequantize(col("bin"), col("scale")).as("ov"))
+        val dropped = cand
+          .join(b.select(col("id").as("nid"), col("vec").as("nv")), Seq("nid"))
+          .join(oldVecs, Seq("oid"))
+          .filter(VectorOps.cosineSimilarity(col("nv"), col("ov")) >= threshold)
+          .select(col("nid").as("id")).distinct()
         b.join(dropped, Seq("id"), "left_anti")
-          .select("id", "scale", "bin")
+          .select("id", "scale", "bin", "buckets")
           .localCheckpoint() // do not re-read the index the write appends to
           .write.mode("append").parquet(indexPath)
         ()
