@@ -37,6 +37,12 @@ import org.apache.spark.sql.types._
   * round() semantics differ between Java, C, and SQL dialects, while
   * floor(+0.5) is identical in every engine; with scale = 127/max|x| the
   * extremes land exactly on ±127, so no clamp is needed.
+  *
+  * Inputs are assumed FINITE (the embeddings contract, enforced upstream
+  * by IVF training's finite filter): a NaN coordinate would make the
+  * max-abs comparison silently skip it here while Spark's array_max
+  * (NaN-greatest ordering) would poison the scale — don't feed either
+  * form non-finite vectors and expect agreement.
   */
 case class Int8Quantize(child: Expression) extends UnaryExpression {
 

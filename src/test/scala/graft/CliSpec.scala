@@ -174,6 +174,28 @@ class CliSpec extends AnyFunSuite {
     assert(rp.code == 0 && rp.err.contains("W TypeCastFailed"), rp.err)
   }
 
+  test("transform --ndjson: -o streams lines into the output file") {
+    // the file path exercises the per-line writer (lines written as
+    // produced, not buffered) introduced with the streaming rewrite
+    val dir = Files.createTempDirectory("cli_ndjson_out")
+    val rules = dir.resolve("rules.yaml")
+    Files.writeString(rules,
+      """version: 1
+        |input: { format: json }
+        |mappings:
+        |  - target: "n"
+        |    source: "n"
+        |""".stripMargin)
+    val input = dir.resolve("input.json")
+    Files.writeString(input, """[{"n": 1}, {"n": 2}, {"n": 3}]""")
+    val outFile = dir.resolve("out.ndjson")
+    val r = cli("transform", "-r", rules.toString, "-i", input.toString,
+      "--ndjson", "-o", outFile.toString)
+    assert(r.code == 0, r.err)
+    val lines = Files.readString(outFile).trim.split("\n").toSeq
+    assert(lines == Seq("""{"n":1}""", """{"n":2}""", """{"n":3}"""), lines)
+  }
+
   test("transform --ndjson: finalize is rejected like the reference stream mode") {
     // transform_stream refuses finalize (transform.rs:168-173); the CLI
     // surfaces it as a transform error, exit 3
