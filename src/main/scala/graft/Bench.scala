@@ -65,8 +65,10 @@ object Bench {
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = timed.map { case (k, runs) =>
+      // Double.toString, not printf: %f is locale-sensitive (a comma
+      // decimal separator would corrupt the JSON line)
       val sp = if (runs.nonEmpty) runs.max - runs.min else -1.0
-      "\"" + k + "\":" + f"$sp%.4f"
+      "\"" + k + "\":" + sp
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$reps,"spread":$spreads,"sf":"$sfDir"}""")
