@@ -173,6 +173,28 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Int8Quantize property: per-element round-trip error within half a step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 100 random vectors across magnitudes (1e-3 .. 1e3)
+    val vecs = Seq.fill(100) {
+      val mag = math.pow(10, rnd.nextInt(7) - 3)
+      Seq.fill(48)((rnd.nextDouble() * 2 - 1) * mag)
+    }
+    val rows = vecs.toDF("v").select(
+      col("v"),
+      graft.operators.Quantize.int8Scale(col("v")).as("s"),
+      graft.operators.Quantize.roundTrip(col("v")).as("dq")).collect()
+    rows.foreach { r =>
+      val (v, s, dq) = (r.getSeq[Double](0), r.getDouble(1), r.getSeq[Double](2))
+      assert(s > 0)
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 0.5 / s + 1e-12,
+          s"error ${math.abs(x - y)} exceeds half-step ${0.5 / s}")
+      }
+    }
+  }
+
   test("GramStats counts code points and breaks ties in UTF-8 binary order") {
     import spark.implicits._
     // U+1F600 (😀) is 2 UTF-16 units / 1 code point / 4 UTF-8 bytes;

@@ -173,6 +173,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"salted join must not degenerate to broadcast:\n$plan")
   }
 
+  test("quantized rerank: one broadcast-NL approx baseline, equi-join exact stage") {
+    val plan = planOf(Pipeline.quantizedRerank(spark, dir).limit(1))
+    assert(plan.contains("rm_int8_quantize") && plan.contains("rm_cosine_similarity"),
+      s"expected native quantize + cosine in:\n$plan")
+    // the approximate shortlist stage is the documented broadcast-nested-loop
+    // baseline (tiny query side); the exact rerank must join on ids only —
+    // exactly ONE nested-loop join in the whole plan
+    val nl = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nl == 1, s"expected exactly one nested-loop stage, got $nl:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian products:\n$plan")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement

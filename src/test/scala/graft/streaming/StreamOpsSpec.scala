@@ -354,6 +354,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(schema("bin").dataType == org.apache.spark.sql.types.BinaryType)
   }
 
+  test("embeddingIngest: split-stream replay equals the single-batch ingest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def mix(z0: Long): Float = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+    }
+    def base(seed: Long) = Seq.tabulate(32)(d => mix(seed * 131 + d))
+    def nearDup(v: Seq[Float], seed: Long) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * mix(seed * 977 + d) }
+    // 6 vectors, near-dups planted across the future batch boundary
+    val vs: Seq[(Long, Seq[Float])] = Seq(
+      1L -> base(11), 2L -> base(12), 3L -> nearDup(base(11), 5),
+      4L -> base(13), 5L -> nearDup(base(12), 6), 6L -> nearDup(base(13), 8))
+
+    def ingest(batches: Seq[Seq[(Long, Seq[Float])]]): Seq[Long] = {
+      val idx = Files.createTempDirectory("emb_eq").resolve("index").toString
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = StreamOps.embeddingIngest(in.toDF.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, threshold = 0.95).start()
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.read.parquet(idx).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val oneBatch = ingest(Seq(vs))
+    val twoBatches = ingest(Seq(vs.take(3), vs.drop(3)))
+    assert(oneBatch == Seq(1L, 2L, 4L), s"single batch kept $oneBatch")
+    assert(twoBatches == oneBatch,
+      s"replay must equal the batch dedup: $twoBatches vs $oneBatch")
+  }
+
   test("inactivity-gap sessionization via flatMapGroupsWithState custom state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
