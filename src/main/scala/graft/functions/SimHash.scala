@@ -46,19 +46,27 @@ case class Md5SimHash(child: Expression, bits: Int)
 
 object Md5SimHash {
 
+  /** The first 15 hex chars of md5(s) parsed base-16 (60 bits) — the
+    * oracle-restatable hash shared with [[WinnowFingerprints]]:
+    * `('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT` in DuckDB. */
+  private[functions] def md5Hash60(s: String,
+      md: java.security.MessageDigest): Long = {
+    md.reset()
+    val digest = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 15 hex chars = the top 7.5 bytes, big-endian
+    var th = 0L
+    var b = 0
+    while (b < 7) { th = (th << 8) | (digest(b) & 0xffL); b += 1 }
+    (th << 4) | ((digest(7) & 0xf0L) >> 4)
+  }
+
   def compute(text: UTF8String, bits: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val toks = text.toString.split(" ", -1) // split(text, " ") semantics
     val sums = new Array[Int](bits)
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val digest = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
-      // first 15 hex chars = the top 7.5 bytes, big-endian
-      var th = 0L
-      var b = 0
-      while (b < 7) { th = (th << 8) | (digest(b) & 0xffL); b += 1 }
-      th = (th << 4) | ((digest(7) & 0xf0L) >> 4)
+      val th = md5Hash60(toks(i), md)
       var bit = 0
       while (bit < bits) {
         if (((th >> bit) & 1L) == 1L) sums(bit) += 1 else sums(bit) -= 1

@@ -150,6 +150,18 @@ object TextAnalysis {
           .as("dup_trigram_frac"))
   }
 
+  /** Winnowing (MOSS) document fingerprints: one row per (id, fp) from
+    * the native in-row pass ([[graft.functions.WinnowFingerprints]]) —
+    * the rolling-window document fingerprinting a plagiarism/near-dup
+    * index stores (~w× smaller than the full gram-hash set; any shared
+    * run of ≥ w+n−1 tokens guarantees a shared fingerprint). Narrow up
+    * to the first aggregation: no shuffle here. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int, w: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.WinnowFingerprints
+        .winnowFingerprints(col(textCol), n, w)).as("fp"))
+
   /** The boilerplate gram set itself — n-grams appearing in ≥ minDf
     * distinct documents, with their doc frequency: the batch artifact the
     * streaming gate ([[graft.streaming.StreamOps.boilerplateGate]])

@@ -424,6 +424,15 @@ object Pipeline {
       .orderBy("c_custkey")
   }
 
+  /** Winnowing fingerprints over the corpus (trigrams, window 4): the
+    * rolling-hash document fingerprint set — per doc ~¼ of its gram
+    * hashes, with the MOSS guarantee that any shared 6-token run yields
+    * a shared fingerprint. Shuffle-free until the driver's final sort. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TA.winnowFingerprints(Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, w = 4)
+      .orderBy("doc_id", "fp")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -437,6 +446,7 @@ object Pipeline {
     "q_text_stats"       -> (textStats _),
     "q_lang_id"          -> (langId _),
     "q_fingerprint_dedup" -> (fingerprintDedup _),
+    "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_dedup_exact"      -> (dedupExact _),
     "q_dedup_keep_first" -> (dedupKeepFirst _),
     "q_ngram_jaccard"    -> (ngramJaccard _),
@@ -599,6 +609,28 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q_simhash" -> simhashSql,
+    // winnowing restated with SQL window functions: trigram per position,
+    // md5-60-bit hash (the proven simhash parity recipe), MIN over a
+    // 4-position frame, one full-cover window for docs with < 4 grams
+    // (pos 0 only), DISTINCT per doc. Gram construction is the
+    // q_quality_repetition recipe (hash-green).
+    "q_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok,
+        |                  unnest(range(len(string_split(text, ' ')))) pos
+        |           FROM documents),
+        |g AS (SELECT doc_id, pos,
+        |             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3
+        |      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |h AS (SELECT doc_id, pos, ('0x' || SUBSTR(MD5(g3), 1, 15))::BIGINT AS th,
+        |             COUNT(*) OVER (PARTITION BY doc_id) AS n_g
+        |      FROM g WHERE g3 IS NOT NULL),
+        |m AS (SELECT doc_id, pos, n_g,
+        |             MIN(th) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM h)
+        |SELECT DISTINCT doc_id, fp FROM m
+        |WHERE pos <= GREATEST(n_g - 4, 0)
+        |ORDER BY doc_id, fp""".stripMargin,
     "q_quality_repetition" ->
       """WITH t AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) tok,
         |                  unnest(range(len(string_split(text, ' ')))) pos

@@ -217,6 +217,41 @@ class NativeExpressionsSpec extends AnyFunSuite {
       s"tie must break in UTF-8 binary order, got '${tie.getString(0)}'")
   }
 
+  test("WinnowFingerprints equals the posexplode + window-min restatement") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and more words here"),
+      (2L, "a b a b a b a b"), // repeated grams collapse in the distinct set
+      (3L, "just three tokens"), // one gram -> one full-cover window
+      (4L, "two words"),         // fewer than n tokens -> empty
+      (5L, "u v w x y z")        // 4 grams -> exactly one window
+    ).toDF("doc", "t")
+    val native = docs.select(col("doc"),
+        explode(WinnowFingerprints.winnowFingerprints(col("t"), 3, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // restatement: gram rows with positions, md5-60 hash, windowed min,
+    // one full-cover window for docs with < w grams
+    val grams = docs.select(col("doc"),
+        posexplode(ShingleText.shingleText(col("t"), 3, distinct = false))
+          .as(Seq("pos", "g")))
+      .withColumn("th",
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy("doc")))
+    val wMin = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, 3)
+    val legacy = grams
+      .withColumn("fp", min(col("th")).over(wMin))
+      .filter(col("pos") <= greatest(col("n_g") - 4, lit(0)))
+      .select("doc", "fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == legacy)
+    // doc 4 fingerprints nothing; every other doc has at least one
+    assert(!native.exists(_._1 == 4L))
+    assert(Seq(1L, 2L, 3L, 5L).forall(d => native.exists(_._1 == d)))
+    // doc 5 (exactly w grams) has exactly one window -> one fingerprint
+    assert(native.count(_._1 == 5L) == 1)
+  }
+
   test("MinHashSignature is deterministic and order-invariant over the hash set") {
     import spark.implicits._
     val df = Seq(
