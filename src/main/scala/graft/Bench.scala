@@ -71,7 +71,14 @@ object Bench {
       "\"" + k + "\":" + sp
     }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$reps,"spread":$spreads,"sf":"$sfDir"}""")
+    // The driver captures a fixed-size TAIL of stdout; round 6 lost the
+    // per-query medians because the spread map pushed them past the capture
+    // window. Contract: the medians line is the SHORTEST possible JSON and
+    // the LAST thing on stdout, with nothing after it. Spreads (diagnostic
+    // only) go to stderr, where truncation cannot cost the headline numbers.
+    System.err.println(s"""{"metric":"spread","n":$reps,"spread":$spreads}""")
+    System.err.flush()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,11 +175,20 @@ object Dedup {
     * both verify-join sides) reads the cached hash arrays — one
     * tokenization scan total instead of four. */
   def minhashDupPairsFrom(sh: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame =
+    jaccardVerifiedPairs(lshCandidatePairsFrom(sh, k, bands), sh, threshold)
+
+  /** Exact-Jaccard verification of an EXTERNAL candidate pair list: any
+    * recall mechanism that proposes (da, db) pairs — MinHash-LSH bands,
+    * shared winnowing fingerprints, shared simhash prefixes — composes
+    * with this one verifier. The intersection is counted ONLY for
+    * candidate pairs: the shingle-hash rows are routed through the
+    * candidate set (two equi-joins on 8-byte keys), set sizes ride along,
+    * and the output is the exact (da, db, inter, jaccard ≥ threshold)
+    * relation restricted to the candidates. */
+  def jaccardVerifiedPairs(cand: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
-    val cand = lshCandidatePairsFrom(sh, k, bands)
     val shr = shingleHashRows(sh)
-    // intersection counted ONLY for candidate pairs: route the shingle-hash
-    // rows through the candidate set; set sizes ride along
     val pairs = cand
       .join(shr.as("x"), col("da") === col("x.doc"))
       .join(shr.as("y"), col("db") === col("y.doc") && col("x.h") === col("y.h"))

@@ -139,14 +139,26 @@ object Ivf {
     * just JVM lifetime. The centroid table is nlist rows (coalesced to
     * one file); assignments are one narrow scan of the corpus. */
   def writeIndex(b: DataFrame, cents: Seq[Seq[Double]], path: String): Unit = {
-    val spark = b.sparkSession
+    writeCentroids(b.sparkSession, cents, path)
+    writeAssignments(b, cents, path)
+  }
+
+  /** Centroids only — nlist tiny rows, no corpus scan. The right call for
+    * a cache that only ever reads centroids back ([[readCentroids]]):
+    * persisting the assignment map too would cost a full corpus scan and
+    * a corpus-sized parquet write for nothing. */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]], path: String): Unit = {
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("cl", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assign(b, cents).write.mode("overwrite").parquet(s"$path/assignments")
   }
+
+  /** The full-corpus (id, cl) assignment map — one narrow corpus scan. */
+  def writeAssignments(b: DataFrame, cents: Seq[Seq[Double]], path: String): Unit =
+    assign(b, cents).write.mode("overwrite").parquet(s"$path/assignments")
 
   /** Centroids back from a [[writeIndex]] parquet index, in cluster
     * order — bit-identical to the trained values. */
@@ -160,6 +172,15 @@ object Ivf {
   def readAssignments(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     spark.read.parquet(s"$path/assignments")
+
+  /** Root directory for persisted index artifacts (IVF centroids, int8
+    * vector indexes): the `spark.graft.index.root` session conf when set —
+    * a Hadoop-FS path, so a shared deployment points it at hdfs:///s3://
+    * and every executor and every restart sees the same indexes — else
+    * the local JVM tmpdir (sandbox/test default). */
+  def indexRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.index.root")
+      .getOrElse(sys.props("java.io.tmpdir"))
 
   /** True when a [[writeIndex]] index exists at `path`. Resolved through
     * Hadoop's FileSystem so hdfs:///s3:// index locations work the same

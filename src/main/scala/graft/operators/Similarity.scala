@@ -53,26 +53,31 @@ object Similarity {
   /** Cross-table exact k-NN join: every row of `queries` against the whole
     * `corpus` (two different tables — the retrieval shape: eval queries vs
     * a document index, new batch vs yesterday's corpus). The query side is
-    * broadcast — it must be the SMALL side: every executor holds all of it
-    * in memory, and a query table past the broadcast limit
+    * broadcast when it fits — it must be the SMALL side: every executor
+    * holds all of it in memory, and a query table past the broadcast limit
     * (`spark.sql.maxBroadcastTableSize`, default 8 GB) or executor heap
     * fails the job with a broadcast OOM, not a graceful fallback. The
-    * `maxBroadcastRows` guard (default 1M rows — ~½ GB at 64 float dims)
-    * fails fast with a clear message instead; raise it deliberately, or
-    * route corpus-scale query sets through the LSH/IVF paths, which never
-    * broadcast vectors. The corpus streams through one narrow scan, so
-    * the cost is one corpus pass regardless of cluster size. */
+    * `maxBroadcastRows` bound (default 1M rows — ~½ GB at 64 float dims)
+    * decides the shape: within it, the corpus streams through one narrow
+    * scan against the broadcast query table; past it the join degrades to
+    * a partitioned cartesian (both sides shuffled, each reducer scoring a
+    * query-block × corpus-block tile) — the operator stays total instead
+    * of failing, at the all-pairs cost that is inherent to exact k-NN with
+    * a corpus-scale query set. Prefer lshTopK/Ivf.topK there: they never
+    * broadcast vectors and never go all-pairs. Deciding the shape costs
+    * one extra bounded job on the query side (a `limit(bound+1).count()` —
+    * it never scans more than `maxBroadcastRows + 1` rows). */
   def knnJoin(queries: DataFrame, corpus: DataFrame, qidCol: String,
       qvecCol: String, cidCol: String, cvecCol: String, k: Int,
       maxBroadcastRows: Long = 1L << 20): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qvec"))
     val c = corpus.select(col(cidCol).as("cid"), asDouble(col(cvecCol)).as("cvec"))
-    val nQ = q.limit(math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt).count()
-    require(nQ <= maxBroadcastRows,
-      s"knnJoin broadcasts the query side to every executor, but it exceeds " +
-        s"$maxBroadcastRows rows — use lshTopK/Ivf.topK for corpus-scale " +
-        s"query sets, or raise maxBroadcastRows deliberately")
-    val scored = c.crossJoin(broadcast(q))
+    // clamp BEFORE the +1: maxBroadcastRows = Long.MaxValue must mean
+    // "always broadcast", not overflow into a negative limit
+    val probe = (math.min(maxBroadcastRows, Int.MaxValue - 1L) + 1).toInt
+    val nQ = q.limit(probe).count()
+    val qSide = if (nQ <= math.min(maxBroadcastRows, Int.MaxValue - 1L)) broadcast(q) else q
+    val scored = c.crossJoin(qSide)
       .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -84,10 +84,54 @@ object Pipeline {
     finally sh.unpersist(blocking = false)
   }
 
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDupPairs(Tables.documents(spark, dir), "text", "doc_id",
-        n = 3, k = 64, bands = 16, threshold = 0.8)
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // same one-tokenization doctrine as [[ngramJaccard]]: the shingle
+    // table feeds 4 self-join consumers, so persist it once; the tiny
+    // pair list is materialized and the persist released before returning
+    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "text", "doc_id", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
+      .localCheckpoint()
       .orderBy("da", "db")
+    finally sh.unpersist(blocking = false)
+  }
+
+  /** Winnowing fingerprints USED for retrieval: candidate pairs are
+    * documents sharing any MOSS fingerprint (the ~w×-smaller index of
+    * [[winnowFingerprint]] — any shared run of ≥ w+n−1 tokens guarantees
+    * a shared fingerprint), then the exact-Jaccard verifier
+    * ([[Dedup.jaccardVerifiedPairs]] — the same one the LSH path uses)
+    * keeps only true ≥ 0.8 near-dups. The candidate join is an equi-join
+    * on the 8-byte fingerprint; nothing all-pairs. Candidates must share
+    * at least TWO fingerprints — the standard MOSS-style confidence
+    * filter: one shared fingerprint is a single chance 6-token run (on
+    * this corpus ~97% of 1-fp pairs are unrelated boilerplate echoes —
+    * measured 334k 1-fp candidates vs 8k 2-fp at sf0.1), while a j ≥ 0.8
+    * near-dup shares most of its ~n_tokens/w fingerprints. The oracle
+    * restates exactly this: winnow-SQL candidates with the same
+    * HAVING ≥ 2 (proven winnow recipe from q_winnow_fingerprint)
+    * verified by the exact-Jaccard SQL (proven by q_ngram_jaccard), so
+    * the recall mechanism itself is part of the checked semantics. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, dir)
+    // fingerprint the corpus ONCE (both sides of the self-join read the
+    // persisted table — without this each side re-runs the winnow scan)
+    val fps = TA.winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)
+      .persist(lvl)
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3).persist(lvl)
+    try {
+      val cand = fps.as("x").join(fps.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select("da", "db")
+      Dedup.jaccardVerifiedPairs(cand, sh, threshold = 0.8)
+        .localCheckpoint()
+        .orderBy("da", "db")
+    } finally { fps.unpersist(blocking = false); sh.unpersist(blocking = false) }
+  }
 
   /** The composed paths tokenize the corpus ONCE: the (doc, shh)
     * shingle table is persisted and shared by the LSH candidate join and
@@ -211,13 +255,18 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
-  /** Quantized-index retrieval end to end: approximate scoring over the
-    * int8 round-tripped vectors (the 4×-smaller index a 100 TB deployment
-    * actually scans), a per-query shortlist of 20 candidates, then EXACT
-    * cosine rerank of only the shortlist to the final top-5 — the standard
-    * compressed-index + rerank serving shape. Quantize/dequantize run in
-    * the one native pass ([[graft.operators.Quantize.roundTrip]]); exact
-    * vectors are touched only for shortlist members. */
+  /** FLAT-SQ8 retrieval — the exhaustive-baseline sibling of
+    * [[ivfRerank]], exactly as [[Similarity.bruteForceTopK]] is the
+    * exhaustive baseline of the LSH/IVF ANN paths: approximate scoring
+    * over the int8 round-tripped vectors scans the WHOLE compressed
+    * corpus per query batch (a flat index — the shape one deliberately
+    * chooses for maximum recall on small-to-medium corpora), a per-query
+    * shortlist of 20 candidates, then EXACT cosine rerank of only the
+    * shortlist to the final top-5. At 100 TB the shortlist should come
+    * from probed clusters instead — that composed path is [[ivfRerank]].
+    * Quantize/dequantize run in the one native pass
+    * ([[graft.operators.Quantize.roundTrip]]); exact vectors are touched
+    * only for shortlist members. */
   def quantizedRerank(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantize
     val nQ = 25; val shortlist = 20; val k = 5
@@ -249,6 +298,53 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-SQ8 retrieval — the composed 100 TB serving architecture: the
+    * shortlist stage never scans the corpus. Queries probe their
+    * `nprobe` nearest clusters against the PERSISTED centroids
+    * ([[sharedCentroids]] — a narrow projection, centroids baked in as
+    * literals), candidates are those clusters' members via an EQUI-JOIN
+    * on the cluster id, approximate scores come from the PERSISTED
+    * byte-packed int8 index ([[int8IndexVectors]] — the 4×-smaller table
+    * a deployment actually scans, dequantized by the native
+    * [[graft.functions.Int8Dequantize]]), and only the per-query
+    * shortlist of 20 touches raw float vectors for the exact top-5
+    * rerank. Every join is an equi-join (cluster id, then ids); the
+    * all-pairs work of [[quantizedRerank]]'s flat scan is gone — per
+    * query it scores nprobe/nlist of the corpus. */
+  def ivfRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = 20
+    val w = org.apache.spark.sql.expressions.Window
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val cents = sharedCentroids(b, dir)
+    val assigned = Ivf.assign(b, cents)
+    val dq = int8IndexVectors(spark, dir)
+    val probes = b.filter(col("id") < IvfNq)
+      .select(col("id").as("qid"),
+        explode(Ivf.probeClusters(col("e"), cents, IvfNprobe)).as("cl"))
+    val cand = probes.join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val approx = cand
+      .join(dq.select(col("id").as("qid"), col("dq").as("qdq")), Seq("qid"))
+      .join(dq.select(col("id").as("cid"), col("dq").as("cdq")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.VectorOps.cosineSimilarity(col("qdq"), col("cdq")).as("asim"))
+    val wA = w.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid").asc)
+    val short = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= shortlist).select("qid", "cid")
+    val full = b.select(col("id"), col("raw"))
+    val exact = short
+      .join(full.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
+      .join(full.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+    val wE = w.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    exact.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= IvfK)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   def similarityLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         nQueries = 50, k = 5, planes = 4, tables = 16, dims = 64)
@@ -273,7 +369,7 @@ object Pipeline {
     * reusing stale centroids; a TrieMap L1 avoids re-reading the (tiny)
     * centroid parquet within one JVM. */
   private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int), Seq[Seq[Double]]]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long, Int, Int), Seq[Seq[Double]]]
   private def embStamp(dir: String): Long =
     try {
       import scala.jdk.CollectionConverters._
@@ -285,23 +381,55 @@ object Pipeline {
       files.map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
         .foldLeft(0L)(math.max) * 31 + files.size
     } catch { case scala.util.control.NonFatal(_) => 0L }
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   private def sharedCentroids(b: DataFrame, dir: String): Seq[Seq[Double]] = {
-    val key = (dir, embStamp(dir), IvfNlist, IvfIters)
+    val spark = b.sparkSession
+    // root resolved from spark conf ([[Ivf.indexRoot]]) so a deployment
+    // holds its restart-safe indexes on shared storage, not a local tmpdir
+    val root = Ivf.indexRoot(spark)
+    val key = (root, dir, embStamp(dir), IvfNlist, IvfIters)
     centroidCache.getOrElseUpdate(key, {
-      val spark = b.sparkSession
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val idxPath = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft_ivf_index", digest).toString
+      val idxPath = s"$root/graft_ivf_index/${md5Hex(key.toString)}"
       if (Ivf.indexExists(spark, idxPath)) Ivf.readCentroids(spark, idxPath)
       else {
         val cents = Ivf.centroids(b, IvfNlist, IvfIters)
-        // best-effort persist: a read-only tmpdir must not fail the query
-        try Ivf.writeIndex(b, cents, idxPath)
+        // centroids ONLY: this cache never reads the assignment map back,
+        // and assignment from baked-in centroids is a narrow projection —
+        // persisting it here would buy nothing for a corpus scan + write.
+        // Best-effort: a read-only index root must not fail the query.
+        try Ivf.writeCentroids(spark, cents, idxPath)
         catch { case scala.util.control.NonFatal(_) => () }
         cents
       }
     })
+  }
+
+  /** The (id, dq) dequantized view of the PERSISTED int8 index for the
+    * embeddings table at `dir` — the [[sharedCentroids]] treatment applied
+    * to [[graft.operators.Quantize.writeIndex]]: written once per
+    * (root, dir, data stamp), read back (byte-packed parquet, ¼ the float
+    * bytes) on every later run including after a JVM restart. Quantization
+    * is deterministic and scale/bin round-trip parquet bit-exactly, so the
+    * unwritable-root fallback to the inline native round-trip is
+    * bit-identical to the persisted read path. */
+  private def int8IndexVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val root = Ivf.indexRoot(spark)
+    val path = s"$root/graft_int8_index/${md5Hex((root, dir, embStamp(dir)).toString)}"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast(LongType).as("id"), col("embedding"))
+    def exists: Boolean =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!exists)
+      try Quantize.writeIndex(emb, "id", "embedding", path)
+      catch { case scala.util.control.NonFatal(_) => () }
+    if (exists) Quantize.readIndexVectors(spark, path)
+    else emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
   }
 
   def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -449,8 +577,18 @@ object Pipeline {
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_dedup_exact"      -> (dedupExact _),
     "q_dedup_keep_first" -> (dedupKeepFirst _),
+    // q_ngram_jaccard / q_minhash_dedup build candidates with MinHash-LSH
+    // (16 bands × 4 rows) and exact-verify them, while their oracle is
+    // EXACT Jaccard: no false positives ever, but banding has a ~2e-4
+    // per-pair false-NEGATIVE probability for pairs barely above j=0.8 —
+    // a theoretical oracle mismatch on adversarial corpora. Deterministic
+    // and green on the bench corpora (TextOpsSpec asserts pair-set
+    // equality vs the pure exact path, Dedup.jaccardPairsFrom, which
+    // remains available as the exact fallback); q_winnow_pairs includes
+    // its recall mechanism IN the oracle and has no such gap.
     "q_ngram_jaccard"    -> (ngramJaccard _),
     "q_minhash_dedup"    -> (minhashDedup _),
+    "q_winnow_pairs"     -> (winnowPairs _),
     "q_dedup_clusters"   -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_clean_corpus"     -> (cleanCorpus _),
@@ -460,6 +598,7 @@ object Pipeline {
     "q_knn_join"         -> (knnJoin _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_quantized_rerank" -> (quantizedRerank _),
+    "q_ivf_rerank"       -> (ivfRerank _),
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_embedding_dedup"  -> (embeddingDedup _),
@@ -670,7 +809,7 @@ object Pipeline {
       """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT id, e, LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) ma FROM base),
         |s AS (SELECT id, e, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM m),
-        |dq AS (SELECT id, e, LIST_TRANSFORM(e, x -> FLOOR(x * scale + 0.5) / scale) AS d FROM s),
+        |dq AS (SELECT id, e, LIST_TRANSFORM(e, x -> CASE WHEN scale = 0 THEN 0.0 ELSE FLOOR(x * scale + 0.5) / scale END) AS d FROM s),
         |approx AS (SELECT q.id AS qid, c.id AS cid, LIST_COSINE_SIMILARITY(q.d, c.d) AS asim
         |           FROM dq q JOIN dq c ON q.id < 25 AND q.id <> c.id),
         |cand AS (SELECT qid, cid FROM (
@@ -681,6 +820,27 @@ object Pipeline {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, sim FROM (
         |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
         |  FROM exact) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // IVF-SQ8: probes + assignment from the SAME deterministic k-means
+    // CTEs as q_similarity_ivf (proven bit-exact), approximate scoring
+    // over the SAME quantize→dequantize recipe as q_quantized_rerank
+    // (proven bit-exact, zero-scale guard mirrored from the native
+    // expression), exact rerank on the 20-candidate shortlist only.
+    "q_ivf_rerank" ->
+      s"""$ivfCtes,
+         |qm AS (SELECT id, raw, LIST_MAX(LIST_TRANSFORM(raw, x -> ABS(x))) ma FROM rawv),
+         |qs AS (SELECT id, raw, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM qm),
+         |dqv AS (SELECT id, LIST_TRANSFORM(raw, x -> CASE WHEN scale = 0 THEN 0.0 ELSE FLOOR(x * scale + 0.5) / scale END) AS d FROM qs),
+         |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl = p.cl WHERE a.id <> p.qid),
+         |approx AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(qd.d, cd.d) AS asim
+         |           FROM cand JOIN dqv qd ON qd.id = qid JOIN dqv cd ON cd.id = cid),
+         |short AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC, cid ASC) r
+         |           FROM approx) WHERE r <= 20),
+         |exact AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) AS sim
+         |          FROM short JOIN rawv q ON q.id = qid JOIN rawv c ON c.id = cid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, sim FROM (
+         |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+         |  FROM exact) WHERE rank <= $IvfK ORDER BY qid, rank""".stripMargin,
     "q_embedding_quantize" ->
       """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |m AS (SELECT vec_id, e, LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) ma FROM b),
@@ -815,6 +975,41 @@ object Pipeline {
     // threshold (16 bands × 4 rows ⇒ detection p > 0.999 at j ≥ 0.8, and the
     // pipeline is fully deterministic) — so it shares the exact-Jaccard oracle.
     "q_minhash_dedup" -> jaccardSql,
+    // Winnow-retrieval pairs: the oracle restates the WHOLE pipeline —
+    // candidates from shared winnowing fingerprints (the q_winnow_fingerprint
+    // SQL, hash-green) verified by exact Jaccard over trigram shingle sets
+    // (the q_ngram_jaccard SQL shape, hash-green) — so unlike the LSH
+    // queries, the recall mechanism is part of the checked semantics and
+    // there is no probabilistic oracle gap.
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok,
+        |                  unnest(range(len(string_split(text, ' ')))) pos
+        |           FROM documents),
+        |g AS (SELECT doc_id, pos,
+        |             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g3
+        |      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |h AS (SELECT doc_id, pos, ('0x' || SUBSTR(MD5(g3), 1, 15))::BIGINT AS th,
+        |             COUNT(*) OVER (PARTITION BY doc_id) AS n_g
+        |      FROM g WHERE g3 IS NOT NULL),
+        |m AS (SELECT doc_id, pos, n_g,
+        |             MIN(th) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n_g - 4, 0)),
+        |cand AS (SELECT x.doc_id da, y.doc_id db
+        |         FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.da, c.db, COUNT(*) inter
+        |          FROM cand c JOIN sh x ON x.doc_id = c.da
+        |          JOIN sh y ON y.doc_id = c.db AND y.s = x.s GROUP BY 1, 2)
+        |SELECT da, db, inter, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+        |ORDER BY da, db""".stripMargin,
     // The composed cleaning pipeline: quality gate, exact keep-first by
     // md5 digest, near-dup removal via the same recursive transitive
     // closure; each stage reuses an already-oracled expression.

@@ -191,37 +191,52 @@ object StreamOps {
     * delta, never the indexed corpus) run continuously via foreachBatch.
     * First batch against a missing index bootstraps it (within-batch
     * dups still collapse). The caller starts the returned writer with
-    * its own checkpoint/trigger. Retry caveat: the foreachBatch batchId
-    * is not used to key the append, so a batch replayed after a failure
-    * appends its survivors again — the rows are identical documents, so
-    * the re-ingested index still dedups correctly against them, but the
-    * index carries the duplicate rows; exactly-once would key the write
-    * by batchId (or write to a batchId-named subdirectory). */
+    * its own checkpoint/trigger. Appends are EXACTLY-ONCE under replay:
+    * each batch's survivors land in their own `batch_id=<id>` partition
+    * via dynamic partition overwrite, so a batch replayed after a
+    * failure overwrites its OWN partition instead of appending duplicate
+    * rows — idempotent by construction, no index compaction needed.
+    * (Index readers are unaffected: they select the signature columns
+    * explicitly, so the extra partition column just prunes away.) */
   def incrementalIngest(docs: DataFrame, textCol: String, idCol: String,
       indexPath: String, n: Int, k: Int, bands: Int, threshold: Double)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.Dedup
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val sig = Dedup.signatureIndex(batch.toDF(), textCol, idCol, n, k, bands)
-        // probe through Hadoop's FileSystem, not java.nio: the index of a
-        // production ingest lives on hdfs:// or s3://, where a local-path
-        // check would always report "missing" and silently re-bootstrap
-        val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
-        val idxExists = idxHPath
-          .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
-        val index =
-          if (idxExists) spark.read.parquet(indexPath)
-          else spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), sig.schema)
-        // survivors come back in index shape; localCheckpoint before the
-        // append so the write does not re-read the index it appends to
-        val survivors = Dedup.dedupAgainstIndex(sig, index, threshold)
-          .localCheckpoint()
-        survivors.write.mode("append").parquet(indexPath)
-        ()
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, textCol, idCol, indexPath,
+          n, k, bands, threshold)
     }
+
+  /** One [[incrementalIngest]] micro-batch, exposed so the exactly-once
+    * contract is directly testable: calling it twice with the same
+    * `batchId` leaves the index identical to one call. */
+  def ingestBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, indexPath: String, n: Int, k: Int, bands: Int,
+      threshold: Double): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val sig = Dedup.signatureIndex(batch, textCol, idCol, n, k, bands)
+    // probe through Hadoop's FileSystem, not java.nio: the index of a
+    // production ingest lives on hdfs:// or s3://, where a local-path
+    // check would always report "missing" and silently re-bootstrap
+    val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
+    val idxExists = idxHPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
+    // a replayed batch must dedup against the index as it was BEFORE its
+    // own first attempt — excluding its own partition does exactly that
+    val index =
+      if (idxExists)
+        spark.read.parquet(indexPath).filter(col("batch_id") =!= batchId)
+      else sig.filter(lit(false))
+    // survivors come back in index shape; localCheckpoint before the
+    // write so it does not re-read the index it modifies
+    val survivors = Dedup.dedupAgainstIndex(sig, index, threshold)
+      .localCheckpoint()
+    survivors.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
   }
 
   /** Continuous embedding-ingest dedup — the ANN twin of
@@ -239,67 +254,82 @@ object StreamOps {
     * drops when an EARLIER vector of the same batch (lower id) is a
     * near-dup, so replaying the full stream equals one batch dedup.
     * [[graft.operators.Quantize.readIndexVectors]] works on this shape
-    * too (the extra column is ignored). Same retry caveat as
-    * [[incrementalIngest]] (appends are not batchId-keyed). */
+    * too (the extra columns are ignored). Appends are EXACTLY-ONCE under
+    * replay, same mechanism as [[incrementalIngest]]: each batch owns a
+    * `batch_id=<id>` partition, dynamic partition overwrite makes a
+    * replay overwrite its own partition instead of duplicating rows. */
   def embeddingIngest(emb: DataFrame, idCol: String, vecCol: String,
       indexPath: String, threshold: Double, planes: Int = 4,
       tables: Int = 16)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        embeddingIngestBatch(batch.toDF(), batchId, idCol, vecCol, indexPath,
+          threshold, planes, tables)
+    }
+
+  /** One [[embeddingIngest]] micro-batch (see [[ingestBatch]]): replaying
+    * the same `batchId` is idempotent. */
+  def embeddingIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, indexPath: String, threshold: Double, planes: Int,
+      tables: Int): Unit = {
     import graft.operators.Quantize
     import graft.functions.{Int8Dequantize, VectorOps}
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
-    emb.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.toDF().select(
-          col(idCol).cast(LongType).as("id"),
-          col(vecCol).cast(ArrayType(DoubleType)).as("vec"),
-          Quantize.int8Scale(col(vecCol)).as("scale"),
-          Quantize.int8Bytes(col(vecCol)).as("bin"),
-          VectorOps.hyperplaneBuckets(
-            Quantize.roundTrip(col(vecCol)), planes, tables).as("buckets"))
-        val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
-        val idxExists = idxHPath
-          .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
-        def bucketRows(df: DataFrame) = df.select(col("id"),
-          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-        val newBk = bucketRows(b)
-        // candidate PAIRS from shared buckets: index ∪ earlier-in-batch.
-        // The index side reads ONLY (id, buckets) — column pruning keeps
-        // vector bytes out of the scan
-        val candIdx =
-          if (idxExists)
-            newBk.as("x").join(
-                bucketRows(spark.read.parquet(indexPath)
-                  .select("id", "buckets")).as("y"),
-                col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket"))
-              .select(col("x.id").as("nid"), col("y.id").as("oid"))
-          else spark.range(0).select(col("id").as("nid"), col("id").as("oid"))
-        val candNew = newBk.as("x").join(newBk.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-              col("y.id") < col("x.id"))
+    val spark = batch.sparkSession
+    val b = batch.select(
+      col(idCol).cast(LongType).as("id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("vec"),
+      Quantize.int8Scale(col(vecCol)).as("scale"),
+      Quantize.int8Bytes(col(vecCol)).as("bin"),
+      VectorOps.hyperplaneBuckets(
+        Quantize.roundTrip(col(vecCol)), planes, tables).as("buckets"))
+    val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
+    val idxExists = idxHPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
+    // a replayed batch must check against the index as it was BEFORE its
+    // own first attempt — filtering out its own partition does exactly that
+    def index = spark.read.parquet(indexPath).filter(col("batch_id") =!= batchId)
+    def bucketRows(df: DataFrame) = df.select(col("id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val newBk = bucketRows(b)
+    // candidate PAIRS from shared buckets: index ∪ earlier-in-batch.
+    // The index side reads ONLY (id, buckets) — column pruning keeps
+    // vector bytes out of the scan
+    val candIdx =
+      if (idxExists)
+        newBk.as("x").join(
+            bucketRows(index.select("id", "buckets")).as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket"))
           .select(col("x.id").as("nid"), col("y.id").as("oid"))
-        val cand = candIdx.union(candNew).distinct()
-        // verify: exact cosine, vectors fetched ONLY for candidate rows —
-        // new side from the batch, old side from index ∪ batch dequantized
-        val oldVecs =
-          (if (idxExists)
-             spark.read.parquet(indexPath).select("id", "scale", "bin")
-               .union(b.select("id", "scale", "bin"))
-           else b.select("id", "scale", "bin"))
-            .select(col("id").as("oid"),
-              Int8Dequantize.int8Dequantize(col("bin"), col("scale")).as("ov"))
-        val dropped = cand
-          .join(b.select(col("id").as("nid"), col("vec").as("nv")), Seq("nid"))
-          .join(oldVecs, Seq("oid"))
-          .filter(VectorOps.cosineSimilarity(col("nv"), col("ov")) >= threshold)
-          .select(col("nid").as("id")).distinct()
-        b.join(dropped, Seq("id"), "left_anti")
-          .select("id", "scale", "bin", "buckets")
-          .localCheckpoint() // do not re-read the index the write appends to
-          .write.mode("append").parquet(indexPath)
-        ()
-    }
+      else spark.range(0).select(col("id").as("nid"), col("id").as("oid"))
+    val candNew = newBk.as("x").join(newBk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("y.id") < col("x.id"))
+      .select(col("x.id").as("nid"), col("y.id").as("oid"))
+    val cand = candIdx.union(candNew).distinct()
+    // verify: exact cosine, vectors fetched ONLY for candidate rows —
+    // new side from the batch, old side from index ∪ batch dequantized
+    val oldVecs =
+      (if (idxExists)
+         index.select("id", "scale", "bin")
+           .union(b.select("id", "scale", "bin"))
+       else b.select("id", "scale", "bin"))
+        .select(col("id").as("oid"),
+          Int8Dequantize.int8Dequantize(col("bin"), col("scale")).as("ov"))
+    val dropped = cand
+      .join(b.select(col("id").as("nid"), col("vec").as("nv")), Seq("nid"))
+      .join(oldVecs, Seq("oid"))
+      .filter(VectorOps.cosineSimilarity(col("nv"), col("ov")) >= threshold)
+      .select(col("nid").as("id")).distinct()
+    b.join(dropped, Seq("id"), "left_anti")
+      .select("id", "scale", "bin", "buckets")
+      .localCheckpoint() // do not re-read the index the write modifies
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
   }
 
   /** Watermarked stream-stream interval join: each left event pairs with

@@ -85,6 +85,29 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("index root resolves from spark conf; centroid-only writes; queries follow it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_root").toString
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      assert(Ivf.indexRoot(spark) == root)
+      val b = Ivf.base(emb, "vec_id", "embedding")
+      val cents = Ivf.centroids(b, nlist = 10, iters = 2)
+      val path = s"$root/custom_idx"
+      Ivf.writeCentroids(spark, cents, path)
+      assert(Ivf.indexExists(spark, path))
+      assert(Ivf.readCentroids(spark, path) == cents)
+      // centroid-only write: no corpus scan, no assignments table
+      assert(!new java.io.File(s"$path/assignments").exists())
+      // the shared-index queries follow the conf end to end: ivfRerank
+      // trains + persists BOTH its indexes under the custom root
+      assert(graft.queries.Pipeline.ivfRerank(spark, dir).count() > 0)
+      val ivfIdx = new java.io.File(s"$root/graft_ivf_index").listFiles()
+      assert(ivfIdx != null && ivfIdx.nonEmpty, "centroids not under custom root")
+      val int8Idx = new java.io.File(s"$root/graft_int8_index").listFiles()
+      assert(int8Idx != null && int8Idx.nonEmpty, "int8 index not under custom root")
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("SemDeDup pairs are within-cluster, above threshold, and deduplicated") {
     val pairs = Ivf.semDedupPairs(emb, "vec_id", "embedding",
       nlist = 10, iters = 2, threshold = 0.35).collect()

@@ -149,6 +149,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaLsh == exact)
   }
 
+  test("winnow-fingerprint candidates recover the exact near-dup pair set") {
+    // the shared-fingerprint retrieval path (what q_winnow_pairs runs):
+    // candidates = docs sharing any MOSS fingerprint, then the SAME exact
+    // verifier as the LSH path — on this corpus it must find exactly the
+    // all-pairs exact-Jaccard near-dups (copies share long token runs, so
+    // the winnow guarantee applies)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("da", "db", "inter", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val exact = pairs(Dedup.jaccardPairsFrom(sh, threshold = 0.8))
+    val fps = TextAnalysis.winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)
+    // the same ≥2-shared-fingerprints confidence filter the query runs
+    val cand = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select("da", "db")
+    val viaWinnow = pairs(Dedup.jaccardVerifiedPairs(cand, sh, threshold = 0.8))
+    assert(exact.nonEmpty, "test corpus must contain near-duplicates")
+    assert(viaWinnow == exact)
+  }
+
   test("quantize: int8 round-trip error bounded by half a step; zero vector safe") {
     import spark.implicits._
     val d = Seq(

@@ -185,6 +185,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian products:\n$plan")
   }
 
+  test("IVF-SQ8 rerank: cluster-id equi-join shortlist, no corpus-wide NL scan") {
+    val plan = planOf(Pipeline.ivfRerank(spark, dir).limit(1))
+    // the whole point vs the flat quantizedRerank baseline: NO stage may
+    // scan the entire corpus per query batch
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"IVF-SQ8 must never go all-pairs:\n$plan")
+    // probes/assignment run the native centroid argmin; approximate scores
+    // come off the PERSISTED int8 index through the native dequantize
+    assert(plan.contains("rm_nearest_clusters") &&
+        plan.contains("rm_int8_dequantize") &&
+        plan.contains("rm_cosine_similarity"),
+      s"expected native probe + persisted-index dequantize + cosine in:\n$plan")
+    // the candidate stage is an equi-join on the cluster id
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("cl#")),
+      s"shortlist candidates must join on the cluster id:\n$plan")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement

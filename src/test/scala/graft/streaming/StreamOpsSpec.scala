@@ -354,6 +354,54 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(schema("bin").dataType == org.apache.spark.sql.types.BinaryType)
   }
 
+  test("ingestBatch: replaying a batchId leaves the index unchanged (exactly-once)") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("replay_idx").resolve("index").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon"), // dup of indexed 1
+      (4L, "six seven eight nine ten")).toDF("doc_id", "text")
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamOps.ingestBatch(b, id, "text", "doc_id", idx,
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+    ingest(b1, 0L); ingest(b2, 1L)
+    def state() = spark.read.parquet(idx).select("doc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(state() == Seq(1L, 2L, 4L))
+    // a failure-recovery replay of batch 1 must overwrite its own
+    // partition, not append duplicate survivor rows
+    ingest(b2, 1L)
+    assert(state() == Seq(1L, 2L, 4L), "replay must be idempotent")
+    assert(spark.read.parquet(idx).count() == 3, "no duplicate index rows")
+  }
+
+  test("embeddingIngestBatch: replaying a batchId leaves the int8 index unchanged") {
+    import spark.implicits._
+    def mix(z0: Long): Float = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+    }
+    def base(seed: Long) = Seq.tabulate(32)(d => mix(seed * 131 + d))
+    def nearDup(v: Seq[Float], seed: Long) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * mix(seed * 977 + d) }
+    val idx = Files.createTempDirectory("replay_emb").resolve("index").toString
+    val a = base(21); val b = base(22)
+    def ingest(rows: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamOps.embeddingIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        "vec_id", "embedding", idx, threshold = 0.95, planes = 4, tables = 16)
+    ingest(Seq(1L -> a, 2L -> b), 0L)
+    val batch1 = Seq(3L -> nearDup(a, 5), 4L -> base(23)) // 3 dups indexed 1
+    ingest(batch1, 1L)
+    def ids() = spark.read.parquet(idx).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == Seq(1L, 2L, 4L))
+    ingest(batch1, 1L) // replay
+    assert(ids() == Seq(1L, 2L, 4L), "replay must be idempotent")
+    assert(spark.read.parquet(idx).count() == 3, "no duplicate index rows")
+  }
+
   test("embeddingIngest: split-stream replay equals the single-batch ingest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
