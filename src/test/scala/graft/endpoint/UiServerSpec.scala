@@ -222,26 +222,112 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally bundled.stop(0)
   }
 
-  test("bundled UI renders structured trace detail from the fixture fields") {
+  test("bundled UI ships the full trace-app surface the fixtures feed") {
     // the bundle is vanilla JS fetching at runtime, so the spec pins the
-    // contract from both sides: the rendering machinery exists in the
-    // served page (steps table, summary counts, status pill, raw-json
-    // toggle, list filter, SSE live refresh of the open trace), and the
-    // fixture trace the store serves carries exactly the fields that
-    // machinery consumes
+    // contract from both sides: the app machinery exists in the served
+    // page (overview graph walk incl. child_trace recursion and branch
+    // filtering, op-chain expansion, record navigation, the inspector
+    // drawer sections, the persisted unit toggle, api-graph view, SSE
+    // live refresh), and the fixture trace the store serves carries the
+    // fields that machinery consumes
     val in = getClass.getResourceAsStream("/graft/ui/index.html")
     val html = new String(in.readAllBytes(), "UTF-8"); in.close()
-    for (marker <- Seq("renderTrace", "table", "steps", "summary",
-        "record_total", "record_failed", "duration_us", "raw json",
-        "filter", "EventSource", "showTrace(selected)", "api-graph"))
-      assert(html.contains(marker), s"bundle lost its '$marker' view")
+    for (marker <- Seq("buildTraceGraph", "buildApiGraph", "child_trace",
+        "branch_taken", "ruleOps", "recordIndex", "renderInspector",
+        "record_when", "asserts_ok", "duration_us", "raw json", "filter",
+        "localStorage", "EventSource", "api-graph", "inspector"))
+      assert(html.contains(marker), s"bundle lost its '$marker' machinery")
     val (s, body, _) = http("GET", "/internal/traces/t1")
     assert(s == 200)
     val t = mapper.readTree(body).get("trace")
-    assert(t.get("status").asText == "success")          // status pill
+    assert(t.get("status").asText == "success")          // status chip
     assert(t.get("duration_us").asLong == 1200L)         // header timing
-    assert(t.get("summary").get("record_total").asLong == 1L) // summary row
-    assert(t.get("steps").get(0).get("rule").asText == "shape.yaml") // steps table
+    assert(t.get("summary").get("record_total").asLong == 1L) // summary block
+    assert(t.get("steps").get(0).get("rule").asText == "shape.yaml") // op chain
+  }
+
+  test("bundled UI renders FileTraceStore fixtures and the api-graph end to end") {
+    // real render-path check: a dedicated server over reference-shaped
+    // (records/nodes/child_trace) and flat engine-shaped (steps[])
+    // fixtures, driven by the served page's own script under node (DOM
+    // stubbed, fetch real) — trace graph construction, expansion, record
+    // navigation, inspector, and the api-graph view all run against the
+    // live /internal APIs
+    val nodeOk =
+      try new ProcessBuilder("node", "--version").start().waitFor() == 0
+      catch { case _: Exception => false }
+    assume(nodeOk, "node runtime unavailable")
+    val dir2 = Files.createTempDirectory("ui_render")
+    Files.createDirectories(dir2.resolve("traces"))
+    val rules2 = dir2.resolve("api_rules")
+    Files.createDirectories(rules2)
+    Files.writeString(rules2.resolve("shape.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: name
+        |    expr: ["@input.name", trim, uppercase]
+        |""".stripMargin)
+    Files.writeString(rules2.resolve("endpoint.yaml"),
+      """type: endpoint
+        |endpoints:
+        |  - method: POST
+        |    path: /shape
+        |    steps:
+        |      - rule: ./shape.yaml
+        |    reply:
+        |      status: [lit:200]
+        |      body: ["@input"]
+        |""".stripMargin)
+    Files.writeString(dir2.resolve("traces/t-nested.json"),
+      """{"trace_id":"t-nested","status":"error","timestamp":"2026-08-12T10:05:00Z","duration_us":5300,
+        | "rule":{"name":"orders-endpoint","path":"rules/orders.yaml","type":"endpoint"},
+        | "summary":{"record_total":2,"record_success":1,"record_failed":1},
+        | "records":[
+        |   {"index":0,"status":"success","duration_us":2100,"nodes":[
+        |     {"kind":"map","label":"shape input","status":"success","duration_us":400,
+        |      "input":{"order":1},"output":{"order":1,"ok":true},
+        |      "meta":{"rule_ref":"rules/shape.yaml"},
+        |      "child_trace":{"trace_id":"t-shape","status":"success","duration_us":900,
+        |        "rule":{"name":"shape","path":"rules/shape.yaml","type":"normal"},
+        |        "records":[{"index":0,"status":"success","nodes":[
+        |          {"kind":"op","label":"trim name","status":"success","duration_us":120,
+        |           "input":{"name":" a "},"output":{"name":"a"}},
+        |          {"kind":"op","label":"uppercase","status":"success","duration_us":80}
+        |        ]}]}},
+        |     {"kind":"branch","label":"vip?","status":"success","duration_us":60,
+        |      "meta":{"branch_taken":"then","rule_ref":"rules/vip.yaml",
+        |              "then_rule":"rules/vip.yaml","else_rule":"rules/std.yaml"}}
+        |   ]},
+        |   {"index":1,"status":"error","duration_us":3200,
+        |    "error":{"kind":"Transform","message":"bad record"},
+        |    "nodes":[
+        |     {"kind":"map","label":"shape input","status":"error","duration_us":300,
+        |      "error":{"message":"missing field: order"},
+        |      "meta":{"rule_ref":"rules/shape.yaml","record_when":true,"asserts_ok":false}}
+        |   ]}
+        | ]}""".stripMargin)
+    Files.writeString(dir2.resolve("traces/t-flat.json"),
+      """{"trace_id":"t-flat","status":"success","timestamp":"2026-08-12T09:00:00Z","duration_us":1200,
+        | "method":"POST","path":"/shape","http_status":200,
+        | "rule":{"name":"shape-endpoint","path":"rules/endpoint.yaml","type":"endpoint"},
+        | "input":{"body":{"name":"x"}},
+        | "steps":[{"rule":"rules/shape.yaml","status":"ok","duration_us":800},
+        |          {"rule":"rules/enrich.yaml","status":"skipped","duration_us":3}]}""".stripMargin)
+    val srv = UiServer.start(spark, UiServer.Config(port = 0, dataDir = dir2,
+      uiDir = None, rulesDir = Some(rules2), apiMode = "rules", uiEnabled = true))
+    try {
+      val harness = Files.createTempFile("ui_harness", ".mjs")
+      val hIn = getClass.getResourceAsStream("/graft/ui_harness.mjs")
+      Files.write(harness, hIn.readAllBytes()); hIn.close()
+      val pb = new ProcessBuilder("node", harness.toString)
+      pb.environment().put("UI_BASE", s"http://127.0.0.1:${srv.getAddress.getPort}")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      assert(code == 0 && out.contains("ALL PASS") && !out.contains("FAIL "),
+        s"ui render harness failed:\n$out")
+    } finally srv.stop(0)
   }
 
   test("SSE stream sends the initial traces event") {
