@@ -74,9 +74,34 @@ object Extensions {
       .select(col("doc_id"), col("dim").cast(LongType).as("dim"), col("feature"))
       .orderBy("doc_id", "dim")
 
+  /** Event-time AS-OF enrichment: every click picks up the user's most
+    * recent purchase at or before it ([[graft.operators.AsofJoin]] —
+    * union-window, ONE shuffle on user_id, no range-join explosion).
+    * Times compare at floor-second granularity on both engines (the
+    * proven q_sessionize recipe for the nanosecond parquet timestamps);
+    * ties inside one second break to the highest purchase event_id.
+    * Clicks before any purchase keep NULL payload — the left-outer
+    * as-of. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast(LongType).as("sec"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "sec")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "sec", "value")
+    graft.operators.AsofJoin.asofJoin(
+        clicks, purchases, keyCol = "user_id", tsCol = "sec",
+        tieCol = "event_id", rightPayload = Seq("event_id", "value"))
+      .withColumnRenamed("asof_event_id", "p_event_id")
+      .withColumnRenamed("asof_value", "p_value")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_events"       -> (windowEvents _),
     "q_sessionize"          -> (sessionizeBatch _),
+    "q_asof_join"           -> (asofJoin _),
     "q_multimodal_meta"     -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
@@ -99,6 +124,20 @@ object Extensions {
         |SELECT user_id, CAST(session_id AS BIGINT) session_id,
         |       COUNT(*) n_events, MIN(sec) start_sec, MAX(sec) end_sec
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // as-of restated as a LEFT LATERAL "latest at-or-before" pick — the
+    // declarative spelling of exactly the union-window carry semantics
+    // (inclusive at equal second, max event_id inside one second)
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) sec,
+        |                  event_type, value FROM events),
+        |l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, sec, value FROM e WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.sec, p.event_id AS p_event_id, p.value AS p_value
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r.event_id, r.value FROM r
+        |  WHERE r.user_id = l.user_id AND r.sec <= l.sec
+        |  ORDER BY r.sec DESC, r.event_id DESC LIMIT 1) p ON TRUE
+        |ORDER BY l.event_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,

@@ -561,6 +561,20 @@ object Pipeline {
         n = 3, w = 4)
       .orderBy("doc_id", "fp")
 
+  /** Sequence-packing manifest ([[graft.operators.Packing]]): each
+    * document's placement in its shard's concat-and-chop token stream —
+    * start offset, first/last 512-token training block, blocks spanned.
+    * Sharded by lang (independent streams ⇒ one shuffle on the shard
+    * column; a 100 TB run shards by a hash salt instead). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            TA.tokenCount(col("text")).as("n_tokens")),
+        shardCol = "lang", orderCol = "doc_id", tokensCol = "n_tokens",
+        blockSize = 512)
+      .orderBy("doc_id")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -603,6 +617,7 @@ object Pipeline {
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
+    "q_pack_sequences"   -> (packSequences _),
     "q_doc_percentiles"  -> (docPercentiles _),
     "q_train_split"      -> (trainSplit _),
     "q_vocab_topk"       -> (vocabTopK _),
@@ -896,6 +911,20 @@ object Pipeline {
         |       CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
         |            THEN 'train' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) n_tokens
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) start_tok
+        |      FROM d)
+        |SELECT doc_id, lang, n_tokens, start_tok,
+        |       CAST(FLOOR(start_tok / 512.0) AS BIGINT) first_block,
+        |       CAST(FLOOR((start_tok + GREATEST(n_tokens, 1) - 1) / 512.0) AS BIGINT) last_block,
+        |       CAST(FLOOR((start_tok + GREATEST(n_tokens, 1) - 1) / 512.0)
+        |            - FLOOR(start_tok / 512.0) + 1 AS BIGINT) n_blocks
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |       CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence-packing manifest semantics: running offsets, block spans for
+  * straddling and zero-token documents, per-shard independence, and
+  * partitioning stability. */
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs() = {
+    import spark.implicits._
+    // shard a: 60 + 30 + 30 tokens against block size 64: doc 2 straddles
+    // blocks 0-1, doc 3 straddles 1-2... and a zero-token doc; shard b
+    // restarts at offset 0
+    Seq(("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 50L), ("a", 4L, 0L),
+        ("b", 5L, 100L), ("b", 6L, 28L))
+      .toDF("shard", "doc_id", "n_tokens")
+  }
+
+  test("offsets, straddling spans, zero-token docs, shard restart") {
+    val out = Packing.packSequences(docs(), "shard", "doc_id", "n_tokens", 64L)
+      .collect().map(r => (r.getLong(1),
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("first_block"),
+         r.getAs[Long]("last_block"), r.getAs[Long]("n_blocks"))))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1L)))     // fits block 0
+    assert(out(2L) == ((60L, 0L, 1L, 2L)))    // straddles 0-1
+    assert(out(3L) == ((90L, 1L, 2L, 2L)))    // straddles 1-2
+    assert(out(4L) == ((140L, 2L, 2L, 1L)))   // zero tokens: occupies its block
+    assert(out(5L) == ((0L, 0L, 1L, 2L)))     // shard b stream restarts
+    assert(out(6L) == ((100L, 1L, 1L, 1L)))
+  }
+
+  test("block spans tile the stream: sum of tokens equals final offset") {
+    import org.apache.spark.sql.functions._
+    val rows = Packing.packSequences(docs(), "shard", "doc_id", "n_tokens", 64L)
+      .groupBy("shard")
+      .agg(max(col("start_tok") + col("n_tokens")).as("stream_len"),
+        sum("n_tokens").as("total"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"shard ${r.getString(0)}: offsets must tile the token stream")
+    }
+  }
+
+  test("stable under repartitioning; window shuffles on the shard only") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, "shard", "doc_id", "n_tokens", 64L)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(docs()) == run(docs().repartition(5)))
+    val plan = Packing.packSequences(docs(), "shard", "doc_id", "n_tokens", 64L)
+      .queryExecution.executedPlan.toString
+    // partitioned window — NOT a single global ordering funnel
+    assert(plan.contains("hashpartitioning(shard"),
+      s"packing must shard the stream, not serialize it globally:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort funnel:\n$plan")
+  }
+}
