@@ -223,6 +223,44 @@ object Ivf {
       .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
   }
 
+  /** IVF-SQ8 top-k — the composed compressed-index serving path: the
+    * shortlist comes from PROBED CLUSTERS (equi-join on the cluster id,
+    * like [[topKWith]]) but approximate scores read the QUANTIZED
+    * vectors `dq` (an (id, dq array<double>) view — typically
+    * [[Quantize.readIndexVectors]] over a persisted byte-packed index),
+    * and only the per-query `shortlist` touches the raw float vectors
+    * for the exact top-`k` rerank. Per query this scores ~nprobe/nlist
+    * of the corpus off a 4×-smaller table; nothing scans the whole
+    * corpus. */
+  def sq8RerankWith(b: DataFrame, cents: Seq[Seq[Double]], dq: DataFrame,
+      nQueries: Int, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val assigned = assign(b, cents)
+    val probes = b.filter(col("id") < nQueries)
+      .select(col("id").as("qid"),
+        explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
+    val cand = probes.join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val approx = cand
+      .join(dq.select(col("id").as("qid"), col("dq").as("qdq")), Seq("qid"))
+      .join(dq.select(col("id").as("cid"), col("dq").as("cdq")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.VectorOps.cosineSimilarity(col("qdq"), col("cdq")).as("asim"))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid").asc)
+    val short = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= shortlist).select("qid", "cid")
+    val full = b.select(col("id"), col("raw"))
+    val exact = short
+      .join(full.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
+      .join(full.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    exact.withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+  }
+
   /** SemDeDup: cosine-similar pairs scored only within a cluster — the
     * self-join is n²/nlist instead of n², and at scale each cluster's
     * members co-locate under one shuffle key. */

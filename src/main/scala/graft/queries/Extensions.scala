@@ -98,10 +98,33 @@ object Extensions {
       .orderBy("event_id")
   }
 
+  /** Banded range join ([[graft.operators.RangeJoin]]): every (click,
+    * error) pair by the same user within 30 minutes — "did an error
+    * happen near this click". The band trick turns the range predicate
+    * into an equi-join on (user, time-bin): no per-user cartesian, and
+    * the shuffle key spreads hot users across reducers by time. The
+    * oracle states the same relation declaratively (ABS(l−r) ≤ δ). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast(LongType).as("sec"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "sec")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "sec", "user_id")
+    graft.operators.RangeJoin.withinDelta(
+        clicks, errors, keyCol = "user_id", lTimeCol = "sec",
+        rTimeCol = "sec", delta = 1800L)
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("r_event_id"), col("r_sec"))
+      .orderBy("event_id", "r_event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_events"       -> (windowEvents _),
     "q_sessionize"          -> (sessionizeBatch _),
     "q_asof_join"           -> (asofJoin _),
+    "q_range_join"          -> (rangeJoin _),
     "q_multimodal_meta"     -> (multimodalMeta _),
     "q_multimodal_features" -> (multimodalFeatures _))
 
@@ -138,6 +161,14 @@ object Extensions {
         |  WHERE r.user_id = l.user_id AND r.sec <= l.sec
         |  ORDER BY r.sec DESC, r.event_id DESC LIMIT 1) p ON TRUE
         |ORDER BY l.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) sec,
+        |                  event_type FROM events),
+        |l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'error')
+        |SELECT l.event_id, l.user_id, l.sec, r.event_id AS r_event_id, r.sec AS r_sec
+        |FROM l JOIN r ON l.user_id = r.user_id AND ABS(l.sec - r.sec) <= 1800
+        |ORDER BY l.event_id, r_event_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,

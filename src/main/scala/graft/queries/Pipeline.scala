@@ -312,36 +312,10 @@ object Pipeline {
     * all-pairs work of [[quantizedRerank]]'s flat scan is gone — per
     * query it scores nprobe/nlist of the corpus. */
   def ivfRerank(spark: SparkSession, dir: String): DataFrame = {
-    val shortlist = 20
-    val w = org.apache.spark.sql.expressions.Window
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
-    val cents = sharedCentroids(b, dir)
-    val assigned = Ivf.assign(b, cents)
-    val dq = int8IndexVectors(spark, dir)
-    val probes = b.filter(col("id") < IvfNq)
-      .select(col("id").as("qid"),
-        explode(Ivf.probeClusters(col("e"), cents, IvfNprobe)).as("cl"))
-    val cand = probes.join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-    val approx = cand
-      .join(dq.select(col("id").as("qid"), col("dq").as("qdq")), Seq("qid"))
-      .join(dq.select(col("id").as("cid"), col("dq").as("cdq")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.VectorOps.cosineSimilarity(col("qdq"), col("cdq")).as("asim"))
-    val wA = w.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid").asc)
-    val short = approx.withColumn("r", row_number().over(wA))
-      .filter(col("r") <= shortlist).select("qid", "cid")
-    val full = b.select(col("id"), col("raw"))
-    val exact = short
-      .join(full.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
-      .join(full.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
-    val wE = w.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    exact.withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= IvfK)
-      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+    Ivf.sq8RerankWith(b, sharedCentroids(b, dir),
+        int8IndexVectors(spark, dir),
+        nQueries = IvfNq, k = IvfK, nprobe = IvfNprobe, shortlist = 20)
       .orderBy("qid", "rank")
   }
 
@@ -575,6 +549,30 @@ object Pipeline {
         blockSize = 512)
       .orderBy("doc_id")
 
+  /** TF-IDF keyword extraction: the top-3 most characteristic tokens per
+    * document, scored tf × (1/df) — the raw inverse document frequency
+    * ratio rather than its logarithm, because ln() is the one place
+    * Spark (java.lang.Math) and DuckDB (libm) may disagree in the last
+    * ulp while a single correctly-rounded double division cannot; the
+    * ranking is the same monotone transform. Shapes: one map-side-
+    * combined shuffle for tf on (doc, token), one for df on the token,
+    * an equi-join on the token, and a bounded per-doc window. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("token"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -618,6 +616,7 @@ object Pipeline {
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
+    "q_tfidf_topk"       -> (tfidfTopK _),
     "q_doc_percentiles"  -> (docPercentiles _),
     "q_train_split"      -> (trainSplit _),
     "q_vocab_topk"       -> (vocabTopK _),
@@ -911,6 +910,16 @@ object Pipeline {
         |       CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
         |            THEN 'train' ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) df FROM tf GROUP BY tok),
+        |s AS (SELECT doc_id, tok, tf.tf, df.df, tf.tf * 1.0 / df.df AS score
+        |      FROM tf JOIN df USING (tok)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                  ORDER BY score DESC, tok ASC) rank FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) rank, tok AS token, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id, lang,
         |                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) n_tokens

@@ -110,4 +110,31 @@ class PlantedRecallSpec extends AnyFunSuite {
     assert(hit >= 0.9, s"planted-dup hit rate = $hit")
     assert(rec >= 0.8, s"recall@5 = $rec")
   }
+
+  test("IVF-SQ8 rerank matches plain IVF quality: int8 shortlist costs no recall") {
+    import org.apache.spark.sql.functions._
+    // the composed compressed-index path (q_ivf_rerank's shape): probed
+    // clusters -> int8-dequantized approximate scores -> exact rerank.
+    // With shortlist >> k, the ~0.4%-error quantized scores must not
+    // displace true neighbors out of the shortlist: same contracts as
+    // the uncompressed IVF path
+    val b = Ivf.base(planted, "vec_id", "embedding")
+    val cents = Ivf.centroids(b, nlist = Clusters, iters = 2)
+    val dq = planted.select(
+      col("vec_id").cast("long").as("id"),
+      Quantize.roundTrip(col("embedding")).as("dq"))
+    val sq8 = topKMap(Ivf.sq8RerankWith(b, cents, dq,
+      nQueries = NQueries, k = K, nprobe = 4, shortlist = 20))
+    val hit = plantedHitRate(sq8)
+    val rec = recallAtK(sq8)
+    assert(hit >= 0.9, s"planted-dup hit rate = $hit")
+    assert(rec >= 0.8, s"recall@5 = $rec")
+    // and the exact rerank makes the surviving ranks TRUE cosine order:
+    // every returned top-k set equals plain IVF's on the same probes
+    val ivf = topKMap(Ivf.topKWith(b, cents, NQueries, K, nprobe = 4))
+    val agree = (0 until NQueries).count(q =>
+      sq8.getOrElse(q.toLong, Nil) == ivf.getOrElse(q.toLong, Nil))
+    assert(agree >= (NQueries * 0.9).toInt,
+      s"sq8 top-k agrees with uncompressed IVF on only $agree/$NQueries queries")
+  }
 }
