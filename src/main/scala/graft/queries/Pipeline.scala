@@ -554,19 +554,22 @@ object Pipeline {
     * ratio rather than its logarithm, because ln() is the one place
     * Spark (java.lang.Math) and DuckDB (libm) may disagree in the last
     * ulp while a single correctly-rounded double division cannot; the
-    * ranking is the same monotone transform. Shapes: one map-side-
-    * combined shuffle for tf on (doc, token), one for df on the token,
-    * an equi-join on the token, and a bounded per-doc window. */
+    * ranking is the same monotone transform. Shapes: ONE tokenization
+    * scan — df rides a count window over the tf table partitioned by
+    * the token (a join of tf against a separately-aggregated df table
+    * would re-derive, and therefore re-tokenize, the whole corpus on
+    * its second input) — then the bounded per-doc rank window. Three
+    * shuffles total: (doc, token) agg, token window, doc window. */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
-    val tf = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(df, Seq("token"))
+      .withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", col("tf").cast(DoubleType) / col("df"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
         col("token"), col("tf"), col("df"), col("score"))

@@ -204,6 +204,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"shortlist candidates must join on the cluster id:\n$plan")
   }
 
+  test("tf-idf tokenizes once; as-of and range joins never go all-pairs") {
+    val tfidf = planOf(Pipeline.tfidfTopK(spark, dir).limit(1))
+    // df via a token window over tf, NOT a join against a re-derived df
+    // table — a second input would re-tokenize the whole corpus
+    val scans = tfidf.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("documents"))
+    assert(scans == 1, s"tf-idf must scan documents once, saw $scans:\n$tfidf")
+    assert(!tfidf.contains("Join"), s"tf-idf needs no join:\n$tfidf")
+
+    val asof = planOf(Extensions.asofJoin(spark, dir).limit(1))
+    assert(!asof.contains("Join"),
+      s"as-of is a union + window, never a join product:\n$asof")
+
+    val range = planOf(Extensions.rangeJoin(spark, dir).limit(1))
+    assert(!range.contains("CartesianProduct") &&
+        !range.contains("BroadcastNestedLoopJoin"),
+      s"banded range join must stay equi:\n$range")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement
