@@ -242,11 +242,19 @@ object Dedup {
           col("y.doc") < col("x.doc"))
       .select(col("x.doc").as("nd"), col("y.doc").as("od"))
     val cand = candIdx.union(candNew).distinct()
-    // verify on the hash SETS carried by the index rows: |A∩B| is one
-    // native array_intersect per candidate pair — nothing re-tokenizes.
-    // nd resolves from the NEW batch only, od from index ∪ new: if a doc
-    // id ever appeared on both sides, resolving nd from the union would
-    // attribute the indexed doc's shingle set to the new doc
+    survivorsAfterVerify(newSig, index, cand, threshold)
+  }
+
+  /** Exact-Jaccard verification of incremental-dedup candidates, shared
+    * by every recall mechanism ([[dedupAgainstIndex]] band buckets,
+    * [[dedupAgainstWinnowIndex]] shared fingerprints): |A∩B| is one
+    * native array_intersect per candidate pair over the hash SETS the
+    * index rows carry — nothing re-tokenizes. nd resolves from the NEW
+    * batch only, od from index ∪ new: if a doc id ever appeared on both
+    * sides, resolving nd from the union would attribute the indexed
+    * doc's shingle set to the new doc. Returns the surviving new rows. */
+  private def survivorsAfterVerify(newSig: DataFrame, index: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame = {
     val allSh = index.select(col("doc"), col("shh"))
       .union(newSig.select(col("doc"), col("shh")))
     val dropped = cand
@@ -257,6 +265,48 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("inter")) >= threshold)
       .select(col("nd").as("doc")).distinct()
     newSig.join(dropped, Seq("doc"), "left_anti")
+  }
+
+  /** The persistable WINNOWING index — the MOSS sibling of
+    * [[signatureIndex]]: one row per document with its distinct
+    * shingle-hash set and its winnowing fingerprint set (~|grams|/w
+    * longs; any shared run of ≥ w+n−1 tokens guarantees a shared
+    * fingerprint, so the index also answers "which indexed doc shares a
+    * long passage with this one" — the plagiarism-index question band
+    * keys cannot). */
+  def winnowIndex(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, w: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("shh"),
+      graft.functions.WinnowFingerprints.winnowFingerprints(col(textCol), n, w)
+        .as("fps"))
+
+  private def fpRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc"), explode(col("fps")).as("fp"))
+
+  /** [[dedupAgainstIndex]] with winnow-fingerprint recall over a
+    * [[winnowIndex]]: candidates are new×(index ∪ earlier-new) pairs
+    * sharing at least `minShared` fingerprints (the MOSS confidence
+    * filter — one shared fingerprint is a single chance 6-token run;
+    * true near-dups share many), verified by the same exact-Jaccard
+    * pass. Candidate generation equi-joins 8-byte fingerprints with a
+    * count aggregate — the delta side stays small, the index side is
+    * one (doc, fp) scan. */
+  def dedupAgainstWinnowIndex(newSig: DataFrame, index: DataFrame,
+      threshold: Double, minShared: Int = 2): DataFrame = {
+    // ONE candidate join against index ∪ earlier-in-batch (flagged), one
+    // count aggregate — the same single-`inter` shape the oracle SQL
+    // states, half the shuffles of separate index/batch passes
+    val eligible = fpRows(index).withColumn("idx", lit(true))
+      .unionByName(fpRows(newSig).withColumn("idx", lit(false)))
+    val cand = fpRows(newSig).as("x").join(eligible.as("y"),
+        col("x.fp") === col("y.fp") &&
+          (col("y.idx") || col("y.doc") < col("x.doc")))
+      .groupBy(col("x.doc").as("nd"), col("y.doc").as("od"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("nd", "od")
+    survivorsAfterVerify(newSig, index, cand, threshold)
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any n-gram

@@ -212,6 +212,33 @@ object Pipeline {
     } finally sig.unpersist(blocking = false)
   }
 
+  /** [[dedupIncremental]] with the WINNOW index instead of MinHash bands
+    * ([[Dedup.winnowIndex]] / [[Dedup.dedupAgainstWinnowIndex]]): the
+    * same even-id-index / odd-id-delta composition, with candidate
+    * recall from ≥ 2 shared MOSS fingerprints. Verification is the same
+    * exact-Jaccard pass, and on corpora where every true pair shares ≥ 2
+    * fingerprints (measured true at every test SF — near-dup copies
+    * share long runs) the survivor set equals the exact semantics, so
+    * this query shares q_dedup_incremental's oracle; like the LSH
+    * queries, adversarial corpora could in principle open a recall gap
+    * the oracle would catch. */
+  def winnowIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sig = Dedup.winnowIndex(docs, "text", "doc_id", n = 3, w = 4)
+      .persist(lvl)
+    val idxA = sig.filter(col("doc") % 2 === 0)
+    val sigB = sig.filter(col("doc") % 2 === 1)
+    try {
+      val survivors = Dedup.dedupAgainstWinnowIndex(sigB, idxA, threshold = 0.8)
+      idxA.union(survivors)
+        .select(col("doc").as("doc_id"),
+          when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } finally sig.unpersist(blocking = false)
+  }
+
   /** Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
     * 3-gram with the "benchmark" docs (doc_id < 10), with hit counts. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -606,6 +633,7 @@ object Pipeline {
     "q_winnow_pairs"     -> (winnowPairs _),
     "q_dedup_clusters"   -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_winnow_incremental" -> (winnowIncremental _),
     "q_clean_corpus"     -> (cleanCorpus _),
     "q_decontaminate"    -> (decontaminate _),
     "q_simhash"          -> (simhash _),
@@ -642,6 +670,27 @@ object Pipeline {
       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
+
+  /** Incremental-ingest oracle, shared by the MinHash-band and
+    * winnow-fingerprint index variants: a new (odd-id) doc drops when a
+    * ≥ 0.8-exact-Jaccard partner exists among indexed (even-id) docs or
+    * earlier odd-id docs. */
+  private val incrementalSql =
+    """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+      |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+      |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT x.doc_id nd, y.doc_id od, COUNT(*) inter
+      |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 2 = 1
+      |            AND (y.doc_id % 2 = 0 OR y.doc_id < x.doc_id)
+      |          GROUP BY 1, 2),
+      |dropped AS (SELECT DISTINCT nd AS doc_id
+      |            FROM inter JOIN sz sa ON sa.doc_id = nd JOIN sz sb ON sb.doc_id = od
+      |            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8)
+      |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'index' ELSE 'new' END AS src
+      |FROM documents
+      |WHERE doc_id % 2 = 0 OR doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
 
   /** SimHash oracle: the md5-60-bit algorithm of Dedup.simhashAgg restated
     * in SQL — generated so the bit width stays in one place. */
@@ -995,23 +1044,11 @@ object Pipeline {
     // when a >= 0.8-Jaccard partner exists among the indexed (even-id)
     // docs or among earlier odd-id docs; the LSH candidate step recovers
     // all such pairs (same banding argument as q_minhash_dedup), so the
-    // exact-Jaccard restatement is the full semantics.
-    "q_dedup_incremental" ->
-      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
-        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
-        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
-        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT x.doc_id nd, y.doc_id od, COUNT(*) inter
-        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id % 2 = 1
-        |            AND (y.doc_id % 2 = 0 OR y.doc_id < x.doc_id)
-        |          GROUP BY 1, 2),
-        |dropped AS (SELECT DISTINCT nd AS doc_id
-        |            FROM inter JOIN sz sa ON sa.doc_id = nd JOIN sz sb ON sb.doc_id = od
-        |            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8)
-        |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'index' ELSE 'new' END AS src
-        |FROM documents
-        |WHERE doc_id % 2 = 0 OR doc_id NOT IN (SELECT doc_id FROM dropped)
-        |ORDER BY doc_id""".stripMargin,
+    // exact-Jaccard restatement is the full semantics. The winnow-index
+    // variant shares it: ≥2-shared-fingerprint recall recovers every true
+    // pair on these corpora (same caveat family as the LSH queries).
+    "q_winnow_incremental" -> incrementalSql,
+    "q_dedup_incremental" -> incrementalSql,
     // MinHash-LSH must recover exactly the pairs exact Jaccard finds at this
     // threshold (16 bands × 4 rows ⇒ detection p > 0.999 at j ≥ 0.8, and the
     // pipeline is fully deterministic) — so it shares the exact-Jaccard oracle.

@@ -78,6 +78,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(idx.union(none).select("doc").collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("winnow-index incremental agrees with the MinHash-band path") {
+    import spark.implicits._
+    // same planted corpus shape: near-dups (one edit), borderline
+    // non-dups (two edits), uniques — the two recall mechanisms must
+    // verify down to the same survivor set, and the winnow drops must
+    // come from >= 2 shared fingerprints (a chance single collision must
+    // not drop anything)
+    val idxRows = Seq(0L -> text("a"), 2L -> text("b"))
+    val deltaRows = Seq(
+      1L -> text("a", edits = Seq(49)), 3L -> text("c"), 5L -> text("x"),
+      7L -> text("x", edits = Seq(10)), 9L -> text("x", edits = Seq(10, 40)))
+    def wsig(rows: Seq[(Long, String)]) =
+      Dedup.winnowIndex(rows.toDF("doc_id", "text"), "text", "doc_id",
+        n = N, w = 4)
+    val viaWinnow = Dedup.dedupAgainstWinnowIndex(
+        wsig(deltaRows), wsig(idxRows), T)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    val viaBands = survivorIds(sig(deltaRows), sig(idxRows))
+    assert(viaWinnow == viaBands, s"winnow $viaWinnow != bands $viaBands")
+    // the winnow index rows carry the fingerprint set (~1/w of grams)
+    val fps = wsig(idxRows).select("fps").collect()
+      .map(_.getSeq[Long](0).size)
+    assert(fps.forall(n => n > 0 && n <= 48), s"fp set sizes: ${fps.toSeq}")
+  }
+
   test("incremental composition matches the full-batch pair predicate") {
     // full corpus: evens indexed, odds are the delta — survivors must be
     // exactly the odds with no qualifying jaccardPairs partner

@@ -221,6 +221,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!range.contains("CartesianProduct") &&
         !range.contains("BroadcastNestedLoopJoin"),
       s"banded range join must stay equi:\n$range")
+
+    val winnow = planOf(Pipeline.winnowPairs(spark, dir).limit(1))
+    assert(!winnow.contains("CartesianProduct") &&
+        !winnow.contains("BroadcastNestedLoopJoin"),
+      s"winnow candidates must equi-join on the fingerprint:\n$winnow")
   }
 
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
