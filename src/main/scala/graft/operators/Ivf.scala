@@ -182,12 +182,16 @@ object Ivf {
     spark.conf.getOption("spark.graft.index.root")
       .getOrElse(sys.props("java.io.tmpdir"))
 
-  /** True when a [[writeIndex]] index exists at `path`. Resolved through
+  /** True when a [[writeIndex]] index exists at `path`. Probes the
+    * centroid write's job-success marker, not the bare directory, so a
+    * write that died mid-job (directory present, data incomplete) reads
+    * as "missing" and the overwrite-mode retrain heals it instead of a
+    * later [[readCentroids]] choking on a husk. Resolved through
     * Hadoop's FileSystem so hdfs:///s3:// index locations work the same
     * as local disk. */
   def indexExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
@@ -204,19 +208,36 @@ object Ivf {
     * train once ([[centroids]]), reuse for both ANN search and
     * [[semDedupPairsWith]] instead of running k-means per query. */
   def topKWith(b: DataFrame, cents: Seq[Seq[Double]], nQueries: Int, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    rankTopK(scorePairs(probedCandidates(b, cents, nQueries, nprobe),
+      b.select(col("id"), col("raw").as("v"))), k)
+
+  /** (qid, cid) candidate pairs shared by [[topKWith]] and
+    * [[sq8RerankWith]]: the first `nQueries` ids probe their `nprobe`
+    * nearest clusters and pair with those clusters' members — the only
+    * join is an equi-join on the cluster id. */
+  private def probedCandidates(b: DataFrame, cents: Seq[Seq[Double]],
+      nQueries: Int, nprobe: Int): DataFrame = {
     val assigned = assign(b, cents)
     val probes = b.filter(col("id") < nQueries)
       .select(col("id").as("qid"),
         explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
-    val cand = probes.join(assigned.select(col("id").as("cid"), col("cl")), "cl")
+    probes.join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
-    val scored = cand
-      .join(b.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
-      .join(b.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
+  }
+
+  /** Cosine scores for (qid, cid) pairs against a (id, v) vector view. */
+  private def scorePairs(pairs: DataFrame, vecs: DataFrame): DataFrame =
+    pairs
+      .join(vecs.select(col("id").as("qid"), col("v").as("qvec")), Seq("qid"))
+      .join(vecs.select(col("id").as("cid"), col("v").as("cvec")), Seq("cid"))
       .select(col("qid"), col("cid"),
         graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+
+  /** Per-query top-`k` of a (qid, cid, sim) scoring — sim desc, cid asc
+    * tie-break (the order the oracles pin). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -234,31 +255,12 @@ object Ivf {
     * corpus. */
   def sq8RerankWith(b: DataFrame, cents: Seq[Seq[Double]], dq: DataFrame,
       nQueries: Int, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
-    val assigned = assign(b, cents)
-    val probes = b.filter(col("id") < nQueries)
-      .select(col("id").as("qid"),
-        explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
-    val cand = probes.join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
-    val approx = cand
-      .join(dq.select(col("id").as("qid"), col("dq").as("qdq")), Seq("qid"))
-      .join(dq.select(col("id").as("cid"), col("dq").as("cdq")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.VectorOps.cosineSimilarity(col("qdq"), col("cdq")).as("asim"))
-    val wA = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid").asc)
+    val approx = scorePairs(probedCandidates(b, cents, nQueries, nprobe),
+      dq.select(col("id"), col("dq").as("v")))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     val short = approx.withColumn("r", row_number().over(wA))
       .filter(col("r") <= shortlist).select("qid", "cid")
-    val full = b.select(col("id"), col("raw"))
-    val exact = short
-      .join(full.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
-      .join(full.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
-    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    exact.withColumn("rank", row_number().over(wE))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast(LongType).as("rank"), col("cid"), col("sim"))
+    rankTopK(scorePairs(short, b.select(col("id"), col("raw").as("v"))), k)
   }
 
   /** SemDeDup: cosine-similar pairs scored only within a cluster — the

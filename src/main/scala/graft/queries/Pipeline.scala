@@ -393,8 +393,14 @@ object Pipeline {
     val key = (root, dir, embStamp(dir), IvfNlist, IvfIters)
     centroidCache.getOrElseUpdate(key, {
       val idxPath = s"$root/graft_ivf_index/${md5Hex(key.toString)}"
-      if (Ivf.indexExists(spark, idxPath)) Ivf.readCentroids(spark, idxPath)
-      else {
+      // a corrupt persisted index must degrade to a retrain, not fail the
+      // query — training is deterministic, so the fallback is bit-identical
+      val persisted =
+        if (Ivf.indexExists(spark, idxPath))
+          try Some(Ivf.readCentroids(spark, idxPath))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      persisted.getOrElse {
         val cents = Ivf.centroids(b, IvfNlist, IvfIters)
         // centroids ONLY: this cache never reads the assignment map back,
         // and assignment from baked-in centroids is a narrow projection —
@@ -421,16 +427,23 @@ object Pipeline {
     val path = s"$root/graft_int8_index/${md5Hex((root, dir, embStamp(dir)).toString)}"
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast(LongType).as("id"), col("embedding"))
+    // probe the job-success marker, not the bare directory: a write that
+    // died mid-job leaves the directory behind, and treating that husk as
+    // an index would poison every later run — no marker means the
+    // overwrite-mode write simply runs again and heals it
     def exists: Boolean =
       try {
-        val p = new org.apache.hadoop.fs.Path(path)
+        val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
         p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
       } catch { case scala.util.control.NonFatal(_) => false }
     if (!exists)
       try Quantize.writeIndex(emb, "id", "embedding", path)
       catch { case scala.util.control.NonFatal(_) => () }
-    if (exists) Quantize.readIndexVectors(spark, path)
-    else emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
+    val inline = emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
+    if (exists)
+      try Quantize.readIndexVectors(spark, path)
+      catch { case scala.util.control.NonFatal(_) => inline }
+    else inline
   }
 
   def similarityIvf(spark: SparkSession, dir: String): DataFrame = {

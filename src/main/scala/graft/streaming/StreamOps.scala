@@ -207,6 +207,25 @@ object StreamOps {
           n, k, bands, threshold)
     }
 
+  /** Read an ingest index, migrating a pre-`batch_id` (append-mode) one
+    * in place: an index written before the exactly-once layout has no
+    * partition column, and mixing bare files with `batch_id=` partition
+    * directories is an unreadable layout — so legacy rows are rewritten
+    * ONCE into a `batch_id=-1` partition and the partitioned layout owns
+    * the directory from then on. */
+  private def readIndexMigrated(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val raw = spark.read.parquet(indexPath)
+    if (raw.columns.contains("batch_id")) raw
+    else {
+      // materialize before overwriting the directory the plan reads from
+      raw.localCheckpoint()
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
+      spark.read.parquet(indexPath)
+    }
+  }
+
   /** One [[incrementalIngest]] micro-batch, exposed so the exactly-once
     * contract is directly testable: calling it twice with the same
     * `batchId` leaves the index identical to one call. */
@@ -226,7 +245,7 @@ object StreamOps {
     // own first attempt — excluding its own partition does exactly that
     val index =
       if (idxExists)
-        spark.read.parquet(indexPath).filter(col("batch_id") =!= batchId)
+        readIndexMigrated(spark, indexPath).filter(col("batch_id") =!= batchId)
       else sig.filter(lit(false))
     // survivors come back in index shape; localCheckpoint before the
     // write so it does not re-read the index it modifies
@@ -289,7 +308,7 @@ object StreamOps {
       .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
     // a replayed batch must check against the index as it was BEFORE its
     // own first attempt — filtering out its own partition does exactly that
-    def index = spark.read.parquet(indexPath).filter(col("batch_id") =!= batchId)
+    def index = readIndexMigrated(spark, indexPath).filter(col("batch_id") =!= batchId)
     def bucketRows(df: DataFrame) = df.select(col("id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val newBk = bucketRows(b)

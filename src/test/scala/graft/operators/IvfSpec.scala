@@ -85,6 +85,20 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("a half-written index (directory, no job-success marker) reads as missing") {
+    // a write that died mid-job leaves the directory behind; treating the
+    // husk as an index would poison every later read — the existence probe
+    // must look for the _SUCCESS marker, so the overwrite retrain heals it
+    val idx = java.nio.file.Files.createTempDirectory("ivf_husk").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx, "centroids"))
+    assert(!Ivf.indexExists(spark, idx), "bare directory is not an index")
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val cents = Ivf.centroids(b, nlist = 10, iters = 2)
+    Ivf.writeCentroids(spark, cents, idx)
+    assert(Ivf.indexExists(spark, idx), "completed write carries the marker")
+    assert(Ivf.readCentroids(spark, idx) == cents)
+  }
+
   test("index root resolves from spark conf; centroid-only writes; queries follow it") {
     val root = java.nio.file.Files.createTempDirectory("graft_root").toString
     spark.conf.set("spark.graft.index.root", root)

@@ -375,6 +375,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 3, "no duplicate index rows")
   }
 
+  test("ingestBatch: migrates a pre-batch_id (append-mode) index in place") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("legacy_idx").resolve("index").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    // a legacy index: plain signature rows, no batch_id partition column
+    graft.operators.Dedup.signatureIndex(b1, "text", "doc_id", 3, 64, 16)
+      .write.parquet(idx)
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon"), // dup of legacy 1
+      (4L, "six seven eight nine ten")).toDF("doc_id", "text")
+    StreamOps.ingestBatch(b2, 0L, "text", "doc_id", idx,
+      n = 3, k = 64, bands = 16, threshold = 0.8)
+    val rows = spark.read.parquet(idx)
+    assert(rows.columns.contains("batch_id"),
+      "legacy rows must land in the partitioned layout")
+    assert(rows.select("doc").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 4L),
+      "the batch must dedup against the legacy rows, then append survivors")
+  }
+
   test("embeddingIngestBatch: replaying a batchId leaves the int8 index unchanged") {
     import spark.implicits._
     def mix(z0: Long): Float = {
@@ -400,6 +420,37 @@ class StreamOpsSpec extends AnyFunSuite {
     ingest(batch1, 1L) // replay
     assert(ids() == Seq(1L, 2L, 4L), "replay must be idempotent")
     assert(spark.read.parquet(idx).count() == 3, "no duplicate index rows")
+  }
+
+  test("embeddingIngestBatch: migrates a pre-batch_id (append-mode) index") {
+    import spark.implicits._
+    def mix(z0: Long): Float = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+    }
+    def base(seed: Long) = Seq.tabulate(32)(d => mix(seed * 131 + d))
+    def nearDup(v: Seq[Float], seed: Long) =
+      v.zipWithIndex.map { case (x, d) => x + 0.01f * mix(seed * 977 + d) }
+    def ingest(rows: Seq[(Long, Seq[Float])], id: Long, idx: String): Unit =
+      StreamOps.embeddingIngestBatch(rows.toDF("vec_id", "embedding"), id,
+        "vec_id", "embedding", idx, threshold = 0.95, planes = 4, tables = 16)
+    val a = base(31); val b = base(32)
+    // build a modern index, then strip it back to the legacy append-mode
+    // layout (same columns, no batch_id partition directories)
+    val tmp = Files.createTempDirectory("legacy_emb_src").resolve("index").toString
+    ingest(Seq(1L -> a, 2L -> b), 0L, tmp)
+    val idx = Files.createTempDirectory("legacy_emb").resolve("index").toString
+    spark.read.parquet(tmp).select("id", "scale", "bin", "buckets")
+      .write.parquet(idx)
+    ingest(Seq(3L -> nearDup(a, 7), 4L -> base(33)), 0L, idx) // 3 dups legacy 1
+    val rows = spark.read.parquet(idx)
+    assert(rows.columns.contains("batch_id"),
+      "legacy rows must land in the partitioned layout")
+    assert(rows.select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 4L),
+      "the batch must dedup against the legacy rows, then append survivors")
   }
 
   test("embeddingIngest: split-stream replay equals the single-batch ingest") {
