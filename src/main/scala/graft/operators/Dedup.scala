@@ -326,6 +326,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Exact duplicated-SPAN statistics — the substring-level dedup
+    * diagnostic (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022): every `n`-token span instance
+    * of every document, flagged when the same span text occurs in ≥ 2
+    * DISTINCT documents. Returns per-document
+    * (doc_id, n_spans, n_dup_spans, dup_ratio); documents shorter than
+    * `n` tokens have no spans and are absent.
+    *
+    * Scale shape — the suffix-array-free formulation that stays linear
+    * in corpus tokens: one native pass emits span strings
+    * ([[graft.functions.ShingleText]], every occurrence), hashed to
+    * 8 bytes; document frequency is one map-side-combined shuffle on
+    * the hash; the flag join is an equi-join on the same 8-byte key.
+    * Nothing is quadratic and no span string survives past the hash
+    * projection. */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, materialize: Boolean = true): DataFrame = {
+    val gramsRaw = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleText.shingleText(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    def stats(grams: DataFrame): DataFrame = {
+      val docFreq = grams.distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+      grams.join(docFreq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio",
+          col("n_dup_spans").cast(DoubleType) / col("n_spans"))
+    }
+    // materialize=false returns the raw plan (plan-quality assertions);
+    // the default persists the one tokenization for its two consumers and
+    // checkpoints the (tiny, per-doc) result before releasing it
+    if (!materialize) stats(gramsRaw)
+    else {
+      val grams =
+        gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try stats(grams).localCheckpoint()
+      finally grams.unpersist(blocking = false)
+    }
+  }
+
   /** The benchmark set's distinct shingle hashes — the (tiny, by
     * construction) batch artifact the streaming decontamination gate
     * ([[graft.streaming.StreamOps.decontaminationGate]]) bakes into its

@@ -56,4 +56,46 @@ object Sampling {
       .filter(col("__rank") <= k)
       .drop("__rank")
   }
+
+  /** Priority selection to a global token budget: rows in
+    * (`scoreCol` desc, `idCol` asc) priority order are kept while the
+    * running `tokensCol` total (including the current row) stays within
+    * `budget` — the "take the best documents until the training budget
+    * is full" shape. The returned frame adds `cum_tokens`.
+    *
+    * The running total is a genuinely DISTRIBUTED prefix sum — a naive
+    * `Window.orderBy` with no partition spec collapses the corpus onto
+    * one task, the classic 100 TB scale-killer. Instead: range-
+    * repartition on the priority order (a parallel sort),
+    * `localCheckpoint` to pin the materialized partitions, per-partition
+    * subtotals to the driver (one row per partition — bounded by the
+    * shuffle-partition count, not the data), then a window WITHIN each
+    * partition plus the broadcast partition offset. Every stage is
+    * parallel; the only driver state is the ≤`parts` subtotal rows. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    // pin the range partitioning: the subtotal pass and the final window
+    // must read the SAME partitions, not a resampled recompute
+    val ordered = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = ordered.groupBy("__pid").agg(sum(col(tokensCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
+    val offset = (0 until parts).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ordered
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w) + offset)
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid")
+  }
 }

@@ -625,7 +625,52 @@ object Pipeline {
         TA.charsPerToken(col("text")).as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** Exact duplicated-span statistics ([[Dedup.spanDupStats]], n = 5):
+    * per document, how many of its 5-token span instances occur verbatim
+    * in at least one other document. The Spark side groups on the 8-byte
+    * xxhash64 of the span while the oracle groups on the literal span
+    * text — the q_decontaminate hash-vs-literal argument: the counts
+    * coincide absent a 64-bit collision. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanDupStats(Tables.documents(spark, dir), "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+
+  /** Quality-weighted selection to a fixed global token budget
+    * ([[graft.operators.Sampling.tokenBudgetSelect]]): best documents
+    * first (quality desc, doc_id tiebreak) until 10k cumulative tokens.
+    * The cumulative sum is the distributed prefix-sum shape — no
+    * single-partition global window (PlanQualitySpec pins that). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSelect(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.qualityScore(col("text")).as("quality")),
+        "doc_id", "n_tokens", "quality", budget = 10000L)
+      .orderBy("doc_id")
+
+  /** Corpus mixture report: per (source, lang), document and token
+    * counts plus each cell's share of the whole corpus — the dataset
+    * card every training run starts from. One map-side-combined
+    * aggregation shuffle over the corpus; the share window runs on the
+    * POST-aggregation frame (≤ sources × languages rows), so its
+    * single-partition exchange moves a few hundred bytes, not data. */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("token_share",
+        col("n_tokens").cast(DoubleType) / sum(col("n_tokens")).over(w).cast(DoubleType))
+      .withColumn("doc_share",
+        col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w).cast(DoubleType))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_span_dedup"       -> (spanDedup _),
+    "q_token_budget"     -> (tokenBudget _),
+    "q_source_mixture"   -> (sourceMixture _),
     "q_text_stats"       -> (textStats _),
     "q_lang_id"          -> (langId _),
     "q_fingerprint_dedup" -> (fingerprintDedup _),
@@ -671,6 +716,15 @@ object Pipeline {
     "q_sample_per_group" -> (samplePerGroup _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** The q_text_stats quality score as a DuckDB expression over `text` —
+    * shared verbatim by the q_token_budget oracle so both restate the
+    * same (hash-proven) formula. */
+  private def qualitySql: String =
+    s"""(LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |        + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
+       |        + LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS($stopList, x))) AS DOUBLE)
+       |                / LEN(STRING_SPLIT(text, ' ')) * 5.0, 1.0)) / 3.0""".stripMargin
 
   private val jaccardSql =
     """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
@@ -826,6 +880,39 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // Spark groups spans by xxhash64, the oracle by the literal span
+    // text — counts coincide absent a 64-bit collision (the proven
+    // q_decontaminate argument).
+    "q_span_dedup" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |g AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-4, 0)),
+        |        i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] || ' ' || a[i+5])) AS s
+        |      FROM arr),
+        |df AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY s)
+        |SELECT g.doc_id, COUNT(*) AS n_spans,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+        |FROM g JOIN df USING (s)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         |             $qualitySql AS quality
+         |           FROM documents),
+         |s AS (SELECT doc_id, n_tokens, quality,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, n_tokens, quality, cum_tokens
+         |FROM s WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+    "q_source_mixture" ->
+      """WITH a AS (SELECT source, lang, COUNT(*) AS n_docs,
+        |             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share,
+        |       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share
+        |FROM a ORDER BY source, lang""".stripMargin,
     "q_simhash" -> simhashSql,
     // winnowing restated with SQL window functions: trigram per position,
     // md5-60-bit hash (the proven simhash parity recipe), MIN over a
@@ -1019,10 +1106,7 @@ object Pipeline {
          |       CASE WHEN LEN(STRING_SPLIT(text, ' ')) = 0 THEN 0.0
          |            ELSE CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
          |                 / LEN(STRING_SPLIT(text, ' ')) END AS distinct_ratio,
-         |       (LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-         |        + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
-         |        + LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS($stopList, x))) AS DOUBLE)
-         |                / LEN(STRING_SPLIT(text, ' ')) * 5.0, 1.0)) / 3.0 AS quality
+         |       $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH hits AS (

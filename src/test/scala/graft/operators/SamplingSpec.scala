@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for [[Sampling.tokenBudgetSelect]] — the distributed
+  * prefix-sum selection. The invariant under test: the partitioned
+  * (range-repartition + per-partition window + driver offsets)
+  * computation equals the naive single-window global cumulative sum,
+  * for any partition count and any input distribution. */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mix(z0: Long): Long = {
+    var z = z0 * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z ^ (z >>> 31)
+  }
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    // deterministic pseudo-random tokens/scores, including score ties
+    (0 until n).map { i =>
+      val id = i.toLong
+      val tokens = 1L + math.floorMod(mix(id * 7 + 1), 50L)
+      val score = math.floorMod(mix(id * 13 + 2), 20L) / 10.0
+      (id, tokens, score)
+    }.toDF("doc_id", "n_tokens", "quality")
+      .repartition(7) // deliberately unaligned input partitioning
+  }
+
+  private def naive(df: org.apache.spark.sql.DataFrame, budget: Long) = {
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "n_tokens", "quality", "cum_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("tokenBudgetSelect equals the naive global-window cumulative sum") {
+    val d = corpus(500)
+    for (budget <- Seq(1L, 100L, 3000L, 1000000L)) {
+      val dist = rows(Sampling.tokenBudgetSelect(
+        d, "doc_id", "n_tokens", "quality", budget))
+      val ref = rows(naive(d, budget))
+      assert(dist == ref, s"budget=$budget: $dist vs $ref")
+    }
+  }
+
+  test("tokenBudgetSelect boundary: zero budget selects nothing, and the " +
+      "budget is a hard cap on the running total including the current row") {
+    val d = corpus(50)
+    assert(Sampling.tokenBudgetSelect(d, "doc_id", "n_tokens", "quality", 0L)
+      .count() == 0)
+    val all = rows(Sampling.tokenBudgetSelect(
+      d, "doc_id", "n_tokens", "quality", Long.MaxValue))
+    assert(all.size == 50, "an unbounded budget keeps every row")
+    assert(all.map(_._4).max == all.map(_._2).sum,
+      "the largest cumulative equals the total token count")
+  }
+}

@@ -20,6 +20,36 @@ class TextOpsSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
   }
 
+  test("spanDupStats: flags span instances shared across documents") {
+    val d = docs(
+      1L -> "a b c d e f", // spans "a b c d e" (shared with 2), "b c d e f"
+      2L -> "a b c d e x", // spans "a b c d e" (shared with 1), "b c d e x"
+      3L -> "z z z z z",   // unique span, also REPEATED within no other doc
+      4L -> "too short")   // < 5 tokens: no spans, absent from the output
+    val out = Dedup.spanDupStats(d, "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+  }
+
+  test("spanDupStats: within-document repeats do not count as duplicated") {
+    // doc 5 repeats its own span twice; doc-frequency is DISTINCT docs,
+    // so neither instance is flagged until another doc shares it
+    val alone = docs(5L -> "p q r s t u p q r s t")
+    val a = Dedup.spanDupStats(alone, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq == Seq((5L, 7L, 0L)))
+    val pair = docs(5L -> "p q r s t u p q r s t", 6L -> "p q r s t")
+    val p = Dedup.spanDupStats(pair, "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "p q r s t" occurs at positions 0 and 6 of doc 5 — both instances flag
+    assert(p.toSeq == Seq((5L, 7L, 2L), (6L, 1L, 1L)))
+  }
+
   test("ngramRows: occurrences in order, short docs drop out") {
     val d = docs(1L -> "a b c d", 2L -> "x y", 3L -> "solo")
     val g2 = TextAnalysis.ngramRows(d, "text", "doc_id", 2)

@@ -228,6 +228,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"winnow candidates must equi-join on the fingerprint:\n$winnow")
   }
 
+  test("token budget windows per range-partition; span dedup equi-joins on the hash") {
+    // the cumulative token sum must run WITHIN each range partition
+    // (offset added from the driver-side subtotals) — a Window with no
+    // partition spec would collapse the corpus onto one task
+    val tb = planOf(Pipeline.tokenBudget(spark, dir).limit(1))
+    val winLine = tb.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("__pid"),
+      s"prefix-sum window must partition by __pid:\n$tb")
+
+    // the span-dup flag join must be an equi-join on the 8-byte span
+    // hash — never a nested-loop or cartesian product — and the span
+    // emission must be the native one-pass expression
+    val sd = planOf(graft.operators.Dedup.spanDupStats(
+      graft.Tables.documents(spark, dir), "text", "doc_id", n = 5,
+      materialize = false).limit(1))
+    assert(sd.contains("rm_shingle_text"),
+      s"expected the native span pass in:\n$sd")
+    assert(!sd.contains("CartesianProduct") &&
+        !sd.contains("BroadcastNestedLoopJoin"),
+      s"span-dup flag join must stay equi:\n$sd")
+  }
+
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
     // the interpreted-HOF formulations these replaced sat OUTSIDE codegen;
     // pin both the operator name and its codegen placement
