@@ -368,6 +368,61 @@ object Dedup {
     }
   }
 
+  /** Duplicated-span REMOVAL — the transformation [[spanDupStats]] only
+    * diagnoses: every token covered by any `n`-token span instance whose
+    * text occurs in ≥ 2 distinct documents is cut, and the survivors are
+    * re-joined in order. Documents whose every token is covered (pure
+    * duplication) drop entirely; documents shorter than `n` tokens have
+    * no spans and pass through whole. Returns
+    * (doc_id, clean_text, n_kept).
+    *
+    * Scale shape: span starts come positionally from the same native
+    * one-pass emission (array index = start token), so coverage is
+    * `explode(sequence(pos, pos+n-1))` — no re-tokenization; duplicated
+    * spans are found on the 8-byte hash (one map-side-combined shuffle),
+    * coverage joins back per (doc, token-position) as an equi-anti-join,
+    * and the rebuild is one per-doc aggregation. Everything keys on
+    * (doc_id) or an 8-byte hash; nothing is quadratic. */
+  def spanScrub(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val spans = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleText.shingleText(col(textCol), n))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        xxhash64(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = spans.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("h")
+      // the duplicated-hash set is the boilerplate fraction of the span
+      // space (df ≥ 2 only) — broadcast it so flagging is a map-side
+      // probe of the persisted spans, not a full shuffle of every span
+      // instance. Coverage then aggregates to ONE position-set row per
+      // touched document (bounded by that doc's token count), and the
+      // rebuild is a narrow in-row pass over the doc's own tokens — no
+      // token-level explode, no (doc, position) anti-join shuffle.
+      val covSets = spans.join(broadcast(dup), Seq("h"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+        .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
+      val noCov = array().cast("array<bigint>")
+      val kept = filter(
+        transform(split(col("text"), " "),
+          (t, i) => struct(i.cast(LongType).as("tp"), t.as("tok"))),
+        x => !array_contains(coalesce(col("cov"), noCov), x.getField("tp")))
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .join(covSets, Seq("doc_id"), "left")
+        .select(col("doc_id"), kept.as("kept"))
+        .filter(size(col("kept")) > 0) // fully-covered docs drop entirely
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(col("kept"), x => x.getField("tok"))).as("clean_text"),
+          size(col("kept")).cast(LongType).as("n_kept"))
+        .localCheckpoint() // per-doc rows; frees the persist safely
+    } finally spans.unpersist(blocking = false)
+  }
+
   /** The benchmark set's distinct shingle hashes — the (tiny, by
     * construction) batch artifact the streaming decontamination gate
     * ([[graft.streaming.StreamOps.decontaminationGate]]) bakes into its

@@ -635,6 +635,15 @@ object Pipeline {
     Dedup.spanDupStats(Tables.documents(spark, dir), "text", "doc_id", n = 5)
       .orderBy("doc_id")
 
+  /** Duplicated-span REMOVAL ([[Dedup.spanScrub]], n = 5) — the cleaning
+    * transformation behind [[spanDedup]]'s diagnostic: tokens covered by
+    * any cross-document duplicated 5-token span are cut and the text
+    * rebuilt; fully-covered documents drop. Same hash-vs-literal oracle
+    * argument as q_span_dedup. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanScrub(Tables.documents(spark, dir), "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+
   /** Quality-weighted selection to a fixed global token budget
     * ([[graft.operators.Sampling.tokenBudgetSelect]]): best documents
     * first (quality desc, doc_id tiebreak) until 10k cumulative tokens.
@@ -669,6 +678,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "q_span_dedup"       -> (spanDedup _),
+    "q_span_scrub"       -> (spanScrub _),
     "q_token_budget"     -> (tokenBudget _),
     "q_source_mixture"   -> (sourceMixture _),
     "q_text_stats"       -> (textStats _),
@@ -894,6 +904,16 @@ object Pipeline {
         |       CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
         |FROM g JOIN df USING (s)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_span_scrub" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |g AS (SELECT doc_id, a, UNNEST(RANGE(GREATEST(LEN(a)-4, 0))) AS pos FROM arr),
+        |s AS (SELECT doc_id, pos, a[pos+1] || ' ' || a[pos+2] || ' ' || a[pos+3] || ' ' || a[pos+4] || ' ' || a[pos+5] AS s FROM g),
+        |dup AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY s) WHERE df >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + UNNEST(RANGE(5)) AS tp FROM s JOIN dup USING (s)),
+        |toks AS (SELECT doc_id, UNNEST(a) AS tok, UNNEST(RANGE(LEN(a))) AS tp FROM arr),
+        |kept AS (SELECT t.doc_id, t.tok, t.tp FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp)
+        |SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY tp) AS clean_text, COUNT(*) AS n_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_budget" ->
       s"""WITH d AS (SELECT doc_id,
          |             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

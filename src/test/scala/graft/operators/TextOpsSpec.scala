@@ -50,6 +50,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(p.toSeq == Seq((5L, 7L, 2L), (6L, 1L, 1L)))
   }
 
+  test("spanScrub: cuts covered tokens, drops fully-duplicated docs, keeps short docs whole") {
+    val d = docs(
+      1L -> "a b c d e f", // "a b c d e" shared with 2 → tokens 0-4 cut
+      2L -> "a b c d e x",
+      3L -> "z y x w v u", // unique spans → untouched
+      4L -> "a b c d e",   // every token covered → dropped
+      5L -> "tiny doc")    // < 5 tokens: no spans, passes through whole
+    val out = Dedup.spanScrub(d, "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "f", 1L),
+      (2L, "x", 1L),
+      (3L, "z y x w v u", 6L),
+      (5L, "tiny doc", 2L)))
+  }
+
   test("ngramRows: occurrences in order, short docs drop out") {
     val d = docs(1L -> "a b c d", 2L -> "x y", 3L -> "solo")
     val g2 = TextAnalysis.ngramRows(d, "text", "doc_id", 2)
