@@ -368,6 +368,21 @@ object Dedup {
     }
   }
 
+  /** Hashes of `n`-token span texts occurring in ≥ 2 distinct documents —
+    * the batch-built artifact the streaming
+    * [[graft.streaming.StreamOps.spanDupGate]] bakes into its plan, the
+    * same relationship [[graft.operators.TextAnalysis.boilerplateGrams]]
+    * has to the boilerplate gate. One tokenization pass, everything past
+    * it keyed on the 8-byte hash. */
+  def dupSpanHashes(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleText.shingleText(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+
   /** Duplicated-span REMOVAL — the transformation [[spanDupStats]] only
     * diagnoses: every token covered by any `n`-token span instance whose
     * text occurs in ≥ 2 distinct documents is cut, and the survivors are

@@ -165,6 +165,31 @@ object StreamOps {
       .filter(col("boiler_frac") <= maxBoilerFrac)
   }
 
+  /** Streaming duplicated-span gate — the stream side of
+    * [[graft.operators.Dedup.spanDupStats]]: drop documents whose
+    * fraction of `n`-token span instances matching a batch-built
+    * duplicated-span hash set ([[graft.operators.Dedup.dupSpanHashes]])
+    * exceeds `maxDupFrac`. The 8-byte hashes bake into the plan as an
+    * InSet probe per span — stateless narrow filter, no shuffle, no
+    * streaming state, append-mode-safe like [[boilerplateGate]]. Emits
+    * `n_spans` / `n_dup_spans` / `dup_frac` alongside the kept rows;
+    * sub-`n`-token docs have no spans and always pass (dup_frac 0). */
+  def spanDupGate(docs: DataFrame, textCol: String, dupHashes: Seq[Long],
+      n: Int, maxDupFrac: Double): DataFrame = {
+    require(dupHashes.nonEmpty, "empty duplicated-span set: nothing to gate")
+    val hashes = transform(
+      graft.functions.ShingleText.shingleText(col(textCol), n),
+      s => xxhash64(s))
+    val hits = size(filter(hashes, h => h.isInCollection(dupHashes)))
+    docs
+      .withColumn("n_spans", size(hashes).cast("long"))
+      .withColumn("n_dup_spans", hits.cast("long"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
+      .filter(col("dup_frac") <= maxDupFrac)
+  }
+
   /** Streaming benchmark decontamination — the stream side of
     * [[graft.operators.Dedup.contaminatedDocs]]: drop documents sharing
     * any n-gram with the benchmark set. The benchmark's distinct shingle

@@ -282,6 +282,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty)
   }
 
+  test("span-dup gate drops stream docs dominated by batch-built duplicated spans") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // batch side: "one two three four five" occurs in two corpus docs
+    val corpus = Seq(
+      (1L, "one two three four five alpha beta"),
+      (2L, "one two three four five gamma delta"),
+      (3L, "an unrelated document about columnar storage")).toDF("doc_id", "text")
+    val dupHashes = graft.operators.Dedup
+      .dupSpanHashes(corpus, "text", "doc_id", n = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(dupHashes.size == 1, s"one duplicated span expected: $dupHashes")
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val gated = StreamOps.spanDupGate(docs, "text", dupHashes,
+      n = 5, maxDupFrac = 0.5)
+    val q = gated.select("doc_id", "n_spans", "n_dup_spans", "dup_frac")
+      .writeStream.format("memory").queryName("span_gate_out")
+      .outputMode("append").start()
+    input.addData(
+      (10L, "one two three four five"),               // 1/1 dup = 1.0 > 0.5
+      (11L, "zero one two three four five six"),      // 1/3 dup ≤ 0.5
+      (12L, "a wholly novel stream document arrives"),// 0/1 dup
+      (13L, "tiny"))                                  // no spans: passes
+    q.processAllAvailable(); q.stop()
+
+    val kept = spark.table("span_gate_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(kept.keySet == Set(11L, 12L, 13L), s"kept: $kept")
+    assert(kept(13L) == 0.0, "sub-n docs pass with dup_frac 0")
+    assert(q.lastProgress.stateOperators.isEmpty, "stateless narrow gate")
+  }
+
   test("incrementalIngest: micro-batches dedup against the persisted index via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
