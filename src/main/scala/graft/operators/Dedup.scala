@@ -343,9 +343,7 @@ object Dedup {
     * projection. */
   def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
       n: Int, materialize: Boolean = true): DataFrame = {
-    val gramsRaw = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.ShingleText.shingleText(col(textCol), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val gramsRaw = spanHashRows(docs, textCol, idCol, n)
     def stats(grams: DataFrame): DataFrame = {
       val docFreq = grams.distinct()
         .groupBy("h").agg(count(lit(1)).as("df"))
@@ -368,6 +366,26 @@ object Dedup {
     }
   }
 
+  /** (doc_id, h) span-hash instance rows — ONE native pass emits every
+    * `n`-token span occurrence ([[graft.functions.ShingleText]]), hashed
+    * to 8 bytes before anything shuffles. The shared projection under
+    * [[spanDupStats]] and [[dupSpanHashes]] ([[spanScrub]] runs the same
+    * pass positionally via posexplode), so the tokenization/hashing
+    * contract lives in one place. */
+  private def spanHashRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleText.shingleText(col(textCol), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+
+  /** Span hashes occurring in ≥ 2 distinct documents, from (doc_id, h)
+    * instance rows: distinct per doc, one map-side-combined count on the
+    * 8-byte hash. Shared by [[dupSpanHashes]] and [[spanScrub]]. */
+  private def dupHashesFrom(hashRows: DataFrame): DataFrame =
+    hashRows.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+
   /** Hashes of `n`-token span texts occurring in ≥ 2 distinct documents —
     * the batch-built artifact the streaming
     * [[graft.streaming.StreamOps.spanDupGate]] bakes into its plan, the
@@ -376,12 +394,7 @@ object Dedup {
     * it keyed on the 8-byte hash. */
   def dupSpanHashes(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.ShingleText.shingleText(col(textCol), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("h")
+    dupHashesFrom(spanHashRows(docs, textCol, idCol, n))
 
   /** Duplicated-span REMOVAL — the transformation [[spanDupStats]] only
     * diagnoses: every token covered by any `n`-token span instance whose
@@ -396,8 +409,9 @@ object Dedup {
     * `explode(sequence(pos, pos+n-1))` — no re-tokenization; duplicated
     * spans are found on the 8-byte hash (one map-side-combined shuffle),
     * coverage joins back per (doc, token-position) as an equi-anti-join,
-    * and the rebuild is one per-doc aggregation. Everything keys on
-    * (doc_id) or an 8-byte hash; nothing is quadratic. */
+    * and the rebuild is one per-doc aggregation (O(T log T) in the doc's
+    * own length). Everything keys on (doc_id, position) or an 8-byte
+    * hash; nothing is quadratic in either the corpus or a document. */
   def spanScrub(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val spans = docs.select(col(idCol).as("doc_id"),
@@ -407,33 +421,27 @@ object Dedup {
         xxhash64(col("s")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = spans.select("doc_id", "h").distinct()
-        .groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("h")
-      // the duplicated-hash set is the boilerplate fraction of the span
-      // space (df ≥ 2 only) — broadcast it so flagging is a map-side
-      // probe of the persisted spans, not a full shuffle of every span
-      // instance. Coverage then aggregates to ONE position-set row per
-      // touched document (bounded by that doc's token count), and the
-      // rebuild is a narrow in-row pass over the doc's own tokens — no
-      // token-level explode, no (doc, position) anti-join shuffle.
-      val covSets = spans.join(broadcast(dup), Seq("h"))
+      val dup = dupHashesFrom(spans)
+      // flag join on the 8-byte hash: dup is the (usually small) df ≥ 2
+      // fraction, so AQE converts this to a broadcast at runtime when it
+      // fits — deliberately NO unconditional broadcast hint, because the
+      // duplicated-span set grows with the corpus and the shuffle join
+      // must remain the web-scale fallback. Overlapping dup spans cover
+      // positions repeatedly — no distinct needed: the anti-join ignores
+      // duplicate keys on its right side.
+      val covered = spans.join(dup, Seq("h"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-        .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
-      val noCov = array().cast("array<bigint>")
-      val kept = filter(
-        transform(split(col("text"), " "),
-          (t, i) => struct(i.cast(LongType).as("tp"), t.as("tok"))),
-        x => !array_contains(coalesce(col("cov"), noCov), x.getField("tp")))
-      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .join(covSets, Seq("doc_id"), "left")
-        .select(col("doc_id"), kept.as("kept"))
-        .filter(size(col("kept")) > 0) // fully-covered docs drop entirely
-        .select(col("doc_id"),
-          concat_ws(" ",
-            transform(col("kept"), x => x.getField("tok"))).as("clean_text"),
-          size(col("kept")).cast(LongType).as("n_kept"))
+      val toks = docs.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), " ")).as(Seq("tp", "tok")))
+        .select(col("doc_id"), col("tp").cast(LongType).as("tp"), col("tok"))
+      toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+        .groupBy("doc_id")
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"),
+          count(lit(1)).as("n_kept"))
         .localCheckpoint() // per-doc rows; frees the persist safely
     } finally spans.unpersist(blocking = false)
   }

@@ -139,8 +139,12 @@ object Ivf {
     * just JVM lifetime. The centroid table is nlist rows (coalesced to
     * one file); assignments are one narrow scan of the corpus. */
   def writeIndex(b: DataFrame, cents: Seq[Seq[Double]], path: String): Unit = {
-    writeCentroids(b.sparkSession, cents, path)
+    // assignments FIRST: [[indexExists]] probes the centroid marker, so
+    // writing centroids last makes that marker certify the WHOLE index —
+    // a crash between the two phases reads as "missing", not as a
+    // complete index with a husk assignments table
     writeAssignments(b, cents, path)
+    writeCentroids(b.sparkSession, cents, path)
   }
 
   /** Centroids only — nlist tiny rows, no corpus scan. The right call for

@@ -233,22 +233,34 @@ object StreamOps {
     }
 
   /** Read an ingest index, migrating a pre-`batch_id` (append-mode) one
-    * in place: an index written before the exactly-once layout has no
-    * partition column, and mixing bare files with `batch_id=` partition
-    * directories is an unreadable layout — so legacy rows are rewritten
-    * ONCE into a `batch_id=-1` partition and the partitioned layout owns
-    * the directory from then on. */
+    * in place: an index written before the exactly-once layout has its
+    * data files at the directory root, and mixing bare files with
+    * `batch_id=` partition directories is an unreadable layout — so the
+    * legacy files MOVE (per-file renames — metadata operations, no data
+    * copy, no rewrite job) into a `batch_id=-1` partition directory and
+    * the partitioned layout owns the directory from then on. A crash
+    * midway loses nothing: the remaining root files move on the next
+    * call, because the probe is "data files at the root", not a flag. */
   private def readIndexMigrated(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
-    val raw = spark.read.parquet(indexPath)
-    if (raw.columns.contains("batch_id")) raw
-    else {
-      // materialize before overwriting the directory the plan reads from
-      raw.localCheckpoint()
-        .withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(indexPath)
-      spark.read.parquet(indexPath)
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootFiles = fs.listStatus(hPath).filter { st =>
+      val name = st.getPath.getName
+      st.isFile && !name.startsWith("_") && !name.startsWith(".")
     }
+    if (rootFiles.nonEmpty) {
+      val legacyDir = new org.apache.hadoop.fs.Path(hPath, "batch_id=-1")
+      fs.mkdirs(legacyDir)
+      rootFiles.foreach { st =>
+        fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(legacyDir, st.getPath.getName))
+      }
+      // the legacy job marker would sit beside the partition dirs; drop it
+      val succ = new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")
+      if (fs.exists(succ)) fs.delete(succ, false)
+    }
+    spark.read.parquet(indexPath)
   }
 
   /** One [[incrementalIngest]] micro-batch, exposed so the exactly-once
