@@ -413,14 +413,24 @@ object Dedup {
     * own length). Everything keys on (doc_id, position) or an 8-byte
     * hash; nothing is quadratic in either the corpus or a document. */
   def spanScrub(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val spans = docs.select(col(idCol).as("doc_id"),
+      n: Int, materialize: Boolean = true): DataFrame = {
+    val spansRaw = docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.ShingleText.shingleText(col(textCol), n))
           .as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         xxhash64(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // materialize=false returns the raw plan (plan-quality assertions)
+    if (!materialize) return spanScrubStages(docs, textCol, idCol, n, spansRaw)
+    val spans =
+      spansRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try spanScrubStages(docs, textCol, idCol, n, spans)
+      .localCheckpoint() // per-doc rows; frees the persist safely
+    finally spans.unpersist(blocking = false)
+  }
+
+  private def spanScrubStages(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, spans: DataFrame): DataFrame = {
+    {
       val dup = dupHashesFrom(spans)
       // flag join on the 8-byte hash: dup is the (usually small) df ≥ 2
       // fraction, so AQE converts this to a broadcast at runtime when it
@@ -442,8 +452,7 @@ object Dedup {
             array_sort(collect_list(struct(col("tp"), col("tok")))),
             x => x.getField("tok"))).as("clean_text"),
           count(lit(1)).as("n_kept"))
-        .localCheckpoint() // per-doc rows; frees the persist safely
-    } finally spans.unpersist(blocking = false)
+    }
   }
 
   /** The benchmark set's distinct shingle hashes — the (tiny, by

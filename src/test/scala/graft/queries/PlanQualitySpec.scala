@@ -248,6 +248,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!sd.contains("CartesianProduct") &&
         !sd.contains("BroadcastNestedLoopJoin"),
       s"span-dup flag join must stay equi:\n$sd")
+
+    // span REMOVAL: the rebuild comes from a (doc, position) LeftAnti
+    // equi-join — linear in corpus tokens, never a per-token membership
+    // scan or a nested-loop product
+    val ss = planOf(graft.operators.Dedup.spanScrub(
+      graft.Tables.documents(spark, dir), "text", "doc_id", n = 5,
+      materialize = false).limit(1))
+    assert(ss.contains("LeftAnti"),
+      s"span scrub must rebuild via the anti-join:\n$ss")
+    assert(!ss.contains("CartesianProduct") &&
+        !ss.contains("BroadcastNestedLoopJoin"),
+      s"span scrub joins must stay equi:\n$ss")
   }
 
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
