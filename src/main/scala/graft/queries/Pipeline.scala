@@ -446,6 +446,25 @@ object Pipeline {
     else inline
   }
 
+  /** IVF index balance diagnostic — per-cluster member counts and corpus
+    * share from the SAME shared (persisted) centroids the ANN queries
+    * probe: the report that tells an operator whether the index is
+    * skewed before a hot cluster becomes the serving bottleneck. One
+    * narrow assignment scan + one map-side-combined aggregation; the
+    * share window runs on the post-agg frame (≤ nlist rows). Empty
+    * clusters are absent (no member rows), same as the oracle's GROUP
+    * BY over the assignment CTE. */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Ivf.assign(b, sharedCentroids(b, dir))
+      .groupBy("cl").agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share",
+        col("n_vectors").cast(DoubleType) /
+          sum(col("n_vectors")).over(w).cast(DoubleType))
+      .orderBy("cl")
+  }
+
   def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
     Ivf.topKWith(b, sharedCentroids(b, dir), nQueries = IvfNq, k = IvfK,
@@ -712,6 +731,7 @@ object Pipeline {
     "q_ivf_rerank"       -> (ivfRerank _),
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
+    "q_cluster_sizes"    -> (clusterSizes _),
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1049,6 +1069,11 @@ object Pipeline {
         |  FROM documents) WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
+    "q_cluster_sizes" ->
+      s"""$ivfCtes
+         |SELECT cl, COUNT(*) AS n_vectors,
+         |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+         |FROM assign GROUP BY cl ORDER BY cl""".stripMargin,
     "q_embedding_dedup" -> semDedupSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
