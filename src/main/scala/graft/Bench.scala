@@ -62,7 +62,16 @@ object Bench {
     val medians = timed.map { case (name, runs) =>
       name -> (if (runs.nonEmpty) median(runs) else -1.0)
     }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision on the medians line: the driver's fixed-size
+    // tail capture clipped the FRONT of round 7's ~2.6 KB full-precision
+    // line, leaving the artifact unparseable. 3 decimals cuts ~¼ of the
+    // line (66 queries × ~8 chars of sub-ms noise digits) and loses
+    // nothing a benchmark can legitimately claim. Locale-safe BigDecimal
+    // formatting (no printf %f comma separators).
+    def fmt3(v: Double): String =
+      new java.math.BigDecimal(v)
+        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val spreads = timed.map { case (k, runs) =>
       // Double.toString, not printf: %f is locale-sensitive (a comma
@@ -78,7 +87,7 @@ object Bench {
     // only) go to stderr, where truncation cannot cost the headline numbers.
     System.err.println(s"""{"metric":"spread","n":$reps,"spread":$spreads}""")
     System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"n":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -282,14 +282,20 @@ object Dedup {
         .as("fps"))
 
   private def fpRows(sig: DataFrame): DataFrame =
-    sig.select(col("doc"), explode(col("fps")).as("fp"))
+    sig.select(col("doc"), size(col("fps")).as("nfp"), explode(col("fps")).as("fp"))
 
   /** [[dedupAgainstIndex]] with winnow-fingerprint recall over a
     * [[winnowIndex]]: candidates are new×(index ∪ earlier-new) pairs
     * sharing at least `minShared` fingerprints (the MOSS confidence
     * filter — one shared fingerprint is a single chance 6-token run;
     * true near-dups share many), verified by the same exact-Jaccard
-    * pass. Candidate generation equi-joins 8-byte fingerprints with a
+    * pass. A pair where EITHER doc carries fewer than `minShared`
+    * fingerprints is exempt from the filter (≥1 shared suffices): a
+    * short document gets one full-cover winnow window — exactly one
+    * fingerprint — and can never share two, so the confidence filter
+    * would unrecoverably hide true high-Jaccard short near-dups from
+    * the verifier. The verifier stays the precision gate either way.
+    * Candidate generation equi-joins 8-byte fingerprints with a
     * count aggregate — the delta side stays small, the index side is
     * one (doc, fp) scan. */
   def dedupAgainstWinnowIndex(newSig: DataFrame, index: DataFrame,
@@ -302,9 +308,11 @@ object Dedup {
     val cand = fpRows(newSig).as("x").join(eligible.as("y"),
         col("x.fp") === col("y.fp") &&
           (col("y.idx") || col("y.doc") < col("x.doc")))
-      .groupBy(col("x.doc").as("nd"), col("y.doc").as("od"))
+      .groupBy(col("x.doc").as("nd"), col("y.doc").as("od"),
+        col("x.nfp").as("nnfp"), col("y.nfp").as("onfp"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      .filter(col("n_shared") >= minShared ||
+        least(col("nnfp"), col("onfp")) < minShared)
       .select("nd", "od")
     survivorsAfterVerify(newSig, index, cand, threshold)
   }
@@ -322,6 +330,35 @@ object Dedup {
     val benchSh = shingleRowsOf(benchmark, textCol, idCol, n)
       .select(col("h")).distinct()
     corpusSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[contaminatedDocs]] behind a Bloom prefilter — the decontamination
+    * shape for benchmark suites too large to broadcast as an exact hash
+    * relation. The benchmark's distinct shingle hashes aggregate into ONE
+    * compact Bloom bitset (~1.2 MB per million grams at 1% fpp), the
+    * corpus gram stream is prefiltered by a native might-contain probe
+    * ([[graft.functions.BloomMightContain]] — codegen'd, shuffle-free,
+    * testing a cache-resident bitset instead of probing a per-row hash
+    * relation), and only the ~fpp survivors reach the exact join that
+    * removes false positives. The result is EXACTLY [[contaminatedDocs]]:
+    * the bitset changes the traffic, never the semantics. The verify
+    * join's corpus side is only the prefiltered grams, so it is tiny by
+    * construction — AQE broadcasts it or runs a small shuffle join; the
+    * full corpus gram stream itself never shuffles. */
+  def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val benchSh = shingleRowsOf(benchmark, textCol, idCol, n)
+      .select(col("h")).distinct()
+    // two actions over the benchmark grams (count sizes the bitset so the
+    // configured fpp actually holds; the aggregate builds it) — cheap by
+    // construction next to one corpus scan
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("h", expected, fpp)
+    val hits = shingleRowsOf(corpus, textCol, idCol, n)
+      .filter(graft.functions.BloomMightContain.mightContain(col("h"), bloom))
+    hits.join(benchSh, "h")
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -142,7 +142,15 @@ object Ivf {
     // assignments FIRST: [[indexExists]] probes the centroid marker, so
     // writing centroids last makes that marker certify the WHOLE index —
     // a crash between the two phases reads as "missing", not as a
-    // complete index with a husk assignments table
+    // complete index with a husk assignments table. On an OVERWRITE the
+    // ordering alone is not enough: the OLD index's marker would certify
+    // the NEW assignments if the crash lands between the phases — so the
+    // stale marker is deleted up front, making a mid-overwrite crash read
+    // as "missing" too (fresh write and overwrite share one crash story).
+    val marker = new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")
+    val fs = marker.getFileSystem(
+      b.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(marker)) fs.delete(marker, false)
     writeAssignments(b, cents, path)
     writeCentroids(b.sparkSession, cents, path)
   }

@@ -250,6 +250,20 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] served through the Bloom-prefilter path
+    * ([[Dedup.contaminatedDocsBloom]]): identical contaminated set (the
+    * exact join removes the bitset's false positives — the oracle is the
+    * SAME SQL as q_decontaminate), different traffic shape — the scale
+    * answer when the benchmark gram set outgrows a broadcast relation. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminatedDocsBloom(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
       .withColumnRenamed("doc", "doc_id")
@@ -723,6 +737,7 @@ object Pipeline {
     "q_winnow_incremental" -> (winnowIncremental _),
     "q_clean_corpus"     -> (cleanCorpus _),
     "q_decontaminate"    -> (decontaminate _),
+    "q_bloom_decontaminate" -> (bloomDecontaminate _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
@@ -767,6 +782,22 @@ object Pipeline {
       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
+
+  /** Decontamination oracle, shared by the exact broadcast path and the
+    * Bloom-prefilter path (the latter is exact by construction: the
+    * verify join removes bitset false positives). Shingle sets are hashed
+    * on the Spark side (xxhash64) and literal on the oracle side; the
+    * (doc, matched-distinct-shingle) sets coincide, so the per-doc hit
+    * counts agree. */
+  private val decontaminateSql =
+    """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+      |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
+      |SELECT x.doc_id, COUNT(*) AS n_hits
+      |FROM sh x JOIN bench b ON x.s = b.s
+      |WHERE x.doc_id >= 10
+      |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin
 
   /** Incremental-ingest oracle, shared by the MinHash-band and
     * winnow-fingerprint index variants: a new (odd-id) doc drops when a
@@ -1081,18 +1112,11 @@ object Pipeline {
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.9) AS p90,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    // shingle sets are hashed on the Spark side (xxhash64) and literal on
-    // the oracle side; the (doc, matched-distinct-shingle) sets coincide,
-    // so the per-doc hit counts agree.
-    "q_decontaminate" ->
-      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
-        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
-        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10)
-        |SELECT x.doc_id, COUNT(*) AS n_hits
-        |FROM sh x JOIN bench b ON x.s = b.s
-        |WHERE x.doc_id >= 10
-        |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+    // the Bloom path is exact by construction (prefilter + exact verify),
+    // so it shares the decontamination oracle verbatim — the recall claim
+    // "bloom loses nothing" is itself what the hash compare checks
+    "q_bloom_decontaminate" -> decontaminateSql,
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT lang, UNNEST(regexp_extract_all(text, '${TA.bpePattern}')) AS token FROM documents),
          |counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),

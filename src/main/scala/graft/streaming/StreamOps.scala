@@ -173,14 +173,20 @@ object StreamOps {
     * InSet probe per span — stateless narrow filter, no shuffle, no
     * streaming state, append-mode-safe like [[boilerplateGate]]. Emits
     * `n_spans` / `n_dup_spans` / `dup_frac` alongside the kept rows;
-    * sub-`n`-token docs have no spans and always pass (dup_frac 0). */
+    * sub-`n`-token docs have no spans and always pass (dup_frac 0).
+    * An EMPTY dup-hash set is the normal [[graft.operators.Dedup.dupSpanHashes]]
+    * result on a clean corpus (unlike the benchmark/boilerplate sets,
+    * which are non-empty by construction), so it gates every document
+    * through with zero counts instead of rejecting the composition. */
   def spanDupGate(docs: DataFrame, textCol: String, dupHashes: Seq[Long],
       n: Int, maxDupFrac: Double): DataFrame = {
-    require(dupHashes.nonEmpty, "empty duplicated-span set: nothing to gate")
     val hashes = transform(
       graft.functions.ShingleText.shingleText(col(textCol), n),
       s => xxhash64(s))
-    val hits = size(filter(hashes, h => h.isInCollection(dupHashes)))
+    // isInCollection on an empty seq is malformed — short-circuit to 0 hits
+    val hits =
+      if (dupHashes.isEmpty) lit(0)
+      else size(filter(hashes, h => h.isInCollection(dupHashes)))
     docs
       .withColumn("n_spans", size(hashes).cast("long"))
       .withColumn("n_dup_spans", hits.cast("long"))
@@ -263,6 +269,27 @@ object StreamOps {
     spark.read.parquet(indexPath)
   }
 
+  /** True when the ingest index at `path` holds COMMITTED data: a
+    * `batch_id=` partition directory or a legacy (pre-partitioned-layout)
+    * data file at the root. Probed through Hadoop's FileSystem, not
+    * java.nio — a production index lives on hdfs:// or s3://, where a
+    * local-path check would always report "missing". A directory holding
+    * only job debris (`_temporary` left by a first batch that crashed
+    * mid-write) reads as MISSING: bare-existence would send every replay
+    * into `spark.read.parquet` on a schema-less husk and the stream could
+    * never heal — the same husk rule [[graft.operators.Ivf.indexExists]]
+    * enforces with its _SUCCESS probe. */
+  private def indexHasData(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val name = st.getPath.getName
+      (st.isDirectory && name.startsWith("batch_id=")) ||
+        (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+    }
+  }
+
   /** One [[incrementalIngest]] micro-batch, exposed so the exactly-once
     * contract is directly testable: calling it twice with the same
     * `batchId` leaves the index identical to one call. */
@@ -272,12 +299,7 @@ object StreamOps {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val sig = Dedup.signatureIndex(batch, textCol, idCol, n, k, bands)
-    // probe through Hadoop's FileSystem, not java.nio: the index of a
-    // production ingest lives on hdfs:// or s3://, where a local-path
-    // check would always report "missing" and silently re-bootstrap
-    val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
-    val idxExists = idxHPath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
+    val idxExists = indexHasData(spark, indexPath)
     // a replayed batch must dedup against the index as it was BEFORE its
     // own first attempt — excluding its own partition does exactly that
     val index =
@@ -340,9 +362,7 @@ object StreamOps {
       Quantize.int8Bytes(col(vecCol)).as("bin"),
       VectorOps.hyperplaneBuckets(
         Quantize.roundTrip(col(vecCol)), planes, tables).as("buckets"))
-    val idxHPath = new org.apache.hadoop.fs.Path(indexPath)
-    val idxExists = idxHPath
-      .getFileSystem(spark.sessionState.newHadoopConf()).exists(idxHPath)
+    val idxExists = indexHasData(spark, indexPath)
     // a replayed batch must check against the index as it was BEFORE its
     // own first attempt — filtering out its own partition does exactly that
     def index = readIndexMigrated(spark, indexPath).filter(col("batch_id") =!= batchId)

@@ -252,6 +252,32 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(native.count(_._1 == 5L) == 1)
   }
 
+  test("BloomMightContain: no false negatives; codegen and interpreted agree") {
+    import spark.implicits._
+    val present = (0L until 1000L).map(_ * 2654435761L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(present.size.toLong, 0.01)
+    present.foreach(bloom.putLong)
+    val absent = (0L until 10000L).map(h => h * 0x9E3779B97F4A7C15L + 17L)
+      .filterNot(present.toSet)
+    val df = (present ++ absent).toDF("h")
+      .select(col("h"), BloomMightContain.mightContain(col("h"), bloom).as("m"))
+    val byHash = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the hard guarantee: every inserted value probes true
+    assert(present.forall(byHash(_)), "false negative in bloom probe")
+    // the soft guarantee: the absent set's positive rate is near fpp —
+    // generous bound so the test can never flake on sketch randomness
+    val fpr = absent.count(byHash(_)).toDouble / absent.size
+    assert(fpr < 0.05, s"false-positive rate $fpr implausible for fpp=0.01")
+    // interpreted eval (no codegen) must agree bit-for-bit
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = (present ++ absent).toDF("h")
+        .select(col("h"), BloomMightContain.mightContain(col("h"), bloom).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(interp == byHash, "codegen vs interpreted divergence")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("MinHashSignature is deterministic and order-invariant over the hash set") {
     import spark.implicits._
     val df = Seq(

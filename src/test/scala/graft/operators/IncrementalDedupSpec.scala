@@ -103,6 +103,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(fps.forall(n => n > 0 && n <= 48), s"fp set sizes: ${fps.toSeq}")
   }
 
+  test("winnow-index recalls short near-dup docs that carry a single fingerprint") {
+    import spark.implicits._
+    // a doc shorter than ~n+w tokens gets ONE full-cover winnow window —
+    // exactly one fingerprint — so the >=2-shared confidence filter alone
+    // could never surface its true near-dup pair; such pairs fall back to
+    // >=1 shared fp, and the exact-Jaccard verifier stays the precision
+    // gate (the j≈0.78 borderline pair must still survive)
+    val short = "alpha beta gamma delta epsilon" // 5 tokens, 3 shingles, 1 fp
+    def wsig(rows: Seq[(Long, String)]) =
+      Dedup.winnowIndex(rows.toDF("doc_id", "text"), "text", "doc_id",
+        n = N, w = 4)
+    val idx = wsig(Seq(0L -> short, 2L -> text("b")))
+    val delta = wsig(Seq(
+      1L -> short,                        // exact dup of short indexed 0 → drop
+      3L -> text("c"),                    // unique long doc → survive
+      5L -> "alpha beta gamma delta zeta")) // j = 2/4 = 0.5 < 0.8 → survive
+    val onlyFp = idx.union(delta).filter(col("doc").isin(0L, 1L, 5L))
+      .select("fps").collect().map(_.getSeq[Long](0).size)
+    assert(onlyFp.forall(_ == 1), s"short docs must carry 1 fp: ${onlyFp.toSeq}")
+    val survivors = Dedup.dedupAgainstWinnowIndex(delta, idx, T)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(3L, 5L), s"survivors: $survivors")
+  }
+
   test("incremental composition matches the full-batch pair predicate") {
     // full corpus: evens indexed, odds are the delta — survivors must be
     // exactly the odds with no qualifying jaccardPairs partner

@@ -99,6 +99,31 @@ class IvfSpec extends AnyFunSuite {
     assert(Ivf.readCentroids(spark, idx) == cents)
   }
 
+  test("a crash while OVERWRITING an index reads as missing, not as a mixed index") {
+    // writeIndex on an EXISTING index: the old centroids/_SUCCESS marker
+    // must not survive into the overwrite window, or a crash between the
+    // assignments and centroids phases would leave OLD centroids
+    // certifying NEW assignments — a silently mixed index
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val centsA = Ivf.centroids(b, nlist = 10, iters = 1)
+    val centsB = Ivf.centroids(b, nlist = 10, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_overwrite").toString
+    Ivf.writeIndex(b, centsA, idx)
+    assert(Ivf.indexExists(spark, idx))
+    // replay writeIndex's crash window by hand: marker cleared, new
+    // assignments written, death before writeCentroids
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/centroids/_SUCCESS")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    Ivf.writeAssignments(b, centsB, idx)
+    assert(!Ivf.indexExists(spark, idx),
+      "mid-overwrite crash state must read as missing")
+    // the retrain path heals it into a consistent index
+    Ivf.writeIndex(b, centsB, idx)
+    assert(Ivf.indexExists(spark, idx))
+    assert(Ivf.readCentroids(spark, idx) == centsB)
+  }
+
   test("index root resolves from spark conf; centroid-only writes; queries follow it") {
     val root = java.nio.file.Files.createTempDirectory("graft_root").toString
     spark.conf.set("spark.graft.index.root", root)

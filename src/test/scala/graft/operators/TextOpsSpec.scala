@@ -222,6 +222,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaWinnow == exact)
   }
 
+  test("bloom decontamination equals the exact broadcast path, even at absurd fpp") {
+    val d = docs(
+      1L -> "the secret benchmark question about databases",
+      2L -> "another held out evaluation prompt entirely",
+      10L -> "a corpus document repeating the secret benchmark question about databases",
+      11L -> "clean corpus text with novel words only",
+      12L -> "another held out evaluation prompt entirely copied verbatim",
+      13L -> "short")
+    val bench = d.filter(col("doc_id") < 10)
+    val corpus = d.filter(col("doc_id") >= 10)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Dedup.contaminatedDocs(corpus, bench, "text", "doc_id", n = 3))
+    val viaBloom = asMap(
+      Dedup.contaminatedDocsBloom(corpus, bench, "text", "doc_id", n = 3))
+    assert(viaBloom == exact, s"bloom path drifted: $viaBloom vs $exact")
+    // a deliberately terrible bitset (fpp 0.5) floods the prefilter with
+    // false positives — the verify join must still produce exact results
+    val sloppy = asMap(Dedup.contaminatedDocsBloom(
+      corpus, bench, "text", "doc_id", n = 3, fpp = 0.5))
+    assert(sloppy == exact, "verify join must erase bloom false positives")
+  }
+
   test("quantize: int8 round-trip error bounded by half a step; zero vector safe") {
     import spark.implicits._
     val d = Seq(

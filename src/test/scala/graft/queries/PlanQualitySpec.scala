@@ -129,6 +129,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 3, s"vocab top-k shuffled $exchanges times:\n$vocab")
   }
 
+  test("bloom decontamination probes the bitset in the scan stage, before any join") {
+    val docs = graft.Tables.documents(spark, dir)
+    val plan = planOf(graft.operators.Dedup.contaminatedDocsBloom(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 10),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10),
+      "text", "doc_id", n = 3))
+    // the native probe is a Filter in the corpus scan stage — the gram
+    // stream is cut to ~fpp before anything joins or shuffles
+    assert(plan.contains("rm_bloom_might_contain"),
+      s"expected the native bloom probe in:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"the probe must be a native expression, not a UDF:\n$plan")
+    val filterLine = plan.linesIterator.indexWhere(_.contains("rm_bloom_might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine < filterLine,
+      s"bloom filter must sit below (after) the verify join in the tree:\n$plan")
+  }
+
   test("boilerplate stats shuffle 8-byte hashes, broadcast the set, and never cache") {
     val plan = planOf(graft.operators.TextAnalysis.boilerplateStats(
       graft.Tables.documents(spark, dir), "text", "doc_id", minDf = 5))

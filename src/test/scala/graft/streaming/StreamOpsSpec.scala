@@ -431,6 +431,46 @@ class StreamOpsSpec extends AnyFunSuite {
       "the batch must dedup against the legacy rows, then append survivors")
   }
 
+  test("ingestBatch: a husk index dir (crashed first write) bootstraps instead of failing") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("husk_idx").resolve("index").toString
+    // a first batch that died mid-write leaves only job debris: the
+    // directory exists but holds no committed data files or partitions
+    Files.createDirectories(java.nio.file.Paths.get(idx, "_temporary", "0"))
+    val b = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    // bare fs.exists would route this into spark.read.parquet on the husk
+    // and throw on every replay; the committed-data probe bootstraps
+    StreamOps.ingestBatch(b, 0L, "text", "doc_id", idx,
+      n = 3, k = 64, bands = 16, threshold = 0.8)
+    val docs = spark.read.parquet(idx).select("doc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(docs == Seq(1L, 2L), s"healed bootstrap: $docs")
+  }
+
+  test("spanDupGate: an empty dup-span set (clean corpus) gates everything through") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a clean corpus NORMALLY yields zero duplicated spans — the batch→
+    // stream composition must pass every document, not throw
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val gated = StreamOps.spanDupGate(docs, "text", Seq.empty,
+      n = 5, maxDupFrac = 0.5)
+    val q = gated.select("doc_id", "n_dup_spans", "dup_frac")
+      .writeStream.format("memory").queryName("span_gate_empty")
+      .outputMode("append").start()
+    input.addData(
+      (10L, "one two three four five six seven"),
+      (11L, "tiny"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("span_gate_empty")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet == Set(10L, 11L), s"all kept: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 == 0L && r._3 == 0.0), "zero dup counts")
+  }
+
   test("embeddingIngestBatch: replaying a batchId leaves the int8 index unchanged") {
     import spark.implicits._
     def mix(z0: Long): Float = {
