@@ -500,6 +500,16 @@ object Dedup {
       n: Int): DataFrame =
     shingleRowsOf(benchmark, textCol, idCol, n).select(col("h")).distinct()
 
+  /** [[benchmarkHashes]] as a compact Bloom bitset — the batch artifact
+    * for [[graft.streaming.StreamOps.bloomDecontaminationGate]] when the
+    * benchmark gram set outgrows InSet literals: size-independent probe
+    * cost, ~1.2 MB per million grams at 1% fpp. */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, idCol: String,
+      n: Int, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val benchSh = benchmarkHashes(benchmark, textCol, idCol, n)
+    benchSh.stat.bloomFilter("h", math.max(benchSh.count(), 1L), fpp)
+  }
+
   private def shingleRowsOf(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("doc"),

@@ -57,6 +57,41 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Resample a corpus to TARGET mixture weights over a source column —
+    * the dataset-card knob ("web 60%, books 25%, code 15%") executed as
+    * a deterministic downsample. The largest total `T` keeping every
+    * per-source keep-rate ≤ 1 is `T = min_s(n_s / w_s)`; each weighted
+    * source then keeps `rate_s = w_s·T/n_s` of its documents via the
+    * [[hashBucket]] filter, so the surviving corpus has EXACTLY the
+    * requested proportions in expectation and the binding (scarcest
+    * relative to its weight) source is kept whole. Sources without a
+    * weight drop entirely; weighted sources absent from the corpus are
+    * ignored (they would otherwise force T = 0).
+    *
+    * Scale shape: rates derive from ONE map-side-combined aggregation
+    * whose result is |sources| rows on the driver — bounded by the
+    * mixture card, not the data — baked back as a CASE literal; the
+    * resample itself is the same narrow zero-shuffle filter as
+    * [[stratifiedSample]], stable under re-runs and repartitioning. */
+  def mixtureResample(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], mod: Int = 1000000): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "target weights must be positive")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no weighted source present in the corpus")
+    val t = present.map { case (s, w) => counts(s) / w }.min
+    // rate in BUCKETS: w·T/n·mod, left-to-right double evaluation — the
+    // oracle restates the identical IEEE op order, so the kept sets match
+    // bit-for-bit even when a rate lands within one ulp of an integer
+    val rate = present.toSeq.sortBy(_._1).foldLeft(lit(-1.0)) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(w * t / counts(s) * mod)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), mod).cast(DoubleType) < rate)
+  }
+
   /** Priority selection to a global token budget: rows in
     * (`scoreCol` desc, `idCol` asc) priority order are kept while the
     * running `tokensCol` total (including the current row) stays within

@@ -515,6 +515,20 @@ object Pipeline {
         "doc_id", "lang", Map("en" -> 30, "de" -> 60), defaultPct = 90)
       .orderBy("doc_id")
 
+  /** [[graft.operators.Sampling.mixtureResample]] to a 40/20/20/20
+    * en/de/es/zh target over the skewed language distribution (en holds
+    * ~44% of the corpus): en downsamples, the binding source keeps
+    * everything, fr (no weight) drops. The oracle restates the whole
+    * recipe — per-source counts, T = MIN(n/w), bucket < w·T/n·mod with
+    * the proven md5-bucket SQL — so the mixture math itself is part of
+    * the checked semantics, not just the final filter. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureResample(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
+      .orderBy("doc_id")
+
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.samplePerGroup(
@@ -758,6 +772,7 @@ object Pipeline {
     "q_boilerplate"      -> ((s: SparkSession, d: String) => boilerplate(s, d)),
     "q_pii_scrub"        -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_mixture_resample" -> (mixtureResample _),
     "q_sample_per_group" -> (samplePerGroup _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -1090,6 +1105,20 @@ object Pipeline {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
         |      CASE WHEN lang = 'en' THEN 30 WHEN lang = 'de' THEN 60 ELSE 90 END
+        |ORDER BY doc_id""".stripMargin,
+    // the mixture recipe restated end to end: counts, the binding ratio
+    // T = MIN(n/w) (DOUBLE division), per-source bucket rate w·T/n·mod in
+    // the SAME left-to-right IEEE op order as the Scala side, then the
+    // proven md5-bucket filter. fr has no weight row: the join drops it.
+    "q_mixture_resample" ->
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, CAST(wt AS DOUBLE) AS wt
+        |      FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('zh', 0.2)) AS w(lang, wt)),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS t FROM n JOIN w USING (lang)),
+        |r AS (SELECT lang, wt * t.t / n * 1000000 AS rate FROM n JOIN w USING (lang), t)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) < rate
         |ORDER BY doc_id""".stripMargin,
     "q_sample_per_group" ->
       """SELECT doc_id, lang FROM (

@@ -213,6 +213,28 @@ object StreamOps {
       .drop("__hits")
   }
 
+  /** [[decontaminationGate]] for benchmark suites too large to bake as
+    * InSet literals: the per-gram probe tests the compact Bloom bitset
+    * built batch-side by [[graft.operators.Dedup.benchmarkBloom]] — a
+    * few cache-resident MB at any benchmark size, carried in the plan
+    * like the InSet sets. Still a stateless, shuffle-free narrow filter.
+    * Semantics are CONSERVATIVE: a contaminated document is ALWAYS
+    * dropped (Bloom filters have no false negatives), and ~fpp of the
+    * clean documents whose grams collide with the bitset drop too — the
+    * right trade for a hygiene gate, where a lost clean document is
+    * cheap and a leaked benchmark document is not. Batch and stream
+    * evaluate the identical expression, so the stream's kept set equals
+    * the batch filter's kept set row for row. */
+  def bloomDecontaminationGate(docs: DataFrame, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int): DataFrame = {
+    val hits = size(filter(
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n),
+      h => graft.functions.BloomMightContain.mightContain(h, bloom)))
+    docs.withColumn("__hits", hits)
+      .filter(col("__hits") === 0)
+      .drop("__hits")
+  }
+
   /** Continuous incremental-ingest dedup: every micro-batch of the
     * document stream is deduped against the PERSISTED MinHash signature
     * index with the same batch operators the daily job uses

@@ -59,6 +59,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureResample: target proportions, binding source whole, unweighted dropped") {
+    import spark.implicits._
+    // skewed corpus: a 4000, b 1000, c 500, d 800 (d gets no weight)
+    val docs = (0 until 6300).map { i =>
+      val src = if (i < 4000) "a" else if (i < 5000) "b" else if (i < 5500) "c" else "d"
+      (i.toLong, src)
+    }.toDF("doc_id", "source")
+    val kept = Sampling.mixtureResample(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.2, "c" -> 0.3))
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(4000/0.5, 1000/0.2, 500/0.3) = 500/0.3 ≈ 1666.7 — c binds
+    assert(bySrc("c") == 500L, s"binding source must be kept whole: $bySrc")
+    assert(!bySrc.contains("d"), "unweighted sources drop entirely")
+    // kept proportions track the target within md5-bucket sampling noise
+    val total = bySrc.values.sum.toDouble
+    assert(math.abs(bySrc("a") / total - 0.5) < 0.05, s"a share off: $bySrc")
+    assert(math.abs(bySrc("b") / total - 0.2) < 0.05, s"b share off: $bySrc")
+    // deterministic: same input partitioned differently → same kept set
+    val again = Sampling.mixtureResample(docs.repartition(13), "doc_id",
+        "source", Map("a" -> 0.5, "b" -> 0.2, "c" -> 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a weighted-but-absent source must not zero the whole resample
+    val withGhost = Sampling.mixtureResample(docs, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.2, "c" -> 0.3, "nosuch" -> 0.1))
+    assert(withGhost.count() == kept.count(), "absent sources are ignored")
+  }
+
   test("tokenBudgetSelect boundary: zero budget selects nothing, and the " +
       "budget is a hard cap on the running total including the current row") {
     val d = corpus(50)

@@ -318,6 +318,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "stateless narrow gate")
   }
 
+  test("bloom decontamination gate: contaminated always dropped; stream equals batch filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq(
+      (1L, "the held out benchmark question about storage engines"),
+      (2L, "a second evaluation prompt nobody may train on")).toDF("doc_id", "text")
+    val bloom = graft.operators.Dedup.benchmarkBloom(bench, "text", "doc_id", n = 3)
+    val streamDocs = Seq(
+      (10L, "leaks the held out benchmark question about storage engines verbatim"),
+      (11L, "wholly unrelated prose concerning gardening techniques"),
+      (12L, "a second evaluation prompt nobody may train on plus suffix"),
+      (13L, "short"))
+    // the contract is batch/stream parity on the IDENTICAL expression —
+    // compute the batch gate's kept set first, then require the stream
+    // to reproduce it exactly (bloom false positives, if any, and all)
+    val batchKept = StreamOps.bloomDecontaminationGate(
+        streamDocs.toDF("doc_id", "text"), "text", bloom, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!batchKept.contains(10L) && !batchKept.contains(12L),
+      "no false negatives: contaminated docs can never pass the bitset")
+    assert(batchKept.contains(13L), "sub-n docs have no grams and pass")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bloomDecontaminationGate(
+        input.toDF.toDF("doc_id", "text"), "text", bloom, n = 3)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bloom_gate_out")
+      .outputMode("append").start()
+    input.addData(streamDocs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("bloom_gate_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept, s"stream $streamKept != batch $batchKept")
+    assert(q.lastProgress.stateOperators.isEmpty, "stateless narrow gate")
+  }
+
   test("incrementalIngest: micro-batches dedup against the persisted index via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
