@@ -100,7 +100,14 @@ object Ivf {
     require(vecs.nonEmpty, "IVF training needs at least one finite vector")
     val dims = vecs(0).length
 
-    def means(assignOf: Int => Int): Array[Array[Double]] = {
+    // A cluster that loses every member in a Lloyd step KEEPS its previous
+    // centroid (the standard empty-cluster rule): the codebook stays at
+    // full cardinality and fully finite, instead of collapsing to a NaN
+    // row that poisons comparisons. With id-seeded balanced init this
+    // only triggers at small nlist-to-data ratios (PQ sub-codebooks);
+    // oracle restatements model it as COALESCE(new_mean, previous).
+    def means(assignOf: Int => Int,
+        prev: Array[Array[Double]]): Array[Array[Double]] = {
       val sums = Array.fill(nlist, dims)(java.math.BigDecimal.ZERO)
       val counts = new Array[Long](nlist)
       var i = 0
@@ -114,14 +121,18 @@ object Ivf {
         }
         i += 1
       }
-      Array.tabulate(nlist, dims)((cl, d) => sums(cl)(d).doubleValue / counts(cl))
+      Array.tabulate(nlist, dims) { (cl, d) =>
+        if (counts(cl) == 0 && prev != null) prev(cl)(d)
+        else sums(cl)(d).doubleValue / counts(cl)
+      }
     }
 
     // floorMod so negative ids seed a valid group (the oracle's `%` is
     // spelled ((id % n) + n) % n for the same behavior)
-    val init = means(i => java.lang.Math.floorMod(ids(i), nlist.toLong).toInt)
+    val init = means(i => java.lang.Math.floorMod(ids(i), nlist.toLong).toInt, null)
     val trained = (1 to iters).foldLeft(init) { (cents, _) =>
-      means(i => graft.functions.NearestClusters.compute(vecs(i), cents, 1)(0).toInt)
+      means(i => graft.functions.NearestClusters.compute(vecs(i), cents, 1)(0).toInt,
+        cents)
     }
     trained.map(_.toSeq).toSeq
   }

@@ -370,6 +370,37 @@ object Pipeline {
   private val IvfDims = 64; private val IvfNlist = 10; private val IvfIters = 2
   private val IvfNq = 50; private val IvfK = 5; private val IvfNprobe = 5
   private val SemDedupThreshold = 0.35
+  // PQ geometry: 8 blocks × 16 codewords over 64 dims = 8 sub-byte codes
+  // per vector (32× smaller than the floats); one Lloyd iteration on the
+  // deterministic id-seeded init.
+  private val PqM = 8; private val PqK = 16; private val PqIters = 1
+
+  /** [[ivfRerank]] with the approximate side swapped from the int8 index
+    * to the PQ reconstruction ([[graft.operators.Pq]]): probed-cluster
+    * shortlist (equi-join on the cluster id — nothing corpus-wide),
+    * symmetric-distance scores on the 32×-compressed codebook
+    * reconstruction, exact rerank of the 20-vector shortlist on raw
+    * floats. The oracle re-derives the per-block k-means, codes, and
+    * reconstruction in SQL, so the whole PQ recipe is checked, not just
+    * the final ranking. */
+  def pqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val books = sharedCodebooks(b, dir)
+    val pqView = b.select(col("id"),
+      graft.operators.Pq.reconstruct(col("e"), books).as("dq"))
+    Ivf.sq8RerankWith(b, sharedCentroids(b, dir), pqView,
+        nQueries = IvfNq, k = IvfK, nprobe = IvfNprobe, shortlist = 20)
+      .orderBy("qid", "rank")
+  }
+
+  /** JVM-lifetime codebook cache, keyed like [[sharedCentroids]] (dir +
+    * data stamp + geometry) — training is deterministic, so a cache miss
+    * after restart retrains to bit-identical books. */
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int, Int), Seq[Seq[Seq[Double]]]]
+  private def sharedCodebooks(b: DataFrame, dir: String): Seq[Seq[Seq[Double]]] =
+    codebookCache.getOrElseUpdate((dir, embStamp(dir), PqM, PqK, PqIters),
+      graft.operators.Pq.trainCodebooks(b, PqM, PqK, PqIters))
 
   /** Train-once, reuse-forever: the ANN query and the SemDeDup query run
     * the same deterministic k-means over the same table, so the trained
@@ -758,6 +789,7 @@ object Pipeline {
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_quantized_rerank" -> (quantizedRerank _),
     "q_ivf_rerank"       -> (ivfRerank _),
+    "q_pq_rerank"        -> (pqRerank _),
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_cluster_sizes"    -> (clusterSizes _),
@@ -913,6 +945,48 @@ object Pipeline {
     sb ++= s""",
               |assign AS (SELECT id, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
               |probes AS (SELECT id qid, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c WHERE b.id<$IvfNq) WHERE rn<=$IvfNprobe)""".stripMargin
+    sb.result()
+  }
+
+  /** PQ oracle machinery — [[graft.operators.Pq]] restated per block on
+    * top of [[ivfCtes]]'s normalized `base`/`ex` frames: block `j` takes
+    * dims [j·len, (j+1)·len), seeds codeword `((id+j) % k + k) % k`
+    * (the Scala side's id-offset floorMod init), runs the same
+    * decimal-mean Lloyd iterations with the same left-associated
+    * squared-L2 chains and lower-index tie-break, then reconstructs each
+    * vector as its assigned codewords flattened in dimension order.
+    * Produces CTE `precon` (id, r) — the reconstruction every PQ query
+    * scores against. */
+  private def pqCtes: String = {
+    val len = IvfDims / PqM
+    def distChain(e: String, c: String): String =
+      (0 until len).map(d => s"($e[${d + 1}]-$c[${d + 1}])*($e[${d + 1}]-$c[${d + 1}])")
+        .mkString("0.0 + ", " + ", "")
+    val sb = new StringBuilder
+    for (j <- 0 until PqM) {
+      val off = j * len
+      sb ++= s""",
+                |pex$j AS (SELECT id, d - $off AS d, v FROM ex WHERE d >= $off AND d < ${off + len}),
+                |psub$j AS (SELECT id, LIST(v ORDER BY d) e FROM pex$j GROUP BY id),
+                |pc0_$j AS (SELECT (((id + $j) % $PqK) + $PqK) % $PqK cw, d, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM pex$j GROUP BY 1,2),
+                |pcent0_$j AS (SELECT cw, LIST(cv ORDER BY d) c FROM pc0_$j GROUP BY cw)""".stripMargin
+      var prev = s"pcent0_$j"
+      for (it <- 1 to PqIters) {
+        // COALESCE(new, previous): a codeword with no members this
+        // iteration keeps its previous centroid — Ivf.centroids'
+        // empty-cluster rule, which keeps the codebook at cardinality k
+        sb ++= s""",
+                  |pa${it}_$j AS (SELECT id, cw FROM (SELECT s.id, c.cw, ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY (${distChain("s.e", "c.c")}) ASC, c.cw ASC) rn FROM psub$j s CROSS JOIN $prev c) WHERE rn=1),
+                  |pcs${it}_$j AS (SELECT a.cw, x.d, CAST(SUM(CAST(x.v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM pex$j x JOIN pa${it}_$j a ON a.id=x.id GROUP BY 1,2),
+                  |pcent${it}_$j AS (SELECT p.cw, COALESCE(n.c, p.c) c FROM $prev p LEFT JOIN (SELECT cw, LIST(cv ORDER BY d) c FROM pcs${it}_$j GROUP BY cw) n ON n.cw = p.cw)""".stripMargin
+        prev = s"pcent${it}_$j"
+      }
+      sb ++= s""",
+                |paF$j AS (SELECT id, cw FROM (SELECT s.id, c.cw, ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY (${distChain("s.e", "c.c")}) ASC, c.cw ASC) rn FROM psub$j s CROSS JOIN $prev c) WHERE rn=1),
+                |ppr$j AS (SELECT a.id, t.d + $off AS gd, c.c[t.d+1] AS cv FROM paF$j a JOIN $prev c ON c.cw = a.cw, UNNEST(RANGE($len)) t(d))""".stripMargin
+    }
+    sb ++= s""",
+              |precon AS (SELECT id, LIST(cv ORDER BY gd) r FROM (${(0 until PqM).map(j => s"SELECT * FROM ppr$j").mkString(" UNION ALL ")}) GROUP BY id)""".stripMargin
     sb.result()
   }
 
@@ -1085,6 +1159,24 @@ object Pipeline {
          |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl = p.cl WHERE a.id <> p.qid),
          |approx AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(qd.d, cd.d) AS asim
          |           FROM cand JOIN dqv qd ON qd.id = qid JOIN dqv cd ON cd.id = cid),
+         |short AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC, cid ASC) r
+         |           FROM approx) WHERE r <= 20),
+         |exact AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) AS sim
+         |          FROM short JOIN rawv q ON q.id = qid JOIN rawv c ON c.id = cid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, sim FROM (
+         |  SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+         |  FROM exact) WHERE rank <= $IvfK ORDER BY qid, rank""".stripMargin,
+    // IVF-PQ: probes + assignment from the proven k-means CTEs,
+    // approximate scoring over the per-block PQ reconstruction (pqCtes —
+    // the whole train/encode/decode recipe restated), exact rerank on the
+    // 20-candidate shortlist only — q_ivf_rerank with dqv replaced by
+    // precon.
+    "q_pq_rerank" ->
+      s"""$ivfCtes$pqCtes,
+         |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl = p.cl WHERE a.id <> p.qid),
+         |approx AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(qr.r, cr.r) AS asim
+         |           FROM cand JOIN precon qr ON qr.id = qid JOIN precon cr ON cr.id = cid),
          |short AS (SELECT qid, cid FROM (
          |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC, cid ASC) r
          |           FROM approx) WHERE r <= 20),
