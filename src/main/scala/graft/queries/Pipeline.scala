@@ -379,17 +379,21 @@ object Pipeline {
     * to the PQ reconstruction ([[graft.operators.Pq]]): probed-cluster
     * shortlist (equi-join on the cluster id — nothing corpus-wide),
     * symmetric-distance scores on the 32×-compressed codebook
-    * reconstruction, exact rerank of the 20-vector shortlist on raw
-    * floats. The oracle re-derives the per-block k-means, codes, and
-    * reconstruction in SQL, so the whole PQ recipe is checked, not just
-    * the final ranking. */
+    * reconstruction, exact rerank of the 50-vector shortlist on raw
+    * floats. The shortlist is larger than SQ8's 20 by design: PQ codes
+    * are coarse enough that near-identical vectors TIE at the same
+    * approximate score (identical code vectors), and the deterministic
+    * cid tie-break would push true neighbors off a tight shortlist —
+    * PlantedRecallSpec measures the collapse. The oracle re-derives the
+    * per-block k-means, codes, and reconstruction in SQL, so the whole
+    * PQ recipe is checked, not just the final ranking. */
   def pqRerank(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
     val books = sharedCodebooks(b, dir)
     val pqView = b.select(col("id"),
       graft.operators.Pq.reconstruct(col("e"), books).as("dq"))
     Ivf.sq8RerankWith(b, sharedCentroids(b, dir), pqView,
-        nQueries = IvfNq, k = IvfK, nprobe = IvfNprobe, shortlist = 20)
+        nQueries = IvfNq, k = IvfK, nprobe = IvfNprobe, shortlist = 50)
       .orderBy("qid", "rank")
   }
 
@@ -1179,7 +1183,7 @@ object Pipeline {
          |           FROM cand JOIN precon qr ON qr.id = qid JOIN precon cr ON cr.id = cid),
          |short AS (SELECT qid, cid FROM (
          |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC, cid ASC) r
-         |           FROM approx) WHERE r <= 20),
+         |           FROM approx) WHERE r <= 50),
          |exact AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) AS sim
          |          FROM short JOIN rawv q ON q.id = qid JOIN rawv c ON c.id = cid)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, sim FROM (

@@ -137,4 +137,28 @@ class PlantedRecallSpec extends AnyFunSuite {
     assert(agree >= (NQueries * 0.9).toInt,
       s"sq8 top-k agrees with uncompressed IVF on only $agree/$NQueries queries")
   }
+
+  test("IVF-PQ rerank: the 32x-compressed shortlist still finds the planted dups") {
+    import org.apache.spark.sql.functions._
+    // q_pq_rerank's shape on the planted set: probed clusters -> PQ
+    // symmetric-distance approx (codebook reconstructions both sides) ->
+    // exact rerank. PQ scores are COARSE on purpose (~8 bytes per
+    // vector): cluster mates collapse onto identical code vectors, tie
+    // at approx sim 1.0, and the deterministic cid-asc tie-break ranks
+    // a high-id near-dup behind every tied mate — so the shortlist must
+    // cover the tie mass (up to a whole probed cluster), not just a few
+    // multiples of k. With that sizing the exact rerank restores the
+    // same contracts; with shortlist 20 the planted hit rate measurably
+    // collapses (0.32 when this contract was added).
+    val b = Ivf.base(planted, "vec_id", "embedding")
+    val cents = Ivf.centroids(b, nlist = Clusters, iters = 2)
+    val books = Pq.trainCodebooks(b, m = 8, k = 16, iters = 1)
+    val pqView = b.select(col("id"), Pq.reconstruct(col("e"), books).as("dq"))
+    val pq = topKMap(Ivf.sq8RerankWith(b, cents, pqView,
+      nQueries = NQueries, k = K, nprobe = 4, shortlist = 64))
+    val hit = plantedHitRate(pq)
+    val rec = recallAtK(pq)
+    assert(hit >= 0.9, s"planted-dup hit rate = $hit")
+    assert(rec >= 0.7, s"recall@5 = $rec")
+  }
 }
