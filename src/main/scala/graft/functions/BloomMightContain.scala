@@ -49,6 +49,18 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+
+  // content-based equality: the case-class default compares the byte
+  // array by identity, so two probes built from the same filter would
+  // never canonicalize equal — defeating sameResult plan matching,
+  // common-subexpression elimination, and cache reuse
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain =>
+      child == o.child && java.util.Arrays.equals(filterBytes, o.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 }
 
 object BloomMightContain {

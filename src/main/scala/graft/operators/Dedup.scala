@@ -349,11 +349,14 @@ object Dedup {
     * full corpus gram stream itself never shuffles. */
   def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
-    val benchSh = shingleRowsOf(benchmark, textCol, idCol, n)
-      .select(col("h")).distinct()
-    // two actions over the benchmark grams (count sizes the bitset so the
-    // configured fpp actually holds; the aggregate builds it) — cheap by
-    // construction next to one corpus scan
+    // localCheckpoint: the distinct benchmark gram set has THREE consumers
+    // (the count that sizes the bitset, the bloom aggregation, the exact
+    // verify join) — on the path whose whole point is large benchmark
+    // sets, recomputing that explode+distinct shuffle per consumer is the
+    // first thing to cut. Eager checkpoint materializes it once; its
+    // storage is released with the frame, no persist pin to hand-release.
+    val benchSh = benchmarkHashes(benchmark, textCol, idCol, n)
+      .localCheckpoint()
     val expected = math.max(benchSh.count(), 1L)
     val bloom = benchSh.stat.bloomFilter("h", expected, fpp)
     val hits = shingleRowsOf(corpus, textCol, idCol, n)

@@ -33,15 +33,24 @@ object Pq {
     * vector. */
   def trainCodebooks(b: DataFrame, m: Int, k: Int,
       iters: Int): Seq[Seq[Seq[Double]]] = {
-    val dims = b.select(size(col("e"))).head.getInt(0)
+    // same dims-probe guards as Ivf.centroids: skip null vectors, fail
+    // with a message instead of a bare NoSuchElementException on empty
+    val probe = b.filter(col("e").isNotNull).select(size(col("e"))).head(1)
+    require(probe.nonEmpty, "PQ training needs at least one non-null vector")
+    val dims = probe(0).getInt(0)
     require(dims % m == 0, s"dims $dims not divisible into $m blocks")
     val len = dims / m
-    (0 until m).map { j =>
+    // one materialization of (id, e) serves all m blocks' training jobs
+    // (each Ivf.centroids run is a count + dims probe + collect) instead
+    // of re-reading and re-normalizing the corpus ~3m times
+    val cached = b.select(col("id"), col("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try (0 until m).map { j =>
       // id + j decorrelates the deterministic id-seeded init per block
-      val sub = b.select((col("id") + lit(j.toLong)).as("id"),
+      val sub = cached.select((col("id") + lit(j.toLong)).as("id"),
         slice(col("e"), j * len + 1, len).as("e"))
       Ivf.centroids(sub, k, iters)
-    }
+    } finally cached.unpersist(blocking = false)
   }
 
   /** The m codeword ids of a vector — array<bigint>, each in [0, k). */

@@ -107,11 +107,15 @@ object Pipeline {
     * filter: one shared fingerprint is a single chance 6-token run (on
     * this corpus ~97% of 1-fp pairs are unrelated boilerplate echoes —
     * measured 334k 1-fp candidates vs 8k 2-fp at sf0.1), while a j ≥ 0.8
-    * near-dup shares most of its ~n_tokens/w fingerprints. The oracle
-    * restates exactly this: winnow-SQL candidates with the same
-    * HAVING ≥ 2 (proven winnow recipe from q_winnow_fingerprint)
-    * verified by the exact-Jaccard SQL (proven by q_ngram_jaccard), so
-    * the recall mechanism itself is part of the checked semantics. */
+    * near-dup shares most of its ~n_tokens/w fingerprints. Pairs where
+    * either doc carries fewer than 2 fingerprints (a short doc gets one
+    * full-cover window) are exempt — they fall back to ≥ 1 shared, or
+    * the filter would unrecoverably hide true short near-dups. The
+    * oracle restates exactly this: winnow-SQL candidates with the same
+    * HAVING (≥ 2 OR LEAST(nfp) < 2) (proven winnow recipe from
+    * q_winnow_fingerprint) verified by the exact-Jaccard SQL (proven by
+    * q_ngram_jaccard), so the recall mechanism itself is part of the
+    * checked semantics. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(spark, dir)
@@ -121,11 +125,18 @@ object Pipeline {
       .persist(lvl)
     val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3).persist(lvl)
     try {
-      val cand = fps.as("x").join(fps.as("y"),
+      // the [[Dedup.dedupAgainstWinnowIndex]] short-doc exemption, batch
+      // form: a doc with < 2 fingerprints (one full-cover window) can
+      // never share 2, so such pairs fall back to >= 1 shared fp and the
+      // exact-Jaccard verifier stays the precision gate
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val fpc = fps.withColumn("nfp", count(lit(1)).over(w))
+      val cand = fpc.as("x").join(fpc.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.nfp").as("na"), col("y.nfp").as("nb"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
+        .filter(col("n_shared") >= 2 || least(col("na"), col("nb")) < 2)
         .select("da", "db")
       Dedup.jaccardVerifiedPairs(cand, sh, threshold = 0.8)
         .localCheckpoint()
@@ -1174,8 +1185,8 @@ object Pipeline {
     // IVF-PQ: probes + assignment from the proven k-means CTEs,
     // approximate scoring over the per-block PQ reconstruction (pqCtes —
     // the whole train/encode/decode recipe restated), exact rerank on the
-    // 20-candidate shortlist only — q_ivf_rerank with dqv replaced by
-    // precon.
+    // 50-candidate shortlist only (sized for PQ's tie mass — see
+    // pqRerank) — q_ivf_rerank with dqv replaced by precon.
     "q_pq_rerank" ->
       s"""$ivfCtes$pqCtes,
          |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl = p.cl WHERE a.id <> p.qid),
@@ -1365,9 +1376,11 @@ object Pipeline {
         |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |      FROM h),
         |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n_g - 4, 0)),
+        |fpc AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY doc_id) nfp FROM fps),
         |cand AS (SELECT x.doc_id da, y.doc_id db
-        |         FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
-        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |         FROM fpc x JOIN fpc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |         GROUP BY x.doc_id, y.doc_id, x.nfp, y.nfp
+        |         HAVING COUNT(*) >= 2 OR LEAST(x.nfp, y.nfp) < 2),
         |arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
         |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
         |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),

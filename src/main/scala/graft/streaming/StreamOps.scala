@@ -269,14 +269,19 @@ object StreamOps {
     * the partitioned layout owns the directory from then on. A crash
     * midway loses nothing: the remaining root files move on the next
     * call, because the probe is "data files at the root", not a flag. */
+  /** A committed data file (not a job marker, temp dir, or hidden file) —
+    * ONE definition shared by the migration probe and the existence
+    * probe, so "has data" and "migrates data" can never disagree. */
+  private def isDataFile(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val name = st.getPath.getName
+    st.isFile && !name.startsWith("_") && !name.startsWith(".")
+  }
+
   private def readIndexMigrated(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val rootFiles = fs.listStatus(hPath).filter { st =>
-      val name = st.getPath.getName
-      st.isFile && !name.startsWith("_") && !name.startsWith(".")
-    }
+    val rootFiles = fs.listStatus(hPath).filter(isDataFile)
     if (rootFiles.nonEmpty) {
       val legacyDir = new org.apache.hadoop.fs.Path(hPath, "batch_id=-1")
       fs.mkdirs(legacyDir)
@@ -306,9 +311,8 @@ object StreamOps {
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && fs.listStatus(p).exists { st =>
-      val name = st.getPath.getName
-      (st.isDirectory && name.startsWith("batch_id=")) ||
-        (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+      (st.isDirectory && st.getPath.getName.startsWith("batch_id=")) ||
+        isDataFile(st)
     }
   }
 

@@ -144,6 +144,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val filterLine = plan.linesIterator.indexWhere(_.contains("rm_bloom_might_contain"))
     val joinLine = plan.linesIterator.indexWhere(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine >= 0, s"expected a verify join in the plan:\n$plan")
     assert(joinLine < filterLine,
       s"bloom filter must sit below (after) the verify join in the tree:\n$plan")
   }
