@@ -176,6 +176,37 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Single-pass column profiling — the ANALYZE-style stats report an
+    * engine produces before planning ingestion: per numeric column,
+    * (non-null count, null count, exact distinct count, min, max,
+    * decimal-exact sum). ONE scan computes every stat for every column
+    * in a single aggregation (Spark expands the multi-distinct into one
+    * Expand + aggregate — still one pass over the parquet), and the
+    * unpivot runs on the single result row via stack — bytes, not data.
+    * At 100 TB the same shape holds; swap `count_distinct` for
+    * `approx_count_distinct` when exactness isn't contractual (here the
+    * oracle hash-checks exact values). */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val d182 = DecimalType(18, 2)
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      count_distinct(col(c)).as(s"${c}__distinct"),
+      min(col(c)).cast(DoubleType).as(s"${c}__min"),
+      max(col(c)).cast(DoubleType).as(s"${c}__max"),
+      sum(col(c).cast(d182)).cast(DoubleType).as(s"${c}__sum"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    one.select(expr(
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__sum")
+        .mkString(", ") +
+      ") as (column_name, n_rows, n_nulls, n_distinct, min_v, max_v, sum_v)"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_record_when"      -> (recordWhen _),
     "q_mapping_chain"    -> (mappingChain _),
@@ -186,7 +217,8 @@ object Relational {
     "q_sort_limit_offset" -> (sortLimitOffset _),
     "q_topk_per_group"   -> (topkPerGroup _),
     "q_distinct"         -> (distinctPairs _),
-    "q_salted_join"      -> (saltedJoin _))
+    "q_salted_join"      -> (saltedJoin _),
+    "q_table_profile"    -> (tableProfile _))
 
   val oracles: Map[String, String] = Map(
     "q_record_when" ->
@@ -248,5 +280,16 @@ object Relational {
         |FROM orders
         |JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
         |  AS d(o_orderstatus, status_name) USING (o_orderstatus)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_table_profile" ->
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax").map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(COUNT($c) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
 }

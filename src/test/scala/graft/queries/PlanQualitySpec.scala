@@ -129,6 +129,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 3, s"vocab top-k shuffled $exchanges times:\n$vocab")
   }
 
+  test("table profile reads the parquet once for all columns and stats") {
+    val plan = planOf(Relational.tableProfile(spark, dir))
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"profile must scan lineitem exactly once, saw $scans:\n$plan")
+    // multi-distinct runs as ONE pass via Expand, not one scan per column
+    assert(plan.contains("Expand"), s"expected the multi-distinct Expand in:\n$plan")
+  }
+
   test("bloom decontamination probes the bitset in the scan stage, before any join") {
     val docs = graft.Tables.documents(spark, dir)
     val plan = planOf(graft.operators.Dedup.contaminatedDocsBloom(
