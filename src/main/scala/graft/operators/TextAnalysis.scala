@@ -21,6 +21,34 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * preparation op (RAG passages, long-document training windows):
+    * each document becomes chunks of `chunkSize` tokens starting every
+    * `chunkSize - overlap` tokens; the final chunk may be shorter, a
+    * sub-size document yields exactly one chunk. Pure narrow explode —
+    * start offsets come from one `sequence`, each chunk is a `slice` of
+    * the one tokenization, no shuffle, no re-scan per chunk. Output
+    * columns: the id, `chunk_id` (0-based), `chunk_text`, `n_tokens`. */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "chunk size must exceed the overlap")
+    val step = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val sz = size(toks)
+    docs
+      .select(col(idCol), toks.as("__toks"), sz.as("__sz"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0), col("__sz") - 1, lit(step)))
+          .as(Seq("chunk_id", "__start")),
+        col("__toks"), col("__sz"))
+      .select(col(idCol), col("chunk_id").cast(LongType).as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__sz") - col("__start"))
+          .cast(LongType).as("n_tokens"))
+  }
+
   /** BPE-ish regex tokenization (GPT-2-style segment classes: letter runs,
     * digit runs, punctuation runs, each absorbing one leading space). The
     * pattern avoids lookaround so Java regex and RE2 (the oracle) agree. */

@@ -275,6 +275,14 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** [[TA.chunkTokens]] over the corpus: 64-token context windows
+    * stepping every 48 tokens (16-token overlap) — the RAG-passage /
+    * training-window preparation pass, one narrow explode per doc. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    TA.chunkTokens(Tables.documents(spark, dir), "text", "doc_id",
+        chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
       .withColumnRenamed("doc", "doc_id")
@@ -798,6 +806,7 @@ object Pipeline {
     "q_clean_corpus"     -> (cleanCorpus _),
     "q_decontaminate"    -> (decontaminate _),
     "q_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q_chunk_docs"       -> (chunkDocuments _),
     "q_simhash"          -> (simhash _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
@@ -1249,6 +1258,16 @@ object Pipeline {
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.99) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
+    // chunk starts restated with RANGE(0, n, step) (same set as the Spark
+    // sequence(0, n-1, step)); chunk_id is start // step = the sequence
+    // position; list slicing clamps at the end on both engines.
+    "q_chunk_docs" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |st AS (SELECT doc_id, a, LEN(a) n, UNNEST(RANGE(0, LEN(a), 48)) AS start FROM arr)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |       ARRAY_TO_STRING(a[start+1 : start+64], ' ') AS chunk_text,
+        |       CAST(LEAST(64, n - start) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     // the Bloom path is exact by construction (prefilter + exact verify),
     // so it shares the decontamination oracle verbatim — the recall claim
     // "bloom loses nothing" is itself what the hash compare checks

@@ -222,6 +222,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaWinnow == exact)
   }
 
+  test("chunkTokens: overlapped windows, short final chunk, sub-size doc whole") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens
+      2L -> "a b c",                                  // sub-size: one chunk
+      3L -> (1 to 8).map(i => s"u$i").mkString(" "))  // exactly 2 steps
+    val out = TextAnalysis.chunkTokens(d, "text", "doc_id", chunkSize = 6, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: starts 0, 4, 8 → chunks of 6, 6, 2 tokens; overlap = t5 t6 / t9 t10
+    assert(byDoc(1L).map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4 t5 t6", "t5 t6 t7 t8 t9 t10", "t9 t10"))
+    assert(byDoc(1L).map(_._4).toSeq == Seq(6L, 6L, 2L))
+    // doc 2: single whole chunk
+    assert(byDoc(2L).map(r => (r._3, r._4)).toSeq == Seq(("a b c", 3L)))
+    // doc 3: 8 tokens → starts 0, 4 → 6-token + 4-token chunks
+    assert(byDoc(3L).map(_._4).toSeq == Seq(6L, 4L))
+    // every token of every doc is covered by at least one chunk
+    assert(byDoc(1L).map(_._3).flatMap(_.split(" ")).distinct.size == 10)
+  }
+
   test("bloom decontamination equals the exact broadcast path, even at absurd fpp") {
     val d = docs(
       1L -> "the secret benchmark question about databases",
