@@ -318,6 +318,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "stateless narrow gate")
   }
 
+  test("chunkTokens runs unchanged on a stream: narrow stateless explode, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the context-window chunker is a pure narrow explode, so the SAME
+    // operator body runs on an unbounded stream with no state, no
+    // watermark, and append-mode semantics — one plan, both modes
+    val docsSeq = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+    val batchOut = graft.operators.TextAnalysis.chunkTokens(
+        docsSeq.toDF("doc_id", "text"), "text", "doc_id", chunkSize = 6, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.chunkTokens(
+        input.toDF.toDF("doc_id", "text"), "text", "doc_id", chunkSize = 6, overlap = 2)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    input.addData(docsSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamOut = spark.table("chunk_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamOut == batchOut, s"stream $streamOut != batch $batchOut")
+    assert(q.lastProgress.stateOperators.isEmpty, "chunking must be stateless")
+  }
+
   test("bloom decontamination gate: contaminated always dropped; stream equals batch filter") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
