@@ -75,19 +75,40 @@ object Sampling {
     * [[stratifiedSample]], stable under re-runs and repartitioning. */
   def mixtureResample(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double], mod: Int = 1000000): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "target weights must be positive")
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    resampleByMass(df, idCol, sourceCol, counts, weights, mod)
+  }
+
+  /** [[mixtureResample]] with the mass measured in TOKENS instead of
+    * documents — the realistic dataset-card knob (mixtures are stated
+    * in training tokens): per-source mass is Σ`tokensCol`, the binding
+    * ratio and keep-rates follow, and the same per-document md5-bucket
+    * filter applies them, so the EXPECTED surviving token mass lands on
+    * the target shares. (Exact selection to a hard token budget is
+    * [[tokenBudgetSelect]]; this is the proportional knob.) */
+  def mixtureResampleTokens(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, weights: Map[String, Double],
+      mod: Int = 1000000): DataFrame = {
+    val masses = df.groupBy(sourceCol).agg(sum(col(tokensCol)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    resampleByMass(df, idCol, sourceCol, masses, weights, mod)
+  }
+
+  private def resampleByMass(df: DataFrame, idCol: String, sourceCol: String,
+      mass: Map[String, Long], weights: Map[String, Double],
+      mod: Int): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "target weights must be positive")
+    val present = weights.filter { case (s, _) => mass.getOrElse(s, 0L) > 0L }
     require(present.nonEmpty, "no weighted source present in the corpus")
-    val t = present.map { case (s, w) => counts(s) / w }.min
+    val t = present.map { case (s, w) => mass(s) / w }.min
     // rate in BUCKETS: w·T/n·mod, left-to-right double evaluation — the
     // oracle restates the identical IEEE op order, so the kept sets match
     // bit-for-bit even when a rate lands within one ulp of an integer
     val rate = present.toSeq.sortBy(_._1).foldLeft(lit(-1.0)) {
       case (acc, (s, w)) =>
-        when(col(sourceCol) === s, lit(w * t / counts(s) * mod)).otherwise(acc)
+        when(col(sourceCol) === s, lit(w * t / mass(s) * mod)).otherwise(acc)
     }
     df.filter(hashBucket(col(idCol), mod).cast(DoubleType) < rate)
   }

@@ -583,6 +583,18 @@ object Pipeline {
         Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
       .orderBy("doc_id")
 
+  /** [[mixtureResample]]'s token-weighted sibling: the same 40/20/20/20
+    * target, but the per-language mass is Σ tokens — the form a real
+    * dataset card states. Keeps (doc_id, lang, n_tokens) so the oracle
+    * checks the token accounting too. */
+  def mixtureTokens(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureResampleTokens(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "lang", "n_tokens",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
+      .orderBy("doc_id")
+
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.samplePerGroup(
@@ -829,6 +841,7 @@ object Pipeline {
     "q_pii_scrub"        -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_mixture_resample" -> (mixtureResample _),
+    "q_mixture_tokens"   -> (mixtureTokens _),
     "q_sample_per_group" -> (samplePerGroup _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -1234,6 +1247,19 @@ object Pipeline {
         |r AS (SELECT lang, wt * t.t / n * 1000000 AS rate FROM n JOIN w USING (lang), t)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) < rate
+        |ORDER BY doc_id""".stripMargin,
+    // token-weighted mixture: identical recipe with n = per-language
+    // token sums (the LEN(STRING_SPLIT) token count proven elsewhere)
+    "q_mixture_tokens" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) n_tokens FROM documents),
+        |n AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS n FROM d GROUP BY lang),
+        |w AS (SELECT lang, CAST(wt AS DOUBLE) AS wt
+        |      FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('zh', 0.2)) AS w(lang, wt)),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS t FROM n JOIN w USING (lang)),
+        |r AS (SELECT lang, wt * t.t / n * 1000000 AS rate FROM n JOIN w USING (lang), t)
+        |SELECT d.doc_id, d.lang, d.n_tokens
+        |FROM d JOIN r USING (lang)
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) < rate
         |ORDER BY doc_id""".stripMargin,
     "q_sample_per_group" ->

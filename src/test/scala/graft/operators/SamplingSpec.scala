@@ -88,6 +88,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(withGhost.count() == kept.count(), "absent sources are ignored")
   }
 
+  test("mixtureResampleTokens: the binding source is decided by token mass, not doc count") {
+    import spark.implicits._
+    // a: many short docs (100 × 10 tok = 1000); b: few long docs
+    // (10 × 200 tok = 2000). Under DOC weighting a dominates; under
+    // TOKEN weighting with equal weights, a is the scarce source
+    // (T = min(1000/0.5, 2000/0.5) = 2000) and must be kept whole
+    val docs = ((0 until 100).map(i => (i.toLong, "a", 10L)) ++
+        (100 until 110).map(i => (i.toLong, "b", 200L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Sampling.mixtureResampleTokens(docs, "doc_id", "source",
+        "n_tokens", Map("a" -> 0.5, "b" -> 0.5))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 100L, s"token-scarce source must be kept whole: $kept")
+    // b keeps ~half its documents (rate = 0.5·2000/2000 = 0.5)
+    assert(kept.getOrElse("b", 0L) > 0L && kept("b") < 10L,
+      s"token-rich source must be downsampled: $kept")
+  }
+
   test("tokenBudgetSelect boundary: zero budget selects nothing, and the " +
       "budget is a hard cap on the running total including the current row") {
     val d = corpus(50)
