@@ -38,5 +38,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Exit HARD: round 7's driver compare hit transient OOMs (1–2 MB
+    // mallocs failing) on 4 queries while this JVM's heap could still be
+    // resident — local-mode Spark occasionally leaves non-daemon threads
+    // that keep the process (and its -Xmx) alive after main returns. The
+    // dump is complete and flushed at this point; free the memory for the
+    // DuckDB compare that runs next.
+    sys.exit(0)
   }
 }
