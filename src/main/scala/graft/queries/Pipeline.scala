@@ -288,6 +288,16 @@ object Pipeline {
       .withColumnRenamed("doc", "doc_id")
       .orderBy("doc_id")
 
+  /** Every document pair within Hamming radius 3 on the 60-bit simhash —
+    * exactly (4 bands of 15 bits make the banded equi-join lossless at
+    * radius < 4 by pigeonhole), while the oracle states the naive
+    * quadratic popcount join. The signature-level near-dup sibling of
+    * q_minhash_dedup whose banding, unlike MinHash's, loses nothing. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "text", "doc_id",
+        maxHamming = 3, bits = 60, bands = 4)
+      .orderBy("da", "db")
+
   def similarityTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         nQueries = 50, k = 5)
@@ -820,6 +830,7 @@ object Pipeline {
     "q_bloom_decontaminate" -> (bloomDecontaminate _),
     "q_chunk_docs"       -> (chunkDocuments _),
     "q_simhash"          -> (simhash _),
+    "q_simhash_pairs"    -> (simhashPairs _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
     "q_embedding_quantize" -> (embeddingQuantize _),
@@ -904,9 +915,11 @@ object Pipeline {
       |WHERE doc_id % 2 = 0 OR doc_id NOT IN (SELECT doc_id FROM dropped)
       |ORDER BY doc_id""".stripMargin
 
-  /** SimHash oracle: the md5-60-bit algorithm of Dedup.simhashAgg restated
-    * in SQL — generated so the bit width stays in one place. */
-  private val simhashSql = {
+  /** SimHash oracle CTEs: the md5-60-bit algorithm of Dedup.simhashAgg
+    * restated in SQL — generated so the bit width stays in one place.
+    * Ends with `sig(doc_id, simhash)`; shared by the per-doc signature
+    * oracle and the Hamming-pairs oracle. */
+  private def simhashCtes: String = {
     val bits = 60
     val sums = (0 until bits)
       .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -916,9 +929,24 @@ object Pipeline {
       .mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT AS th FROM toks),
-       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
+
+  private val simhashSql =
+    s"""$simhashCtes
+       |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Hamming-pairs oracle: the NAIVE quadratic popcount join the banded
+    * Spark plan is provably equivalent to (pigeonhole at radius 3 < 4
+    * bands) — the oracle states the semantics, the plan earns the scale. */
+  private val simhashPairsSql =
+    s"""$simhashCtes
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+       |ORDER BY da, db""".stripMargin
 
   /** LSH ANN oracle: the exact lshTopK computation restated in SQL with the
     * ±1 hyperplane weights inlined as literals (same splitmix64-derived
@@ -1111,6 +1139,7 @@ object Pipeline {
         |       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share
         |FROM a ORDER BY source, lang""".stripMargin,
     "q_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     // winnowing restated with SQL window functions: trigram per position,
     // md5-60-bit hash (the proven simhash parity recipe), MIN over a
     // 4-position frame, one full-cover window for docs with < 4 grams

@@ -176,6 +176,47 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Co-located (bucketed) fact-to-fact join — TPC-H Q4 shape: per-order
+    * lineitem revenue joined back to the order's priority, both sides
+    * pre-bucketed on the order key by [[graft.operators.Bucketing]].
+    *
+    * Scale shape: lineitem⋈orders is the join a warehouse runs hundreds
+    * of times a day, and orders is NOT broadcastable at 100 TB — the
+    * honest default is a sort-merge join that shuffles BOTH fact tables
+    * every query. Bucketing pays that shuffle once at layout time:
+    * with both tables bucketed (and bucket-sorted) on the order key into
+    * the same count, the merge join zips bucket i with bucket i in place —
+    * the `merge` hint pins the SMJ (at sandbox scale AQE would broadcast
+    * instead, hiding exactly the plan this query exists to prove; see
+    * PlanQualitySpec's zero-Exchange/zero-Sort assertion on the join).
+    * The only Exchange in the whole plan is the final tiny rollup to
+    * priority grain. */
+  def bucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val d182 = DecimalType(18, 2)
+    val liT = Bucketing.tableFor("graft_bkt_lineitem", dir)
+    val oT = Bucketing.tableFor("graft_bkt_orders", dir)
+    Bucketing.ensureBucketed(spark,
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      liT, "l_orderkey", buckets = 8)
+    Bucketing.ensureBucketed(spark,
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      oT, "o_orderkey", buckets = 8)
+    val li = spark.table(liT)
+    val o = spark.table(oT)
+    li.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast(d182)
+            * (lit(1).cast(d182) - col("l_discount").cast(d182)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Single-pass column profiling — the ANALYZE-style stats report an
     * engine produces before planning ingestion: per numeric column,
     * (non-null count, null count, exact distinct count, min, max,
@@ -227,6 +268,7 @@ object Relational {
     "q_topk_per_group"   -> (topkPerGroup _),
     "q_distinct"         -> (distinctPairs _),
     "q_salted_join"      -> (saltedJoin _),
+    "q_bucket_join"      -> (bucketJoin _),
     "q_table_profile"    -> (tableProfile _))
 
   val oracles: Map[String, String] = Map(
@@ -290,6 +332,14 @@ object Relational {
         |JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
         |  AS d(o_orderstatus, status_name) USING (o_orderstatus)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_table_profile" ->
       Seq("l_discount", "l_linenumber", "l_quantity", "l_tax").map { c =>
         s"""SELECT '$c' AS column_name,

@@ -52,8 +52,11 @@ object Sinks {
     * metadata. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, sortCols: Seq[String] = Nil,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode).format("parquet").bucketBy(buckets, bucketCol)
+      mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    val base = df.write.mode(mode).format("parquet")
+    val w = path.fold(base)(p => base.option("path", p))
+      .bucketBy(buckets, bucketCol)
     val ws = sortCols match {
       case head +: tail => w.sortBy(head, tail: _*)
       case _ => w

@@ -222,6 +222,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(viaWinnow == exact)
   }
 
+  test("simhashPairs: banded equi-join equals the naive quadratic Hamming join") {
+    // pigeonhole exactness: at radius 3 with 4 bands of 15 bits, any pair
+    // within the radius shares >=1 band slice — so the banded candidate
+    // path must reproduce the all-pairs popcount join EXACTLY (unlike
+    // MinHash banding, which trades recall). Real corpus, not toys.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sig = Dedup.simhashAgg(docs, "text", "doc_id")
+    val naive = sig.as("a").join(sig.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("da"), col("b.doc").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3, bits = 60, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(naive.nonEmpty, "test corpus must contain simhash near-dups")
+    assert(banded == naive)
+  }
+
+  test("simhashPairs: radius >= bands is rejected (banding would lose pairs)") {
+    val d = docs(1L -> "a b c", 2L -> "a b d")
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("chunkTokens: overlapped windows, short final chunk, sub-size doc whole") {
     val d = docs(
       1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens

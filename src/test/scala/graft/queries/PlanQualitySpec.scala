@@ -320,4 +320,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(lshPlan.contains("rm_hyperplane_buckets"),
       s"expected native bucket expression in:\n$lshPlan")
   }
+
+  test("bucketed join: sort-merge with zero Exchange and zero Sort on either side") {
+    // the layout claim q_bucket_join exists for: both sides pre-bucketed
+    // (and bucket-sorted, one file per bucket) on the order key, so the
+    // merge join zips bucket i with bucket i — no shuffle, no sort, ever.
+    Relational.bucketJoin(spark, dir).collect() // ensures the bucketed tables
+    import org.apache.spark.sql.functions.col
+    val li = spark.table(graft.operators.Bucketing.tableFor("graft_bkt_lineitem", dir))
+    val o = spark.table(graft.operators.Bucketing.tableFor("graft_bkt_orders", dir))
+    val plan = planOf(li.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey")))
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over the bucketed tables:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed join must not shuffle either side:\n$plan")
+    // with one sorted file per bucket (what Bucketing's repartition-first
+    // write guarantees) the scan may also report its sort order and elide
+    // the per-task Sorts — Spark keeps that behind a flag because multi-
+    // file buckets can't promise global order
+    val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingConf, "true")
+    try {
+      val sortedPlan = planOf(li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey")))
+      assert(!sortedPlan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$sortedPlan")
+      assert(!sortedPlan.linesIterator.exists(l =>
+        l.contains("Sort ") && !l.contains("SortMergeJoin")),
+        s"bucket-sorted single-file buckets must stream-merge without Sort:\n$sortedPlan")
+    } finally spark.conf.set(orderingConf, "false")
+    // bucket pruning: an equality predicate on the bucket key reads 1 of 8
+    // buckets (auto-bucketed-scan would disable bucketed reading for a
+    // filter-only plan — it only counts distribution needs, not pruning —
+    // so pin the behavior with the heuristic off)
+    val autoConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(autoConf, "false")
+    try {
+      val pruned = planOf(li.filter(col("l_orderkey") === 42))
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning on the key predicate:\n$pruned")
+    } finally spark.conf.set(autoConf, "true")
+  }
+
+  test("simhash pairs: banded equi-join candidates — no cartesian, popcount in codegen") {
+    val plan = planOf(Pipeline.simhashPairs(spark, dir).limit(1))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"simhash pair generation must never go all-pairs:\n$plan")
+    assert(plan.contains("bit_count"),
+      s"expected the codegen'd popcount verify in:\n$plan")
+  }
 }
