@@ -611,6 +611,40 @@ object Dedup {
     docs.select(col(idCol).as("doc"),
       graft.functions.Md5SimHash.simhash(col(textCol), bits).as("simhash"))
 
+  /** [[dedupAgainstIndex]] with SIMHASH recall over a persisted
+    * (doc, simhash) index — the cheapest incremental near-dup state
+    * there is: EIGHT BYTES per indexed document (vs `|shingles| + bands`
+    * longs for the MinHash index, `|shingles| + |grams|/w` for winnow).
+    * A new document drops when a signature within Hamming radius
+    * `maxHamming` exists in the index or earlier in the batch.
+    * Candidates come from the [[simhashBands]] equi-join; radius < bands
+    * makes candidate generation LOSSLESS (pigeonhole), and the popcount
+    * filter on the candidate pairs IS the exact verify — unlike the
+    * MinHash/winnow paths there is no second verification join, because
+    * the predicate ("Hamming ≤ r") is decidable from the two signatures
+    * alone. The trade: Hamming radius is a blunter similarity notion
+    * than exact Jaccard — the signature cannot reconstruct WHAT
+    * overlapped, so this is the Manku-style serving gate, not the
+    * audit-grade verifier. Index side shuffles `bands` 8-byte slices per
+    * doc; nothing re-tokenizes. */
+  def dedupAgainstSimhashIndex(newSig: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole exactness needs maxHamming ($maxHamming) < bands ($bands)")
+    val nb = simhashBands(newSig, bits, bands)
+    // ONE candidate join against index ∪ earlier-in-batch (flagged) —
+    // the single-pass shape dedupAgainstWinnowIndex established
+    val eligible = simhashBands(index, bits, bands).withColumn("idx", lit(true))
+      .unionByName(nb.withColumn("idx", lit(false)))
+    val dropped = nb.as("x").join(eligible.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          (col("y.idx") || col("y.doc") < col("x.doc")))
+      .filter(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+        <= maxHamming)
+      .select(col("x.doc").as("doc")).distinct()
+    newSig.join(dropped, Seq("doc"), "left_anti")
+  }
+
   /** Band keys for a simhash signature: `bands` rows of
     * (band index, band-sized bit slice). The candidate-generation key for
     * [[simhashPairs]] — two signatures within Hamming radius < `bands`

@@ -250,6 +250,29 @@ object Pipeline {
     } finally sig.unpersist(blocking = false)
   }
 
+  /** [[dedupIncremental]] with the SIMHASH index — the 8-bytes-per-doc
+    * recall mechanism ([[graft.operators.Dedup.dedupAgainstSimhashIndex]]):
+    * same even-id-index / odd-id-delta composition; a new doc drops when
+    * a signature within Hamming radius 3 exists in the index or earlier
+    * in the batch. Banding is lossless at radius 3 < 4 bands, so the
+    * oracle can state the naive quadratic popcount predicate. */
+  def simhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sig = Dedup.simhashAgg(docs, "text", "doc_id").persist(lvl)
+    val idxA = sig.filter(col("doc") % 2 === 0)
+    val sigB = sig.filter(col("doc") % 2 === 1)
+    try {
+      val survivors = Dedup.dedupAgainstSimhashIndex(sigB, idxA,
+        maxHamming = 3, bits = 60, bands = 4)
+      idxA.union(survivors)
+        .select(col("doc").as("doc_id"),
+          when(col("doc") % 2 === 0, lit("index")).otherwise(lit("new")).as("src"))
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } finally sig.unpersist(blocking = false)
+  }
+
   /** Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
     * 3-gram with the "benchmark" docs (doc_id < 10), with hit counts. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -282,6 +305,16 @@ object Pipeline {
     TA.chunkTokens(Tables.documents(spark, dir), "text", "doc_id",
         chunkSize = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
+
+  /** The publish-step manifest: 16 deterministic training shards over the
+    * cleaned corpus — per shard, docs/tokens/chars. md5-stable shard
+    * membership (re-runs can't move a document), one map-side-combined
+    * aggregation; [[graft.operators.Sharding.writeShards]] materializes
+    * the matching one-file-per-shard layout (ShardingSpec). */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sharding.shardManifest(
+        Tables.documents(spark, dir), "text", "doc_id", nShards = 16)
+      .orderBy("shard")
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
@@ -825,12 +858,14 @@ object Pipeline {
     "q_dedup_clusters"   -> (dedupClusters _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_winnow_incremental" -> (winnowIncremental _),
+    "q_simhash_incremental" -> (simhashIncremental _),
     "q_clean_corpus"     -> (cleanCorpus _),
     "q_decontaminate"    -> (decontaminate _),
     "q_bloom_decontaminate" -> (bloomDecontaminate _),
     "q_chunk_docs"       -> (chunkDocuments _),
     "q_simhash"          -> (simhash _),
     "q_simhash_pairs"    -> (simhashPairs _),
+    "q_shard_manifest"   -> (shardManifest _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
     "q_embedding_quantize" -> (embeddingQuantize _),
@@ -936,6 +971,21 @@ object Pipeline {
   private val simhashSql =
     s"""$simhashCtes
        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Simhash incremental-ingest oracle: even-id docs are the index, an
+    * odd-id doc drops when a Hamming-≤3 partner exists among even docs
+    * or earlier odd docs — stated as the naive quadratic popcount
+    * predicate, which the banded plan provably equals. */
+  private val simhashIncrementalSql =
+    s"""$simhashCtes,
+       |dropped AS (SELECT DISTINCT a.doc_id
+       |  FROM sig a JOIN sig b
+       |    ON a.doc_id % 2 = 1 AND (b.doc_id % 2 = 0 OR b.doc_id < a.doc_id)
+       |   AND BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3)
+       |SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'index' ELSE 'new' END AS src
+       |FROM documents
+       |WHERE doc_id % 2 = 0 OR doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
 
   /** Hamming-pairs oracle: the NAIVE quadratic popcount join the banded
     * Spark plan is provably equivalent to (pigeonhole at radius 3 < 4
@@ -1140,6 +1190,13 @@ object Pipeline {
         |FROM a ORDER BY source, lang""".stripMargin,
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
+    "q_simhash_incremental" -> simhashIncrementalSql,
+    "q_shard_manifest" ->
+      """SELECT ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
     // winnowing restated with SQL window functions: trigram per position,
     // md5-60-bit hash (the proven simhash parity recipe), MIN over a
     // 4-position frame, one full-cover window for docs with < 4 grams

@@ -343,6 +343,53 @@ object StreamOps {
       .parquet(indexPath)
   }
 
+  /** Continuous SIMHASH-ingest dedup — [[incrementalIngest]] with the
+    * 8-bytes-per-document index ([[graft.operators.Dedup.simhashAgg]] /
+    * [[graft.operators.Dedup.dedupAgainstSimhashIndex]]): the serving
+    * gate for "have we crawled something within Hamming radius r of
+    * this before" when the full shingle-set index is too expensive to
+    * keep hot. Signature computation is one narrow native pass over the
+    * delta; candidate generation is lossless banding (radius < bands);
+    * the index never re-tokenizes because 60 bits per doc IS the index.
+    * Exactly-once under replay via the same `batch_id=` dynamic
+    * partition overwrite as the other ingest loops. */
+  def simhashIngest(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, maxHamming: Int = 3, bits: Int = 60,
+      bands: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        simhashIngestBatch(batch.toDF(), batchId, textCol, idCol, indexPath,
+          maxHamming, bits, bands)
+    }
+
+  /** One [[simhashIngest]] micro-batch (see [[ingestBatch]]): replaying
+    * the same `batchId` is idempotent. */
+  def simhashIngestBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, indexPath: String, maxHamming: Int, bits: Int,
+      bands: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val sig = Dedup.simhashAgg(batch, textCol, idCol, bits)
+    val idxExists = indexHasData(spark, indexPath)
+    // a replayed batch must dedup against the index as it was BEFORE its
+    // own first attempt — excluding its own partition does exactly that
+    val index =
+      if (idxExists)
+        readIndexMigrated(spark, indexPath)
+          .filter(col("batch_id") =!= batchId)
+          .select("doc", "simhash")
+      else sig.filter(lit(false))
+    val survivors = Dedup.dedupAgainstSimhashIndex(
+        sig, index, maxHamming, bits, bands)
+      .localCheckpoint()
+    survivors.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(indexPath)
+  }
+
   /** Continuous embedding-ingest dedup — the ANN twin of
     * [[incrementalIngest]]: every micro-batch of the embedding stream is
     * near-dup-checked against the PERSISTED byte-packed int8 index and

@@ -510,6 +510,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(docs == Seq(1L, 2L), s"healed bootstrap: $docs")
   }
 
+  test("simhashIngestBatch: 8-byte-per-doc index dedups batches; replay idempotent") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("simhash_idx").resolve("index").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon"), // radius-0 dup of indexed 1
+      (4L, "six seven eight nine ten")).toDF("doc_id", "text")
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamOps.simhashIngestBatch(b, id, "text", "doc_id", idx,
+        maxHamming = 3, bits = 60, bands = 4)
+    ingest(b1, 0L); ingest(b2, 1L)
+    def state() = spark.read.parquet(idx).select("doc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(state() == Seq(1L, 2L, 4L))
+    // the whole index is (doc, simhash, batch_id) — no shingle sets, no
+    // band keys: 8 bytes of signature per document
+    assert(spark.read.parquet(idx).columns.sorted.toSeq
+      == Seq("batch_id", "doc", "simhash"))
+    // a failure-recovery replay must overwrite its own partition
+    ingest(b2, 1L)
+    assert(state() == Seq(1L, 2L, 4L), "replay must be idempotent")
+    assert(spark.read.parquet(idx).count() == 3, "no duplicate index rows")
+  }
+
   test("spanDupGate: an empty dup-span set (clean corpus) gates everything through") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
