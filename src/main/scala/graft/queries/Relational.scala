@@ -217,6 +217,45 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Pivot (long→wide reshape): per-source token counts spread across one
+    * column per language — the dataset-card cross-tab. The value set is
+    * PINNED in the query: `pivot(col, values)` with explicit values plans
+    * as one pass (map-side-combined aggregation, then a tiny post-agg
+    * projection); omitting them would add a blocking distinct-scan job
+    * just to discover the column list — never acceptable at 100 TB.
+    * Missing cells are 0, not null (na.fill matches the oracle's
+    * COALESCE). */
+  def pivotLangs(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(sum(col("toks")))
+      .na.fill(0L, langs)
+      .orderBy("source")
+  }
+
+  /** ROLLUP (hierarchical subtotals in one pass): per-(returnflag,
+    * linestatus) decimal-exact quantity sums plus per-returnflag
+    * subtotals and the grand total, tagged by grouping_id. One Expand
+    * (×3 grouping sets) feeding ONE map-side-combined aggregation — the
+    * report a warehouse would otherwise run as three scans and a UNION.
+    * Group keys are low-cardinality, so the expanded rows collapse
+    * map-side before the single shuffle. */
+  def rollupQty(spark: SparkSession, dir: String): DataFrame = {
+    val d182 = DecimalType(18, 2)
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(d182)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_lines"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Single-pass column profiling — the ANALYZE-style stats report an
     * engine produces before planning ingestion: per numeric column,
     * (non-null count, null count, exact distinct count, min, max,
@@ -269,6 +308,8 @@ object Relational {
     "q_distinct"         -> (distinctPairs _),
     "q_salted_join"      -> (saltedJoin _),
     "q_bucket_join"      -> (bucketJoin _),
+    "q_pivot_langs"      -> (pivotLangs _),
+    "q_rollup_qty"       -> (rollupQty _),
     "q_table_profile"    -> (tableProfile _))
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +381,19 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_pivot_langs" ->
+      Seq("de", "en", "es", "fr", "zh").map { l =>
+        s"CAST(COALESCE(SUM(CASE WHEN lang = '$l' THEN LEN(STRING_SPLIT(text, ' ')) END), 0) AS BIGINT) AS $l"
+      }.mkString(
+        "SELECT source, ", ", ",
+        " FROM documents GROUP BY source ORDER BY source"),
+    "q_rollup_qty" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_lines,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "q_table_profile" ->
       Seq("l_discount", "l_linenumber", "l_quantity", "l_tax").map { c =>
         s"""SELECT '$c' AS column_name,

@@ -34,19 +34,39 @@ def cells_equal(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    # bounded memory + disk spill: one long-lived connection running ~80
+    # oracle queries back-to-back can transiently exhaust the machine on
+    # the heavy CTE oracles (observed as 4-16 KB allocation failures);
+    # with a cap DuckDB spills instead of dying
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got_cols, got = canon(
-                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            exp_cols, exp = canon(con, sql)
+            try:
+                got_cols, got = canon(
+                    con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                exp_cols, exp = canon(con, sql)
+            except duckdb.Error:
+                # retry once on a fresh connection: frees whatever the
+                # previous oracles left resident
+                con.close()
+                con = connect(sf_dir)
+                got_cols, got = canon(
+                    con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                exp_cols, exp = canon(con, sql)
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
