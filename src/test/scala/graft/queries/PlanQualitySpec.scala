@@ -363,6 +363,22 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set(autoConf, "true")
   }
 
+  test("pivot and rollup: one parquet scan each; rollup expands, pivot does not") {
+    // pinned pivot values: a single scan feeding one aggregation chain —
+    // no distinct-discovery job, no Expand (that's rollup's shape)
+    val pivotPlan = planOf(Relational.pivotLangs(spark, dir))
+    assert(pivotPlan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"pivot must read the corpus once:\n$pivotPlan")
+    assert(!pivotPlan.contains("Expand"),
+      s"pinned-value pivot must not expand rows:\n$pivotPlan")
+    // rollup: the 3 grouping sets ride ONE scan through an Expand
+    val rollupPlan = planOf(Relational.rollupQty(spark, dir))
+    assert(rollupPlan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"rollup must read lineitem once:\n$rollupPlan")
+    assert(rollupPlan.contains("Expand"),
+      s"rollup subtotals must come from one Expand pass, not a union of scans:\n$rollupPlan")
+  }
+
   test("simhash pairs: banded equi-join candidates — no cartesian, popcount in codegen") {
     val plan = planOf(Pipeline.simhashPairs(spark, dir).limit(1))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
