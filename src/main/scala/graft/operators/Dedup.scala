@@ -693,12 +693,14 @@ object Dedup {
       col("doc").as("db"), col("simhash").as("sb"))
     l.join(r, Seq("band", "key"))
       .filter(col("da") < col("db"))
-      // distinct BEFORE the popcount filter dedups pairs that collide on
-      // several bands; (da, db) determines (sa, sb) so pair identity is safe
-      .select("da", "db", "sa", "sb").distinct()
+      // popcount filter BEFORE the distinct: the filter is per-pair
+      // deterministic, so filter∘distinct ≡ distinct∘filter — but almost
+      // all band collisions are far pairs, so filtering first shrinks the
+      // dedup shuffle to just the in-radius pairs (≤ bands copies each)
       .select(col("da"), col("db"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
 }

@@ -149,6 +149,68 @@ object TextAnalysis {
         .as("gram"): _*)
   }
 
+  /** Collocation mining: bigrams whose observed frequency most exceeds
+    * what their parts' frequencies predict — scored by the PMI RATIO
+    * p(xy) / (p(x)·p(y)) rather than its log (log differs in the last
+    * ulp across engines and adds nothing to the ranking; the ratio is a
+    * chain of correctly-rounded IEEE divisions, bit-identical anywhere
+    * when evaluated in the same order — the q_tfidf_topk argument).
+    *
+    * Scale shape: ONE corpus scan emits unigrams and bigrams as a single
+    * tagged in-row stream (two `transform`s concatenated before one
+    * explode), ONE map-side-combined shuffle counts them, and everything
+    * after runs on the vocabulary-sized count table: totals are two tiny
+    * aggregates, the part-frequency lookups are broadcast joins of the
+    * unigram table onto the (minCount-filtered) bigram table. No second
+    * tokenization, no corpus-sized join, no window.
+    *
+    * Returns (bigram, n_pairs, pmi_ratio), every bigram with count ≥
+    * `minCount`; callers rank/limit (ties on the ratio are real —
+    * symmetric corpora produce them — so order by (ratio, bigram) for a
+    * total order). */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val tagged = docs.select(explode(concat(
+        transform(toks, t => struct(lit("u").as("kind"), t.as("gram"))),
+        transform(graft.functions.ShingleText.shingleText(col(textCol), 2),
+          s => struct(lit("b").as("kind"), s.as("gram"))))).as("kg"))
+      .select(col("kg.kind").as("kind"), col("kg.gram").as("gram"))
+    // vocabulary-sized after the one shuffle; localCheckpoint so the four
+    // consumers below (two totals, two sides) don't re-run the corpus scan
+    val counts = tagged.groupBy("kind", "gram")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uni = counts.filter(col("kind") === "u").select(col("gram"), col("c"))
+    val bi = counts.filter(col("kind") === "b")
+      .select(col("gram").as("bigram"), col("c").as("cb"))
+    // post-aggregation scalars (vocabulary-sized input — a driver pull of
+    // one row, the benchmarkBloom/count pattern). SUM over zero rows is
+    // null: an empty corpus (or one of sub-bigram docs) must short-circuit
+    // to an empty result, not reach the ANSI-mode divisions below, where
+    // x / 0.0 is an ERROR in Spark 4, not infinity
+    def total(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val r = df.agg(sum(c)).head
+      if (r.isNullAt(0)) 0.0 else r.getLong(0).toDouble
+    }
+    val nTok = total(uni, "c")
+    val nBi = total(bi, "cb")
+    if (nTok == 0.0 || nBi == 0.0)
+      return bi.filter(lit(false))
+        .select(col("bigram"), col("cb").as("n_pairs"),
+          lit(0.0).as("pmi_ratio"))
+    bi.filter(col("cb") >= minCount)
+      .withColumn("x", split(col("bigram"), " ")(0))
+      .withColumn("y", split(col("bigram"), " ")(1))
+      .join(broadcast(uni.select(col("gram").as("x"), col("c").as("cx"))), "x")
+      .join(broadcast(uni.select(col("gram").as("y"), col("c").as("cy"))), "y")
+      .select(col("bigram"), col("cb").as("n_pairs"),
+        // the exact division order the oracle states: (cb/M) / ((cx/N)*(cy/N))
+        ((col("cb").cast(DoubleType) / nBi) /
+          ((col("cx").cast(DoubleType) / nTok) *
+            (col("cy").cast(DoubleType) / nTok))).as("pmi_ratio"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) per document:
     * `top_bigram` / `top_bigram_frac` — the most frequent word bigram
     * (ties: lexicographically smallest) and the fraction of the document's

@@ -306,6 +306,33 @@ object Pipeline {
         chunkSize = 64, overlap = 16)
       .orderBy("doc_id", "chunk_id")
 
+  /** Corpus snapshot diff ([[graft.operators.Diff.snapshotDiff]]): two
+    * deterministic "versions" of the documents table — v1 drops ids ≡ 4
+    * (mod 5), v2 drops ids ≡ 0 (mod 5) and rewrites the text of ids ≡ 1
+    * (mod 7) — diffed into added/removed/changed/unchanged. The 24-byte
+    * digest join IS the audit a refreshed-corpus publish ships. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Diff
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    val v2 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Diff.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-20 collocations by PMI ratio (observed bigram frequency over
+    * what unigram frequencies predict) with count ≥ 5 — the corpus-
+    * analysis pass behind tokenizer-merge candidates and stop-phrase
+    * lists. One scan, one count shuffle, vocabulary-sized tail
+    * ([[graft.operators.TextAnalysis.collocations]]). */
+  def collocationsTopK(spark: SparkSession, dir: String): DataFrame =
+    TA.collocations(Tables.documents(spark, dir), "text", minCount = 5)
+      .orderBy(col("pmi_ratio").desc, col("bigram").asc)
+      .limit(20)
+
   /** The publish-step manifest: 16 deterministic training shards over the
     * cleaned corpus — per shard, docs/tokens/chars. md5-stable shard
     * membership (re-runs can't move a document), one map-side-combined
@@ -866,6 +893,8 @@ object Pipeline {
     "q_simhash"          -> (simhash _),
     "q_simhash_pairs"    -> (simhashPairs _),
     "q_shard_manifest"   -> (shardManifest _),
+    "q_collocations"     -> (collocationsTopK _),
+    "q_snapshot_diff"    -> (snapshotDiff _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
     "q_embedding_quantize" -> (embeddingQuantize _),
@@ -1191,6 +1220,37 @@ object Pipeline {
     "q_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_simhash_incremental" -> simhashIncrementalSql,
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, MD5(text || ' ' || lang || ' ' || source) d
+        |           FROM documents WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id,
+        |         MD5((CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END)
+        |             || ' ' || lang || ' ' || source) d
+        |       FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.d <> n.d THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (SELECT STRING_SPLIT(text, ' ') a FROM documents),
+        |uni AS (SELECT UNNEST(a) AS tok FROM toks),
+        |ucnt AS (SELECT tok, COUNT(*) cu FROM uni GROUP BY tok),
+        |bi AS (SELECT a[i+1] || ' ' || a[i+2] AS bigram
+        |       FROM toks, UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) t(i)),
+        |bcnt AS (SELECT bigram, COUNT(*) cb FROM bi GROUP BY bigram),
+        |tot AS (SELECT (SELECT CAST(SUM(cu) AS DOUBLE) FROM ucnt) n,
+        |               (SELECT CAST(SUM(cb) AS DOUBLE) FROM bcnt) m)
+        |SELECT bigram, cb AS n_pairs,
+        |       (CAST(cb AS DOUBLE) / m) /
+        |         ((CAST(cx.cu AS DOUBLE) / n) * (CAST(cy.cu AS DOUBLE) / n)) AS pmi_ratio
+        |FROM bcnt CROSS JOIN tot
+        |JOIN ucnt cx ON cx.tok = STRING_SPLIT(bigram, ' ')[1]
+        |JOIN ucnt cy ON cy.tok = STRING_SPLIT(bigram, ' ')[2]
+        |WHERE cb >= 5
+        |ORDER BY pmi_ratio DESC, bigram LIMIT 20""".stripMargin,
     "q_shard_manifest" ->
       """SELECT ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
         |       COUNT(*) AS n_docs,

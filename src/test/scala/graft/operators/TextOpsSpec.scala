@@ -251,6 +251,34 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations: lifted pairs score above independent ones; degenerate corpora are empty") {
+    // "x y" always adjacent (lift >> 1) vs tokens that co-occur at chance
+    val lifted = docs(
+      1L -> "x y a b c x y d e f",
+      2L -> "x y g h i x y j k l",
+      3L -> "m n x y o p x y q r")
+    val out = TextAnalysis.collocations(lifted, "text", minCount = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("x y", 6L, out.head._3)) && out.head._3 > 1.0,
+      s"only the planted collocation has count >= 5: ${out.toSeq}")
+    // sub-bigram docs produce no bigrams: must return empty, not throw
+    // (ANSI mode makes the naive ratio path divide by zero)
+    val tiny = docs(1L -> "a", 2L -> "b")
+    assert(TextAnalysis.collocations(tiny, "text", minCount = 1).count() == 0)
+  }
+
+  test("snapshotDiff: added, removed, changed, unchanged — full-outer digest join") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same text", "en"), (2L, "old text", "en"),
+      (3L, "going away", "de")).toDF("doc_id", "text", "lang")
+    val v2 = Seq((1L, "same text", "en"), (2L, "new text", "en"),
+      (4L, "brand new", "fr")).toDF("doc_id", "text", "lang")
+    val diff = graft.operators.Diff.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(diff == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
   test("chunkTokens: overlapped windows, short final chunk, sub-size doc whole") {
     val d = docs(
       1L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens

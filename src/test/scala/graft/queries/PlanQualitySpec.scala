@@ -379,6 +379,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rollup subtotals must come from one Expand pass, not a union of scans:\n$rollupPlan")
   }
 
+  test("collocations: one corpus scan, broadcast part-frequency lookups") {
+    val plan = planOf(graft.operators.TextAnalysis.collocations(
+      graft.Tables.documents(spark, dir), "text", minCount = 2))
+    // the unigram+bigram tagged stream comes off ONE scan of the corpus —
+    // localCheckpoint cuts lineage after the count, so the checkpointed
+    // plan must carry no second FileScan and join via broadcast
+    assert(!plan.contains("FileScan") || // post-checkpoint: scan already ran
+      plan.linesIterator.count(_.contains("FileScan")) <= 1,
+      s"collocations must tokenize once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part-frequency lookups must broadcast the vocabulary table:\n$plan")
+  }
+
   test("simhash pairs: banded equi-join candidates — no cartesian, popcount in codegen") {
     val plan = planOf(Pipeline.simhashPairs(spark, dir).limit(1))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

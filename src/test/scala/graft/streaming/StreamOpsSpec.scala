@@ -510,6 +510,45 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(docs == Seq(1L, 2L), s"healed bootstrap: $docs")
   }
 
+  test("streaming shard publication: assignShards + partitioned file sink, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the shard assignment is a pure narrow projection, so the SAME
+    // operator runs on a stream; the partitioned parquet file sink's own
+    // commit log (_spark_metadata) makes the shard dirs exactly-once
+    // without any batch_id machinery — this is the continuous "publish"
+    // path of the Sharding layout
+    val out = Files.createTempDirectory("stream_shards").toString
+    val ckpt = Files.createTempDirectory("stream_shards_ckpt").toString
+    val docsSeq = (1L to 20L).map(i => (i, s"doc $i text"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Sharding.assignShards(
+        input.toDF.toDF("doc_id", "text"), "doc_id", nShards = 4)
+      .writeStream.format("parquet").partitionBy("shard")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    input.addData(docsSeq.take(12): _*)
+    q.processAllAvailable()
+    input.addData(docsSeq.drop(12): _*)
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20, "all docs must land")
+    // stream shard assignment equals the batch operator's, doc for doc
+    val batchAssign = graft.operators.Sharding.assignShards(
+        docsSeq.toDF("doc_id", "text"), "doc_id", 4)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // directory-name partition inference types `shard` as int — cast back
+    val streamAssign = back.select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamAssign == batchAssign)
+    // the layout is the partitioned shard dirs a loader lists
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(d => d.stripPrefix("shard=").toInt < 4))
+  }
+
   test("simhashIngestBatch: 8-byte-per-doc index dedups batches; replay idempotent") {
     import spark.implicits._
     val idx = Files.createTempDirectory("simhash_idx").resolve("index").toString
