@@ -41,6 +41,15 @@ object VectorOps {
   def nearestClusters(vec: Column, cents: Seq[Seq[Double]], n: Int): Column =
     Bridge.column(NearestClusters(Bridge.expression(vec),
       cents.map(_.toArray).toArray, n))
+
+  /** The squared L2 distance to the NEAREST centroid — the per-vector
+    * outlier score. Same per-centroid accumulation order as
+    * [[NearestClusters]] (and so as the k-means training loop and the
+    * oracle's spelled-out chains); the min across centroids is a value,
+    * not a fold, so it is order-independent. */
+  def nearestClusterDist(vec: Column, cents: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestClusterDist(Bridge.expression(vec),
+      cents.map(_.toArray).toArray))
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -183,6 +192,58 @@ case class NearestClusters(child: Expression, cents: Array[Array[Double]], n: In
 
   override protected def withNewChildInternal(newChild: Expression): NearestClusters =
     copy(child = newChild)
+}
+
+case class NearestClusterDist(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rm_nearest_cluster_dist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestClusterDist.compute(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.NearestClusterDist$$.MODULE$$.compute(
+         |  $c, $centsRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestClusterDist =
+    copy(child = newChild)
+}
+
+object NearestClusterDist {
+  def compute(vec: ArrayData, cents: Array[Array[Double]]): Double =
+    compute(vec.toDoubleArray(), cents)
+
+  /** Identical per-centroid accumulation to [[NearestClusters.compute]];
+    * the cross-centroid MIN is order-independent by value. */
+  def compute(vec: Array[Double], cents: Array[Array[Double]]): Double = {
+    var best = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val dims = math.min(vec.length, cent.length)
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        val diff = vec(d) - cent(d)
+        s += diff * diff
+        d += 1
+      }
+      if (s < best) best = s
+      c += 1
+    }
+    best
+  }
 }
 
 object NearestClusters {

@@ -61,8 +61,21 @@ object Ivf {
     * decimal))` formulation would produce. Exact decimal addition is
     * order-independent, so the grouping order cannot matter either. */
   private def toDec(v: Double): java.math.BigDecimal =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
-      .setScale(18, java.math.RoundingMode.HALF_UP)
+    // EXACTLY what CAST(double AS DECIMAL(38,18)) does in DuckDB (probed
+    // empirically): scale by 10^18 as a DOUBLE MULTIPLY — the product's
+    // own rounding is part of the semantics — then round that double to
+    // an integer half-away-from-zero (std::round). Neither the exact
+    // binary value nor Double.toString's shortest representation rounded
+    // to scale 18 reproduces it (both differ in the 18th decimal for
+    // ~half of inputs, which leaked a 1-ulp centroid difference — caught
+    // the first time a query EMITTED a raw centroid-derived double,
+    // q_embedding_outliers, after rank-only uses had masked it).
+    // 10^18 = 2^18·5^18 is exactly representable, and BigDecimal's
+    // HALF_UP on the exact value of the product is std::round without
+    // the floor(x+0.5) edge artifacts.
+    new java.math.BigDecimal(v * 1e18)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .movePointLeft(18)
 
   /** Deterministic spherical k-means, trained driver-side from ONE collect
     * of the (id, normalized-vector) pairs — the FAISS pattern. The
@@ -123,7 +136,17 @@ object Ivf {
       }
       Array.tabulate(nlist, dims) { (cl, d) =>
         if (counts(cl) == 0 && prev != null) prev(cl)(d)
-        else sums(cl)(d).doubleValue / counts(cl)
+        else {
+          // CAST(sum AS DOUBLE) the way DuckDB evaluates it (probed):
+          // double(unscaled int128) / 10^18 — two specific roundings, NOT
+          // the correctly-rounded BigDecimal.doubleValue (they differ in
+          // the last ulp for some sums, which shifted a centroid
+          // coordinate and broke the first raw-distance-emitting oracle)
+          val sum = sums(cl)(d)
+          val asDouble =
+            sum.movePointRight(18).toBigInteger.doubleValue / 1e18
+          asDouble / counts(cl)
+        }
       }
     }
 

@@ -457,6 +457,11 @@ object Pipeline {
   // IVF configuration shared by the query, the SemDeDup query, and the
   // generated oracle SQL — one source of truth for the constants.
   private val IvfDims = 64; private val IvfNlist = 10; private val IvfIters = 2
+  /** Bump when [[graft.operators.Ivf.centroids]]' arithmetic changes:
+    * versions the persisted-index location so stale disk indexes retrain.
+    * fmt4 = DuckDB-cast-faithful toDec (double-multiply + half-away) and
+    * decimal→double via unscaled-int / 10^18. */
+  private val IvfTrainFormat = 4
   private val IvfNq = 50; private val IvfK = 5; private val IvfNprobe = 5
   private val SemDedupThreshold = 0.35
   // PQ geometry: 8 blocks × 16 codewords over 64 dims = 8 sub-byte codes
@@ -530,7 +535,11 @@ object Pipeline {
     val root = Ivf.indexRoot(spark)
     val key = (root, dir, embStamp(dir), IvfNlist, IvfIters)
     centroidCache.getOrElseUpdate(key, {
-      val idxPath = s"$root/graft_ivf_index/${md5Hex(key.toString)}"
+      // IvfTrainFormat busts PERSISTED indexes when the training
+      // arithmetic itself changes (fmt2: exact-binary toDec) — the data
+      // stamp can't see a code change, and a stale on-disk index would
+      // silently override the fix for every later JVM
+      val idxPath = s"$root/graft_ivf_index/${md5Hex(s"$key:fmt$IvfTrainFormat")}"
       // a corrupt persisted index must degrade to a retrain, not fail the
       // query — training is deterministic, so the fallback is bit-identical
       val persisted =
@@ -608,6 +617,24 @@ object Pipeline {
     Ivf.topKWith(b, sharedCentroids(b, dir), nQueries = IvfNq, k = IvfK,
         nprobe = IvfNprobe)
       .orderBy("qid", "rank")
+  }
+
+  /** Embedding outlier report: the 20 vectors farthest (squared L2) from
+    * their assigned centroid of the SAME shared persisted index the ANN
+    * queries probe — the junk-pruning pass (mis-embedded docs, encoder
+    * failures, off-distribution content) a corpus runs before training
+    * on its embeddings. One narrow native scan
+    * ([[graft.functions.VectorOps.nearestClusterDist]]) + a top-k sort;
+    * no join, no shuffle beyond the limit. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val cents = sharedCentroids(b, dir)
+    b.select(col("id"),
+        Ivf.nearestCluster(col("e"), cents).as("cl"),
+        VectorOps.nearestClusterDist(col("e"), cents).as("sqdist"))
+      .orderBy(col("sqdist").desc, col("id").asc)
+      .limit(20)
   }
 
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -904,6 +931,7 @@ object Pipeline {
     "q_similarity_lsh"   -> (similarityLsh _),
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_cluster_sizes"    -> (clusterSizes _),
+    "q_embedding_outliers" -> (embeddingOutliers _),
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1088,6 +1116,7 @@ object Pipeline {
     }
     sb ++= s""",
               |assign AS (SELECT id, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
+              |odist AS (SELECT id, cl, dist FROM (SELECT b.id, c.cl, (${distChain("b.e", "c.c")}) dist, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
               |probes AS (SELECT id qid, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c WHERE b.id<$IvfNq) WHERE rn<=$IvfNprobe)""".stripMargin
     sb.result()
   }
@@ -1422,6 +1451,10 @@ object Pipeline {
          |SELECT cl, COUNT(*) AS n_vectors,
          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
          |FROM assign GROUP BY cl ORDER BY cl""".stripMargin,
+    "q_embedding_outliers" ->
+      s"""$ivfCtes
+         |SELECT id, cl, dist AS sqdist FROM odist
+         |ORDER BY sqdist DESC, id LIMIT 20""".stripMargin,
     "q_embedding_dedup" -> semDedupSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,

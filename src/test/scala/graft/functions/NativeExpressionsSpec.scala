@@ -77,6 +77,39 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("NearestClusterDist equals the fold-form min distance, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val vecs = Seq.fill(30)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val cents = Seq.fill(7)(Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    val df = vecs.toDF("v")
+    def distTo(c: Seq[Double]) =
+      aggregate(zip_with(col("v"), typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val legacy = least(cents.map(distTo): _*)
+    val rows = df.select(
+      VectorOps.nearestClusterDist(col("v"), cents).as("native"),
+      legacy.as("legacy")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"distance drift: $r")
+    }
+    // and it is the distance of the centroid NearestClusters assigns
+    val agree = df.select(
+      VectorOps.nearestClusterDist(col("v"), cents).as("dist"),
+      VectorOps.nearestClusters(col("v"), cents, 1).getItem(0).as("cl"),
+      col("v")).collect()
+    agree.foreach { r =>
+      val byCl = cents(r.getLong(1).toInt)
+      val v = r.getSeq[Double](2)
+      var s = 0.0
+      v.indices.foreach { d => val df0 = v(d) - byCl(d); s += df0 * df0 }
+      assert(java.lang.Double.doubleToLongBits(s)
+        == java.lang.Double.doubleToLongBits(r.getDouble(0)))
+    }
+  }
+
   test("CosineSimilarity equals the sequential aggregate/zip_with fold") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
