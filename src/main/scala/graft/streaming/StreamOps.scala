@@ -343,6 +343,34 @@ object StreamOps {
       .parquet(indexPath)
   }
 
+  /** Compact an ingest index into a fresh location: thousands of
+    * `batch_id=<i>` micro-batch partitions (each a handful of small
+    * files — the debris a long-running ingest loop accumulates, and at
+    * 100 TB the point where LISTING the index costs more than scanning
+    * it) rewrite as ONE `batch_id=-1` partition of right-sized files at
+    * `dstPath`. The write goes to a NEW path on purpose: compact-in-
+    * place needs a delete-after-write window in which a crash leaves
+    * rows duplicated across the old partitions and the compacted one —
+    * unhealable debris — while compact-to-new is atomic by the same
+    * husk rules every index reader already enforces (`dst` without a
+    * committed write reads as missing; the caller repoints the ingest
+    * loop only after this returns). Returns the row count written so
+    * the caller can assert conservation before switching. */
+  def compactIngestIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, targetRowsPerFile: Long = 4000000L)
+      : Long = {
+    require(indexHasData(spark, srcPath), s"no committed index at $srcPath")
+    val rows = readIndexMigrated(spark, srcPath).drop("batch_id")
+    val n = rows.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rows.repartition(files)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(dstPath)
+    n
+  }
+
   /** Continuous SIMHASH-ingest dedup — [[incrementalIngest]] with the
     * 8-bytes-per-document index ([[graft.operators.Dedup.simhashAgg]] /
     * [[graft.operators.Dedup.dedupAgainstSimhashIndex]]): the serving

@@ -573,6 +573,65 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == 3, "no duplicate index rows")
   }
 
+  test("streaming mixture gate: batch-derived rates filter a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Sampling
+    val docsSeq = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "srcA" else "srcB"))
+    val batch = docsSeq.toDF("doc_id", "source")
+    val weights = Map("srcA" -> 1.0, "srcB" -> 1.0)
+    // the batch profile (a dataset card / yesterday's manifest)
+    val mass = batch.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBatch = Sampling.resampleByMass(batch, "doc_id", "source",
+        mass, weights).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = Sampling.resampleByMass(input.toDF.toDF("doc_id", "source"),
+        "doc_id", "source", mass, weights)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    input.addData(docsSeq.take(30): _*)
+    q.processAllAvailable()
+    input.addData(docsSeq.drop(30): _*)
+    q.processAllAvailable(); q.stop()
+    val keptStream = spark.table("mix_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptStream == keptBatch, "stream must keep exactly the batch's set")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
+  test("compactIngestIndex: batch partitions collapse to one; dedup behavior unchanged") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("compact_src").resolve("index").toString
+    val dst = Files.createTempDirectory("compact_dst").resolve("index").toString
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "six seven eight nine ten")).toDF("doc_id", "text")
+    StreamOps.simhashIngestBatch(b1, 0L, "text", "doc_id", src, 3, 60, 4)
+    StreamOps.simhashIngestBatch(b2, 1L, "text", "doc_id", src, 3, 60, 4)
+    val n = StreamOps.compactIngestIndex(spark, src, dst)
+    assert(n == 3, "compaction must conserve rows")
+    val dirs = new java.io.File(dst).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+    assert(dirs.toSeq == Seq("batch_id=-1"), s"one compacted partition: ${dirs.toSeq}")
+    // the compacted index serves the NEXT batch exactly like the original
+    val b3 = Seq((5L, "alpha beta gamma delta epsilon"), // dup of indexed 1
+      (6L, "fresh new document body here")).toDF("doc_id", "text")
+    StreamOps.simhashIngestBatch(b3, 2L, "text", "doc_id", dst, 3, 60, 4)
+    val docs = spark.read.parquet(dst).select("doc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(docs == Seq(1L, 2L, 4L, 6L), s"post-compaction ingest: $docs")
+    // compacting a husk refuses instead of writing an empty 'complete' index
+    val husk = Files.createTempDirectory("compact_husk").resolve("index").toString
+    Files.createDirectories(java.nio.file.Paths.get(husk, "_temporary"))
+    assertThrows[IllegalArgumentException] {
+      StreamOps.compactIngestIndex(spark, husk, dst + "2")
+    }
+  }
+
   test("spanDupGate: an empty dup-span set (clean corpus) gates everything through") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
