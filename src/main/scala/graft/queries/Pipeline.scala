@@ -637,6 +637,40 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Cluster-balanced diverse subset — the coreset-selection pass behind
+    * "pick a diverse 5k-example instruction set from 5M candidates":
+    * every IVF cluster of the shared persisted index contributes exactly
+    * k deterministic members ([[graft.operators.Sampling.samplePerGroup]]
+    * by md5 rank), so dominant modes can't crowd out the tail — the
+    * diversity dual of [[clusterSizes]]' skew report. Narrow assignment
+    * scan + one bounded per-cluster window. */
+  def diverseSample(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    graft.operators.Sampling.samplePerGroup(
+        Ivf.assign(b, sharedCentroids(b, dir)), "id", "cl", k = 5)
+      .orderBy("cl", "id")
+  }
+
+  /** Per-language ADAPTIVE quality gate: keep documents at or above
+    * their own language's 25th quality percentile — thresholds derived
+    * from the corpus itself instead of a magic constant, so a verbose
+    * language can't starve a terse one. The per-lang quantile frame is
+    * languages-sized → broadcast back; the gate stays a narrow filter.
+    * Exact `percentile` matches the oracle's `quantile_cont` bit-for-bit
+    * (the q_doc_percentiles argument); the per-row score is IEEE-
+    * deterministic (the q_text_stats argument), so the kept set is
+    * engine-independent. */
+  def adaptiveQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TA.qualityScore(col("text")).as("quality"))
+    val thresholds = scored.groupBy("lang")
+      .agg(percentile(col("quality"), lit(0.25)).as("q25"))
+    scored.join(broadcast(thresholds), "lang")
+      .filter(col("quality") >= col("q25"))
+      .select("doc_id", "lang", "quality", "q25")
+      .orderBy("doc_id")
+  }
+
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
     Ivf.semDedupPairsWith(b, sharedCentroids(b, dir), SemDedupThreshold)
@@ -932,6 +966,8 @@ object Pipeline {
     "q_similarity_ivf"   -> (similarityIvf _),
     "q_cluster_sizes"    -> (clusterSizes _),
     "q_embedding_outliers" -> (embeddingOutliers _),
+    "q_diverse_sample"   -> (diverseSample _),
+    "q_adaptive_quality" -> (adaptiveQualityGate _),
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1455,6 +1491,18 @@ object Pipeline {
       s"""$ivfCtes
          |SELECT id, cl, dist AS sqdist FROM odist
          |ORDER BY sqdist DESC, id LIMIT 20""".stripMargin,
+    "q_diverse_sample" ->
+      s"""$ivfCtes
+         |SELECT id, cl FROM (
+         |  SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY cl
+         |    ORDER BY ('0x' || SUBSTR(MD5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 1000000 ASC, id ASC) AS rn
+         |  FROM assign) WHERE rn <= 5 ORDER BY cl, id""".stripMargin,
+    "q_adaptive_quality" ->
+      s"""WITH scored AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
+         |th AS (SELECT lang, quantile_cont(quality, 0.25) AS q25 FROM scored GROUP BY lang)
+         |SELECT doc_id, s.lang AS lang, quality, q25
+         |FROM scored s JOIN th ON s.lang = th.lang
+         |WHERE quality >= q25 ORDER BY doc_id""".stripMargin,
     "q_embedding_dedup" -> semDedupSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
