@@ -62,17 +62,13 @@ object Bench {
     val medians = timed.map { case (name, runs) =>
       name -> (if (runs.nonEmpty) median(runs) else -1.0)
     }
-    // Millisecond precision on the medians line: the driver's fixed-size
+    // Bounded precision on the medians line: the driver's fixed-size
     // tail capture clipped the FRONT of round 7's ~2.6 KB full-precision
-    // line, leaving the artifact unparseable. 3 decimals cuts ~¼ of the
-    // line (66 queries × ~8 chars of sub-ms noise digits) and loses
-    // nothing a benchmark can legitimately claim. Locale-safe BigDecimal
-    // formatting (no printf %f comma separators).
-    def fmt3(v: Double): String =
-      new java.math.BigDecimal(v)
-        .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
-      .mkString("{", ",", "}")
+    // line, leaving the artifact unparseable. 3 decimals (milliseconds)
+    // cut ~¼ of the line and lose nothing a benchmark can legitimately
+    // claim; the length self-guard below drops to 2 if the suite ever
+    // outgrows the window anyway. Locale-safe BigDecimal formatting
+    // (no printf %f comma separators).
     val spreads = timed.map { case (k, runs) =>
       // Double.toString, not printf: %f is locale-sensitive (a comma
       // decimal separator would corrupt the JSON line)
@@ -87,7 +83,20 @@ object Bench {
     // only) go to stderr, where truncation cannot cost the headline numbers.
     System.err.println(s"""{"metric":"spread","n":$reps,"spread":$spreads}""")
     System.err.flush()
-    println(s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"n":$reps,"sf":"$sfDir"}""")
+    // Self-guard the line length: the driver's tail window is ~2.3 KB
+    // and each query adds ~25 bytes, so past ~90 queries millisecond
+    // precision would push the line's HEAD out of the capture again.
+    // Centisecond precision (2 decimals) buys ~80 more queries and
+    // still resolves every per-query median the suite produces.
+    def line(fmt: Double => String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+        medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")},"n":$reps,"sf":"$sfDir"}"""
+    def fmtN(scale: Int)(v: Double): String =
+      new java.math.BigDecimal(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+    val l3 = line(fmtN(3))
+    println(if (l3.length <= 2100) l3 else line(fmtN(2)))
     spark.stop()
   }
 }

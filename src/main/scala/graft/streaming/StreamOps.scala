@@ -354,8 +354,13 @@ object StreamOps {
     * unhealable debris — while compact-to-new is atomic by the same
     * husk rules every index reader already enforces (`dst` without a
     * committed write reads as missing; the caller repoints the ingest
-    * loop only after this returns). Returns the row count written so
-    * the caller can assert conservation before switching. */
+    * loop only after this returns). QUIESCE the ingest loop first — a
+    * batch that lands in `src` while the rewrite is scanning is absent
+    * from `dst`, so either pause the stream for the rewrite or replay
+    * the batches committed after the compaction's read began (their
+    * `batch_id=` partitions make the gap enumerable). Returns the row
+    * count written so the caller can assert conservation before
+    * switching. */
   def compactIngestIndex(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String, targetRowsPerFile: Long = 4000000L)
       : Long = {
