@@ -671,6 +671,29 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** What CONTENT lives in each embedding cluster — the text table
+    * joined to the vector table's cluster assignment (doc_id = vec_id,
+    * the paired-modality contract): per (cluster, lang), document count,
+    * token mass, and the share of the cluster. The report a curator
+    * reads next to [[clusterSizes]] to see whether cluster 7's bulge is
+    * one language's boilerplate or genuine diversity. The assignment is
+    * a narrow scan; the join moves (id, cl) pairs — 16 bytes per vector,
+    * never text or vectors; one map-side-combined aggregation. */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val assigned = Ivf.assign(b, sharedCentroids(b, dir))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cl")
+    docs.join(assigned, docs("doc_id") === assigned("id"))
+      .groupBy("cl", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("share",
+        col("n_docs").cast(DoubleType) / sum("n_docs").over(w).cast(DoubleType))
+      .orderBy("cl", "lang")
+  }
+
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
     Ivf.semDedupPairsWith(b, sharedCentroids(b, dir), SemDedupThreshold)
@@ -968,6 +991,7 @@ object Pipeline {
     "q_embedding_outliers" -> (embeddingOutliers _),
     "q_diverse_sample"   -> (diverseSample _),
     "q_adaptive_quality" -> (adaptiveQualityGate _),
+    "q_cluster_profile"  -> (clusterProfile _),
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1497,6 +1521,14 @@ object Pipeline {
          |  SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY cl
          |    ORDER BY ('0x' || SUBSTR(MD5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 1000000 ASC, id ASC) AS rn
          |  FROM assign) WHERE rn <= 5 ORDER BY cl, id""".stripMargin,
+    "q_cluster_profile" ->
+      s"""$ivfCtes
+         |SELECT cl, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+         |       CAST(COUNT(*) AS DOUBLE)
+         |         / CAST(SUM(COUNT(*)) OVER (PARTITION BY cl) AS DOUBLE) AS share
+         |FROM documents JOIN assign ON doc_id = id
+         |GROUP BY cl, lang ORDER BY cl, lang""".stripMargin,
     "q_adaptive_quality" ->
       s"""WITH scored AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
          |th AS (SELECT lang, quantile_cont(quality, 0.25) AS q25 FROM scored GROUP BY lang)

@@ -74,4 +74,32 @@ class JoinPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("simhash banded pairs equal the naive Hamming join on random corpora") {
+    import spark.implicits._
+    // pigeonhole says radius 3 < 4 bands loses NOTHING, for any corpus —
+    // seeded random docs over a tiny vocabulary force dense near-dup
+    // structure (many docs share most tokens), the adversarial case for
+    // a candidate-generation scheme
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = Seq.tabulate(80) { i =>
+        val n = 3 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sig = Dedup.simhashAgg(docs, "text", "doc_id")
+      val naive = sig.as("a").join(sig.as("b"), col("a.doc") < col("b.doc"))
+        .select(col("a.doc"), col("b.doc"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+        .filter(col("h") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val banded = Dedup.simhashPairs(docs, "text", "doc_id",
+          maxHamming = 3, bits = 60, bands = 4)
+        .select("da", "db")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(banded == naive, s"seed $seed: banded != naive Hamming join")
+      assert(banded.size == banded.distinct.size, s"seed $seed: dup pairs")
+    }
+  }
 }
