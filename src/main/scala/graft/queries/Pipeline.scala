@@ -659,7 +659,11 @@ object Pipeline {
     * Exact `percentile` matches the oracle's `quantile_cont` bit-for-bit
     * (the q_doc_percentiles argument); the per-row score is IEEE-
     * deterministic (the q_text_stats argument), so the kept set is
-    * engine-independent. */
+    * engine-independent. Scale note: EXACT percentile buffers a group's
+    * value multiset (near-unique doubles ⇒ ~the group) — the oracle
+    * hash-check needs exactness, but at 100 TB the threshold step runs
+    * `approx_percentile` (t-digest, bounded memory) and the gate is
+    * unchanged: the threshold map stays languages-sized either way. */
   def adaptiveQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), TA.qualityScore(col("text")).as("quality"))
