@@ -62,41 +62,44 @@ object Bench {
     val medians = timed.map { case (name, runs) =>
       name -> (if (runs.nonEmpty) median(runs) else -1.0)
     }
-    // Bounded precision on the medians line: the driver's fixed-size
-    // tail capture clipped the FRONT of round 7's ~2.6 KB full-precision
-    // line, leaving the artifact unparseable. 3 decimals (milliseconds)
-    // cut ~¼ of the line and lose nothing a benchmark can legitimately
-    // claim; the length self-guard below drops to 2 if the suite ever
-    // outgrows the window anyway. Locale-safe BigDecimal formatting
-    // (no printf %f comma separators).
-    val spreads = timed.map { case (k, runs) =>
-      // Double.toString, not printf: %f is locale-sensitive (a comma
-      // decimal separator would corrupt the JSON line)
-      val sp = if (runs.nonEmpty) runs.max - runs.min else -1.0
-      "\"" + k + "\":" + sp
-    }.mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
-    // The driver captures a fixed-size TAIL of stdout; round 6 lost the
-    // per-query medians because the spread map pushed them past the capture
-    // window. Contract: the medians line is the SHORTEST possible JSON and
-    // the LAST thing on stdout, with nothing after it. Spreads (diagnostic
-    // only) go to stderr, where truncation cannot cost the headline numbers.
-    System.err.println(s"""{"metric":"spread","n":$reps,"spread":$spreads}""")
-    System.err.flush()
-    // Self-guard the line length: the driver's tail window is ~2.3 KB
-    // and each query adds ~25 bytes, so past ~90 queries millisecond
-    // precision would push the line's HEAD out of the capture again.
-    // Centisecond precision (2 decimals) buys ~80 more queries and
-    // still resolves every per-query median the suite produces.
-    def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
-        medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-          .mkString("{", ",", "}")},"n":$reps,"sf":"$sfDir"}"""
     def fmtN(scale: Int)(v: Double): String =
+      // BigDecimal, not printf %f: %f is locale-sensitive (a comma
+      // decimal separator would corrupt the JSON line)
       new java.math.BigDecimal(v)
         .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
-    val l3 = line(fmtN(3))
-    println(if (l3.length <= 2100) l3 else line(fmtN(2)))
+    // The FULL artifact — every median at ms precision plus the spread
+    // (max-min over the reps) — goes to a dedicated file, not stdout:
+    // the driver captures only the LAST 2000 BYTES of stdout (measured
+    // from BENCH_r07/r08.json), sbt's "[success] Total time" trailer
+    // costs ~75 of those, and 80+ queries x ~25 bytes cannot fit in
+    // what remains no matter the precision. Rounds 6-8 each lost the
+    // head of the medians line to that window.
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmtN(3)(v) }
+        .mkString("{", ",", "}")
+    val spreads = timed.map { case (k, runs) =>
+      k -> (if (runs.nonEmpty) runs.max - runs.min else -1.0)
+    }
+    val fullJson =
+      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
+        jmap(medians)},"spread":${jmap(spreads)},"n":$reps,"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("bench_full.json") // cwd = repo root (run/fork)
+    java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    System.err.println(s"bench: full per-query medians -> ${fullPath.toAbsolutePath}")
+    // The stdout line self-limits to 1800 bytes so it ALWAYS survives the
+    // tail window intact: keep the SLOWEST queries (the ones a perf review
+    // needs) up to the budget and count the omitted fast ones. The total
+    // still covers every query; the full map is in bench_full.json.
+    val bySlowest = medians.toSeq.sortBy(-_._2)
+    def line(keep: Int): String = {
+      val omitted = medians.size - keep
+      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
+        jmap(bySlowest.take(keep))
+      },"omitted_fast":$omitted,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
+    }
+    val keep = (medians.size to 0 by -1).find(k => line(k).length <= 1800).getOrElse(0)
+    println(line(keep))
     spark.stop()
   }
 }
