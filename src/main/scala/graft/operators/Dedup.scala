@@ -334,6 +334,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Contamination OVERLAP FRACTION — the graded decontamination report
+    * ([[contaminatedDocs]] answers "any shared n-gram?"; production
+    * pipelines instead threshold on the FRACTION of a document's grams
+    * that hit the benchmark, dropping only docs past e.g. 30% overlap —
+    * incidental single-gram collisions survive, real eval leakage
+    * doesn't). One corpus gram scan, hit-marked by a broadcast LEFT join
+    * against the benchmark's distinct gram hashes (the same tiny
+    * broadcast side as [[contaminatedDocs]] — marking misses costs
+    * nothing extra over the semi-join), then one groupBy(doc) computing
+    * n_grams / n_hits / their ratio. Zero-gram documents (shorter than n
+    * tokens) re-enter via a LEFT join from the corpus universe with
+    * overlap 0.0 — they cannot leak what they cannot contain. The ratio
+    * is one int/int IEEE division: engine-exact. */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val benchSh = benchmarkHashes(benchmark, textCol, idCol, n)
+      .withColumn("hit", lit(1L))
+    val perDoc = shingleRowsOf(corpus, textCol, idCol, n)
+      .join(broadcast(benchSh), Seq("h"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_hits").cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("overlap_frac"))
+  }
+
   /** [[contaminatedDocs]] behind a Bloom prefilter — the decontamination
     * shape for benchmark suites too large to broadcast as an exact hash
     * relation. The benchmark's distinct shingle hashes aggregate into ONE
@@ -556,6 +586,27 @@ object Dedup {
       val nodes = firstBatch.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
       nodes.map(n => (n, find(n))).toDF("doc_id", "canonical_id")
     } else distributedClusters(pairs)
+  }
+
+  /** Label every id of `universe` with its duplicate-cluster survivor
+    * decision: `rep_id` = the component minimum of the pair graph's
+    * connected component containing the id (the id itself when the id is
+    * in no pair), `kept` = 1 for the representative, 0 for the members a
+    * dedup pass drops. This is the terminal step every pair-producing
+    * dedup family shares (MinHash, SimHash, winnowing, SemDeDup cosine
+    * pairs): pairs → components ([[duplicateClusters]]) → one survivor
+    * per component. The component table is dup-pairs-sized — tiny
+    * relative to the universe — so the labeling join broadcasts and the
+    * universe itself never shuffles. */
+  def keepRepresentatives(universe: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("canonical_id"))
+    universe.select(col(idCol))
+      .join(broadcast(cc), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("rep_id"))
+      .withColumn("kept", (col("rep_id") === col(idCol)).cast(IntegerType))
   }
 
   /** Distributed min-label propagation (the >driverLimit path): labels

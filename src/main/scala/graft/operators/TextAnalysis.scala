@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -289,5 +290,69 @@ object TextAnalysis {
         sum(coalesce(col("__b"), lit(0))).cast(LongType).as("n_boiler"))
       .select(col(idCol), col("n_grams"), col("n_boiler"),
         (col("n_boiler").cast(DoubleType) / col("n_grams")).as("boiler_frac"))
+  }
+
+  /** Corpus bigram-LM quality score — the CCNet-family perplexity-filter
+    * shape (Wenzek et al. 2020 train an external LM; here the model IS
+    * the corpus's own bigram counts, the self-scoring variant): per
+    * document, the mean add-one-smoothed bigram probability
+    * p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), where c(w₁·) is w₁'s history
+    * count and V the history-vocabulary size. Fluent in-distribution
+    * text scores high; token soup and off-distribution gibberish score
+    * near 1/V — the signal a corpus-quality gate thresholds on. The
+    * mean PROBABILITY stands in for mean log-prob (the same monotone-
+    * surrogate argument as [[collocations]]' raw PMI ratio: one
+    * correctly-rounded IEEE division is engine-exact where ln() may
+    * differ in the last ulp). The per-doc mean quantizes each p at
+    * 1e-15 fixed point (`floor(p·10¹⁵)` — an exact long) before
+    * summing: the long sum is order-independent (partitioning-proof)
+    * and engine-exact, where a DECIMAL(38,18) round-trip is NOT —
+    * Spark's double→decimal cast goes through the shortest decimal
+    * string (~17 digits) while DuckDB converts the full binary value,
+    * so their 18th digits disagree and the summed ulps diverge
+    * (observed). floor, not round: round's half-tie rule is the only
+    * other engine-sensitive edge, floor has none.
+    *
+    * Shapes: ONE tokenization scan — the (doc, w₁, bigram) occurrence
+    * stream is built narrowly from the token array (no per-doc window)
+    * and persisted, shared by both model counts (the q_tfidf_topk
+    * one-derivation doctrine: count windows over the stream, not a
+    * groupBy re-derived from a second scan); V is one scalar aggregate
+    * broadcast back. At 100 TB the model side prunes to the
+    * top-V grams and broadcasts with an unseen-gram backoff — the
+    * standard LM-filter deployment; the exact form here keeps every
+    * count oracle-checkable. Documents with < 2 tokens score 0. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val arr = docs.select(col(idCol), tokens(col(textCol)).as("a"))
+    val grams = arr.filter(size(col("a")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(a)-2), i -> " +
+          "struct(a[i] AS w1, concat(a[i], ' ', a[i+1]) AS g2))")).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.g2").as("g2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wG2 = Window.partitionBy("g2")
+      val wW1 = Window.partitionBy("w1")
+      val vocab = grams.agg(countDistinct(col("w1")).as("v"))
+      val perDoc = grams
+        .withColumn("c2", count(lit(1)).over(wG2))
+        .withColumn("c1", count(lit(1)).over(wW1))
+        .crossJoin(broadcast(vocab))
+        .withColumn("p",
+          (col("c2") + 1).cast(DoubleType) /
+            (col("c1") + col("v")).cast(DoubleType))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(floor(col("p") * lit(1e15))).cast(DoubleType) /
+            (count(lit(1)).cast(DoubleType) * lit(1e15))).as("lm_score"))
+        // eager: the scored table materializes before the gram persist
+        // is released, so nothing downstream re-tokenizes
+        .localCheckpoint()
+      docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+    } finally grams.unpersist(blocking = false)
   }
 }

@@ -284,6 +284,20 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Graded decontamination ([[Dedup.contaminationOverlap]]): every
+    * corpus doc with the FRACTION of its distinct 3-grams that hit the
+    * benchmark set — the thresholdable report production pipelines act
+    * on, where q_decontaminate's any-hit flag is the binary special
+    * case. Same corpus/benchmark split as q_decontaminate. */
+  def contaminationOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationOverlap(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** [[decontaminate]] served through the Bloom-prefilter path
     * ([[Dedup.contaminatedDocsBloom]]): identical contaminated set (the
     * exact join removes the bitset's false positives — the oracle is the
@@ -704,6 +718,28 @@ object Pipeline {
       .orderBy("da", "db")
   }
 
+  /** SemDeDup (Abbas et al. 2023) END TO END: [[embeddingDedup]]'s
+    * within-cluster cosine pairs collapse onto connected components and
+    * every vector gets its survivor label — `rep_id` (the component
+    * minimum) and `kept` (1 = the representative a curator trains on,
+    * 0 = a semantic duplicate the pass drops). The paper's architecture
+    * exactly: the quadratic stage is confined inside k-means clusters of
+    * the shared persisted index, the component table is dup-pairs-sized,
+    * and the labeling join broadcasts against the vector universe
+    * ([[graft.operators.Dedup.keepRepresentatives]] — the same terminal
+    * step the MinHash cluster path uses, composed here with a semantic
+    * pair source). The oracle restates the k-means CTEs (bit-exact, the
+    * q_similarity_ivf proof), the cosine pair set (the q_embedding_dedup
+    * proof), and the reachability closure (the q_dedup_clusters proof). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val pairs = Ivf.semDedupPairsWith(b, sharedCentroids(b, dir),
+        SemDedupThreshold)
+      .select("da", "db")
+    Dedup.keepRepresentatives(b.select(col("id").as("vec_id")), "vec_id", pairs)
+      .orderBy("vec_id")
+  }
+
   /** Exact grouped percentiles of document token counts — corpus length
     * diagnostics. Spark `percentile` and DuckDB `quantile_cont` both do
     * linear interpolation on the sorted values, so the result is exact
@@ -887,6 +923,13 @@ object Pipeline {
       .orderBy("doc_id", "rank")
   }
 
+  /** [[graft.operators.TextAnalysis.lmScore]] over the corpus: the
+    * bigram-LM (CCNet-shape) quality score every document, ordered for
+    * the driver compare. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    TA.lmScore(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -977,6 +1020,7 @@ object Pipeline {
     "q_clean_corpus"     -> (cleanCorpus _),
     "q_decontaminate"    -> (decontaminate _),
     "q_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q_contamination_overlap" -> (contaminationOverlap _),
     "q_chunk_docs"       -> (chunkDocuments _),
     "q_simhash"          -> (simhash _),
     "q_simhash_pairs"    -> (simhashPairs _),
@@ -997,6 +1041,8 @@ object Pipeline {
     "q_adaptive_quality" -> (adaptiveQualityGate _),
     "q_cluster_profile"  -> (clusterProfile _),
     "q_embedding_dedup"  -> (embeddingDedup _),
+    "q_semantic_dedup"   -> (semanticDedup _),
+    "q_lm_score"         -> (lmScore _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
     "q_tfidf_topk"       -> (tfidfTopK _),
@@ -1049,6 +1095,25 @@ object Pipeline {
       |FROM sh x JOIN bench b ON x.s = b.s
       |WHERE x.doc_id >= 10
       |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin
+
+  /** Graded-decontamination oracle: the q_decontaminate gram CTEs, hits
+    * by LEFT join (misses count 0), one int/int division for the
+    * fraction; zero-gram docs re-enter with 0.0 via the outer doc scan. */
+  private val contaminationOverlapSql =
+    """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+      |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+      |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+      |per AS (SELECT x.doc_id, COUNT(*) n_grams,
+      |               SUM(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) n_hits
+      |        FROM sh x LEFT JOIN bench b ON x.s = b.s
+      |        WHERE x.doc_id >= 10 GROUP BY x.doc_id)
+      |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+      |       COALESCE(n_hits, 0) AS n_hits,
+      |       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+      |            ELSE CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS overlap_frac
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin
 
   /** Incremental-ingest oracle, shared by the MinHash-band and
     * winnow-fingerprint index variants: a new (odd-id) doc drops when a
@@ -1240,6 +1305,53 @@ object Pipeline {
        |          FROM assign x JOIN assign y ON x.cl=y.cl AND x.id<y.id
        |          JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id)
        |SELECT da, db, sim FROM pairs WHERE sim>=$SemDedupThreshold ORDER BY da, db""".stripMargin
+
+  /** SemDeDup end-to-end oracle: the k-means CTEs (q_similarity_ivf,
+    * bit-exact), the within-cluster cosine pair set (q_embedding_dedup),
+    * and the q_dedup_clusters reachability closure, LEFT-joined back onto
+    * the full vector universe so unpaired vectors keep themselves.
+    * `MATERIALIZED` on sp/edges is load-bearing: inside WITH RECURSIVE,
+    * DuckDB otherwise inlines them and re-runs the whole k-means per
+    * fixpoint iteration (observed as an OOM, not just slowness). */
+  private val semanticDedupSql =
+    s"""${ivfCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sp AS MATERIALIZED (SELECT x.id da, y.id db
+       |       FROM assign x JOIN assign y ON x.cl=y.cl AND x.id<y.id
+       |       JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id
+       |       WHERE LIST_COSINE_SIMILARITY(bx.raw, bv.raw) >= $SemDedupThreshold),
+       |edges AS MATERIALIZED (SELECT da a, db b FROM sp UNION SELECT db a, da b FROM sp),
+       |reach AS (SELECT a AS node, a AS reachable FROM edges
+       |          UNION
+       |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
+       |cc AS (SELECT node, MIN(reachable) rep FROM reach GROUP BY node)
+       |SELECT b.id AS vec_id, COALESCE(cc.rep, b.id) AS rep_id,
+       |       CAST(COALESCE(cc.rep, b.id) = b.id AS INT) AS kept
+       |FROM rawv b LEFT JOIN cc ON cc.node = b.id ORDER BY vec_id""".stripMargin
+
+  /** Bigram-LM score oracle: the collocations gram-construction recipe,
+    * counts by plain joins (same numbers the Spark windows produce), the
+    * (c2+1)·1.0/(c1+V) smoothed probability (one engine-exact division),
+    * and the 1e-15 fixed-point per-doc summation — floor(p·10¹⁵) is the
+    * same long on both engines, its sum is order-independent, and the
+    * final division is one IEEE op (see [[TA.lmScore]] for why
+    * DECIMAL(38,18) is NOT engine-exact here). */
+  private val lmScoreSql =
+    """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+      |g AS (SELECT doc_id, a[i+1] AS w1, a[i+1] || ' ' || a[i+2] AS g2
+      |      FROM arr, UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) t(i)),
+      |c2 AS (SELECT g2, COUNT(*) c2 FROM g GROUP BY g2),
+      |c1 AS (SELECT w1, COUNT(*) c1 FROM g GROUP BY w1),
+      |vocab AS (SELECT COUNT(DISTINCT w1) v FROM g),
+      |p AS (SELECT g.doc_id, (c2.c2 + 1) * 1.0 / (c1.c1 + vocab.v) AS p
+      |      FROM g JOIN c2 USING (g2) JOIN c1 USING (w1) CROSS JOIN vocab),
+      |d AS (SELECT doc_id, COUNT(*) n_bigrams,
+      |             CAST(SUM(CAST(FLOOR(p * 1e15) AS BIGINT)) AS DOUBLE)
+      |               / (COUNT(*) * 1e15) AS lm_score
+      |      FROM p GROUP BY doc_id)
+      |SELECT dd.doc_id, COALESCE(d.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(d.lm_score, 0.0) AS lm_score
+      |FROM documents dd LEFT JOIN d ON d.doc_id = dd.doc_id
+      |ORDER BY dd.doc_id""".stripMargin
 
   // Redact rule patterns injected verbatim (single-quoted SQL strings do
   // not process backslashes, so Java-regex and RE2 see the same pattern;
@@ -1540,6 +1652,8 @@ object Pipeline {
          |FROM scored s JOIN th ON s.lang = th.lang
          |WHERE quality >= q25 ORDER BY doc_id""".stripMargin,
     "q_embedding_dedup" -> semDedupSql,
+    "q_semantic_dedup" -> semanticDedupSql,
+    "q_lm_score" -> lmScoreSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.5) AS p50,
@@ -1561,6 +1675,7 @@ object Pipeline {
     // so it shares the decontamination oracle verbatim — the recall claim
     // "bloom loses nothing" is itself what the hash compare checks
     "q_bloom_decontaminate" -> decontaminateSql,
+    "q_contamination_overlap" -> contaminationOverlapSql,
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT lang, UNNEST(regexp_extract_all(text, '${TA.bpePattern}')) AS token FROM documents),
          |counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
