@@ -235,6 +235,25 @@ object StreamOps {
       .drop("__hits")
   }
 
+  /** Streaming LM-quality gate — the CCNet-family perplexity filter as
+    * an ingest stage: score each document's bigrams against a
+    * batch-trained [[graft.functions.BigramLmModel]]
+    * ([[graft.functions.BigramLmScore.train]] — pruned counts + unseen
+    * 1/V backoff, carried in the plan like the InSet/Bloom gates) and
+    * drop documents below `minScore` (token soup and off-distribution
+    * gibberish score near the 1/V floor; fluent in-distribution text
+    * scores an order of magnitude above it). One native
+    * tokenize-hash-lookup pass per row inside whole-stage codegen:
+    * stateless, shuffle-free, append-mode-safe. Batch and stream
+    * evaluate the identical expression, so the stream's kept set equals
+    * the batch filter's row for row. Emits `lm_score`. */
+  def lmGate(docs: DataFrame, textCol: String,
+      model: graft.functions.BigramLmModel, minScore: Double): DataFrame =
+    docs
+      .withColumn("lm_score",
+        graft.functions.BigramLmScore.score(col(textCol), model))
+      .filter(col("lm_score") >= minScore)
+
   /** Continuous incremental-ingest dedup: every micro-batch of the
     * document stream is deduped against the PERSISTED MinHash signature
     * index with the same batch operators the daily job uses

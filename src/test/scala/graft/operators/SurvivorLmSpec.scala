@@ -59,6 +59,66 @@ class SurvivorLmSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0.0)))
   }
 
+  test("unpruned BigramLmModel reproduces lmScore exactly; pruning keeps the floor") {
+    import spark.implicits._
+    val docs = (1L to 30L)
+      .map(i => (i, Seq.tabulate(20)(j => s"w${(i + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = TextAnalysis.lmScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val full = graft.functions.BigramLmScore.train(docs, "text", topK = 1 << 20)
+    val got = docs.select(col("doc_id"),
+        graft.functions.BigramLmScore.score(col("text"), full).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == exact)
+    // a 1-entry prune still scores: every rare gram falls to the 1/V floor
+    val pruned = graft.functions.BigramLmScore.train(docs, "text", topK = 1)
+    val ps = docs.select(
+        graft.functions.BigramLmScore.score(col("text"), pruned).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(ps.forall(p => p > 0.0 && p <= 1.0))
+    // fluent in-distribution text outscores token soup under the full model
+    val probe = Seq((100L, "w1 w2 w3 w4 w5"), (101L, "zq xv qqj kkp zzt"))
+      .toDF("doc_id", "text")
+    val s = probe.select(col("doc_id"),
+        graft.functions.BigramLmScore.score(col("text"), full).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(100L) > s(101L))
+  }
+
+  test("lmGate filters a real stream; kept set equals the batch filter") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (1L to 40L)
+      .map(i => (i, Seq.tabulate(15)(j => s"t${(i + j) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val model = graft.functions.BigramLmScore.train(corpus, "text", topK = 1000)
+    val batch = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6"),
+      (11L, "junk zzz yyy xxx www vvv"),
+      (12L, "t0 t1 t2 t3 t4"))
+    // tiny 7-token vocabulary => the unseen floor 1/V ~ 0.14 is high;
+    // in-distribution bigrams score ~(c+1)/(c+7) ~ 0.9
+    val minScore = 0.5
+    val wantKept = graft.streaming.StreamOps
+      .lmGate(batch.toDF("doc_id", "text"), "text", model, minScore)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(wantKept.contains(10L) && !wantKept.contains(11L))
+
+    val input = MemoryStream[(Long, String)]
+    val gated = graft.streaming.StreamOps.lmGate(
+      input.toDF.toDF("doc_id", "text"), "text", model, minScore)
+    val q = gated.select("doc_id", "lm_score").writeStream
+      .format("memory").queryName("lm_gate_out").outputMode("append").start()
+    input.addData(batch: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("lm_gate_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == wantKept, s"stream kept $kept, batch kept $wantKept")
+    assert(q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("lmScore is partitioning-independent (fixed-point sum)") {
     import spark.implicits._
     val docs = (1L to 40L)

@@ -399,4 +399,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("bit_count"),
       s"expected the codegen'd popcount verify in:\n$plan")
   }
+
+  test("survivor labeling broadcasts the component table — the universe never shuffles") {
+    import spark.implicits._
+    val universe = spark.range(1, 1000).toDF("id")
+    val pairs = Seq((2L, 3L), (5L, 6L)).toDF("da", "db")
+    val plan = planOf(graft.operators.Dedup.keepRepresentatives(universe, "id", pairs))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"component labeling must broadcast, got:\n$plan")
+    // the only Exchanges allowed are broadcast exchanges (dup-pairs side);
+    // a hash-partition Exchange would mean the universe shuffled
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"universe side must not shuffle:\n$plan")
+  }
+
+  test("bigram-LM gate is a narrow native filter inside WholeStageCodegen") {
+    val docs = graft.Tables.documents(spark, dir)
+    val model = graft.functions.BigramLmScore.train(docs, "text", topK = 1000)
+    val plan = planOf(graft.streaming.StreamOps.lmGate(docs, "text", model, 0.01))
+    assert(plan.contains("rm_bigram_lm_score"),
+      s"expected the native LM probe in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the LM gate must be shuffle-free:\n$plan")
+    // tree glyphs ("+- ") precede the codegen marker on non-root lines
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("*(")),
+      s"LM gate filter fell out of codegen:\n$plan")
+  }
 }
