@@ -478,6 +478,10 @@ object Pipeline {
   private val IvfTrainFormat = 4
   private val IvfNq = 50; private val IvfK = 5; private val IvfNprobe = 5
   private val SemDedupThreshold = 0.35
+  // q_lm_gate keep-threshold: the corpus-median lm_score (~0.0345 on the
+  // synthetic documents at every SF — the vocabulary, and therefore the
+  // score scale, is SF-invariant), so the gate visibly splits the corpus.
+  private val LmGateThreshold = 0.0345
   // PQ geometry: 8 blocks × 16 codewords over 64 dims = 8 sub-byte codes
   // per vector (32× smaller than the floats); one Lloyd iteration on the
   // deterministic id-seeded init.
@@ -930,6 +934,23 @@ object Pipeline {
     TA.lmScore(Tables.documents(spark, dir), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** The deployed form of the LM-quality filter: train the compact
+    * [[graft.functions.BigramLmModel]] once (here UNPRUNED — `topK` far
+    * above the corpus's gram count — so its scores are lmScore-exact
+    * and the DuckDB oracle can restate them; a 100 TB run sets a real
+    * topK and the rare-gram tail falls to the same 1/V floor), then
+    * gate the corpus through [[StreamOps.lmGate]] — the identical
+    * batch/stream native filter: one codegen'd tokenize-hash-probe
+    * pass per row, no shuffle, no second corpus scan. The threshold
+    * sits at the corpus median, the "keep the fluent half" shape. */
+  def lmGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = graft.functions.BigramLmScore.train(docs, "text", topK = 1 << 20)
+    graft.streaming.StreamOps.lmGate(docs, "text", model, LmGateThreshold)
+      .select(col("doc_id"), col("lm_score"))
+      .orderBy("doc_id")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -1043,6 +1064,7 @@ object Pipeline {
     "q_embedding_dedup"  -> (embeddingDedup _),
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_lm_score"         -> (lmScore _),
+    "q_lm_gate"          -> (lmGate _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
     "q_tfidf_topk"       -> (tfidfTopK _),
@@ -1353,6 +1375,28 @@ object Pipeline {
       |FROM documents dd LEFT JOIN d ON d.doc_id = dd.doc_id
       |ORDER BY dd.doc_id""".stripMargin
 
+  /** q_lm_gate oracle: the q_lm_score per-doc score (an UNPRUNED
+    * [[graft.functions.BigramLmModel]] scores lmScore-identically —
+    * the SurvivorLmSpec exactness contract — so the gate's kept set is
+    * exactly "score ≥ threshold" under the proven score recipe), then
+    * the threshold filter. Sub-2-token documents score 0 on both
+    * engines and fall out identically. */
+  private val lmGateSql =
+    s"""WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+       |g AS (SELECT doc_id, a[i+1] AS w1, a[i+1] || ' ' || a[i+2] AS g2
+       |      FROM arr, UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) t(i)),
+       |c2 AS (SELECT g2, COUNT(*) c2 FROM g GROUP BY g2),
+       |c1 AS (SELECT w1, COUNT(*) c1 FROM g GROUP BY w1),
+       |vocab AS (SELECT COUNT(DISTINCT w1) v FROM g),
+       |p AS (SELECT g.doc_id, (c2.c2 + 1) * 1.0 / (c1.c1 + vocab.v) AS p
+       |      FROM g JOIN c2 USING (g2) JOIN c1 USING (w1) CROSS JOIN vocab),
+       |d AS (SELECT doc_id,
+       |             CAST(SUM(CAST(FLOOR(p * 1e15) AS BIGINT)) AS DOUBLE)
+       |               / (COUNT(*) * 1e15) AS lm_score
+       |      FROM p GROUP BY doc_id)
+       |SELECT doc_id, lm_score FROM d WHERE lm_score >= $LmGateThreshold
+       |ORDER BY doc_id""".stripMargin
+
   // Redact rule patterns injected verbatim (single-quoted SQL strings do
   // not process backslashes, so Java-regex and RE2 see the same pattern;
   // every pattern avoids lookaround for exactly this reason).
@@ -1654,6 +1698,7 @@ object Pipeline {
     "q_embedding_dedup" -> semDedupSql,
     "q_semantic_dedup" -> semanticDedupSql,
     "q_lm_score" -> lmScoreSql,
+    "q_lm_gate" -> lmGateSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.5) AS p50,
