@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through instead of
+// re-logging each line with an [info]/[error] prefix: the driver parses
+// Bench's final stdout line as JSON, and round 9's parse failed because
+// the line arrived wrapped as "[info] {...}".
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

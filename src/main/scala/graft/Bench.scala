@@ -48,21 +48,29 @@ object Bench {
     }
     // Measure: `reps` timed runs per query, report the MEDIAN plus the
     // spread (max-min) so the JSON itself shows whether a number can be
-    // trusted. A throwing query must read as -1, not as a plausible fast
-    // timing — a broken run has to be distinguishable from a good one.
-    val timed = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"bench: $name failed: ${e.getMessage}"); None }
-      }
-      name -> runs
+    // trusted. Reps run INTERLEAVED (all queries rep 1, then rep 2, …)
+    // rather than back-to-back per query: the r8/r9 driver benches were
+    // contention-poisoned — a minutes-long external load burst inflated
+    // ALL reps of whichever queries it straddled, so even the median lied.
+    // Round-robin reps spread any burst across one rep of MANY queries,
+    // and the per-query median survives it.
+    val names = SparkEntry.queries.keys.toSeq
+    val runsByName = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    for (_ <- 1 to reps; name <- names if !failed.contains(name)) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); runsByName(name) :+= (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"bench: $name failed: ${e.getMessage}"); failed += name }
     }
-    val medians = timed.map { case (name, runs) =>
-      name -> (if (runs.nonEmpty) median(runs) else -1.0)
+    val timed = names.map(n => n -> runsByName(n))
+    val medians = timed.collect {
+      case (name, runs) if runs.nonEmpty && !failed.contains(name) =>
+        name -> median(runs)
     }
-    val total = medians.values.filter(_ >= 0).sum
+    val total = medians.map(_._2).sum
     def fmtN(scale: Int)(v: Double): String =
       // BigDecimal, not printf %f: %f is locale-sensitive (a comma
       // decimal separator would corrupt the JSON line)
@@ -78,12 +86,17 @@ object Bench {
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmtN(3)(v) }
         .mkString("{", ",", "}")
-    val spreads = timed.map { case (k, runs) =>
-      k -> (if (runs.nonEmpty) runs.max - runs.min else -1.0)
+    // Failures are an explicit name list, NEVER a -1.0 sentinel inside the
+    // timing maps: a tool summing or diffing per-query medians across
+    // rounds would silently treat -1.0 as a real (negative) timing.
+    val spreads = timed.collect {
+      case (k, runs) if runs.nonEmpty && !failed.contains(k) =>
+        k -> (runs.max - runs.min)
     }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
-        jmap(medians)},"spread":${jmap(spreads)},"n":$reps,"sf":"$sfDir"}"""
+        jmap(medians)},"spread":${jmap(spreads)},"failed":$failedJson,"n":$reps,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json") // cwd = repo root (run/fork)
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     System.err.println(s"bench: full per-query medians -> ${fullPath.toAbsolutePath}")
@@ -96,10 +109,16 @@ object Bench {
       val omitted = medians.size - keep
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
         jmap(bySlowest.take(keep))
-      },"omitted_fast":$omitted,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
+      },"omitted_fast":$omitted,"failed":$failedJson,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
     }
     val keep = (medians.size to 0 by -1).find(k => line(k).length <= 1800).getOrElse(0)
-    println(line(keep))
+    // Stop Spark BEFORE printing so the summary is the bare FINAL stdout
+    // line — no executor-shutdown chatter can land after it (the r9 driver
+    // parse failed on a wrapped/trailed line; bench_full.json was the only
+    // recoverable copy). stderr carries all logs; stdout carries this line.
     spark.stop()
+    System.out.flush()
+    println(line(keep))
+    System.out.flush()
   }
 }

@@ -23,17 +23,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy nanosAsLong
-    * conf) and truncate to microseconds with integer division — `div`, not
-    * `/`: epoch-nanos ≈ 1.7e18 exceeds a double's 2^53 exact-integer range,
-    * so float division would corrupt low-order digits. DuckDB truncates
-    * ns→µs the same way, keeping the oracle aligned. */
+  /** events.ts has shipped both as parquet TIMESTAMP(NANOS) (which Spark 4
+    * reads only as raw LongType nanos under the legacy nanosAsLong conf) and
+    * as native TIMESTAMP(MICROS). Normalize by the loaded dtype instead of
+    * hardwiring either generation:
+    *   - LongType  → truncate ns→µs with integer division (`div`, not `/`:
+    *     epoch-nanos ≈ 1.7e18 exceeds a double's 2^53 exact-integer range,
+    *     so float division would corrupt low-order digits; DuckDB truncates
+    *     ns→µs the same way, keeping the oracle aligned)
+    *   - TimestampType / TimestampNTZType → pass through (cast NTZ to the
+    *     session-zoned TimestampType the downstream date ops expect).
+    * The nanosAsLong conf is set only on the legacy path, and only for the
+    * duration of the scan-plan resolution it affects. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        // Pre-regeneration files are TIMESTAMP(NANOS): the plain read throws
+        // [PARQUET_TYPE_ILLEGAL] at schema-inference time unless the legacy
+        // conf is on. Retry once with it; unrelated failures (missing file)
+        // re-throw identically from the retry.
+        case scala.util.control.NonFatal(_) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

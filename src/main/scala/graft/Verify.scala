@@ -25,7 +25,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A throwing query must surface as a red row, never as a silently
+        // shrunk denominator (round-9 verdict: 83→80 entries with no err).
+        // The driver reads <name>.error as an explicit failure marker; the
+        // stderr line stays for humans tailing the log.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        Files.writeString(Paths.get(s"$outDir/$name.error"), msg.take(4000))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

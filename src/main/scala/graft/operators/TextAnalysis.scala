@@ -314,14 +314,20 @@ object TextAnalysis {
     * other engine-sensitive edge, floor has none.
     *
     * Shapes: ONE tokenization scan — the (doc, w₁, bigram) occurrence
-    * stream is built narrowly from the token array (no per-doc window)
-    * and persisted, shared by both model counts (the q_tfidf_topk
-    * one-derivation doctrine: count windows over the stream, not a
-    * groupBy re-derived from a second scan); V is one scalar aggregate
-    * broadcast back. At 100 TB the model side prunes to the
-    * top-V grams and broadcasts with an unseen-gram backoff — the
-    * standard LM-filter deployment; the exact form here keeps every
-    * count oracle-checkable. Documents with < 2 tokens score 0. */
+    * stream is built narrowly from the token array and persisted, shared
+    * by both corpus-count tables and the scoring join. Counts are
+    * groupBy tables joined back, NOT `count(*) over (partition by …)`
+    * windows over the stream: a window shuffles and re-emits every
+    * occurrence row with no map-side combine, and bigram frequencies
+    * are power-law — the hot "of the" key lands one reducer. groupBy
+    * counts are map-side combined, vocabulary-sized (so usually
+    * broadcastable back onto the stream), and AQE-skew-safe — the same
+    * shape as [[graft.functions.BigramLmScore.train]] and the DuckDB
+    * oracle. V is one scalar aggregate broadcast back. At 100 TB the
+    * model side prunes to the top-V grams and broadcasts with an
+    * unseen-gram backoff — the standard LM-filter deployment; the exact
+    * form here keeps every count oracle-checkable. Documents with
+    * < 2 tokens score 0. */
   def lmScore(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
     val arr = docs.select(col(idCol), tokens(col(textCol)).as("a"))
@@ -332,27 +338,35 @@ object TextAnalysis {
       .select(col(idCol), col("g.w1").as("w1"), col("g.g2").as("g2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val wG2 = Window.partitionBy("g2")
-      val wW1 = Window.partitionBy("w1")
-      val vocab = grams.agg(countDistinct(col("w1")).as("v"))
-      val perDoc = grams
-        .withColumn("c2", count(lit(1)).over(wG2))
-        .withColumn("c1", count(lit(1)).over(wW1))
-        .crossJoin(broadcast(vocab))
-        .withColumn("p",
-          (col("c2") + 1).cast(DoubleType) /
-            (col("c1") + col("v")).cast(DoubleType))
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(floor(col("p") * lit(1e15))).cast(DoubleType) /
-            (count(lit(1)).cast(DoubleType) * lit(1e15))).as("lm_score"))
-        // eager: the scored table materializes before the gram persist
-        // is released, so nothing downstream re-tokenizes
-        .localCheckpoint()
+      // eager: the scored table materializes before the gram persist
+      // is released, so nothing downstream re-tokenizes
+      val perDoc = lmPerDocScores(grams, idCol).localCheckpoint()
       docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
     } finally grams.unpersist(blocking = false)
+  }
+
+  /** The window-free scoring pipeline over a (id, w1, g2) gram-occurrence
+    * frame, un-checkpointed — split out so PlanQualitySpec can assert the
+    * plan shape (the public [[lmScore]] localCheckpoints it, which
+    * truncates the observable physical plan). */
+  private[graft] def lmPerDocScores(grams: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val c2 = grams.groupBy("g2").agg(count(lit(1)).as("c2"))
+    val c1 = grams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = grams.agg(countDistinct(col("w1")).as("v"))
+    grams
+      .join(c2, Seq("g2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        (col("c2") + 1).cast(DoubleType) /
+          (col("c1") + col("v")).cast(DoubleType))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(floor(col("p") * lit(1e15))).cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * lit(1e15))).as("lm_score"))
   }
 }

@@ -1131,7 +1131,7 @@ object Pipeline {
       |        FROM sh x LEFT JOIN bench b ON x.s = b.s
       |        WHERE x.doc_id >= 10 GROUP BY x.doc_id)
       |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
-      |       COALESCE(n_hits, 0) AS n_hits,
+      |       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
       |       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
       |            ELSE CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS overlap_frac
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
@@ -1330,25 +1330,37 @@ object Pipeline {
 
   /** SemDeDup end-to-end oracle: the k-means CTEs (q_similarity_ivf,
     * bit-exact), the within-cluster cosine pair set (q_embedding_dedup),
-    * and the q_dedup_clusters reachability closure, LEFT-joined back onto
-    * the full vector universe so unpaired vectors keep themselves.
-    * `MATERIALIZED` on sp/edges is load-bearing: inside WITH RECURSIVE,
-    * DuckDB otherwise inlines them and re-runs the whole k-means per
-    * fixpoint iteration (observed as an OOM, not just slowness). */
-  private val semanticDedupSql =
-    s"""${ivfCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+    * then connected components by K-BOUNDED min-label iteration instead of
+    * a `WITH RECURSIVE` transitive closure — the closure materializes
+    * O(nodes × component-size) `reach` rows and OOMed the driver's
+    * memory-squeezed compare process (round 9). Min-label propagates the
+    * component minimum one hop per level, so memory stays linear in edges;
+    * SemDeDup components are near-cliques (within-cluster cosine balls),
+    * so K=8 covers any realistic diameter with a wide margin. Each level
+    * is `MATERIALIZED`: levels reference their predecessor twice, and
+    * inlining would otherwise double the plan per level (2^K blowup).
+    * LEFT-joined back onto the full vector universe so unpaired vectors
+    * keep themselves. */
+  private val semanticDedupSql = {
+    val K = 8
+    val levels = (1 to K).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT e.a AS node, MIN(LEAST(la.lab, lb.lab)) AS lab
+         |       FROM edges e JOIN l${i - 1} la ON la.node = e.a
+         |       JOIN l${i - 1} lb ON lb.node = e.b GROUP BY e.a)""".stripMargin
+    }.mkString(",\n")
+    s"""$ivfCtes,
        |sp AS MATERIALIZED (SELECT x.id da, y.id db
        |       FROM assign x JOIN assign y ON x.cl=y.cl AND x.id<y.id
        |       JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id
        |       WHERE LIST_COSINE_SIMILARITY(bx.raw, bv.raw) >= $SemDedupThreshold),
        |edges AS MATERIALIZED (SELECT da a, db b FROM sp UNION SELECT db a, da b FROM sp),
-       |reach AS (SELECT a AS node, a AS reachable FROM edges
-       |          UNION
-       |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
-       |cc AS (SELECT node, MIN(reachable) rep FROM reach GROUP BY node)
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
+       |$levels,
+       |cc AS (SELECT node, lab AS rep FROM l$K)
        |SELECT b.id AS vec_id, COALESCE(cc.rep, b.id) AS rep_id,
        |       CAST(COALESCE(cc.rep, b.id) = b.id AS INT) AS kept
        |FROM rawv b LEFT JOIN cc ON cc.node = b.id ORDER BY vec_id""".stripMargin
+  }
 
   /** Bigram-LM score oracle: the collocations gram-construction recipe,
     * counts by plain joins (same numbers the Spark windows produce), the

@@ -426,4 +426,28 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("Filter") && l.contains("*(")),
       s"LM gate filter fell out of codegen:\n$plan")
   }
+
+  test("lmScore corpus counts are groupBy+join — no Window over the gram stream") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.documents(spark, dir)
+    // the gram stream as lmScore builds it (the public entry localCheckpoints
+    // the scored table, truncating the observable plan — assert on the
+    // package-private un-checkpointed pipeline instead)
+    val grams = docs
+      .select(col("doc_id"), expr("split(text, ' ')").as("a"))
+      .filter(expr("size(a) >= 2"))
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(0, size(a)-2), i -> " +
+          "struct(a[i] AS w1, concat(a[i], ' ', a[i+1]) AS g2)))").as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.g2").as("g2"))
+    val plan = planOf(
+      graft.operators.TextAnalysis.lmPerDocScores(grams, "doc_id"))
+    // count(*) OVER (PARTITION BY g2/w1) shuffles and re-emits every gram
+    // occurrence with no map-side combine, on a power-law (skewed) key; the
+    // scale-safe shape is vocabulary-sized groupBy counts joined back.
+    assert(!plan.contains("Window"),
+      s"lmScore must not window over the gram-occurrence stream:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected partial-aggregated corpus counts in:\n$plan")
+  }
 }
