@@ -136,6 +136,36 @@ object Sampling {
     * shuffle-partition count, not the data), then a window WITHIN each
     * partition plus the broadcast partition offset. Every stage is
     * parallel; the only driver state is the ≤`parts` subtotal rows. */
+  /** Per-group adaptive score gate: keep rows at or above their OWN
+    * group's `quantile` score threshold — thresholds derived from the
+    * corpus itself instead of a magic constant (a verbose language can't
+    * starve a terse one). The threshold frame is group-cardinality-sized
+    * and broadcast back, so the gate stays a narrow filter either way.
+    *
+    * `exact = true` uses exact `percentile` — it buffers a group's value
+    * multiset (near-unique doubles ⇒ ~the group in memory), which is what
+    * the bit-exact oracle check needs at test SF but NOT what to run on
+    * 100 TB. `exact = false` is the scale path: `percentile_approx`
+    * (Greenwald-Khanna t-digest-style summaries, bounded memory per
+    * group, map-side combinable) with `accuracy` trading memory for
+    * error ≤ 1/accuracy in rank space. The kept sets differ only for
+    * rows whose score falls between the two thresholds — rank-epsilon
+    * near the cut, the AdaptiveGateSpec parity contract. */
+  def adaptiveGate(scored: DataFrame, groupCol: String, scoreCol: String,
+      quantile: Double, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val thr =
+      if (exact)
+        scored.groupBy(groupCol)
+          .agg(percentile(col(scoreCol), lit(quantile)).as("q_thr"))
+      else
+        scored.groupBy(groupCol)
+          .agg(percentile_approx(col(scoreCol), lit(quantile), lit(accuracy))
+            .as("q_thr"))
+    scored.join(broadcast(thr), groupCol)
+      .filter(col(scoreCol) >= col("q_thr"))
+  }
+
   def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
       scoreCol: String, budget: Long): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -677,18 +677,18 @@ object Pipeline {
     * Exact `percentile` matches the oracle's `quantile_cont` bit-for-bit
     * (the q_doc_percentiles argument); the per-row score is IEEE-
     * deterministic (the q_text_stats argument), so the kept set is
-    * engine-independent. Scale note: EXACT percentile buffers a group's
-    * value multiset (near-unique doubles ⇒ ~the group) — the oracle
-    * hash-check needs exactness, but at 100 TB the threshold step runs
-    * `approx_percentile` (t-digest, bounded memory) and the gate is
-    * unchanged: the threshold map stays languages-sized either way. */
+    * engine-independent. The operator
+    * ([[graft.operators.Sampling.adaptiveGate]]) also carries the 100 TB
+    * path — `exact = false` swaps the threshold step to bounded-memory
+    * `percentile_approx` with the gate unchanged (AdaptiveGateSpec is the
+    * exact/approx parity contract); the oracle hash-check needs the exact
+    * form, so that is what this query runs. */
   def adaptiveQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), TA.qualityScore(col("text")).as("quality"))
-    val thresholds = scored.groupBy("lang")
-      .agg(percentile(col("quality"), lit(0.25)).as("q25"))
-    scored.join(broadcast(thresholds), "lang")
-      .filter(col("quality") >= col("q25"))
+    graft.operators.Sampling.adaptiveGate(scored, "lang", "quality",
+        quantile = 0.25, exact = true)
+      .withColumnRenamed("q_thr", "q25")
       .select("doc_id", "lang", "quality", "q25")
       .orderBy("doc_id")
   }
