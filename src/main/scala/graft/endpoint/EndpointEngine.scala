@@ -36,7 +36,8 @@ class EndpointEngine(
     spark: SparkSession,
     endpointYamlPath: String,
     internalBase: String = "",
-    val traces: TraceStore = new TraceStore()) {
+    val traces: TraceStore = new TraceStore(),
+    traceDetail: Boolean = true) {
 
   private val mapper = new ObjectMapper()
   private val baseDir: Path =
@@ -51,6 +52,15 @@ class EndpointEngine(
 
   // loaded rule files by resolved path (plans compile once per rule)
   private val ruleCache = scala.collection.concurrent.TrieMap.empty[String, RuleKind]
+
+  /** Rich trace capture (records/nodes/op children, reference-shaped) —
+    * best-effort probes beside the real execution; see [[TraceDetail]]. */
+  private lazy val detail = new TraceDetail(spark, { resolved =>
+    try EndpointModel.parseRuleKind(Files.readString(resolved)) match {
+      case NormalRule(rule) => Some(rule)
+      case _ => None
+    } catch { case NonFatal(_) => None }
+  })
 
   import EndpointEngine.{EndpointError, EndpointFailure, HttpResult}
 
@@ -69,7 +79,7 @@ class EndpointEngine(
       case None => HttpResult(404, Seq("content-type" -> "application/json"),
         """{"error":"no endpoint matched"}""")
       case Some((endpoint, pathParams)) =>
-        val trace = new TraceBuilder(method, path)
+        val trace = new TraceBuilder(method, path, endpointYamlPath)
         val result = runEndpoint(endpoint, pathParams, query, headers, body, trace)
         traces.append(trace.finish(result.status, (System.nanoTime() - started) / 1000))
         result
@@ -91,13 +101,48 @@ class EndpointEngine(
     var failed: Option[EndpointError] = inputEither.left.toOption
     trace.input(current)
 
+    // reference-shaped record nodes (one per pipeline stage) captured
+    // beside the flat steps[] — best-effort: a probe failure degrades to a
+    // plain node, never fails the request
+    val rnodes = mapper.createArrayNode()
+    val origInput = current.deepCopy[JsonNode]()
+    def addNode(id: String, label: String, rulePath: Option[String],
+        stepIndex: Option[Int], status: String, before: JsonNode,
+        durationUs: Long)(enrich: ObjectNode => Unit): Unit =
+      if (traceDetail) try {
+        val n = mapper.createObjectNode()
+        n.put("id", id)
+        n.put("kind", "endpoint")
+        n.put("label", label)
+        n.put("status", status)
+        n.set[JsonNode]("input", before)
+        n.set[JsonNode]("output",
+          if (status == "ok") current.deepCopy[JsonNode]() else mapper.nullNode())
+        n.put("duration_us", durationUs)
+        val meta = mapper.createObjectNode()
+        rulePath.foreach(p => meta.put("rule_ref", p))
+        stepIndex.foreach(i => meta.put("step_index", i))
+        if (meta.size() > 0) n.set[JsonNode]("meta", meta)
+        enrich(n)
+        rnodes.add(n)
+      } catch { case NonFatal(_) => () }
+
     // input mappings reshape @input; their output REPLACES it
     if (failed.isEmpty && endpoint.input.nonEmpty) {
       val inputRule = RuleFile(version = 2, mappings = endpoint.input)
+      val before = current.deepCopy[JsonNode]()
+      val t0 = System.nanoTime()
       try current = transformValue(inputRule, current, configContext(None, None), baseDir)
       catch {
         case EndpointFailure(e) => failed = Some(e)
         case NonFatal(e) => failed = Some(EndpointError.transform(rootMessage(e)))
+      }
+      addNode("input", "input", None, None,
+          if (failed.isEmpty) "ok" else "error", before,
+          (System.nanoTime() - t0) / 1000) { n =>
+        val ops = detail.mappingOps(endpoint.input, before,
+          mapper.createObjectNode(), configContext(None, None), 0)
+        if (ops.size() > 0) n.set[JsonNode]("children", ops)
       }
     }
     failed.foreach { err =>
@@ -111,17 +156,41 @@ class EndpointEngine(
     if (failed.isEmpty) {
       val it = endpoint.steps.iterator
       var break = false
+      var stepIdx = -1
       while (it.hasNext && !break && failed.isEmpty) {
         val step = it.next()
+        stepIdx += 1
+        val idx = stepIdx
+        val before = current.deepCopy[JsonNode]()
         val stepStarted = System.nanoTime()
+        def stepDurUs = (System.nanoTime() - stepStarted) / 1000
+        // a NormalRule step's child_trace: the rule re-run step-by-step
+        // through the trace prefix protocol (TraceDetail.ruleTrace)
+        def withChildTrace(n: ObjectNode): Unit =
+          loadRule(step.rulePath) match {
+            case NormalRule(rule) =>
+              val resolved = baseDir.resolve(step.rulePath).normalize()
+              val childBase = Option(resolved.getParent).getOrElse(baseDir)
+              n.set[JsonNode]("child_trace", detail.ruleTrace(
+                resolved.getFileName.toString, step.rulePath, rule, before,
+                configContext(step.withParams, None), childBase,
+                Some(current)))
+              ()
+            case _ => ()
+          }
         val skip = step.when.exists { cond =>
           !evalCond(cond, current, configContext(step.withParams, None))
         }
-        if (skip) trace.step(step.rulePath, "skipped", (System.nanoTime() - stepStarted) / 1000)
-        else {
+        if (skip) {
+          trace.step(step.rulePath, "skipped", stepDurUs)
+          addNode(s"step-$idx", step.rulePath, Some(step.rulePath), Some(idx),
+            "skipped", before, stepDurUs)(_ => ())
+        } else {
           try {
             current = executeRule(step.rulePath, current, step.withParams)
-            trace.step(step.rulePath, "ok", (System.nanoTime() - stepStarted) / 1000)
+            trace.step(step.rulePath, "ok", stepDurUs)
+            addNode(s"step-$idx", step.rulePath, Some(step.rulePath), Some(idx),
+              "ok", before, stepDurUs)(withChildTrace)
           } catch {
             case NonFatal(e) =>
               val err = e match {
@@ -136,15 +205,25 @@ class EndpointEngine(
                 } match {
                 case Some(next) =>
                   current = next
-                  trace.step(step.rulePath, "ok", (System.nanoTime() - stepStarted) / 1000)
+                  trace.step(step.rulePath, "ok", stepDurUs)
+                  addNode(s"step-$idx", step.rulePath, Some(step.rulePath),
+                    Some(idx), "ok", before, stepDurUs)(_ => ())
                 case None =>
                   failed = Some(err)
-                  trace.step(step.rulePath, "error", (System.nanoTime() - stepStarted) / 1000)
+                  trace.step(step.rulePath, "error", stepDurUs)
+                  addNode(s"step-$idx", step.rulePath, Some(step.rulePath),
+                      Some(idx), "error", before, stepDurUs) { n =>
+                    val eo = mapper.createObjectNode()
+                    eo.put("message", err.message)
+                    n.set[JsonNode]("error", eo)
+                    ()
+                  }
               }
           }
         }
       }
     }
+    if (traceDetail) trace.detail(origInput, current, rnodes)
 
     failed match {
       case Some(err) =>
@@ -529,13 +608,16 @@ final class TraceStore(capacity: Int = 1000,
   }
 }
 
-private final class TraceBuilder(method: String, path: String) {
+private final class TraceBuilder(method: String, path: String, rulePath: String) {
   private val mapper = new ObjectMapper()
   private val node = mapper.createObjectNode()
   private val steps = mapper.createArrayNode()
   node.put("method", method)
   node.put("path", path)
   node.put("status", "ok")
+
+  // reference-shaped record detail (records[0].nodes), set by runEndpoint
+  private var detailTriple: Option[(JsonNode, JsonNode, JsonNode)] = None
 
   def input(v: JsonNode): Unit = node.set[JsonNode]("input", v.deepCopy[JsonNode]())
 
@@ -552,10 +634,42 @@ private final class TraceBuilder(method: String, path: String) {
     node.set[JsonNode]("error", err)
   }
 
+  def detail(input: JsonNode, output: JsonNode, nodes: JsonNode): Unit =
+    detailTriple = Some((input.deepCopy[JsonNode](),
+      output.deepCopy[JsonNode](), nodes))
+
   def finish(httpStatus: Int, durationUs: Long): ObjectNode = {
     node.put("http_status", httpStatus)
     node.put("duration_us", durationUs)
     node.set[JsonNode]("steps", steps)
+    // keep the flat steps[] (engine vocabulary) AND emit the reference's
+    // records/rule/summary shape so the UI's record navigation, op chains,
+    // and inspector views light up on real served traffic
+    detailTriple.foreach { case (in, out, nodes) =>
+      val status = node.path("status").asText("ok")
+      val record = mapper.createObjectNode()
+      record.put("index", 0)
+      record.put("status", status)
+      record.put("duration_us", durationUs)
+      record.set[JsonNode]("input", in)
+      record.set[JsonNode]("output", out)
+      record.set[JsonNode]("nodes", nodes)
+      if (node.has("error")) record.set[JsonNode]("error", node.get("error").deepCopy[JsonNode]())
+      val records = mapper.createArrayNode(); records.add(record)
+      node.set[JsonNode]("records", records)
+      val rule = mapper.createObjectNode()
+      rule.put("type", "endpoint")
+      rule.put("name", s"$method $path")
+      rule.put("path", rulePath)
+      rule.put("version", 2)
+      node.set[JsonNode]("rule", rule)
+      val summary = mapper.createObjectNode()
+      summary.put("record_total", 1)
+      summary.put("record_success", if (status == "ok") 1 else 0)
+      summary.put("record_failed", if (status == "ok") 0 else 1)
+      summary.put("duration_us", durationUs)
+      node.set[JsonNode]("summary", summary)
+    }
     node
   }
 }

@@ -684,6 +684,61 @@ object Engine {
     row.getBoolean(0)
   }
 
+  /** Env over a trace-builder row `{__rec: <record>, __out: <out-so-far>}`:
+    * `@input` resolves below __rec, `@out` below __out — the environment a
+    * mapping sees mid-rule, reconstructed for per-op trace capture. */
+  private def traceRowEnv(input: DataFrame, context: JValue): ExprCompiler.Env = {
+    val base = resolveFromSchema(
+      input.schema.fields.map(f => f.name -> f.dataType).toSeq, col(_))
+    val outFields: Seq[String] = input.schema.fields.find(_.name == "__out")
+      .map(_.dataType) match {
+        case Some(st: StructType) => st.fieldNames.toSeq
+        case _ => Nil
+      }
+    ExprCompiler.Env(
+      input = path => base(Seq("__rec") ++ path),
+      context = context,
+      out = outFields.map(n => n -> base(Seq("__out", n))).toMap)
+  }
+
+  /** Batch single-record evaluation of MANY expressions in ONE job over a
+    * `{__rec, __out}` trace row — the endpoint trace builder evaluates
+    * every pipe prefix of a mapping this way (k+1 prefixes = one collect,
+    * not k+1). Per-expression: Some(json) when present, None when missing
+    * or failing to compile (trace capture is best-effort — a probe must
+    * never fail the request it describes). */
+  def evalExprsJsonTrace(exprs: Seq[Expr], input: DataFrame,
+      context: JValue): IndexedSeq[Option[String]] = {
+    if (exprs.isEmpty) return Vector.empty
+    val env = traceRowEnv(input, context)
+    val cols = exprs.map { e =>
+      try {
+        val ce = ExprCompiler.compile(e, env)
+        Seq(ExprCompiler.jsonFragment(ce.valueOrNull, ce.tpe),
+          coalesce(ce.missing, lit(false)))
+      } catch { case scala.util.control.NonFatal(_) =>
+        Seq(lit(null).cast(StringType), lit(true)) }
+    }
+    val row =
+      try input.limit(1).select(cols.flatten: _*).collect()(0)
+      catch { case scala.util.control.NonFatal(_) =>
+        return Vector.fill(exprs.size)(None) }
+    exprs.indices.map { i =>
+      val (v, m) = (i * 2, i * 2 + 1)
+      if (row.getBoolean(m) || row.isNullAt(v)) None else Some(row.getString(v))
+    }
+  }
+
+  /** Single-record condition over a `{__rec, __out}` trace row; None when
+    * the condition fails to evaluate (best-effort, like the exprs). */
+  def evalCondTrace(c: Cond, input: DataFrame, context: JValue): Option[Boolean] =
+    try {
+      val ce = compileCond(c, traceRowEnv(input, context))
+      val row = input.limit(1)
+        .select((coalesce(ce.value, lit(false)) && !ce.missing).as("v")).collect()(0)
+      Some(row.getBoolean(0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Resolver over an ordered (name, type) schema; deeper path segments
     * descend through structs/arrays; unknown head ⇒ missing; the EMPTY path
     * is the whole record as a struct (`@input` bare ref). */

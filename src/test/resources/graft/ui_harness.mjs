@@ -95,6 +95,23 @@ app.onNodeClick(opNode);
 check("op click opens inspector on the op",
   app.S.inspectorOpen && app.S.selectedOp === opNode.op);
 
+// ---- OP-result deep view: pipe/args blocks + pipe-steps transition ----
+function collectText(el, out) {
+  if (!el || typeof el !== "object") return out;
+  if (el.textContent) out.push(String(el.textContent));
+  (el.children || []).forEach((c) => collectText(c, out));
+  return out;
+}
+app.renderAll();
+const inspText = collectText(documentStub.getElementById("inspBody"), []).join("\n");
+check("op result renders pipe + args blocks",
+  inspText.includes("pipe") && inspText.includes("args"));
+check("op result renders the pipe-steps transition",
+  inspText.includes("pipe steps") && inspText.includes("@input.name") &&
+  inspText.includes("trim"));
+check("pipe step values surface in order",
+  inspText.indexOf('" a "') >= 0 && inspText.indexOf('"a"') >= 0);
+
 // ---- records navigation on the root rule ------------------------------
 app.S.expanded = []; app.S.inspectorOpen = false;
 app.onNodeClick(nid("rules/orders.yaml"));

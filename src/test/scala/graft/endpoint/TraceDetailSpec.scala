@@ -1,0 +1,188 @@
+package graft.endpoint
+
+import java.nio.file.{Files, Path}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-shaped rich traces from the endpoint engine (reference
+  * endpoint_engine.rs build_rule_nodes_from_rule:2355 /
+  * build_mapping_ops_with_values:2975 / build_pipe_steps:3160): a handled
+  * request's trace carries records[0].nodes — endpoint step nodes with a
+  * recursive child_trace of each executed rule, per-step meta
+  * (record_when / asserts_ok / branch_taken), and per-mapping op children
+  * with input / pipe_value / args / output and the per-stage pipe_steps
+  * transition the UI's OP-result view renders. The flat steps[] stays
+  * beside it (engine vocabulary, consumed by McpSpec/CliSpec). */
+class TraceDetailSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val mapper = new ObjectMapper()
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var dir: Path = _
+
+  override def beforeAll(): Unit = {
+    dir = Files.createTempDirectory("trace_detail_spec")
+    Files.writeString(dir.resolve("shape.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: name
+        |    expr: ["@input.name", trim, uppercase]
+        |  - target: greeting
+        |    expr: [lit:hello]
+        |""".stripMargin)
+    Files.writeString(dir.resolve("staged.yaml"),
+      """version: 2
+        |steps:
+        |  - record_when:
+        |      gt: ["@input.n", 0]
+        |  - mappings:
+        |      - target: doubled
+        |        expr: ["@input.n", {multiply: [2]}]
+        |  - branch:
+        |      when:
+        |        gt: ["@out.doubled", 5]
+        |      then: ./big.yaml
+        |      else: ./small.yaml
+        |""".stripMargin)
+    Files.writeString(dir.resolve("big.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: size
+        |    expr: [lit:big]
+        |""".stripMargin)
+    Files.writeString(dir.resolve("small.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: size
+        |    expr: [lit:small]
+        |""".stripMargin)
+    Files.writeString(dir.resolve("endpoint.yaml"),
+      """type: endpoint
+        |endpoints:
+        |  - method: POST
+        |    path: /shape
+        |    input:
+        |      - target: name
+        |        expr: ["@input.body.name"]
+        |      - target: n
+        |        expr: ["@input.body.n"]
+        |    steps:
+        |      - rule: ./shape.yaml
+        |    reply:
+        |      status: [lit:200]
+        |      body: ["@input"]
+        |  - method: POST
+        |    path: /staged
+        |    input:
+        |      - target: n
+        |        expr: ["@input.body.n"]
+        |    steps:
+        |      - rule: ./staged.yaml
+        |    reply:
+        |      status: [lit:200]
+        |      body: ["@input"]
+        |""".stripMargin)
+  }
+
+  private def lastTrace(engine: EndpointEngine): JsonNode =
+    engine.traces.list().last
+
+  test("request trace carries records[0].nodes beside the flat steps[]") {
+    val engine = new EndpointEngine(spark, dir.resolve("endpoint.yaml").toString)
+    val res = engine.handle("POST", "/shape", "", Nil,
+      Some("""{"name":"  ada  ","n":1}"""))
+    assert(res.status == 200)
+    val t = lastTrace(engine)
+    assert(t.get("steps").size() == 1)                       // flat shape kept
+    assert(t.get("rule").get("type").asText == "endpoint")
+    assert(t.get("rule").get("name").asText == "POST /shape")
+    assert(t.get("summary").get("record_total").asInt == 1)
+    val rec = t.get("records").get(0)
+    assert(rec.get("status").asText == "ok")
+    assert(rec.get("input").get("body").get("name").asText == "  ada  ")
+    val nodes = rec.get("nodes")
+    // node 0: the input-mapping stage with per-mapping op children
+    val inputNode = nodes.get(0)
+    assert(inputNode.get("id").asText == "input")
+    val inOps = inputNode.get("children")
+    assert(inOps.get(0).get("label").asText == "name")
+    assert(inOps.get(0).get("output").asText == "  ada  ")
+    // node 1: the rule step, with rule_ref meta and a child_trace
+    val stepNode = nodes.get(1)
+    assert(stepNode.get("meta").get("rule_ref").asText == "./shape.yaml")
+    assert(stepNode.get("status").asText == "ok")
+    val child = stepNode.get("child_trace")
+    assert(child.get("rule").get("type").asText == "normal")
+    assert(child.get("rule").get("path").asText == "./shape.yaml")
+    assert(child.get("records").get(0).get("output").get("name").asText == "ADA")
+  }
+
+  test("mapping ops carry pipe_value, args, and the per-stage pipe_steps") {
+    val engine = new EndpointEngine(spark, dir.resolve("endpoint.yaml").toString)
+    engine.handle("POST", "/shape", "", Nil, Some("""{"name":"  ada  ","n":1}"""))
+    val child = lastTrace(engine).get("records").get(0).get("nodes").get(1)
+      .get("child_trace")
+    val ops = child.get("records").get(0).get("nodes").get(0).get("children")
+    val op0 = ops.get(0)
+    assert(op0.get("kind").asText == "op")
+    assert(op0.get("label").asText == "name")
+    assert(op0.get("args").get("target").asText == "name")
+    assert(op0.get("pipe_value").isArray)                // rendered v2 pipe
+    assert(op0.get("meta").get("op").asText == "mapping")
+    // pipe_steps: @input.name -> trim -> uppercase, each stage's in/out
+    val steps = op0.get("pipe_steps")
+    assert(steps.size() == 3)
+    assert(steps.get(0).get("label").asText == "@input.name")
+    assert(steps.get(0).get("output").asText == "  ada  ")
+    assert(steps.get(1).get("label").asText == "trim")
+    assert(steps.get(1).get("input").asText == "  ada  ")
+    assert(steps.get(1).get("output").asText == "ada")
+    assert(steps.get(2).get("label").asText == "uppercase")
+    assert(steps.get(2).get("output").asText == "ADA")
+    assert(op0.get("input").asText == "  ada  ")
+    assert(op0.get("output").asText == "ADA")
+    // literal mapping: single "value" stage
+    val op1 = ops.get(1)
+    assert(op1.get("label").asText == "greeting")
+    assert(op1.get("output").asText == "hello")
+  }
+
+  test("staged rule: step kinds, record_when/branch meta, branch child_trace") {
+    val engine = new EndpointEngine(spark, dir.resolve("endpoint.yaml").toString)
+    engine.handle("POST", "/staged", "", Nil, Some("""{"n":4}"""))
+    val child = lastTrace(engine).get("records").get(0).get("nodes").get(1)
+      .get("child_trace")
+    val nodes = child.get("records").get(0).get("nodes")
+    assert(nodes.get(0).get("kind").asText == "record_when")
+    assert(nodes.get(0).get("meta").get("record_when").asBoolean)
+    assert(nodes.get(1).get("kind").asText == "mappings")
+    val mapOps = nodes.get(1).get("children")
+    assert(mapOps.get(0).get("label").asText == "doubled")
+    assert(mapOps.get(0).get("output").asLong == 8L)
+    val branch = nodes.get(2)
+    assert(branch.get("kind").asText == "branch")
+    assert(branch.get("meta").get("branch_taken").asText == "then")
+    assert(branch.get("meta").get("rule_ref").asText == "./big.yaml")
+    val branchChild = branch.get("child_trace")
+    assert(branchChild.get("rule").get("name").asText == "big.yaml")
+    assert(branchChild.get("records").get(0).get("nodes").get(0)
+      .get("children").get(0).get("output").asText == "big")
+  }
+
+  test("traceDetail=false keeps the flat trace only") {
+    val engine = new EndpointEngine(spark, dir.resolve("endpoint.yaml").toString,
+      traceDetail = false)
+    engine.handle("POST", "/shape", "", Nil, Some("""{"name":"x","n":1}"""))
+    val t = lastTrace(engine)
+    assert(t.get("steps").size() == 1)
+    assert(!t.has("records"))
+  }
+}

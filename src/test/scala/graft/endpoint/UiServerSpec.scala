@@ -291,7 +291,12 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |        "rule":{"name":"shape","path":"rules/shape.yaml","type":"normal"},
         |        "records":[{"index":0,"status":"success","nodes":[
         |          {"kind":"op","label":"trim name","status":"success","duration_us":120,
-        |           "input":{"name":" a "},"output":{"name":"a"}},
+        |           "input":" a ","output":"a",
+        |           "pipe_value":["@input.name","trim"],
+        |           "args":{"target":"name","expr":["@input.name","trim"]},
+        |           "pipe_steps":[
+        |             {"index":0,"label":"@input.name","input":null,"output":" a "},
+        |             {"index":1,"label":"trim","input":" a ","output":"a"}]},
         |          {"kind":"op","label":"uppercase","status":"success","duration_us":80}
         |        ]}]}},
         |     {"kind":"branch","label":"vip?","status":"success","duration_us":60,
