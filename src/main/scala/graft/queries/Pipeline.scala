@@ -951,6 +951,36 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail by their LM score —
+    * the standard corpus partitioning that lets a training mixture
+    * over-sample the fluent head without dropping the tail outright.
+    * Buckets are per-language quartiles of [[TA.lmScore]] (higher score =
+    * more probable = head), so a verbose language's absolute scores never
+    * leak into a terse one's cut, the same per-group-threshold doctrine
+    * as q_adaptive_quality. Shapes: the lmScore pipeline (one corpus
+    * scan, groupBy counts joined back), a languages-sized quartile frame
+    * broadcast onto the scored stream, then a narrow bucket projection —
+    * nothing new shuffles at 100 TB beyond lmScore itself; at real scale
+    * the quartile step swaps to approx_percentile exactly like
+    * [[graft.operators.Sampling.adaptiveGate]]. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TA.lmScore(docs, "text", "doc_id")
+    val withLang = docs.select(col("doc_id"), col("lang"))
+      .join(scored.select(col("doc_id"), col("lm_score")), Seq("doc_id"))
+    val thresholds = withLang.groupBy("lang").agg(
+      percentile(col("lm_score"), lit(0.75)).as("q75"),
+      percentile(col("lm_score"), lit(0.25)).as("q25"))
+    withLang.join(broadcast(thresholds), "lang")
+      .withColumn("bucket",
+        when(col("lm_score") >= col("q75"), lit("head"))
+          .when(col("lm_score") >= col("q25"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "lang", "lm_score", "bucket")
+      .orderBy("doc_id")
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -1065,6 +1095,7 @@ object Pipeline {
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_lm_score"         -> (lmScore _),
     "q_lm_gate"          -> (lmGate _),
+    "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
     "q_tfidf_topk"       -> (tfidfTopK _),
@@ -1409,6 +1440,33 @@ object Pipeline {
        |SELECT doc_id, lm_score FROM d WHERE lm_score >= $LmGateThreshold
        |ORDER BY doc_id""".stripMargin
 
+  /** q_perplexity_buckets oracle: the q_lm_score recipe (engine-exact by
+    * the fixed-point argument), per-language quartiles via quantile_cont
+    * (bit-equal to Spark's exact `percentile` — the q_doc_percentiles
+    * argument), and the same >= threshold CASE on exact doubles. */
+  private val perplexityBucketsSql =
+    """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+      |g AS (SELECT doc_id, a[i+1] AS w1, a[i+1] || ' ' || a[i+2] AS g2
+      |      FROM arr, UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) t(i)),
+      |c2 AS (SELECT g2, COUNT(*) c2 FROM g GROUP BY g2),
+      |c1 AS (SELECT w1, COUNT(*) c1 FROM g GROUP BY w1),
+      |vocab AS (SELECT COUNT(DISTINCT w1) v FROM g),
+      |p AS (SELECT g.doc_id, (c2.c2 + 1) * 1.0 / (c1.c1 + vocab.v) AS p
+      |      FROM g JOIN c2 USING (g2) JOIN c1 USING (w1) CROSS JOIN vocab),
+      |d AS (SELECT doc_id,
+      |             CAST(SUM(CAST(FLOOR(p * 1e15) AS BIGINT)) AS DOUBLE)
+      |               / (COUNT(*) * 1e15) AS lm_score
+      |      FROM p GROUP BY doc_id),
+      |s AS (SELECT dd.doc_id, dd.lang, COALESCE(d.lm_score, 0.0) AS lm_score
+      |      FROM documents dd LEFT JOIN d ON d.doc_id = dd.doc_id),
+      |t AS (SELECT lang, quantile_cont(lm_score, 0.75) q75,
+      |             quantile_cont(lm_score, 0.25) q25 FROM s GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.lm_score,
+      |       CASE WHEN s.lm_score >= t.q75 THEN 'head'
+      |            WHEN s.lm_score >= t.q25 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM s JOIN t USING (lang) ORDER BY s.doc_id""".stripMargin
+
   // Redact rule patterns injected verbatim (single-quoted SQL strings do
   // not process backslashes, so Java-regex and RE2 see the same pattern;
   // every pattern avoids lookaround for exactly this reason).
@@ -1711,6 +1769,7 @@ object Pipeline {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_lm_score" -> lmScoreSql,
     "q_lm_gate" -> lmGateSql,
+    "q_perplexity_buckets" -> perplexityBucketsSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.5) AS p50,
