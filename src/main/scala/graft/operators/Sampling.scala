@@ -95,6 +95,27 @@ object Sampling {
     resampleByMass(df, idCol, sourceCol, masses, weights, mod)
   }
 
+  /** Temperature-flattened multilingual mixture (Conneau et al. 2020
+    * §3.1; the mT5 sampling rule): target weights derive from the
+    * corpus's OWN distribution as mass^(1/τ), flattening it toward
+    * uniform so high-resource languages stop drowning the tail without
+    * anyone hand-writing a dataset card. τ = 2 (exponent 0.5) is the
+    * engine-exact choice: sqrt is a correctly-rounded IEEE-754 op on
+    * every engine where pow is only 1-ulp-accurate, so the derived
+    * weights — and therefore the kept set — are bit-reproducible against
+    * the oracle. With w = √n the binding ratio is T = min √n and each
+    * source keeps min(√n)/√n_s: the scarcest language is kept whole,
+    * larger ones downsample by the square-root rule. Same scale shape as
+    * [[mixtureResample]]: one group-cardinality-bounded aggregation, then
+    * the narrow zero-shuffle md5-bucket filter. */
+  def temperatureResample(df: DataFrame, idCol: String, sourceCol: String,
+      mod: Int = 1000000): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = counts.map { case (s, n) => s -> math.sqrt(n.toDouble) }
+    resampleByMass(df, idCol, sourceCol, counts, weights, mod)
+  }
+
   /** The mass-parameterized core of [[mixtureResample]] /
     * [[mixtureResampleTokens]], public so a STREAM can apply rates
     * derived from a batch profile: per-source mass is a plain Map (from

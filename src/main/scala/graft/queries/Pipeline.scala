@@ -387,6 +387,34 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Semi-supervised kNN label propagation — the label-spreading pass
+    * that turns an expensive hand-labeled subset (quality ratings, topic
+    * tags) into corpus-wide labels: each unlabeled vector takes the
+    * majority label of its k nearest LABELED neighbors (ties break to
+    * the smallest label, deterministic). Even vec_ids play the labeled
+    * pool here, odd ones get predictions. Composes the proven
+    * [[Similarity.knnJoin]] (broadcast probe under the bound, graceful
+    * shuffle fallback past it) with a labels-per-query vote — the vote
+    * table is (queries × distinct-labels)-sized, never corpus². At
+    * 100 TB the neighbor stage swaps to the IVF shortlist exactly like
+    * q_ivf_rerank; the vote is unchanged. */
+  def knnLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val labeled = emb.filter(col("vec_id") % 2 === 0)
+    val unlabeled = emb.filter(col("vec_id") % 2 === 1)
+    val nn = Similarity.knnJoin(unlabeled, labeled,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    val withLabel = nn.join(
+      broadcast(labeled.select(col("vec_id").as("cid"), col("label"))), "cid")
+    val votes = withLabel.groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("predicted_label"),
+        col("votes"))
+      .orderBy("vec_id")
+  }
+
   /** Int8 symmetric quantization of the embedding table — per-vector
     * scale plus the quantized components (CSV string for hash
     * comparability). */
@@ -781,6 +809,15 @@ object Pipeline {
         Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
       .orderBy("doc_id")
 
+  /** Temperature-flattened mixture over the per-language doc counts —
+    * no hand-written card; see
+    * [[graft.operators.Sampling.temperatureResample]]. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureResample(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", "lang")
+      .orderBy("doc_id")
+
   /** [[mixtureResample]]'s token-weighted sibling: the same 40/20/20/20
     * target, but the per-language mass is Σ tokens — the form a real
     * dataset card states. Keeps (doc_id, lang, n_tokens) so the oracle
@@ -1080,6 +1117,7 @@ object Pipeline {
     "q_snapshot_diff"    -> (snapshotDiff _),
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
+    "q_knn_labels"       -> (knnLabelPropagation _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_quantized_rerank" -> (quantizedRerank _),
     "q_ivf_rerank"       -> (ivfRerank _),
@@ -1108,6 +1146,7 @@ object Pipeline {
     "q_stratified_sample" -> (stratifiedSample _),
     "q_mixture_resample" -> (mixtureResample _),
     "q_mixture_tokens"   -> (mixtureTokens _),
+    "q_temperature_mixture" -> (temperatureMixture _),
     "q_sample_per_group" -> (samplePerGroup _))
 
   private val stopList = TA.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -1714,6 +1753,18 @@ object Pipeline {
         |FROM documents d JOIN r USING (lang)
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) < rate
         |ORDER BY doc_id""".stripMargin,
+    // temperature mixture: weights are SQRT(n) (correctly-rounded IEEE on
+    // both engines, unlike pow), then the identical T = MIN(n/w) recipe
+    // and md5-bucket filter in the same left-to-right IEEE op order
+    "q_temperature_mixture" ->
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS wt, n FROM n),
+        |t AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS t FROM w),
+        |r AS (SELECT lang, wt * t.t / n * 1000000 AS rate FROM w, t)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) < rate
+        |ORDER BY doc_id""".stripMargin,
     // token-weighted mixture: identical recipe with n = per-language
     // token sums (the LEN(STRING_SPLIT) token count proven elsewhere)
     "q_mixture_tokens" ->
@@ -1985,5 +2036,21 @@ object Pipeline {
         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |           ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // label propagation: the q_knn_join neighbor recipe (proven cosine +
+    // (sim DESC, cid ASC) tie-break), then an integer majority vote with
+    // the deterministic (votes DESC, label ASC) pick — no float math past
+    // the proven rank stage, so the predicted labels are engine-exact
+    "q_knn_labels" ->
+      """WITH ranked AS (
+        |  SELECT u.vec_id qid, l.vec_id cid, l.label,
+        |         ROW_NUMBER() OVER (PARTITION BY u.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(CAST(u.embedding AS DOUBLE[]), CAST(l.embedding AS DOUBLE[])) DESC, l.vec_id ASC) rk
+        |  FROM embeddings u JOIN embeddings l ON u.vec_id % 2 = 1 AND l.vec_id % 2 = 0),
+        |votes AS (SELECT qid, label, COUNT(*) votes FROM ranked WHERE rk <= 5 GROUP BY 1, 2),
+        |best AS (SELECT qid, label, votes,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) vr
+        |         FROM votes)
+        |SELECT qid AS vec_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin)
 }
