@@ -450,4 +450,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
       s"expected partial-aggregated corpus counts in:\n$plan")
   }
+
+  test("temperature mixture: rates baked as literals, zero-shuffle filter") {
+    val plan = planOf(Pipeline.queries("q_temperature_mixture")(spark, dir))
+    // the per-language counts collapse to a CASE literal on the driver;
+    // the resample itself must be scan+filter — the ONLY Exchange is the
+    // final orderBy's range partitioning
+    assert(plan.contains("CASE WHEN"),
+      s"expected literal per-language rates in:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly the orderBy Exchange, found $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"the mixture filter must not join:\n$plan")
+  }
+
+  test("kNN label propagation: partial top-k before the shuffle, broadcast label join") {
+    val plan = planOf(Pipeline.queries("q_knn_labels")(spark, dir))
+    // WindowGroupLimit prunes each partition to k rows per query BEFORE
+    // the rank shuffle — without it every scored pair shuffles
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must prune before the shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the label lookup must broadcast:\n$plan")
+    // the vote is map-side combined: a partial_count before the exchange
+    assert(plan.contains("partial_count"),
+      s"the vote aggregation must partial-aggregate:\n$plan")
+  }
 }
