@@ -166,18 +166,25 @@ class EndpointEngine(
         def stepDurUs = (System.nanoTime() - stepStarted) / 1000
         // a NormalRule step's child_trace: the rule re-run step-by-step
         // through the trace prefix protocol (TraceDetail.ruleTrace)
-        def withChildTrace(n: ObjectNode): Unit =
+        def withChildTrace(n: ObjectNode): Unit = {
+          val resolved = baseDir.resolve(step.rulePath).normalize()
           loadRule(step.rulePath) match {
             case NormalRule(rule) =>
-              val resolved = baseDir.resolve(step.rulePath).normalize()
               val childBase = Option(resolved.getParent).getOrElse(baseDir)
               n.set[JsonNode]("child_trace", detail.ruleTrace(
                 resolved.getFileName.toString, step.rulePath, rule, before,
                 configContext(step.withParams, None), childBase,
                 Some(current)))
               ()
+            case NetworkRule(spec) =>
+              n.set[JsonNode]("child_trace", detail.networkTrace(
+                resolved.getFileName.toString, step.rulePath, spec, before,
+                Some(current), configContext(step.withParams, None),
+                stepDurUs))
+              ()
             case _ => ()
           }
+        }
         val skip = step.when.exists { cond =>
           !evalCond(cond, current, configContext(step.withParams, None))
         }

@@ -303,6 +303,113 @@ private[endpoint] final class TraceDetail(
     ops
   }
 
+  /** The `child_trace` of a NETWORK rule step (reference
+    * build_network_nodes_with_timing: endpoint_engine.rs:2870): one
+    * "network" node whose op children describe the declared call —
+    * request (method/url/headers), body expr or body_map ops or
+    * body_rule ref, select path, retry policy. These are the RULE's
+    * declared shapes, not live wire captures — the reference renders the
+    * same static view. */
+  def networkTrace(name: String, refPath: String,
+      spec: EndpointModel.NetworkSpec, input: JsonNode,
+      output: Option[JsonNode], context: JValue,
+      durationUs: Long): ObjectNode = {
+    val children = mapper.createArrayNode()
+    def op(id: String, label: String)(fill: ObjectNode => Unit): Unit = {
+      val o = mapper.createObjectNode()
+      o.put("id", id); o.put("kind", "op"); o.put("label", label)
+      o.put("status", "ok")
+      val meta = mapper.createObjectNode(); meta.put("op", label)
+      o.set[JsonNode]("meta", meta)
+      fill(o)
+      children.add(o)
+    }
+    op("op-request", "request") { o =>
+      val args = mapper.createObjectNode()
+      args.put("method", spec.method)
+      args.set[JsonNode]("url", renderExpr(spec.url))
+      if (spec.headers.nonEmpty) {
+        val hs = mapper.createObjectNode()
+        spec.headers.foreach { case (k, v) => hs.put(k, v) }
+        args.set[JsonNode]("headers", hs)
+      }
+      o.set[JsonNode]("args", args)
+      ()
+    }
+    spec.body.foreach { b =>
+      op("op-body", "body") { o =>
+        val args = mapper.createObjectNode()
+        args.set[JsonNode]("expr", renderExpr(b))
+        o.set[JsonNode]("args", args)
+        ()
+      }
+    }
+    if (spec.bodyMap.nonEmpty)
+      mappingOps(spec.bodyMap, input, mapper.createObjectNode(), context, 0)
+        .forEach(n => { children.add(n); () })
+    spec.bodyRule.foreach(_ => op("op-body-rule", "body_rule")(_ => ()))
+    spec.select.foreach { tokens =>
+      op("op-select", "select") { o =>
+        val args = mapper.createObjectNode()
+        args.put("path", tokens.map {
+          case graft.rules.PathParser.PKey(k) => k
+          case graft.rules.PathParser.PIdx(i) => i.toString
+        }.mkString("."))
+        o.set[JsonNode]("args", args)
+        ()
+      }
+    }
+    spec.retry.foreach { r =>
+      op("op-retry", "retry") { o =>
+        val args = mapper.createObjectNode()
+        args.put("max", r.max)
+        args.put("backoff", r.backoff)
+        args.put("initial_delay_ms", r.initialDelayMs)
+        o.set[JsonNode]("args", args)
+        ()
+      }
+    }
+    val node = mapper.createObjectNode()
+    node.put("id", "step-0")
+    node.put("kind", "network")
+    node.put("label", "request")
+    node.put("status", "ok")
+    node.put("duration_us", durationUs)
+    spec.bodyRule.foreach { rp =>
+      val meta = mapper.createObjectNode()
+      meta.put("rule_ref", rp)
+      meta.put("rule_ref_label", "body_rule")
+      node.set[JsonNode]("meta", meta)
+    }
+    node.set[JsonNode]("children", children)
+    val record = mapper.createObjectNode()
+    record.put("index", 0)
+    record.put("status", "ok")
+    record.put("duration_us", durationUs)
+    record.set[JsonNode]("input", input.deepCopy[JsonNode]())
+    record.set[JsonNode]("output",
+      output.map(_.deepCopy[JsonNode]()).getOrElse(mapper.nullNode()))
+    val nodes = mapper.createArrayNode(); nodes.add(node)
+    record.set[JsonNode]("nodes", nodes)
+    val t = mapper.createObjectNode()
+    t.put("trace_id", s"child-${traceSeq.incrementAndGet()}")
+    val ruleObj = mapper.createObjectNode()
+    ruleObj.put("type", "network")
+    ruleObj.put("name", name)
+    ruleObj.put("path", refPath)
+    ruleObj.put("version", 2)
+    t.set[JsonNode]("rule", ruleObj)
+    val records = mapper.createArrayNode(); records.add(record)
+    t.set[JsonNode]("records", records)
+    val summary = mapper.createObjectNode()
+    summary.put("record_total", 1)
+    summary.put("record_success", 1)
+    summary.put("record_failed", 0)
+    summary.put("duration_us", durationUs)
+    t.set[JsonNode]("summary", summary)
+    t
+  }
+
   // -- evaluation plumbing -------------------------------------------------
 
   /** `{__rec, __out}` one-row frame for [[Engine.evalExprsJsonTrace]]. */

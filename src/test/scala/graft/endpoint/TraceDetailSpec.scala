@@ -177,6 +177,64 @@ class TraceDetailSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get("children").get(0).get("output").asText == "big")
   }
 
+  test("network rule step carries a network child_trace with declared op children") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val api = HttpServer.create(new InetSocketAddress(0), 0)
+    api.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val bytes = """{"data":{"plan":"pro"}}""".getBytes("UTF-8")
+        x.getResponseHeaders.add("content-type", "application/json")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    api.start()
+    try {
+      val port = api.getAddress.getPort
+      Files.writeString(dir.resolve("fetch.yaml"),
+        s"""type: network
+           |request:
+           |  method: GET
+           |  url:
+           |    - "lit:http://127.0.0.1:$port/plan"
+           |timeout: 5s
+           |select: data
+           |retry:
+           |  max: 2
+           |  backoff: fixed
+           |  initial_delay_ms: 10
+           |""".stripMargin)
+      Files.writeString(dir.resolve("net_endpoint.yaml"),
+        """type: endpoint
+          |endpoints:
+          |  - method: GET
+          |    path: /plan
+          |    steps:
+          |      - rule: ./fetch.yaml
+          |    reply:
+          |      status: [lit:200]
+          |      body: ["@input"]
+          |""".stripMargin)
+      val engine = new EndpointEngine(spark, dir.resolve("net_endpoint.yaml").toString)
+      val res = engine.handle("GET", "/plan", "", Nil, None)
+      assert(res.status == 200)
+      val stepNode = lastTrace(engine).get("records").get(0).get("nodes").get(0)
+      val child = stepNode.get("child_trace")
+      assert(child.get("rule").get("type").asText == "network")
+      val net = child.get("records").get(0).get("nodes").get(0)
+      assert(net.get("kind").asText == "network")
+      val ops = net.get("children")
+      val labels = (0 until ops.size()).map(i => ops.get(i).get("label").asText)
+      assert(labels == Seq("request", "select", "retry"))
+      assert(ops.get(0).get("args").get("method").asText == "GET")
+      assert(ops.get(1).get("args").get("path").asText == "data")
+      assert(ops.get(2).get("args").get("max").asInt == 2)
+      assert(child.get("records").get(0).get("output").get("plan").asText == "pro")
+    } finally api.stop(0)
+  }
+
   test("traceDetail=false keeps the flat trace only") {
     val engine = new EndpointEngine(spark, dir.resolve("endpoint.yaml").toString,
       traceDetail = false)
