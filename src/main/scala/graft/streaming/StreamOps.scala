@@ -254,6 +254,33 @@ object StreamOps {
         graft.functions.BigramLmScore.score(col(textCol), model))
       .filter(col("lm_score") >= minScore)
 
+  /** Streaming CCNet perplexity bucketing — the deployment form of
+    * [[graft.queries.Pipeline.perplexityBuckets]]: score each incoming
+    * document with the batch-trained pruned model (the [[lmGate]] native
+    * probe) and assign head/middle/tail against PER-LANGUAGE thresholds
+    * computed once from the batch profile ((lang → (q25, q75)) — a
+    * languages-sized map carried in the plan as a CASE literal, the
+    * mixture-gate pattern). Unknown languages fall to `tail` — the
+    * conservative routing for off-profile traffic. Stateless,
+    * shuffle-free, append-mode-safe; batch and stream assign
+    * identically. */
+  def lmBucket(docs: DataFrame, textCol: String, langCol: String,
+      model: graft.functions.BigramLmModel,
+      thresholds: Map[String, (Double, Double)]): DataFrame = {
+    val scored = docs.withColumn("lm_score",
+      graft.functions.BigramLmScore.score(col(textCol), model))
+    val q75 = thresholds.toSeq.sortBy(_._1).foldLeft(lit(Double.MaxValue)) {
+      case (acc, (l, (_, hi))) => when(col(langCol) === l, lit(hi)).otherwise(acc)
+    }
+    val q25 = thresholds.toSeq.sortBy(_._1).foldLeft(lit(Double.MaxValue)) {
+      case (acc, (l, (lo, _))) => when(col(langCol) === l, lit(lo)).otherwise(acc)
+    }
+    scored.withColumn("bucket",
+      when(col("lm_score") >= q75, lit("head"))
+        .when(col("lm_score") >= q25, lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Continuous incremental-ingest dedup: every micro-batch of the
     * document stream is deduped against the PERSISTED MinHash signature
     * index with the same batch operators the daily job uses

@@ -119,6 +119,56 @@ class SurvivorLmSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty)
   }
 
+  test("lmBucket on a stream: per-language thresholds assign batch-identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit, percentile}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = (1L to 60L)
+      .map { i =>
+        // ~10% junk per language: unseen-token soup scores at the 1/V
+        // floor, guaranteeing a sub-q25 tail exists on both sides
+        val text =
+          if (i % 10 == 7) s"junk${i}a junk${i}b junk${i}c junk${i}d"
+          else Seq.tabulate(12)(j => s"t${(i * 7 + j) % 9}").mkString(" ")
+        (i, if (i % 3 == 0) "de" else "en", text)
+      }
+      .toDF("doc_id", "lang", "text")
+    // unpruned model scores ≡ lmScore (the exactness contract above), so
+    // per-language quartiles of lmScore ARE the bucket thresholds
+    val model = graft.functions.BigramLmScore.train(corpus, "text", topK = 10000)
+    val scored = TextAnalysis.lmScore(corpus, "text", "doc_id")
+      .join(corpus.select("doc_id", "lang"), "doc_id")
+    val th = scored.groupBy("lang")
+      .agg(percentile(col("lm_score"), lit(0.25)).as("q25"),
+        percentile(col("lm_score"), lit(0.75)).as("q75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val batchBuckets = graft.streaming.StreamOps
+      .lmBucket(corpus, "text", "lang", model, th)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // sanity: thresholds split each language three ways
+    assert(batchBuckets.values.toSet == Set("head", "middle", "tail"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val bucketed = graft.streaming.StreamOps.lmBucket(
+      input.toDF.toDF("doc_id", "lang", "text"), "text", "lang", model, th)
+    val q = bucketed.select("doc_id", "bucket").writeStream
+      .format("memory").queryName("lm_bucket_out").outputMode("append").start()
+    input.addData(corpus.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamBuckets = spark.table("lm_bucket_out")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamBuckets == batchBuckets)
+    assert(q.lastProgress.stateOperators.isEmpty) // stateless gate
+    // unknown language routes to tail
+    val odd = graft.streaming.StreamOps.lmBucket(
+      Seq((99L, "xx", "t1 t2 t3")).toDF("doc_id", "lang", "text"),
+      "text", "lang", model, th)
+    assert(odd.select("bucket").collect()(0).getString(0) == "tail")
+  }
+
   test("lmScore is partitioning-independent (fixed-point sum)") {
     import spark.implicits._
     val docs = (1L to 40L)
