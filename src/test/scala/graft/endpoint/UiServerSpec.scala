@@ -149,11 +149,29 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (ts, tl, _) = http("GET", "/internal/traces")
     assert(ts == 200)
     val traces = mapper.readTree(tl).get("traces").elements()
-    var sawApi = false
+    var apiId: Option[String] = None
     traces.forEachRemaining { t =>
-      if (t.get("trace_id").asText.startsWith("trace-")) sawApi = true
+      if (t.get("trace_id").asText.startsWith("trace-"))
+        apiId = Some(t.get("trace_id").asText)
     }
-    assert(sawApi, s"expected a persisted /api trace in: $tl")
+    assert(apiId.isDefined, s"expected a persisted /api trace in: $tl")
+    // the persisted trace is the RICH shape the UI's deep views render:
+    // records[0].nodes with a child_trace per executed rule whose mapping
+    // ops carry the per-stage pipe_steps transition
+    val (ds, db, _) = http("GET", s"/internal/traces/${apiId.get}")
+    assert(ds == 200)
+    val doc = mapper.readTree(db).get("trace")
+    assert(doc.get("rule").get("type").asText == "endpoint")
+    val nodes = doc.get("records").get(0).get("nodes")
+    assert(nodes.size() >= 1)
+    val stepNode = nodes.get(nodes.size() - 1)
+    assert(stepNode.get("meta").get("rule_ref").asText == "./shape.yaml")
+    val ops = stepNode.get("child_trace").get("records").get(0)
+      .get("nodes").get(0).get("children")
+    assert(ops.get(0).get("label").asText == "name")
+    val steps = ops.get(0).get("pipe_steps")
+    assert(steps.size() == 3)                              // ref, trim, uppercase
+    assert(steps.get(2).get("output").asText == "ADA")
   }
 
   test("bundle import copies traces and rules then reports counts") {
