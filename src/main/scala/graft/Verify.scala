@@ -22,8 +22,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a success must clear any stale marker from a previous run into
+        // the same outDir, or a fixed query reads as permanently failed
+        Files.deleteIfExists(Paths.get(s"$outDir/$name.error"))
+        ()
+      }
       catch { case e: Throwable =>
         // A throwing query must surface as a red row, never as a silently
         // shrunk denominator (round-9 verdict: 83→80 entries with no err).

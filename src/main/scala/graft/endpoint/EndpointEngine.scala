@@ -123,7 +123,9 @@ class EndpointEngine(
         rulePath.foreach(p => meta.put("rule_ref", p))
         stepIndex.foreach(i => meta.put("step_index", i))
         if (meta.size() > 0) n.set[JsonNode]("meta", meta)
-        enrich(n)
+        // a probe failure degrades to a PLAIN node, never a missing one —
+        // records[0].nodes must stay in sync with the executed stages
+        try enrich(n) catch { case NonFatal(_) => () }
         rnodes.add(n)
       } catch { case NonFatal(_) => () }
 

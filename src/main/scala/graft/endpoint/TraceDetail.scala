@@ -22,9 +22,18 @@ import graft.rules.Model._
   * Everything here is BEST-EFFORT observation: probes re-evaluate rule
   * prefixes against one-row DataFrames through the same compiled plans the
   * real execution used, and any probe failure degrades to an absent field,
-  * never to a failed request. All pipe prefixes of one mapping evaluate in
-  * a single job ([[Engine.evalExprsJsonTrace]]), so an n-step pipe costs
-  * one collect, not n. */
+  * never to a failed request — and never to an affirmative wrong claim
+  * (an unresolved probe omits its meta rather than defaulting it). All
+  * pipe prefixes of one mapping evaluate in a single job
+  * ([[Engine.evalExprsJsonTrace]]), so an n-step pipe costs one collect,
+  * not n.
+  *
+  * Cost: like the reference (whose build_rule_nodes_from_rule re-runs
+  * rule prefixes per request), capture is O(steps²) rule re-executions
+  * plus one probe job per mapping/condition — debugging-surface pricing,
+  * not data-path pricing. Latency-sensitive serving sets
+  * `traceDetail = false` on [[EndpointEngine]] and keeps the flat
+  * steps[] traces. */
 private[endpoint] final class TraceDetail(
     spark: SparkSession,
     parseNormalRule: Path => Option[RuleFile]) {
@@ -82,7 +91,30 @@ private[endpoint] final class TraceDetail(
     var overall = "ok"
     var lastOut: Option[JsonNode] = None
     if (rule.steps.nonEmpty) {
+      // the engine applies TOP-LEVEL mappings before steps, so step 0's
+      // @out scope (and its displayed input) is the mappings' output, not
+      // {} — probe it with the zero-step prefix and surface it as its own
+      // node, mirroring the no-steps branch
       var prevOutput: JsonNode = mapper.createObjectNode()
+      if (rule.mappings.nonEmpty) {
+        val started = System.nanoTime()
+        runPrefix(rule.copy(steps = Nil), -1, input, context, ruleBaseDir) match {
+          case Right(Some(out)) => prevOutput = out; lastOut = Some(out)
+          case _ => ()
+        }
+        val ops = mappingOps(rule.mappings, input,
+          mapper.createObjectNode(), context, 0)
+        val node = mapper.createObjectNode()
+        node.put("id", "mappings")
+        node.put("kind", "mapping")
+        node.put("label", "mappings")
+        node.put("status", "ok")
+        node.set[JsonNode]("input", input.deepCopy[JsonNode]())
+        node.set[JsonNode]("output", prevOutput.deepCopy[JsonNode]())
+        node.put("duration_us", (System.nanoTime() - started) / 1000)
+        if (ops.size() > 0) node.set[JsonNode]("children", ops)
+        nodes.add(node)
+      }
       var halted = false
       rule.steps.zipWithIndex.foreach { case (step, i) =>
         val started = System.nanoTime()
@@ -125,14 +157,19 @@ private[endpoint] final class TraceDetail(
               .foreach(f => meta.put("record_when", f))
           case StepAsserts(asserts) if status != "skipped" =>
             val flags = asserts.map(a => condProbe(a.when, input, stepInput, context))
-            meta.put("asserts_ok", flags.forall(_.contains(true)))
+            // a failed PROBE must degrade to an absent field, never to a
+            // false red: only report asserts_ok when every probe resolved
+            if (flags.forall(_.isDefined))
+              meta.put("asserts_ok", flags.forall(_.contains(true)))
           case StepBranch(when, thenPath, elsePath, _) if status != "skipped" =>
-            val taken = condProbe(when, input, stepInput, context) match {
-              case Some(true) => "then"
-              case Some(false) => if (elsePath.isDefined) "else" else "none"
-              case None => "none"
+            val probed = condProbe(when, input, stepInput, context)
+            val taken = probed.map {
+              case true => "then"
+              case false => if (elsePath.isDefined) "else" else "none"
             }
-            meta.put("branch_taken", taken)
+            // probe failure (None) omits branch_taken entirely — "none"
+            // would affirmatively claim an untaken branch
+            taken.foreach(t => meta.put("branch_taken", t))
             val refs = mapper.createArrayNode()
             refs.add(thenPath); elsePath.foreach(refs.add)
             meta.set[JsonNode]("rule_refs", refs)
@@ -140,13 +177,13 @@ private[endpoint] final class TraceDetail(
             labels.add("branch: then"); elsePath.foreach(_ => labels.add("branch: else"))
             meta.set[JsonNode]("rule_ref_labels", labels)
             val takenPath = taken match {
-              case "then" => Some(thenPath)
-              case "else" => elsePath
+              case Some("then") => Some(thenPath)
+              case Some("else") => elsePath
               case _ => None
             }
             takenPath.foreach { p =>
               meta.put("rule_ref", p)
-              meta.put("rule_ref_label", s"branch: $taken")
+              meta.put("rule_ref_label", s"branch: ${taken.getOrElse("")}")
               try {
                 val resolved = ruleBaseDir.resolve(p).normalize()
                 parseNormalRule(resolved).foreach { child =>
@@ -296,8 +333,26 @@ private[endpoint] final class TraceDetail(
       op.set[JsonNode]("pipe_steps", pipeSteps)
       op.put("duration_us", (System.nanoTime() - started) / 1000)
       val meta = mapper.createObjectNode(); meta.put("op", "mapping")
+      // mirror the engine's write semantics so LATER op probes see the
+      // same @out the real execution gave them: a false `when` skips the
+      // write (and the op reports when=false with a null output — the
+      // value was never produced), a missing expr falls to `default`.
+      // A FAILED when-probe (None) skips the write conservatively but
+      // reports nothing — never an affirmative claim.
+      val whenProbe = m.when.map(c =>
+        try Engine.evalCondTrace(c, traceRow(record, out), context)
+        catch { case NonFatal(_) => None })
+      whenProbe.flatten.foreach(f => meta.put("when", f))
       op.set[JsonNode]("meta", meta)
-      full.foreach(v => setPath(out, m.target, v))
+      val gateOpen = whenProbe.forall(_.contains(true))
+      if (gateOpen) {
+        val written = full.orElse(m.default.map(jvalueToNode))
+        written.foreach(v => setPath(out, m.target, v))
+        if (full.isEmpty)
+          op.set[JsonNode]("output",
+            written.map(_.deepCopy[JsonNode]()).getOrElse(mapper.nullNode()))
+      } else
+        op.set[JsonNode]("output", mapper.nullNode())
       ops.add(op)
     }
     ops

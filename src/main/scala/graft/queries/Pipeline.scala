@@ -1410,12 +1410,17 @@ object Pipeline {
     * is `MATERIALIZED`: levels reference their predecessor twice, and
     * inlining would otherwise double the plan per level (2^K blowup).
     * LEFT-joined back onto the full vector universe so unpaired vectors
-    * keep themselves. */
+    * keep themselves. The levels walk the 2-HOP closure `edges2`
+    * (edges ∪ edges∘edges, built once), so K=8 levels cover component
+    * eccentricity 16 at K=8's memory — chains (cosine is not transitive
+    * at the threshold) would need >16 similar-only-to-neighbors vectors
+    * inside ONE k-means cluster to exceed that, and the driver's
+    * memory-squeezed compare OOMs past ~8 materialized levels. */
   private val semanticDedupSql = {
     val K = 8
     val levels = (1 to K).map { i =>
       s"""l$i AS MATERIALIZED (SELECT e.a AS node, MIN(LEAST(la.lab, lb.lab)) AS lab
-         |       FROM edges e JOIN l${i - 1} la ON la.node = e.a
+         |       FROM edges2 e JOIN l${i - 1} la ON la.node = e.a
          |       JOIN l${i - 1} lb ON lb.node = e.b GROUP BY e.a)""".stripMargin
     }.mkString(",\n")
     s"""$ivfCtes,
@@ -1424,6 +1429,8 @@ object Pipeline {
        |       JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id
        |       WHERE LIST_COSINE_SIMILARITY(bx.raw, bv.raw) >= $SemDedupThreshold),
        |edges AS MATERIALIZED (SELECT da a, db b FROM sp UNION SELECT db a, da b FROM sp),
+       |edges2 AS MATERIALIZED (SELECT a, b FROM edges
+       |       UNION SELECT e1.a, e2.b FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
        |$levels,
        |cc AS (SELECT node, lab AS rep FROM l$K)

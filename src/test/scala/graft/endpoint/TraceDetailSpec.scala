@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import EndpointModel.NormalRule
+
 /** Reference-shaped rich traces from the endpoint engine (reference
   * endpoint_engine.rs build_rule_nodes_from_rule:2355 /
   * build_mapping_ops_with_values:2975 / build_pipe_steps:3160): a handled
@@ -233,6 +235,70 @@ class TraceDetailSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ops.get(2).get("args").get("max").asInt == 2)
       assert(child.get("records").get(0).get("output").get("plan").asText == "pro")
     } finally api.stop(0)
+  }
+
+  test("top-level mappings feed step probes: branch on @out.x takes the real path") {
+    Files.writeString(dir.resolve("mixed.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: x
+        |    expr: ["@input.n"]
+        |steps:
+        |  - branch:
+        |      when:
+        |        gt: ["@out.x", 5]
+        |      then: ./big.yaml
+        |      else: ./small.yaml
+        |""".stripMargin)
+    val detail = new TraceDetail(spark, { p =>
+      EndpointModel.parseRuleKind(Files.readString(p)) match {
+        case NormalRule(r) => Some(r); case _ => None
+      }
+    })
+    val rule = EndpointModel.parseRuleKind(
+      Files.readString(dir.resolve("mixed.yaml"))) match {
+      case NormalRule(r) => r; case _ => fail("not a normal rule")
+    }
+    val input = mapper.readTree("""{"n": 9}""")
+    val (nodes, status, _) = detail.ruleNodes(rule, input,
+      graft.rules.Model.JNull, dir)
+    assert(status == "ok")
+    // the top-level mappings surface as their own node, BEFORE the steps
+    assert(nodes.get(0).get("kind").asText == "mapping")
+    assert(nodes.get(0).get("output").get("x").asLong == 9L)
+    val branch = nodes.get(1)
+    assert(branch.get("kind").asText == "branch")
+    // the probe sees @out.x = 9 (round-10 review fix: the step-0 out
+    // scope was previously {} and the taken branch reported "none")
+    assert(branch.get("meta").get("branch_taken").asText == "then")
+    assert(branch.get("meta").get("rule_ref").asText == "./big.yaml")
+    assert(branch.has("child_trace"))
+  }
+
+  test("false `when` skips the probe @out write like the real engine") {
+    Files.writeString(dir.resolve("gated.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: x
+        |    when: { eq: ["@input.mode", "a"] }
+        |    expr: [lit:xx]
+        |  - target: y
+        |    expr: ["@out.x"]
+        |""".stripMargin)
+    val detail = new TraceDetail(spark, _ => None)
+    val rule = EndpointModel.parseRuleKind(
+      Files.readString(dir.resolve("gated.yaml"))) match {
+      case NormalRule(r) => r; case _ => fail("not a normal rule")
+    }
+    val input = mapper.readTree("""{"mode": "b"}""")
+    val ops = detail.mappingOps(rule.mappings, input,
+      mapper.readTree("{}").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode],
+      graft.rules.Model.JNull, 0)
+    val op0 = ops.get(0)
+    assert(!op0.get("meta").get("when").asBoolean)   // gate reported closed
+    assert(op0.get("output").isNull)                 // value never produced
+    // the second mapping reads @out.x — which the real engine never wrote
+    assert(ops.get(1).get("output").isNull)
   }
 
   test("traceDetail=false keeps the flat trace only") {
