@@ -65,10 +65,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"bench: $name failed: ${e.getMessage}"); failed += name }
     }
+    // a query with at least one successful rep keeps its median (a single
+    // transient failure must not erase valid timings and silently shrink
+    // the cross-round total); `failed` lists queries with ZERO successes
     val timed = names.map(n => n -> runsByName(n))
+    failed.retain(n => runsByName(n).isEmpty)
     val medians = timed.collect {
-      case (name, runs) if runs.nonEmpty && !failed.contains(name) =>
-        name -> median(runs)
+      case (name, runs) if runs.nonEmpty => name -> median(runs)
     }
     val total = medians.map(_._2).sum
     def fmtN(scale: Int)(v: Double): String =
@@ -90,8 +93,7 @@ object Bench {
     // timing maps: a tool summing or diffing per-query medians across
     // rounds would silently treat -1.0 as a real (negative) timing.
     val spreads = timed.collect {
-      case (k, runs) if runs.nonEmpty && !failed.contains(k) =>
-        k -> (runs.max - runs.min)
+      case (k, runs) if runs.nonEmpty => k -> (runs.max - runs.min)
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =

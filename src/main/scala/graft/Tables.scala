@@ -33,8 +33,14 @@ object Tables {
     *     ns→µs the same way, keeping the oracle aligned)
     *   - TimestampType / TimestampNTZType → pass through (cast NTZ to the
     *     session-zoned TimestampType the downstream date ops expect).
-    * The nanosAsLong conf is set only on the legacy path, and only for the
-    * duration of the scan-plan resolution it affects. */
+    * CAVEAT: the legacy retry flips the SESSION-GLOBAL nanosAsLong conf and
+    * must leave it on — the parquet scan re-checks it at EXECUTION time,
+    * so restoring it after schema inference breaks the returned frame
+    * (verified by TablesSpec). On a legacy-generation session every nanos
+    * file wants the conf anyway; the cost is that another table's
+    * unexpected TIMESTAMP(NANOS) column would then load as raw longs
+    * instead of failing — acceptable for test-table loaders, worth a
+    * narrower reader at production scale. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}

@@ -37,7 +37,13 @@ class EndpointEngine(
     endpointYamlPath: String,
     internalBase: String = "",
     val traces: TraceStore = new TraceStore(),
-    traceDetail: Boolean = true) {
+    // rich trace capture costs probe re-executions per request (see
+    // TraceDetail's cost note); the default follows the reference (always
+    // rich) but is reachable from every entry point via
+    // -Dgraft.trace.detail=false — Server/UiServer construct engines with
+    // the default, so latency-sensitive serving flips the property
+    traceDetail: Boolean =
+      sys.props.get("graft.trace.detail").forall(_.toBoolean)) {
 
   private val mapper = new ObjectMapper()
   private val baseDir: Path =
@@ -54,12 +60,17 @@ class EndpointEngine(
   private val ruleCache = scala.collection.concurrent.TrieMap.empty[String, RuleKind]
 
   /** Rich trace capture (records/nodes/op children, reference-shaped) —
-    * best-effort probes beside the real execution; see [[TraceDetail]]. */
+    * best-effort probes beside the real execution; see [[TraceDetail]].
+    * Branch rules parse once per resolved path (the same plans-compile-once
+    * doctrine as ruleCache), not once per traced request. */
+  private val branchRuleCache =
+    scala.collection.concurrent.TrieMap.empty[Path, Option[RuleFile]]
   private lazy val detail = new TraceDetail(spark, { resolved =>
-    try EndpointModel.parseRuleKind(Files.readString(resolved)) match {
-      case NormalRule(rule) => Some(rule)
-      case _ => None
-    } catch { case NonFatal(_) => None }
+    branchRuleCache.getOrElseUpdate(resolved,
+      try EndpointModel.parseRuleKind(Files.readString(resolved)) match {
+        case NormalRule(rule) => Some(rule)
+        case _ => None
+      } catch { case NonFatal(_) => None })
   })
 
   import EndpointEngine.{EndpointError, EndpointFailure, HttpResult}

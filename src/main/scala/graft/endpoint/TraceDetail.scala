@@ -94,26 +94,35 @@ private[endpoint] final class TraceDetail(
       // the engine applies TOP-LEVEL mappings before steps, so step 0's
       // @out scope (and its displayed input) is the mappings' output, not
       // {} — probe it with the zero-step prefix and surface it as its own
-      // node, mirroring the no-steps branch
+      // node, mirroring the no-steps branch. If the PROBE fails, emit
+      // nothing and suppress step-0's condition meta too: an unknown base
+      // scope must degrade to absent fields, never to conditions probed
+      // against the wrong record state.
       var prevOutput: JsonNode = mapper.createObjectNode()
+      var baseKnown = rule.mappings.isEmpty
       if (rule.mappings.nonEmpty) {
         val started = System.nanoTime()
         runPrefix(rule.copy(steps = Nil), -1, input, context, ruleBaseDir) match {
-          case Right(Some(out)) => prevOutput = out; lastOut = Some(out)
+          case Right(Some(out)) =>
+            prevOutput = out; lastOut = Some(out); baseKnown = true
           case _ => ()
         }
-        val ops = mappingOps(rule.mappings, input,
-          mapper.createObjectNode(), context, 0)
-        val node = mapper.createObjectNode()
-        node.put("id", "mappings")
-        node.put("kind", "mapping")
-        node.put("label", "mappings")
-        node.put("status", "ok")
-        node.set[JsonNode]("input", input.deepCopy[JsonNode]())
-        node.set[JsonNode]("output", prevOutput.deepCopy[JsonNode]())
-        node.put("duration_us", (System.nanoTime() - started) / 1000)
-        if (ops.size() > 0) node.set[JsonNode]("children", ops)
-        nodes.add(node)
+        if (baseKnown) {
+          // op ids use one-past-the-last step index — unique against every
+          // real step's "op-<step>-<i>" children in the same record tree
+          val ops = mappingOps(rule.mappings, input,
+            mapper.createObjectNode(), context, rule.steps.length)
+          val node = mapper.createObjectNode()
+          node.put("id", "mappings")
+          node.put("kind", "mapping")
+          node.put("label", "mappings")
+          node.put("status", "ok")
+          node.set[JsonNode]("input", input.deepCopy[JsonNode]())
+          node.set[JsonNode]("output", prevOutput.deepCopy[JsonNode]())
+          node.put("duration_us", (System.nanoTime() - started) / 1000)
+          if (ops.size() > 0) node.set[JsonNode]("children", ops)
+          nodes.add(node)
+        }
       }
       var halted = false
       rule.steps.zipWithIndex.foreach { case (step, i) =>
@@ -151,17 +160,20 @@ private[endpoint] final class TraceDetail(
           node.set[JsonNode]("error", e)
         }
         val meta = mapper.createObjectNode()
+        // step 0's cond probes need the top-level-mappings base scope; if
+        // that probe failed, omit them (i > 0 inputs are self-contained)
+        val probeable = status != "skipped" && (i > 0 || baseKnown)
         step match {
-          case StepRecordWhen(cond) if status != "skipped" =>
+          case StepRecordWhen(cond) if probeable =>
             condProbe(cond, input, stepInput, context)
               .foreach(f => meta.put("record_when", f))
-          case StepAsserts(asserts) if status != "skipped" =>
+          case StepAsserts(asserts) if probeable =>
             val flags = asserts.map(a => condProbe(a.when, input, stepInput, context))
             // a failed PROBE must degrade to an absent field, never to a
             // false red: only report asserts_ok when every probe resolved
             if (flags.forall(_.isDefined))
               meta.put("asserts_ok", flags.forall(_.contains(true)))
-          case StepBranch(when, thenPath, elsePath, _) if status != "skipped" =>
+          case StepBranch(when, thenPath, elsePath, _) if probeable =>
             val probed = condProbe(when, input, stepInput, context)
             val taken = probed.map {
               case true => "then"

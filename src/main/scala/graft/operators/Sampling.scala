@@ -157,6 +157,33 @@ object Sampling {
     * shuffle-partition count, not the data), then a window WITHIN each
     * partition plus the broadcast partition offset. Every stage is
     * parallel; the only driver state is the ≤`parts` subtotal rows. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    // pin the range partitioning: the subtotal pass and the final window
+    // must read the SAME partitions, not a resampled recompute
+    val ordered = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = ordered.groupBy("__pid").agg(sum(col(tokensCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
+    val offset = (0 until parts).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ordered
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w) + offset)
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid")
+  }
+
   /** Per-group adaptive score gate: keep rows at or above their OWN
     * group's `quantile` score threshold — thresholds derived from the
     * corpus itself instead of a magic constant (a verbose language can't
@@ -185,32 +212,5 @@ object Sampling {
             .as("q_thr"))
     scored.join(broadcast(thr), groupCol)
       .filter(col(scoreCol) >= col("q_thr"))
-  }
-
-  def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
-      scoreCol: String, budget: Long): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val order = Seq(col(scoreCol).desc, col(idCol).asc)
-    // pin the range partitioning: the subtotal pass and the final window
-    // must read the SAME partitions, not a resampled recompute
-    val ordered = df
-      .repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val sums = ordered.groupBy("__pid").agg(sum(col(tokensCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
-    val offset = (0 until parts).foldLeft(lit(0L)) { (acc, p) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pid")).orderBy(order: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    ordered
-      .withColumn("cum_tokens", sum(col(tokensCol)).over(w) + offset)
-      .filter(col("cum_tokens") <= budget)
-      .drop("__pid")
   }
 }
