@@ -57,19 +57,27 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val runsByName = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
-    for (_ <- 1 to reps; name <- names if !failed.contains(name)) {
+    val failCount = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // every query gets ALL its reps even after a failure — a transient
+    // rep-1 throw must not erase the timings reps 2..n would have given
+    for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); runsByName(name) :+= (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"bench: $name failed: ${e.getMessage}"); failed += name }
+        System.err.println(s"bench: $name failed: ${e.getMessage}")
+        failCount(name) += 1 }
     }
-    // a query with at least one successful rep keeps its median (a single
-    // transient failure must not erase valid timings and silently shrink
-    // the cross-round total); `failed` lists queries with ZERO successes
+    // a query with at least one successful rep keeps its median; `failed`
+    // lists zero-success queries, and `partial` surfaces per-query
+    // success counts when some (not all) reps threw — a single-run
+    // median with spread 0.000 must be readable as weak, not as stable
     val timed = names.map(n => n -> runsByName(n))
-    failed.retain(n => runsByName(n).isEmpty)
+    val failed = names.filter(n => runsByName(n).isEmpty && failCount(n) > 0)
+    val partial = names.collect {
+      case n if runsByName(n).nonEmpty && failCount(n) > 0 =>
+        n -> runsByName(n).size
+    }
     val medians = timed.collect {
       case (name, runs) if runs.nonEmpty => name -> median(runs)
     }
@@ -96,9 +104,11 @@ object Bench {
       case (k, runs) if runs.nonEmpty => k -> (runs.max - runs.min)
     }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partialJson = partial
+      .map { case (n, ok) => "\"" + n + "\":" + ok }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
-        jmap(medians)},"spread":${jmap(spreads)},"failed":$failedJson,"n":$reps,"sf":"$sfDir"}"""
+        jmap(medians)},"spread":${jmap(spreads)},"failed":$failedJson,"partial":$partialJson,"n":$reps,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json") // cwd = repo root (run/fork)
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     System.err.println(s"bench: full per-query medians -> ${fullPath.toAbsolutePath}")
@@ -111,7 +121,7 @@ object Bench {
       val omitted = medians.size - keep
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
         jmap(bySlowest.take(keep))
-      },"omitted_fast":$omitted,"failed":$failedJson,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
+      },"omitted_fast":$omitted,"failed":$failedJson,"partial":$partialJson,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
     }
     val keep = (medians.size to 0 by -1).find(k => line(k).length <= 1800).getOrElse(0)
     // Stop Spark BEFORE printing so the summary is the bare FINAL stdout

@@ -26,9 +26,11 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // a success must clear any stale marker from a previous run into
-        // the same outDir, or a fixed query reads as permanently failed
-        Files.deleteIfExists(Paths.get(s"$outDir/$name.error"))
-        ()
+        // the same outDir, or a fixed query reads as permanently failed.
+        // The delete is best-effort in its OWN handler: a marker-cleanup
+        // hiccup must not route a green query into the failure path.
+        try { Files.deleteIfExists(Paths.get(s"$outDir/$name.error")); () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       catch { case e: Throwable =>
         // A throwing query must surface as a red row, never as a silently

@@ -42,8 +42,10 @@ class EndpointEngine(
     // rich) but is reachable from every entry point via
     // -Dgraft.trace.detail=false — Server/UiServer construct engines with
     // the default, so latency-sensitive serving flips the property
+    // safe parse: only an explicit "false" disables — a malformed value
+    // must never crash engine construction
     traceDetail: Boolean =
-      sys.props.get("graft.trace.detail").forall(_.toBoolean)) {
+      !sys.props.get("graft.trace.detail").exists(_.equalsIgnoreCase("false"))) {
 
   private val mapper = new ObjectMapper()
   private val baseDir: Path =
@@ -64,13 +66,20 @@ class EndpointEngine(
     * Branch rules parse once per resolved path (the same plans-compile-once
     * doctrine as ruleCache), not once per traced request. */
   private val branchRuleCache =
-    scala.collection.concurrent.TrieMap.empty[Path, Option[RuleFile]]
+    scala.collection.concurrent.TrieMap.empty[Path, RuleFile]
   private lazy val detail = new TraceDetail(spark, { resolved =>
-    branchRuleCache.getOrElseUpdate(resolved,
-      try EndpointModel.parseRuleKind(Files.readString(resolved)) match {
-        case NormalRule(rule) => Some(rule)
-        case _ => None
-      } catch { case NonFatal(_) => None })
+    // only SUCCESSFUL parses cache (the ruleCache doctrine — its body
+    // throws and retries): a transient read failure must not disable
+    // child traces for this path until restart
+    branchRuleCache.get(resolved).orElse {
+      val parsed =
+        try EndpointModel.parseRuleKind(Files.readString(resolved)) match {
+          case NormalRule(rule) => Some(rule)
+          case _ => None
+        } catch { case NonFatal(_) => None }
+      parsed.foreach(r => branchRuleCache.put(resolved, r))
+      parsed
+    }
   })
 
   import EndpointEngine.{EndpointError, EndpointFailure, HttpResult}

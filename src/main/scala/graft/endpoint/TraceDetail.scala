@@ -318,9 +318,14 @@ private[endpoint] final class TraceDetail(
           (ps, startLabel(start) +: steps.map(stepLabel))
         case e => (Seq(e), Seq(soloLabel(e)))
       }
+      // a FAILED probe run (collect threw) must not be conflated with a
+      // genuinely missing value: missing triggers the default-write below,
+      // failure must degrade to absent fields only
+      var probeRan = true
       val evals =
         try Engine.evalExprsJsonTrace(prefixes, traceRow(record, out), context)
-        catch { case NonFatal(_) => Vector.fill(prefixes.size)(None) }
+        catch { case NonFatal(_) =>
+          probeRan = false; Vector.fill(prefixes.size)(None) }
       def parsed(i: Int): Option[JsonNode] =
         evals.lift(i).flatten.flatMap { s =>
           try Some(mapper.readTree(s)) catch { case NonFatal(_) => None }
@@ -357,13 +362,16 @@ private[endpoint] final class TraceDetail(
       whenProbe.flatten.foreach(f => meta.put("when", f))
       op.set[JsonNode]("meta", meta)
       val gateOpen = whenProbe.forall(_.contains(true))
-      if (gateOpen) {
+      if (gateOpen && probeRan) {
+        // default applies only to a PROBED missing value — after a probe
+        // failure the real value is unknown, so nothing is written or
+        // claimed (the best-effort contract)
         val written = full.orElse(m.default.map(jvalueToNode))
         written.foreach(v => setPath(out, m.target, v))
         if (full.isEmpty)
           op.set[JsonNode]("output",
             written.map(_.deepCopy[JsonNode]()).getOrElse(mapper.nullNode()))
-      } else
+      } else if (!gateOpen)
         op.set[JsonNode]("output", mapper.nullNode())
       ops.add(op)
     }

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.TimestampType
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Schema-adaptive events reader ([[graft.Tables.events]]): the driver's
@@ -14,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * LEAVE it on — the parquet scan re-checks it at execution time, so
   * restoring it after schema inference breaks the returned frame (the
   * documented caveat this spec pins). */
-class TablesSpec extends AnyFunSuite {
+class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -24,6 +25,10 @@ class TablesSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  // the shared getOrCreate session outlives this suite: restore the conf
+  // so the nanos test's session-global flip never leaks into later suites
+  override def afterAll(): Unit = spark.conf.set(nanosKey, "false")
 
   /** The committed TIMESTAMP(NANOS) fixture (written by pyarrow v2.6 —
     * Spark itself cannot produce one), staged into a sfDir-shaped temp
@@ -37,8 +42,8 @@ class TablesSpec extends AnyFunSuite {
   }
 
   test("TIMESTAMP(MICROS) generation: plain read passes through untouched") {
-    // runs FIRST (suite order): the conf must still be at its default
-    assert(spark.conf.get(nanosKey) == "false")
+    // order-independent: pin the conf rather than assuming suite order
+    spark.conf.set(nanosKey, "false")
     val df = graft.Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.limit(3).collect().length == 3)
@@ -46,6 +51,8 @@ class TablesSpec extends AnyFunSuite {
   }
 
   test("TIMESTAMP(NANOS) generation: legacy retry converts ns to µs exactly") {
+    // pin the conf OFF so the retry path genuinely runs
+    spark.conf.set(nanosKey, "false")
     val df = graft.Tables.events(spark, nanosDir)
     assert(df.schema("ts").dataType == TimestampType)
     // µs-exact: integer ns div 1000 — 999999999ns truncates to 999999µs,
