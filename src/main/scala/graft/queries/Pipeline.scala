@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -772,20 +772,37 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
-  /** Exact grouped percentiles of document token counts — corpus length
-    * diagnostics. Spark `percentile` and DuckDB `quantile_cont` both do
-    * linear interpolation on the sorted values, so the result is exact
-    * and hash-comparable (arrays avoided: one column per percentile). */
+  /** Grouped percentiles of document token counts — corpus length
+    * diagnostics. `exact = true` (the declared query): Spark `percentile`
+    * and DuckDB `quantile_cont` both do linear interpolation on the
+    * sorted values, so the result is exact and hash-comparable (arrays
+    * avoided: one column per percentile). Exact percentile buffers each
+    * language's value multiset in one aggregation buffer — fine at test
+    * SF, NOT the 100 TB shape when one language holds most of the
+    * corpus. `exact = false` is the scale path: `percentile_approx`
+    * (bounded-memory rank summaries, map-side combinable), rank error
+    * ≤ 1/accuracy — PercentileParitySpec pins the exact/approx drift. */
   def docPercentiles(spark: SparkSession, dir: String): DataFrame =
+    docPercentiles(spark, dir, exact = true)
+
+  def docPercentiles(spark: SparkSession, dir: String, exact: Boolean,
+      accuracy: Int = 10000): DataFrame =
     Tables.documents(spark, dir)
       .select(col("lang"),
         TA.tokenCount(col("text")).cast("double").as("n"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        percentile(col("n"), lit(0.5)).as("p50"),
-        percentile(col("n"), lit(0.9)).as("p90"),
-        percentile(col("n"), lit(0.99)).as("p99"))
+        pctl(exact, accuracy)(col("n"), 0.5).as("p50"),
+        pctl(exact, accuracy)(col("n"), 0.9).as("p90"),
+        pctl(exact, accuracy)(col("n"), 0.99).as("p99"))
       .orderBy("lang")
+
+  /** Exact vs approx per-group percentile, the
+    * [[graft.operators.Sampling.adaptiveGate]] pattern shared by every
+    * corpus-sized percentile site in this file. */
+  private def pctl(exact: Boolean, accuracy: Int)(c: Column, q: Double): Column =
+    if (exact) percentile(c, lit(q))
+    else percentile_approx(c, lit(q), lit(accuracy))
 
   /** Stratified deterministic subsample: 30% of en, 60% of de, 90% of
     * everything else — the downsample-the-dominant-language shape. */
@@ -998,17 +1015,29 @@ object Pipeline {
     * as q_adaptive_quality. Shapes: the lmScore pipeline (one corpus
     * scan, groupBy counts joined back), a languages-sized quartile frame
     * broadcast onto the scored stream, then a narrow bucket projection —
-    * nothing new shuffles at 100 TB beyond lmScore itself; at real scale
-    * the quartile step swaps to approx_percentile exactly like
-    * [[graft.operators.Sampling.adaptiveGate]]. */
-  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    * nothing new shuffles at 100 TB beyond lmScore itself. The quartile
+    * step carries both regimes exactly like
+    * [[graft.operators.Sampling.adaptiveGate]]: `exact = true` (the
+    * declared query — bit-matches the oracle's `quantile_cont`, but
+    * buffers a language's whole score multiset in one aggregation
+    * buffer) and `exact = false`, the 100 TB path — bounded-memory
+    * `percentile_approx` with the bucket projection unchanged. Rank
+    * error ≤ 1/accuracy means bucket flips are confined to documents
+    * whose score sits between the exact and approx cut of the SAME
+    * boundary (head↔middle at q75, middle↔tail at q25) —
+    * PercentileParitySpec is that contract. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(spark, dir, exact = true)
+
+  def perplexityBuckets(spark: SparkSession, dir: String, exact: Boolean,
+      accuracy: Int = 10000): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val scored = TA.lmScore(docs, "text", "doc_id")
     val withLang = docs.select(col("doc_id"), col("lang"))
       .join(scored.select(col("doc_id"), col("lm_score")), Seq("doc_id"))
     val thresholds = withLang.groupBy("lang").agg(
-      percentile(col("lm_score"), lit(0.75)).as("q75"),
-      percentile(col("lm_score"), lit(0.25)).as("q25"))
+      pctl(exact, accuracy)(col("lm_score"), 0.75).as("q75"),
+      pctl(exact, accuracy)(col("lm_score"), 0.25).as("q25"))
     withLang.join(broadcast(thresholds), "lang")
       .withColumn("bucket",
         when(col("lm_score") >= col("q75"), lit("head"))
