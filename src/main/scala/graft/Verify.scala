@@ -4,8 +4,18 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Committed per-round denominator — bump INTENTIONALLY with each new
+    * query. A refactor that drops a map entry must fail this run loudly,
+    * never shrink the driver's correctness denominator silently. */
+  val ExpectedQueryCount = 91
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    require(SparkEntry.queries.size == ExpectedQueryCount,
+      s"SparkEntry.queries has ${SparkEntry.queries.size} entries, expected " +
+        s"$ExpectedQueryCount — a dropped query shrinks the correctness " +
+        "denominator silently; bump ExpectedQueryCount only with an " +
+        "intentional add/remove")
     // optional 3rd arg: comma-separated query names (local iteration only;
     // the driver always invokes with exactly two args = full run)
     val only: Option[Set[String]] =

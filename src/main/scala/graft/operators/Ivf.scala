@@ -309,6 +309,37 @@ object Ivf {
     rankTopK(scorePairs(short, b.select(col("id"), col("raw").as("v"))), k)
   }
 
+  /** Two-table sibling of [[sq8RerankWith]] — retrieval where the query
+    * set and the corpus are DIFFERENT tables (eval-queries-vs-index, or
+    * the unlabeled-vs-labeled split of kNN label propagation): each
+    * query probes its `nprobe` nearest clusters, candidates are the
+    * CORPUS members of those clusters via the cluster-id equi-join
+    * (never a query×corpus product), approximate scores read the
+    * quantized `dq` view, and only the per-query `shortlist` touches
+    * raw floats for the exact top-`k` rerank. `queries`/`corpus` are
+    * [[base]]-shaped (id, raw, e); ids must be disjoint across the two
+    * tables (self-matches are NOT filtered — the split guarantees it). */
+  def sq8RerankJoin(queries: DataFrame, corpus: DataFrame,
+      cents: Seq[Seq[Double]], dq: DataFrame,
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val assigned = assign(corpus, cents)
+    val probes = queries.select(col("id").as("qid"),
+      explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
+    val pairs = probes
+      .join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
+      .select("qid", "cid").distinct()
+    val approx = scorePairs(pairs, dq.select(col("id"), col("dq").as("v")))
+    val wA = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    val short = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= shortlist).select("qid", "cid")
+    val exact = short
+      .join(queries.select(col("id").as("qid"), col("raw").as("qvec")), Seq("qid"))
+      .join(corpus.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+    rankTopK(exact, k)
+  }
+
   /** SemDeDup: cosine-similar pairs scored only within a cluster — the
     * self-join is n²/nlist instead of n², and at scale each cluster's
     * members co-locate under one shuffle key. */

@@ -415,6 +415,37 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** [[knnLabelPropagation]] in its 100 TB shape — the neighbor stage
+    * swapped from the exhaustive [[Similarity.knnJoin]] to the IVF-SQ8
+    * shortlist ([[Ivf.sq8RerankJoin]], the two-table form of
+    * q_ivf_rerank's serving path): unlabeled vectors probe their nprobe
+    * nearest clusters against the SHARED persisted centroids, candidates
+    * are the labeled pool's members of those clusters via the cluster-id
+    * equi-join, approximate scores read the persisted byte-packed int8
+    * index, and only the 20-candidate shortlist touches raw floats for
+    * the exact top-5. The vote is byte-for-byte [[knnLabelPropagation]]'s
+    * — majority label, (votes DESC, label ASC) tie-break. Per query this
+    * scores ~nprobe/nlist of the labeled pool off the 4×-smaller index;
+    * nothing is query×corpus. */
+  def knnLabelPropagationIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val nn = Ivf.sq8RerankJoin(
+      b.filter(col("id") % 2 === 1), b.filter(col("id") % 2 === 0),
+      sharedCentroids(b, dir), int8IndexVectors(spark, dir),
+      k = 5, nprobe = IvfNprobe, shortlist = 20)
+    val labels = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").cast(LongType).as("cid"), col("label"))
+    val votes = nn.join(broadcast(labels), "cid")
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("qid").as("vec_id"), col("label").as("predicted_label"),
+        col("votes"))
+      .orderBy("vec_id")
+  }
+
   /** Int8 symmetric quantization of the embedding table — per-vector
     * scale plus the quantized components (CSV string for hash
     * comparability). */
@@ -1147,6 +1178,7 @@ object Pipeline {
     "q_similarity_topk"  -> (similarityTopK _),
     "q_knn_join"         -> (knnJoin _),
     "q_knn_labels"       -> (knnLabelPropagation _),
+    "q_knn_labels_ivf"   -> (knnLabelPropagationIvf _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_quantized_rerank" -> (quantizedRerank _),
     "q_ivf_rerank"       -> (ivfRerank _),
@@ -1342,12 +1374,17 @@ object Pipeline {
     * the Spark `aggregate` performs, and every cross-record mean runs its
     * SUM in DECIMAL(38,18) in both engines, so centroids — and therefore
     * assignments, probes, and pairs — agree bit-for-bit. */
+  // 0.0 + (e[1]-c[1])^2 + ... — Ivf.sqDist's fold order; shared by
+  // ivfCtes and the probe CTEs oracles append on top of it
+  private def ivfDistChain(e: String, c: String): String =
+    (0 until IvfDims).map(d => s"($e[${d + 1}]-$c[${d + 1}])*($e[${d + 1}]-$c[${d + 1}])")
+      .mkString("0.0 + ", " + ", "")
+  /** Name of [[ivfCtes]]' final trained-centroid CTE. */
+  private def ivfFinalCent: String = s"cent$IvfIters"
+
   private def ivfCtes: String = {
     val dims = IvfDims
-    // 0.0 + (e[1]-c[1])^2 + ... — Ivf.sqDist's fold order
-    def distChain(e: String, c: String): String =
-      (0 until dims).map(d => s"($e[${d + 1}]-$c[${d + 1}])*($e[${d + 1}]-$c[${d + 1}])")
-        .mkString("0.0 + ", " + ", "")
+    def distChain(e: String, c: String): String = ivfDistChain(e, c)
     val normChain = (0 until dims).map(d => s"raw[${d + 1}]*raw[${d + 1}]")
       .mkString("0.0 + ", " + ", "")
     val sb = new StringBuilder
@@ -2092,5 +2129,36 @@ object Pipeline {
         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) vr
         |         FROM votes)
         |SELECT qid AS vec_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
-        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin)
+        |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    // the IVF-shortlist form: k-means CTEs verbatim from q_ivf_rerank
+    // (proven bit-exact), probes recomputed for the ODD-id query set,
+    // candidates restricted to EVEN-id (labeled) cluster members, the
+    // proven int8 dequantize recipe for approximate scores, exact rerank
+    // of the 20-candidate shortlist, then q_knn_labels' integer vote —
+    // engine-exact past the proven rank stage
+    "q_knn_labels_ivf" ->
+      s"""$ivfCtes,
+         |probesU AS (SELECT id qid, cl FROM (
+         |             SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${ivfDistChain("b.e", "c.c")}) ASC, c.cl ASC) rn
+         |             FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id % 2 = 1) WHERE rn <= $IvfNprobe),
+         |qm AS (SELECT id, raw, LIST_MAX(LIST_TRANSFORM(raw, x -> ABS(x))) ma FROM rawv),
+         |qs AS (SELECT id, raw, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM qm),
+         |dqv AS (SELECT id, LIST_TRANSFORM(raw, x -> CASE WHEN scale = 0 THEN 0.0 ELSE FLOOR(x * scale + 0.5) / scale END) AS d FROM qs),
+         |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probesU p JOIN assign a ON a.cl = p.cl AND a.id % 2 = 0),
+         |approx AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(qd.d, cd.d) AS asim
+         |           FROM cand JOIN dqv qd ON qd.id = qid JOIN dqv cd ON cd.id = cid),
+         |short AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY asim DESC, cid ASC) r
+         |           FROM approx) WHERE r <= 20),
+         |exact AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) AS sim
+         |          FROM short JOIN rawv q ON q.id = qid JOIN rawv c ON c.id = cid),
+         |nn AS (SELECT qid, cid FROM (
+         |        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) rk
+         |        FROM exact) WHERE rk <= 5),
+         |votes AS (SELECT qid, l.label, COUNT(*) votes FROM nn JOIN embeddings l ON l.vec_id = nn.cid GROUP BY 1, 2),
+         |best AS (SELECT qid, label, votes,
+         |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) vr
+         |         FROM votes)
+         |SELECT qid AS vec_id, label AS predicted_label, CAST(votes AS BIGINT) AS votes
+         |FROM best WHERE vr = 1 ORDER BY vec_id""".stripMargin)
 }

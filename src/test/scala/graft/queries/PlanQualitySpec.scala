@@ -476,4 +476,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"the vote aggregation must partial-aggregate:\n$plan")
   }
+
+  test("IVF kNN label propagation: cluster-id equi-join neighbors, no all-pairs") {
+    val plan = planOf(Pipeline.queries("q_knn_labels_ivf")(spark, dir))
+    // the 100 TB point vs q_knn_labels' exhaustive knnJoin: the neighbor
+    // stage must NEVER pair every query with every labeled vector
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"IVF label propagation must never go all-pairs:\n$plan")
+    // candidates come from probed clusters: an equi-join on the cluster id,
+    // probes via the native centroid argmin, approx scores off the
+    // persisted int8 index
+    assert(plan.contains("rm_nearest_clusters") &&
+        plan.contains("rm_int8_dequantize"),
+      s"expected native probe + persisted-index dequantize in:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("cl#")),
+      s"neighbor candidates must equi-join on the cluster id:\n$plan")
+    // the vote stage keeps q_knn_labels' shape
+    assert(plan.contains("partial_count"),
+      s"the vote aggregation must partial-aggregate:\n$plan")
+  }
 }
