@@ -103,12 +103,32 @@ object Bench {
     val spreads = timed.collect {
       case (k, runs) if runs.nonEmpty => k -> (runs.max - runs.min)
     }
+    // Contention guard: the MIN of the interleaved reps is the best
+    // contention-free estimate a loaded box can give (a burst only ever
+    // ADDS time), and spread/median per query tells a reader how
+    // noise-poisoned the run was. max_spread_ratio self-declares the
+    // worst case in the artifact; `noisy` names the queries whose spread
+    // EXCEEDS their median — their medians should not be trusted for
+    // regression calls without an idle rerun.
+    val mins = timed.collect {
+      case (k, runs) if runs.nonEmpty => k -> runs.min
+    }
+    val medianByName = medians.toMap
+    val spreadRatios = spreads.map { case (k, s) =>
+      val m = medianByName(k)
+      k -> (if (m > 0) s / m else 0.0)
+    }
+    val maxSpreadRatio =
+      if (spreadRatios.nonEmpty) spreadRatios.map(_._2).max else 0.0
+    val noisy = spreadRatios.collect { case (k, r) if r > 1.0 => k }.sorted
+    val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partialJson = partial
       .map { case (n, ok) => "\"" + n + "\":" + ok }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
-        jmap(medians)},"spread":${jmap(spreads)},"failed":$failedJson,"partial":$partialJson,"n":$reps,"sf":"$sfDir"}"""
+        jmap(medians)},"min":${jmap(mins)},"spread":${jmap(spreads)
+        },"max_spread_ratio":${fmtN(3)(maxSpreadRatio)},"noisy":$noisyJson,"failed":$failedJson,"partial":$partialJson,"n":$reps,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json") // cwd = repo root (run/fork)
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     System.err.println(s"bench: full per-query medians -> ${fullPath.toAbsolutePath}")
@@ -117,11 +137,15 @@ object Bench {
     // needs) up to the budget and count the omitted fast ones. The total
     // still covers every query; the full map is in bench_full.json.
     val bySlowest = medians.toSeq.sortBy(-_._2)
+    // the summary's noisy list is capped (a storm could name every
+    // query and blow the byte budget); noisy_count carries the truth
+    val noisyHeadJson = noisy.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(keep: Int): String = {
       val omitted = medians.size - keep
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
         jmap(bySlowest.take(keep))
-      },"omitted_fast":$omitted,"failed":$failedJson,"partial":$partialJson,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
+      },"omitted_fast":$omitted,"max_spread_ratio":${fmtN(3)(maxSpreadRatio)
+      },"noisy_count":${noisy.size},"noisy":$noisyHeadJson,"failed":$failedJson,"partial":$partialJson,"full":"bench_full.json","n":$reps,"sf":"$sfDir"}"""
     }
     val keep = (medians.size to 0 by -1).find(k => line(k).length <= 1800).getOrElse(0)
     // Stop Spark BEFORE printing so the summary is the bare FINAL stdout
