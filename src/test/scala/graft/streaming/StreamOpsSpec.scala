@@ -603,6 +603,58 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming perplexity buckets: batch-derived thresholds bucket a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two languages with visibly different fluency mixes, plus one doc in
+    // a language the batch profile never saw
+    val docsSeq = (1L to 40L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text =
+        if (i % 5 == 0) s"zx$i qq$i vv$i kk$i jj$i" // token soup → tail-ish
+        else "the quick brown fox jumps over the lazy dog " + (i % 3)
+      (i, lang, text)
+    } :+ ((41L, "xx", "the quick brown fox jumps over the lazy dog"))
+    val batch = docsSeq.toDF("doc_id", "lang", "text")
+
+    // the batch profile: an UNPRUNED model (scores are lmScore-exact) and
+    // per-language quartiles of the batch scores — Pipeline.perplexityBuckets'
+    // threshold recipe, excluding the unknown language
+    val model = graft.functions.BigramLmScore.train(batch, "text", topK = 1 << 20)
+    val scored = batch.withColumn("lm_score",
+      graft.functions.BigramLmScore.score(col("text"), model))
+    val thresholds = scored.filter(col("lang") =!= "xx").groupBy("lang").agg(
+        percentile(col("lm_score"), lit(0.25)).as("q25"),
+        percentile(col("lm_score"), lit(0.75)).as("q75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val keyOf = (r: org.apache.spark.sql.Row) => r.getLong(0) -> r.getString(1)
+    val batchBuckets = StreamOps.lmBucket(batch, "text", "lang", model, thresholds)
+      .select(col("doc_id"), col("bucket")).collect().map(keyOf).toMap
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.lmBucket(input.toDF.toDF("doc_id", "lang", "text"),
+        "text", "lang", model, thresholds)
+      .select("doc_id", "bucket")
+      .writeStream.format("memory").queryName("ppl_out")
+      .outputMode("append").start()
+    input.addData(docsSeq.take(20): _*)
+    q.processAllAvailable()
+    input.addData(docsSeq.drop(20): _*)
+    q.processAllAvailable(); q.stop()
+    val streamBuckets = spark.table("ppl_out").collect().map(keyOf).toMap
+
+    assert(streamBuckets == batchBuckets,
+      "stream must bucket exactly like the batch assignment")
+    assert(batchBuckets.values.toSet == Set("head", "middle", "tail"),
+      s"the corpus must populate all three buckets: ${batchBuckets.values.toSet}")
+    // off-profile language routes conservatively to tail
+    assert(streamBuckets(41L) == "tail", "unknown language must fall to tail")
+    // the gate is stateless: nothing to replay, append-mode-safe
+    assert(q.lastProgress.stateOperators.isEmpty, "bucketing must be stateless")
+  }
+
   test("compactIngestIndex: batch partitions collapse to one; dedup behavior unchanged") {
     import spark.implicits._
     val src = Files.createTempDirectory("compact_src").resolve("index").toString
