@@ -109,10 +109,21 @@ object Sampling {
     * [[mixtureResample]]: one group-cardinality-bounded aggregation, then
     * the narrow zero-shuffle md5-bucket filter. */
   def temperatureResample(df: DataFrame, idCol: String, sourceCol: String,
-      mod: Int = 1000000): DataFrame = {
+      mod: Int = 1000000, tau: Double = 2.0): DataFrame = {
+    require(tau > 0, "temperature must be positive")
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val weights = counts.map { case (s, n) => s -> math.sqrt(n.toDouble) }
+    // w = n^(1/τ). τ = 1 keeps every source whole (the corpus is already
+    // proportional to itself); τ = 2 is the engine-exact sqrt default
+    // (math.pow(n, 0.5) and math.sqrt(n) can differ by an ulp — the
+    // oracle pins sqrt); τ → ∞ flattens to uniform-over-sources (each
+    // source's expected kept mass → min n). Per-source keep rates are
+    // (n_min/n_s)^(1-1/τ) — monotonically flattening in τ, the
+    // TemperatureResampleSpec contract.
+    val weights = counts.map { case (s, n) =>
+      s -> (if (tau == 2.0) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, 1.0 / tau))
+    }
     resampleByMass(df, idCol, sourceCol, counts, weights, mod)
   }
 
