@@ -33,34 +33,67 @@ object Tables {
     *     ns→µs the same way, keeping the oracle aligned)
     *   - TimestampType / TimestampNTZType → pass through (cast NTZ to the
     *     session-zoned TimestampType the downstream date ops expect).
-    * CAVEAT: the legacy retry flips the SESSION-GLOBAL nanosAsLong conf and
-    * must leave it on — the parquet scan re-checks it at EXECUTION time,
-    * so restoring it after schema inference breaks the returned frame
-    * (verified by TablesSpec). On a legacy-generation session every nanos
-    * file wants the conf anyway; the cost is that another table's
-    * unexpected TIMESTAMP(NANOS) column would then load as raw longs
-    * instead of failing — acceptable for test-table loaders, worth a
-    * narrower reader at production scale. */
+    * The legacy retry is SCOPED: the parquet scan re-checks the
+    * session-global nanosAsLong conf at EXECUTION time, so simply
+    * restoring it after schema inference would break the returned frame —
+    * instead [[legacyEvents]] materializes the normalized frame via
+    * `localCheckpoint` WHILE the conf is on, then restores it, so another
+    * table's unexpected TIMESTAMP(NANOS) column still fails loudly rather
+    * than silently loading as raw longs (TablesSpec pins both). The
+    * materialization is the legacy generation's price — one events-table
+    * load per (session, dir), cached; a deployment at real scale should
+    * rewrite such files to native micros instead. */
   def events(s: SparkSession, d: String): DataFrame = {
+    try normalizeTs(apply(s, d, "events"))
+    catch {
+      // Pre-regeneration files are TIMESTAMP(NANOS): the plain read throws
+      // [PARQUET_TYPE_ILLEGAL] at schema-inference time unless the legacy
+      // conf is on. Retry once, scoped; unrelated failures (missing file)
+      // re-throw identically from the retry.
+      case scala.util.control.NonFatal(_) => legacyEvents(s, d)
+    }
+  }
+
+  private def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
-    val raw =
-      try apply(s, d, "events")
-      catch {
-        // Pre-regeneration files are TIMESTAMP(NANOS): the plain read throws
-        // [PARQUET_TYPE_ILLEGAL] at schema-inference time unless the legacy
-        // conf is on. Retry once with it; unrelated failures (missing file)
-        // re-throw identically from the retry.
-        case scala.util.control.NonFatal(_) =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          apply(s, d, "events")
-      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
+    }
+  }
+
+  private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  private val legacyEventsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Legacy-generation load, conf-scoped: flip nanosAsLong, read AND
+    * eagerly materialize the normalized frame (localCheckpoint truncates
+    * the lineage, so later actions never re-touch the parquet scan that
+    * needs the conf), restore the conf in a finally. Cached per
+    * (session, dir) so each query over a legacy dir pays the
+    * materialization once, not per call. */
+  private def legacyEvents(s: SparkSession, d: String): DataFrame = {
+    val key = (System.identityHashCode(s), d)
+    legacyEventsCache.get(key).filter(_.sparkSession eq s).getOrElse {
+      val prev = s.conf.getOption(nanosKey)
+      s.conf.set(nanosKey, "true")
+      val df =
+        try {
+          System.err.println(s"[graft.Tables] events at $d is a legacy " +
+            "TIMESTAMP(NANOS) generation: loading under nanosAsLong and " +
+            "materializing via localCheckpoint; the conf is restored after — " +
+            "other tables are unaffected")
+          normalizeTs(apply(s, d, "events")).localCheckpoint()
+        } finally prev match {
+          case Some(v) => s.conf.set(nanosKey, v)
+          case None    => s.conf.unset(nanosKey)
+        }
+      legacyEventsCache.put(key, df)
+      df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
