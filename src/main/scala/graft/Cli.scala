@@ -48,10 +48,13 @@ object Cli {
   }
 
   /** `ui [--port N] [--data-dir D] [--ui-dir U] [--rules-dir R]
-    * [--api-mode rules|ui-only] [--no-ui]` — the reference's UI server
-    * (main.rs run_ui): the /api rules surface + the /internal trace/graph
-    * API + static UI assets. Exit 1 on config/server errors, 2 when the
-    * rules dir fails validation. */
+    * [--api-mode rules|ui-only] [--no-ui] [--no-trace-detail]` — the
+    * reference's UI server (main.rs run_ui): the /api rules surface + the
+    * /internal trace/graph API + static UI assets. `--no-trace-detail`
+    * turns off rich per-request trace capture (probe re-executions —
+    * see EndpointEngine.defaultTraceDetail's cost note) without JVM
+    * flags. Exit 1 on config/server errors, 2 when the rules dir fails
+    * validation. */
   private def runUi(f: Flags, out: PrintStream, err: PrintStream): Int = {
     val apiMode = f.opts.getOrElse("--api-mode", "rules")
     val uiEnabled = !f.bools.contains("--no-ui")
@@ -74,7 +77,9 @@ object Cli {
       uiDir = f.opts.get("--ui-dir").map(Paths.get(_)).filter(Files.isDirectory(_)),
       rulesDir = Some(rulesDir),
       apiMode = apiMode,
-      uiEnabled = uiEnabled)
+      uiEnabled = uiEnabled,
+      traceDetail = !f.bools.contains("--no-trace-detail") &&
+        graft.endpoint.EndpointEngine.defaultTraceDetail)
     try {
       val server = graft.endpoint.UiServer.start(session, config)
       out.println(s"rulemorph server listening on http://127.0.0.1:${server.getAddress.getPort}")
@@ -100,8 +105,10 @@ object Cli {
     }
   }
 
-  /** `serve -r endpoints.yaml [--port N]` — run the endpoint engine over
-    * the JDK HttpServer until interrupted. */
+  /** `serve -r endpoints.yaml [--port N] [--no-trace-detail]` — run the
+    * endpoint engine over the JDK HttpServer until interrupted.
+    * `--no-trace-detail` disables rich per-request trace capture (probe
+    * re-executions — see EndpointEngine.defaultTraceDetail's cost note). */
   private def runServe(f: Flags, out: PrintStream, err: PrintStream): Int = {
     val rules = f.opts.get("--rules") match {
       case Some(p) => p
@@ -109,7 +116,9 @@ object Cli {
     }
     val port = f.opts.get("--port").flatMap(_.toIntOption).getOrElse(8080)
     try {
-      val server = graft.endpoint.Server.start(session, rules, port)
+      val server = graft.endpoint.Server.start(session, rules, port,
+        traceDetail = !f.bools.contains("--no-trace-detail") &&
+          graft.endpoint.EndpointEngine.defaultTraceDetail)
       out.println(s"listening on http://127.0.0.1:${server.getAddress.getPort}")
       Thread.currentThread.join() // serve until killed
       0
@@ -121,7 +130,8 @@ object Cli {
   /** clap-style flags: every option takes a value except the booleans. */
   private case class Flags(opts: Map[String, String], bools: Set[String])
 
-  private val boolFlags = Set("--ndjson", "-v", "--validate", "--no-ui")
+  private val boolFlags =
+    Set("--ndjson", "-v", "--validate", "--no-ui", "--no-trace-detail")
   private val aliases = Map(
     "-r" -> "--rules", "-i" -> "--input", "-f" -> "--format",
     "-c" -> "--context", "-o" -> "--output", "-e" -> "--error-format",

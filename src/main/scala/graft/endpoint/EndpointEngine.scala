@@ -38,14 +38,10 @@ class EndpointEngine(
     internalBase: String = "",
     val traces: TraceStore = new TraceStore(),
     // rich trace capture costs probe re-executions per request (see
-    // TraceDetail's cost note); the default follows the reference (always
-    // rich) but is reachable from every entry point via
-    // -Dgraft.trace.detail=false — Server/UiServer construct engines with
-    // the default, so latency-sensitive serving flips the property
-    // safe parse: only an explicit "false" disables — a malformed value
-    // must never crash engine construction
-    traceDetail: Boolean =
-      !sys.props.get("graft.trace.detail").exists(_.equalsIgnoreCase("false"))) {
+    // [[EndpointEngine.defaultTraceDetail]]'s cost note); Server/UiServer
+    // and the CLI plumb the flag explicitly (--no-trace-detail), with the
+    // -Dgraft.trace.detail property as the default
+    traceDetail: Boolean = EndpointEngine.defaultTraceDetail) {
 
   private val mapper = new ObjectMapper()
   private val baseDir: Path =
@@ -564,6 +560,18 @@ class EndpointEngine(
 }
 
 object EndpointEngine {
+  /** Default for rich trace capture: ON (the reference is always rich)
+    * unless -Dgraft.trace.detail=false. Server / UiServer / the CLI also
+    * take the flag explicitly (`--no-trace-detail`), so a deployment can
+    * disable capture without JVM flags. COST: each richly-traced request
+    * runs one one-row Spark probe job per mapping/condition plus
+    * O(steps²) rule-prefix re-executions for child traces — orders of
+    * magnitude over the bare transform; latency-sensitive serving should
+    * turn it off and keep the flat trace. Safe parse: only an explicit
+    * "false" disables — a malformed value must never crash construction. */
+  def defaultTraceDetail: Boolean =
+    !sys.props.get("graft.trace.detail").exists(_.equalsIgnoreCase("false"))
+
   final case class HttpResult(status: Int, headers: Seq[(String, String)], body: String)
 
   private[endpoint] final case class EndpointError(

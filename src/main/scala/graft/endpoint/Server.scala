@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
 object Server {
 
   def start(spark: SparkSession, endpointYaml: String, port: Int,
-      internalBase: String = ""): HttpServer = {
+      internalBase: String = "",
+      // rich trace capture: expensive per request (probe jobs — see
+      // EndpointEngine.defaultTraceDetail); deployments disable it here
+      // or via the CLI's --no-trace-detail without touching JVM props
+      traceDetail: Boolean = EndpointEngine.defaultTraceDetail): HttpServer = {
     val engine = new EndpointEngine(spark, endpointYaml,
-      if (internalBase.nonEmpty) internalBase else s"http://127.0.0.1:$port")
+      if (internalBase.nonEmpty) internalBase else s"http://127.0.0.1:$port",
+      traceDetail = traceDetail)
     // loopback-only, matching the reference server's 127.0.0.1 bind —
     // the trace admin surface and rule-driven transforms must not be
     // exposed on the wildcard address

@@ -33,7 +33,11 @@ object UiServer {
       uiDir: Option[Path] = None,
       rulesDir: Option[Path] = None,
       apiMode: String = "rules", // rules | ui-only
-      uiEnabled: Boolean = true)
+      uiEnabled: Boolean = true,
+      // rich trace capture for the /api engines: expensive per request
+      // (probe jobs — see EndpointEngine.defaultTraceDetail); the CLI
+      // exposes it as --no-trace-detail
+      traceDetail: Boolean = EndpointEngine.defaultTraceDetail)
 
   private val mapper = new ObjectMapper()
 
@@ -63,7 +67,8 @@ object UiServer {
             s"http://127.0.0.1:${config.port}",
             // /api traces land in the data dir so /internal/traces sees
             // them, matching the reference's shared data-dir store
-            new TraceStore(persistDir = Some(store.tracesDir))))
+            new TraceStore(persistDir = Some(store.tracesDir)),
+            traceDetail = config.traceDetail))
         }
       }
 

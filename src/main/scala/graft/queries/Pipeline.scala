@@ -1485,7 +1485,11 @@ object Pipeline {
     * ONE k-means cluster to exceed the bound, and the driver's
     * memory-squeezed compare OOMs past ~8 materialized levels (a 4-hop
     * closure also OOMs, measured). The bound is oracle-side only — the
-    * Spark labeling stays exact. */
+    * Spark labeling stays exact — and it is GUARDED: the `conv` CTE
+    * compares l_K with l_{K-1} and routes any un-converged node through
+    * DuckDB's error() with a raise-K message, so a diameter overrun on
+    * regenerated/larger data fails loudly as an oracle-bound breach
+    * instead of reading as a Spark labeling bug. */
   private val semanticDedupSql = {
     val K = 8
     val levels = (1 to K).map { i =>
@@ -1503,7 +1507,12 @@ object Pipeline {
        |       UNION SELECT e1.a, e2.b FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
        |$levels,
-       |cc AS (SELECT node, lab AS rep FROM l$K)
+       |conv AS (SELECT COUNT(*) c FROM l$K k JOIN l${K - 1} p
+       |         ON p.node = k.node AND p.lab <> k.lab),
+       |cc AS (SELECT node,
+       |         CASE WHEN (SELECT c FROM conv) > 0
+       |              THEN CAST(error('semantic-dedup oracle: min-label did not converge within K=$K levels over the 2-hop closure (component eccentricity > ${2 * K}) — raise K in semanticDedupSql; this is an ORACLE bound, not a Spark labeling bug') AS BIGINT)
+       |              ELSE lab END AS rep FROM l$K)
        |SELECT b.id AS vec_id, COALESCE(cc.rep, b.id) AS rep_id,
        |       CAST(COALESCE(cc.rep, b.id) = b.id AS INT) AS kept
        |FROM rawv b LEFT JOIN cc ON cc.node = b.id ORDER BY vec_id""".stripMargin

@@ -309,4 +309,37 @@ class TraceDetailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.get("steps").size() == 1)
     assert(!t.has("records"))
   }
+
+  test("Server.start plumbs traceDetail=false through to served traces") {
+    // the deployment path: the flag reaches the engine via the server
+    // constructor (no JVM property), so a latency-sensitive service can
+    // disable the per-request probe jobs at construction time
+    val server = Server.start(spark, dir.resolve("endpoint.yaml").toString, 0,
+      traceDetail = false)
+    try {
+      val port = server.getAddress.getPort
+      val client = java.net.http.HttpClient.newHttpClient()
+      val post = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port/shape"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"name":"x","n":1}"""))
+        .build()
+      assert(client.send(post,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      val list = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port/__graft/traces"))
+        .GET().build()
+      val traces = mapper.readTree(
+        client.send(list, java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      assert(traces.size() >= 1)
+      val id = traces.get(0).get("id").asText()
+      val one = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port/__graft/traces/$id"))
+        .GET().build()
+      val t = mapper.readTree(
+        client.send(one, java.net.http.HttpResponse.BodyHandlers.ofString()).body())
+      assert(t.has("steps") && !t.has("records"),
+        s"served trace must stay flat under traceDetail=false: $t")
+    } finally server.stop(0)
+  }
 }
