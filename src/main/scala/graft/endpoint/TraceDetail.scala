@@ -361,7 +361,15 @@ private[endpoint] final class TraceDetail(
         catch { case NonFatal(_) => None })
       whenProbe.flatten.foreach(f => meta.put("when", f))
       op.set[JsonNode]("meta", meta)
+      // three when states, three renderings: Some(Some(true)) opens the
+      // gate; Some(Some(false)) CLOSED it — output null, the value was
+      // never produced; Some(None) means the PROBE failed — the real
+      // execution may well have written the value, so the op keeps the
+      // probed full output (or null if that probe failed too) and simply
+      // skips the @out write: degradation is absent fields, never the
+      // affirmative output:null a closed gate renders
       val gateOpen = whenProbe.forall(_.contains(true))
+      val gateClosed = whenProbe.exists(_.contains(false))
       if (gateOpen && probeRan) {
         // default applies only to a PROBED missing value — after a probe
         // failure the real value is unknown, so nothing is written or
@@ -371,7 +379,7 @@ private[endpoint] final class TraceDetail(
         if (full.isEmpty)
           op.set[JsonNode]("output",
             written.map(_.deepCopy[JsonNode]()).getOrElse(mapper.nullNode()))
-      } else if (!gateOpen)
+      } else if (gateClosed)
         op.set[JsonNode]("output", mapper.nullNode())
       ops.add(op)
     }

@@ -301,6 +301,39 @@ class TraceDetailSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ops.get(1).get("output").isNull)
   }
 
+  test("a FAILED when-probe keeps the probed output — never a false output:null claim") {
+    // the when divides by zero (ANSI mode throws), so the probe returns
+    // Some(None): unknown, NOT false. The op must keep the expr's probed
+    // value and make no when claim — only a probe that RESOLVED false may
+    // render the affirmative output:null
+    Files.writeString(dir.resolve("failgate.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: x
+        |    when: { eq: [["@input.n", {divide: [0]}], 1] }
+        |    expr: [lit:xx]
+        |  - target: y
+        |    expr: ["@out.x"]
+        |""".stripMargin)
+    val detail = new TraceDetail(spark, _ => None)
+    val rule = EndpointModel.parseRuleKind(
+      Files.readString(dir.resolve("failgate.yaml"))) match {
+      case NormalRule(r) => r; case _ => fail("not a normal rule")
+    }
+    val input = mapper.readTree("""{"n": 4}""")
+    val ops = detail.mappingOps(rule.mappings, input,
+      mapper.readTree("{}").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode],
+      graft.rules.Model.JNull, 0)
+    val op0 = ops.get(0)
+    assert(!op0.get("meta").has("when"),
+      "a failed probe must not claim a gate state")
+    assert(op0.get("output").asText == "xx",
+      s"failed probe keeps the probed value, got ${op0.get("output")}")
+    // the write is still skipped conservatively: the NEXT op's @out.x
+    // reads as missing, matching the real engine's skip-and-warn
+    assert(ops.get(1).get("output").isNull)
+  }
+
   test("traceDetail=false keeps the flat trace only") {
     val engine = new EndpointEngine(spark, dir.resolve("endpoint.yaml").toString,
       traceDetail = false)
