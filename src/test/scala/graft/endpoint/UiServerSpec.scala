@@ -253,7 +253,8 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (marker <- Seq("buildTraceGraph", "buildApiGraph", "child_trace",
         "branch_taken", "ruleOps", "recordIndex", "renderInspector",
         "record_when", "asserts_ok", "duration_us", "raw json", "filter",
-        "localStorage", "EventSource", "api-graph", "inspector"))
+        "localStorage", "EventSource", "api-graph", "inspector",
+        "shouldResetInitialCenter", "apiExpanded", "rule_refs"))
       assert(html.contains(marker), s"bundle lost its '$marker' machinery")
     val (s, body, _) = http("GET", "/internal/traces/t1")
     assert(s == 200)
@@ -285,6 +286,53 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  - target: name
         |    expr: ["@input.name", trim, uppercase]
         |""".stripMargin)
+    // upstream stub for the network rule — the /combo endpoint's fetch
+    // target, so the persisted trace is a REAL branch-with-network-call
+    // document produced by the live engine (not a hand-written fixture)
+    val stub = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    stub.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(x: com.sun.net.httpserver.HttpExchange): Unit = {
+        val bytes = """{"data":{"tier":"gold"}}""".getBytes("UTF-8")
+        x.getResponseHeaders.add("content-type", "application/json")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      }
+    })
+    stub.start()
+    Files.writeString(rules2.resolve("staged.yaml"),
+      """version: 2
+        |steps:
+        |  - mappings:
+        |      - target: doubled
+        |        expr: ["@input.n", {multiply: [2]}]
+        |  - branch:
+        |      when:
+        |        gt: ["@out.doubled", 5]
+        |      then: ./big.yaml
+        |      else: ./small.yaml
+        |""".stripMargin)
+    Files.writeString(rules2.resolve("big.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: size
+        |    expr: [lit:big]
+        |""".stripMargin)
+    Files.writeString(rules2.resolve("small.yaml"),
+      """version: 2
+        |mappings:
+        |  - target: size
+        |    expr: [lit:small]
+        |""".stripMargin)
+    Files.writeString(rules2.resolve("fetch2.yaml"),
+      s"""version: 2
+         |type: network
+         |request:
+         |  method: GET
+         |  url: ["lit:http://127.0.0.1:${stub.getAddress.getPort}/info"]
+         |timeout: 5s
+         |select: "data"
+         |""".stripMargin)
     Files.writeString(rules2.resolve("endpoint.yaml"),
       """type: endpoint
         |endpoints:
@@ -292,6 +340,18 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |    path: /shape
         |    steps:
         |      - rule: ./shape.yaml
+        |    reply:
+        |      status: [lit:200]
+        |      body: ["@input"]
+        |  - method: POST
+        |    path: /combo
+        |    input:
+        |      - target: n
+        |        source: "input.body.n"
+        |        type: "int"
+        |    steps:
+        |      - rule: ./staged.yaml
+        |      - rule: ./fetch2.yaml
         |    reply:
         |      status: [lit:200]
         |      body: ["@input"]
@@ -339,6 +399,54 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val srv = UiServer.start(spark, UiServer.Config(port = 0, dataDir = dir2,
       uiDir = None, rulesDir = Some(rules2), apiMode = "rules", uiEnabled = true))
     try {
+      // drive the real engine once: the persisted trace is the rich
+      // branch-with-network-call document the harness renders through
+      // every view mode (trace overview -> expanded detail -> raw JSON ->
+      // api graph navigation -> back)
+      val conn = URI.create(
+          s"http://127.0.0.1:${srv.getAddress.getPort}/api/combo").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("""{"n": 4}""".getBytes("UTF-8"))
+      val comboStatus = conn.getResponseCode
+      val comboBody = {
+        val s = if (comboStatus >= 400) conn.getErrorStream else conn.getInputStream
+        if (s == null) "" else new String(s.readAllBytes(), "UTF-8")
+      }
+      assert(comboStatus == 200, comboBody)
+      // the persisted document IS the branch-with-network-call shape the
+      // view modes render — asserted here so the contract holds even
+      // where the node-driven render phase below is skipped
+      locally {
+        def get(path: String): String = {
+          val c = URI.create(
+              s"http://127.0.0.1:${srv.getAddress.getPort}$path").toURL
+            .openConnection().asInstanceOf[HttpURLConnection]
+          new String(c.getInputStream.readAllBytes(), "UTF-8")
+        }
+        val list = mapper.readTree(get("/internal/traces")).get("traces")
+        var cid = ""
+        list.elements().forEachRemaining { t =>
+          if (t.get("trace_id").asText.startsWith("trace-"))
+            cid = t.get("trace_id").asText
+        }
+        assert(cid.nonEmpty, "combo trace not persisted")
+        val doc = mapper.readTree(get(s"/internal/traces/$cid")).get("trace")
+        val nodes = doc.get("records").get(0).get("nodes")
+        val staged = nodes.get(1)
+        val branch = staged.get("child_trace").get("records").get(0)
+          .get("nodes").get(1)
+        assert(branch.get("kind").asText == "branch")
+        assert(branch.get("meta").get("branch_taken").asText == "then")
+        assert(branch.get("child_trace").get("rule").get("name").asText == "big.yaml")
+        val net = nodes.get(2)
+        val netNode = net.get("child_trace").get("records").get(0)
+          .get("nodes").get(0)
+        assert(netNode.get("kind").asText == "network")
+        val kids = netNode.get("children")
+        assert(kids.get(0).get("label").asText == "request" &&
+          kids.get(1).get("label").asText == "select")
+      }
       val harness = Files.createTempFile("ui_harness", ".mjs")
       val hIn = getClass.getResourceAsStream("/graft/ui_harness.mjs")
       Files.write(harness, hIn.readAllBytes()); hIn.close()
@@ -350,7 +458,7 @@ class UiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       val code = proc.waitFor()
       assert(code == 0 && out.contains("ALL PASS") && !out.contains("FAIL "),
         s"ui render harness failed:\n$out")
-    } finally srv.stop(0)
+    } finally { srv.stop(0); stub.stop(0) }
   }
 
   test("SSE stream sends the initial traces event") {
