@@ -369,4 +369,120 @@ object TextAnalysis {
         (sum(floor(col("p") * lit(1e15))).cast(DoubleType) /
           (count(lit(1)).cast(DoubleType) * lit(1e15))).as("lm_score"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much its hashed
+    * n-gram distribution resembles a TARGET slice of the corpus. Features
+    * are md5-hash-bucketed bigrams (the paper's hashed n-grams; the
+    * md5-bucket recipe is the proven q_stratified_sample parity
+    * primitive); per bucket the log importance ratio is
+    *
+    *   lr(b) = ln( ((n_target(b)+1)/(N_target+B)) /
+    *               ((n_raw(b)+1)/(N_raw+B)) )
+    *
+    * (add-1 smoothing over B buckets on both sides), and a document's
+    * score is Σ count_doc(b)·lr(b) over its bucketed bigrams. The
+    * transcendental ln is immediately quantized to FIXED POINT —
+    * floor(lr·10⁶), a long — so the per-doc sum is exact integer
+    * arithmetic and the DuckDB oracle reproduces it bit-for-bit (the
+    * lmScore fixed-point doctrine; a sub-ulp engine difference in ln
+    * flips a floor only when lr·10⁶ sits within ~1e-10 of an integer).
+    *
+    * 100 TB shape: one gram pass builds the B-row bucket table (ONE
+    * map-side-combined groupBy carrying both the raw count and the
+    * conditional target count — the target slice is not a second scan),
+    * totals reduce the B-row table itself, and the table broadcasts back
+    * onto the per-(doc, bucket) counts — the only corpus-sized shuffle.
+    * No windows, no self-joins; the gram stream materializes once
+    * ([[lmScore]]'s persist discipline).
+    *
+    * Returns (idCol, n_grams, dsir_score); documents with < 2 tokens
+    * score 0. Selection (top-k / threshold / Gumbel resampling) composes
+    * downstream — see [[graft.queries.Pipeline.dsirSelect]] and the
+    * streaming gate [[graft.streaming.StreamOps.dsirGate]]. */
+  def dsirScores(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, isTarget: Column,
+      buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val grams = dsirGrams(docs, textCol, idCol, isTarget, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the B-row count table materializes ONCE (so the totals reduction
+      // and the ratio projection never re-scan the gram stream), totals
+      // bake in as literals, and the scored frame checkpoints before the
+      // gram persist is released
+      val counts = dsirBucketCounts(grams).localCheckpoint()
+      val table = dsirLrTable(counts, buckets)
+      val perDoc = dsirPerDocScores(grams, table, idCol).localCheckpoint()
+      docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+    } finally grams.unpersist(blocking = false)
+  }
+
+  /** The (id, is_target, b) bucketed-bigram occurrence stream. */
+  private[graft] def dsirGrams(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, isTarget: Column,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), isTarget.as("is_target"),
+        tokens(col(textCol)).as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col(idCol), col("is_target"), explode(expr(
+        "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))"))
+        .as("g2"))
+      .select(col(idCol), col("is_target"),
+        Sampling.hashBucket(col("g2"), buckets).as("b"))
+
+  /** (b, nr, nt) — ONE map-side-combined aggregation over the gram
+    * stream carrying both the raw count and the conditional target
+    * count; the target slice never costs a second scan. ≤ `buckets`
+    * rows. */
+  private[graft] def dsirBucketCounts(
+      grams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    grams.groupBy("b").agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("nt"))
+
+  /** Gram-count totals of a (b, nr, nt) table — driver scalars. */
+  private[graft] def dsirTotals(
+      counts: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val tot = counts
+      .agg(sum(col("nr")).as("nr_tot"), sum(col("nt")).as("nt_tot")).head()
+    // an empty corpus (no doc with >= 2 tokens) sums to null
+    if (tot.isNullAt(0)) (0L, 0L) else (tot.getLong(0), tot.getLong(1))
+  }
+
+  /** The fixed-point smoothed log importance ratio as ONE shared Column
+    * expression — every consumer (the batch table, the streaming model's
+    * per-bucket values AND its unseen-bucket default) evaluates the
+    * identical op sequence, so scores agree bit-for-bit across paths. */
+  private[graft] def dsirLrFx(nr: Column, nt: Column, nrTot: Long,
+      ntTot: Long, buckets: Int): Column = {
+    val pt = (nt + lit(1)).cast(DoubleType) /
+      (lit(ntTot) + lit(buckets)).cast(DoubleType)
+    val pr = (nr + lit(1)).cast(DoubleType) /
+      (lit(nrTot) + lit(buckets)).cast(DoubleType)
+    floor(log(pt / pr) * lit(1e6)).cast(LongType)
+  }
+
+  /** (b, lr_fx) — the broadcastable B-row model from a MATERIALIZED
+    * count table: totals reduce the tiny table to driver literals, then
+    * the fixed-point smoothed log ratio is a narrow projection. */
+  private[graft] def dsirLrTable(counts: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    val (nrTot, ntTot) = dsirTotals(counts)
+    counts.select(col("b"),
+      dsirLrFx(col("nr"), col("nt"), nrTot, ntTot, buckets).as("lr_fx"))
+  }
+
+  /** Per-doc integer-exact scoring against a (b, lr_fx) table. */
+  private[graft] def dsirPerDocScores(grams: org.apache.spark.sql.DataFrame,
+      table: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    grams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(table), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        (sum(col("cnt") * col("lr_fx")).cast(DoubleType) / lit(1e6))
+          .as("dsir_score"))
 }

@@ -1078,6 +1078,27 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** DSIR selection ([[TA.dsirScores]] — Xie et al. 2023): the English
+    * slice plays the TARGET distribution, every document scores by its
+    * hashed-bigram log importance weight against it, and the top 100 by
+    * (score desc, doc_id) are the selected training subset — the
+    * deterministic variant of the paper's Gumbel resampling, so the
+    * kept set is oracle-checkable. The ln is floor-quantized to 1e-6
+    * per bucket before any summation (see dsirScores), so scores are
+    * engine-exact integers over 1e6. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TA.dsirScores(Tables.documents(spark, dir), "text", "doc_id",
+      isTarget = col("lang") === "en", buckets = DsirBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dsir_score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 100)
+      .select("doc_id", "n_grams", "dsir_score")
+      .orderBy("doc_id")
+  }
+
+  private val DsirBuckets = 4096
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -1194,6 +1215,7 @@ object Pipeline {
     "q_semantic_dedup"   -> (semanticDedup _),
     "q_lm_score"         -> (lmScore _),
     "q_lm_gate"          -> (lmGate _),
+    "q_dsir_select"      -> (dsirSelect _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1906,6 +1928,35 @@ object Pipeline {
     "q_semantic_dedup" -> semanticDedupSql,
     "q_lm_score" -> lmScoreSql,
     "q_lm_gate" -> lmGateSql,
+    // DSIR: the q_lm_score gram recipe, the proven md5-bucket primitive,
+    // one (nr, nt) count table, the smoothed ratio in the SAME IEEE op
+    // order as the Scala side, ln floor-quantized to 1e-6 per bucket
+    // BEFORE summation (exact integer arithmetic from there), CAST on the
+    // HUGEINT-prone sums, deterministic (score DESC, doc_id) top-100
+    "q_dsir_select" ->
+      s"""WITH arr AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') a FROM documents),
+         |g AS (SELECT doc_id, lang, a[i+1] || ' ' || a[i+2] AS g2
+         |      FROM arr, UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) t(i)),
+         |gb AS (SELECT doc_id, lang, ('0x' || SUBSTR(MD5(g2), 1, 15))::BIGINT % $DsirBuckets AS b FROM g),
+         |bt AS (SELECT b, CAST(COUNT(*) AS BIGINT) nr,
+         |              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) nt
+         |       FROM gb GROUP BY b),
+         |tot AS (SELECT CAST(SUM(nr) AS BIGINT) nr_tot, CAST(SUM(nt) AS BIGINT) nt_tot FROM bt),
+         |tab AS (SELECT b, CAST(FLOOR(LN(
+         |          (CAST(nt + 1 AS DOUBLE) / CAST(nt_tot + $DsirBuckets AS DOUBLE)) /
+         |          (CAST(nr + 1 AS DOUBLE) / CAST(nr_tot + $DsirBuckets AS DOUBLE))
+         |        ) * 1000000.0) AS BIGINT) lr_fx
+         |        FROM bt CROSS JOIN tot),
+         |pd AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) cnt FROM gb GROUP BY doc_id, b),
+         |sc AS (SELECT pd.doc_id, CAST(SUM(pd.cnt) AS BIGINT) n_grams,
+         |              CAST(SUM(pd.cnt * tab.lr_fx) AS BIGINT) fx
+         |       FROM pd JOIN tab ON tab.b = pd.b GROUP BY pd.doc_id),
+         |scored AS (SELECT d.doc_id, CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+         |                  CAST(COALESCE(sc.fx, 0) AS DOUBLE) / 1000000.0 AS dsir_score
+         |           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+         |rk AS (SELECT doc_id, n_grams, dsir_score,
+         |              ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id ASC) r FROM scored)
+         |SELECT doc_id, n_grams, dsir_score FROM rk WHERE r <= 100 ORDER BY doc_id""".stripMargin,
     "q_perplexity_buckets" -> perplexityBucketsSql,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -254,6 +254,25 @@ object StreamOps {
         graft.functions.BigramLmScore.score(col(textCol), model))
       .filter(col("lm_score") >= minScore)
 
+  /** Streaming DSIR gate — the deployment form of
+    * [[graft.queries.Pipeline.dsirSelect]]'s scoring (Xie et al. 2023):
+    * each incoming document scores its hashed-bigram log importance
+    * weight against the batch-trained [[graft.functions.DsirModel]]
+    * (one native tokenize-md5-lookup pass per row, model in the plan)
+    * and rows below `minScore` drop. Unseen buckets take the model's
+    * add-1 smoothing default — the value the batch formula assigns a
+    * zero-count bucket — so off-distribution traffic is scored by the
+    * same arithmetic as everything else, never silently 0.
+    * Stateless, shuffle-free, append-mode-safe; the model's per-bucket
+    * values are Spark-expression-exact, so batch and stream scores are
+    * bit-identical (StreamOpsSpec pins it). Emits `dsir_score`. */
+  def dsirGate(docs: DataFrame, textCol: String,
+      model: graft.functions.DsirModel, minScore: Double): DataFrame =
+    docs
+      .withColumn("dsir_score",
+        graft.functions.DsirScoreFx.score(col(textCol), model))
+      .filter(col("dsir_score") >= minScore)
+
   /** Streaming CCNet perplexity bucketing — the deployment form of
     * [[graft.queries.Pipeline.perplexityBuckets]]: score each incoming
     * document with the batch-trained pruned model (the [[lmGate]] native

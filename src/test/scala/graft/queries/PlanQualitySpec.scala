@@ -451,6 +451,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial-aggregated corpus counts in:\n$plan")
   }
 
+  test("DSIR: one gram pass builds the bucket model; scoring broadcasts it back") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    // the un-checkpointed pipeline (public dsirScores localCheckpoints the
+    // scored frame, truncating the observable plan) — lmScore doctrine
+    val grams = graft.operators.TextAnalysis.dsirGrams(
+      docs, "text", "doc_id", col("lang") === "en", buckets = 4096)
+    val counts = graft.operators.TextAnalysis.dsirBucketCounts(grams)
+    val countsPlan = planOf(counts)
+    // both counts (raw + conditional target) come out of ONE aggregation —
+    // no second scan of the gram stream for the target slice
+    val aggs = countsPlan.linesIterator
+      .count(l => l.contains("HashAggregate") && l.contains("partial"))
+    assert(aggs == 1,
+      s"bucket counts must be ONE gram aggregation, saw $aggs:\n$countsPlan")
+    assert(countsPlan.contains("partial_count") &&
+        countsPlan.contains("partial_sum"),
+      s"raw + target counts must share the map-side combine:\n$countsPlan")
+    assert(!countsPlan.contains("Window"),
+      s"no window over the gram stream:\n$countsPlan")
+
+    // totals bake in as driver literals off the materialized B-row table
+    val table = graft.operators.TextAnalysis
+      .dsirLrTable(counts.localCheckpoint(), 4096)
+    val scored = graft.operators.TextAnalysis
+      .dsirPerDocScores(grams, table, "doc_id")
+    val plan = planOf(scored)
+    // the B-row model joins back as a BROADCAST; the only corpus-sized
+    // shuffle is the per-(doc, bucket) aggregation
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bucket model must broadcast onto the doc counts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring must not shuffle-join the corpus against the B-row model:\n$plan")
+    assert(!plan.contains("Window"), s"no windows in DSIR scoring:\n$plan")
+  }
+
   test("temperature mixture: rates baked as literals, zero-shuffle filter") {
     val plan = planOf(Pipeline.queries("q_temperature_mixture")(spark, dir))
     // the per-language counts collapse to a CASE literal on the driver;

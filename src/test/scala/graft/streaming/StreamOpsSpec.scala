@@ -603,6 +603,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming DSIR gate: batch-trained model filters a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsSeq = (1L to 50L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val text =
+        if (lang == "en") "the quick brown fox jumps over the lazy dog " + (i % 4)
+        else "le renard brun rapide saute par dessus " + (i % 6)
+      (i, lang, text)
+    }
+    val batch = docsSeq.toDF("doc_id", "lang", "text")
+    val model = graft.functions.DsirScoreFx.train(batch, "text", "doc_id",
+      col("lang") === "en", buckets = 512)
+    // threshold at 0: keep docs more target-like than the raw average
+    val keptBatch = StreamOps.dsirGate(batch, "text", model, minScore = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBatch.nonEmpty && keptBatch.size < docsSeq.size,
+      "the gate must visibly split the corpus")
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.dsirGate(input.toDF.toDF("doc_id", "lang", "text"),
+        "text", model, minScore = 0.0)
+      .select("doc_id", "dsir_score")
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    input.addData(docsSeq.take(25): _*)
+    q.processAllAvailable()
+    input.addData(docsSeq.drop(25): _*)
+    q.processAllAvailable(); q.stop()
+    val keptStream = spark.table("dsir_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptStream == keptBatch, "stream must keep exactly the batch's set")
+    // and the scores themselves are the batch operator's, bit for bit
+    val streamScores = spark.table("dsir_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val opScores = graft.operators.TextAnalysis.dsirScores(
+        batch, "text", "doc_id", col("lang") === "en", buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    streamScores.foreach { case (id, s) =>
+      assert(s == opScores(id), s"doc $id: stream $s != batch op ${opScores(id)}")
+    }
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming perplexity buckets: batch-derived thresholds bucket a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
