@@ -485,4 +485,129 @@ object TextAnalysis {
       .agg(sum(col("cnt")).as("n_grams"),
         (sum(col("cnt") * col("lr_fx")).cast(DoubleType) / lit(1e6))
           .as("dsir_score"))
+
+  /** Multinomial Naive-Bayes document classification over md5-bucketed
+    * unigram tokens — the classifier-based data-selection shape (a la
+    * GPT-3 / PaLM quality filtering: score every document with a cheap
+    * linear model trained on a labeled slice). NB is the closed-form
+    * member of that family: the model IS two count tables, so training
+    * is one aggregation pass — no gradient loop — and scoring is a
+    * broadcast join, which is what makes it deployable at corpus scale.
+    *
+    * Model (add-1 smoothing over `buckets` hashed features):
+    *   prior(c)  = ln( docs_c / T )
+    *   lp(c, b)  = ln( (n(c,b)+1) / (N_c + B) )
+    *   score(d, c) = prior(c) + Σ_tokens lp(c, bucket(tok))
+    * Every transcendental is floor-quantized to fixed point (·1e6, a
+    * long) the moment it is computed — the [[dsirScores]] doctrine — so
+    * per-document accumulation is exact integer arithmetic and the
+    * DuckDB oracle reproduces predictions bit-for-bit. The model is
+    * DENSE over classes × buckets (unseen (c,b) cells carry the
+    * smoothing default by construction), so scoring needs no per-cell
+    * missing-handling.
+    *
+    * 100 TB shape: ONE token pass feeds both the (class, bucket) count
+    * table (map-side-combined, ≤ C·B rows) and the per-(doc, bucket)
+    * holdout counts; the dense model broadcasts back onto them; the
+    * per-(doc, class) score frame is (holdout × C)-sized integer rows
+    * (the q_knn_labels vote-table argument); argmax is a C-row window
+    * per doc on the shuffle the score aggregation already paid. Nothing
+    * re-scans the corpus and no window runs over an unbounded frame.
+    *
+    * Returns one row per holdout document: (idCol, label, predicted,
+    * correct, nb_score) where nb_score is the winning score /1e6. */
+  def nbClassify(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, labelCol: String, isTrain: Column,
+      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val tk = nbTokenStream(docs, textCol, idCol, labelCol, isTrain, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // counts and priors materialize once (tiny frames) so the dense
+      // model and the scoring never re-run their aggregations
+      val cb = nbCounts(tk).localCheckpoint()
+      val priors = nbPriors(docs, labelCol, isTrain).localCheckpoint()
+      val model = nbModelTable(cb, priors, buckets)
+      nbScore(tk, docs, priors, model, idCol, labelCol, isTrain)
+        .localCheckpoint()
+    } finally tk.unpersist(blocking = false)
+  }
+
+  /** (idCol, label, is_train, b) — one exploded bucketed-token stream
+    * feeding BOTH the model counts (train slice) and the holdout
+    * scoring: the corpus tokenizes once. */
+  private[graft] def nbTokenStream(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, idCol: String, labelCol: String, isTrain: Column,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), col(labelCol).as("label"),
+        isTrain.as("is_train"), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("label"), col("is_train"),
+        Sampling.hashBucket(col("tok"), buckets).as("b"))
+
+  /** (label, b, n) counts over the train slice — ONE map-side-combined
+    * aggregation, ≤ classes × buckets rows. */
+  private[graft] def nbCounts(
+      tk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tk.filter(col("is_train")).groupBy("label", "b")
+      .agg(count(lit(1)).as("n"))
+
+  /** (label, prior_fx) from train DOC counts; the total rides a window
+    * on the C-row post-aggregation frame (bytes, not data). */
+  private[graft] def nbPriors(docs: org.apache.spark.sql.DataFrame,
+      labelCol: String, isTrain: Column): org.apache.spark.sql.DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs.filter(isTrain)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("docs_c"))
+      .select(col("label"),
+        floor(log(col("docs_c").cast(DoubleType) /
+            sum(col("docs_c")).over(wAll).cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("prior_fx"))
+  }
+
+  /** Dense (label, b, lp_fx) model from a MATERIALIZED count table —
+    * C·B rows, broadcastable; unseen (c,b) cells carry the smoothing
+    * default by construction. Classes with train docs but zero train
+    * tokens keep an explicit n_c = 0 row. */
+  private[graft] def nbModelTable(cb: org.apache.spark.sql.DataFrame,
+      priors: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame = {
+    val ctot = cb.groupBy("label").agg(sum(col("n")).as("n_c"))
+    val nc = priors.select("label").join(ctot, Seq("label"), "left")
+      .select(col("label"), coalesce(col("n_c"), lit(0L)).as("n_c"))
+    val bGrid = cb.sparkSession.range(buckets).select(col("id").as("b"))
+    nc.crossJoin(bGrid)
+      .join(cb, Seq("label", "b"), "left")
+      .select(col("label"), col("b"),
+        floor(log((coalesce(col("n"), lit(0L)) + lit(1)).cast(DoubleType) /
+            (col("n_c") + lit(buckets)).cast(DoubleType)) * lit(1e6))
+          .cast(LongType).as("lp_fx"))
+  }
+
+  /** Holdout scoring + argmax: per-(doc, bucket) counts ⋈ broadcast
+    * dense model → per-(doc, class) exact integer scores; token-free
+    * docs re-enter with the prior alone via the left join; argmax is a
+    * C-row window per doc with the (score DESC, class ASC) tie-break. */
+  private[graft] def nbScore(tk: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame,
+      priors: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame, idCol: String,
+      labelCol: String, isTrain: Column): org.apache.spark.sql.DataFrame = {
+    val pd = tk.filter(!col("is_train"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
+    val tokFx = pd.join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("cnt") * col("lp_fx")).as("tok_fx"))
+      .withColumnRenamed("label", "cls")
+    val base = docs.filter(!isTrain)
+      .select(col(idCol), col(labelCol).as("label"))
+      .crossJoin(broadcast(priors.withColumnRenamed("label", "cls")))
+    val scored = base.join(tokFx, Seq(idCol, "cls"), "left")
+      .select(col(idCol), col("label"), col("cls"),
+        (col("prior_fx") + coalesce(col("tok_fx"), lit(0L))).as("score_fx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("score_fx").desc, col("cls").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(idCol), col("label"), col("cls").as("predicted"),
+        (col("label") === col("cls")).as("correct"),
+        (col("score_fx").cast(DoubleType) / lit(1e6)).as("nb_score"))
+  }
 }

@@ -1099,6 +1099,79 @@ object Pipeline {
 
   private val DsirBuckets = 4096
 
+  /** Classifier-based data selection ([[TA.nbClassify]]): a multinomial
+    * Naive-Bayes language classifier trained on the deterministic 80%
+    * doc_id-mod train slice, predicting the 20% holdout — the GPT-3 /
+    * PaLM "train a cheap classifier on a trusted slice, score the rest"
+    * quality-filtering shape, with NB as the closed-form member (the
+    * model is two count tables; training is one aggregation pass). All
+    * log-probabilities floor-quantize to fixed point before summation,
+    * so predictions and scores are engine-exact. */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    TA.nbClassify(Tables.documents(spark, dir), "text", "doc_id", "lang",
+        isTrain = col("doc_id") % 10 < 8, buckets = NbBuckets)
+      .orderBy("doc_id")
+
+  private val NbBuckets = 1024
+
+  /** FineWeb-style multi-signal quality selection: three per-document
+    * signals (token count, type-token ratio, mean word length) fuse as
+    * the mean of their exact corpus-wide percentile ranks; top-100 by
+    * the ensemble. The scale story is HOW the ranks are computed: exact
+    * percent_rank normally needs a global sort of the corpus, but each
+    * signal here is integer-valued (ratios floor-quantized to 1e-6
+    * fixed point), so its value HISTOGRAM is cardinality-bounded — the
+    * strictly-below cumulative count runs as a window over that tiny
+    * frame and broadcasts back onto the corpus. cum_below/(N−1) is
+    * percent_rank's exact definition, which lets the oracle state it
+    * with DuckDB's native PERCENT_RANK — cross-validating the
+    * histogram formulation against the engine-native one. */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = TA.tokenCount(col("text"))
+    val sigs = Tables.documents(spark, dir).select(col("doc_id"),
+        nTok.as("s_tokens"),
+        floor(size(array_distinct(TA.tokens(col("text")))).cast(DoubleType) /
+            nTok.cast(DoubleType) * lit(1e6)).cast(LongType).as("s_ttr"),
+        floor((col("n_chars") - (nTok - lit(1))).cast(DoubleType) /
+            nTok.cast(DoubleType) * lit(1e6)).cast(LongType).as("s_mwl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ranked = sigs
+        .join(broadcast(rankBySignal(sigs, "s_tokens", "r_tokens")), Seq("s_tokens"))
+        .join(broadcast(rankBySignal(sigs, "s_ttr", "r_ttr")), Seq("s_ttr"))
+        .join(broadcast(rankBySignal(sigs, "s_mwl", "r_mwl")), Seq("s_mwl"))
+        .withColumn("ens",
+          (col("r_tokens") + col("r_ttr") + col("r_mwl")) / lit(3.0))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ens").desc, col("doc_id").asc)
+      ranked.withColumn("rk", row_number().over(w)).filter(col("rk") <= 100)
+        .select(col("doc_id"), col("s_tokens").as("n_tokens"),
+          col("r_tokens"), col("r_ttr"), col("r_mwl"), col("ens"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally sigs.unpersist(blocking = false)
+  }
+
+  /** Exact percent_rank of an integer-valued signal WITHOUT a global
+    * sort: (value → strictly-below cumulative count / (N−1)) computed on
+    * the signal's value histogram. The two windows here are
+    * single-partition by construction, but they run over the
+    * cardinality-bounded histogram frame (bytes, not data) — the
+    * post-aggregation-window doctrine of [[sourceMixture]]. N == 1
+    * degenerates to rank 0.0 rather than 0/0. */
+  private[graft] def rankBySignal(sigs: DataFrame, c: String,
+      rankName: String): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    sigs.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .select(col(c),
+        when(sum(col("cnt")).over(wAll) > 1,
+          coalesce(sum(col("cnt")).over(wCum), lit(0L)).cast(DoubleType) /
+            (sum(col("cnt")).over(wAll) - lit(1L)).cast(DoubleType))
+          .otherwise(lit(0.0)).as(rankName))
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -1216,6 +1289,8 @@ object Pipeline {
     "q_lm_score"         -> (lmScore _),
     "q_lm_gate"          -> (lmGate _),
     "q_dsir_select"      -> (dsirSelect _),
+    "q_nb_classify"      -> (nbClassify _),
+    "q_quality_ensemble" -> (qualityEnsemble _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -1958,6 +2033,67 @@ object Pipeline {
          |              ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id ASC) r FROM scored)
          |SELECT doc_id, n_grams, dsir_score FROM rk WHERE r <= 100 ORDER BY doc_id""".stripMargin,
     "q_perplexity_buckets" -> perplexityBucketsSql,
+    // NB classifier: the dsir fixed-point doctrine applied to a dense
+    // classes × buckets model — every LN floor-quantizes to 1e-6 BEFORE
+    // summation, so per-(doc, class) scores are exact integers and the
+    // argmax (score DESC, class ASC) is engine-independent. Sums CAST to
+    // BIGINT (DuckDB HUGEINT dtype trap).
+    "q_nb_classify" ->
+      s"""WITH tk AS (SELECT doc_id, lang, (doc_id % 10) < 8 AS is_train,
+         |                   ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT % $NbBuckets AS b
+         |            FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)),
+         |cb AS (SELECT lang AS label, b, CAST(COUNT(*) AS BIGINT) n FROM tk WHERE is_train GROUP BY 1, 2),
+         |pri AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) docs_c
+         |        FROM documents WHERE (doc_id % 10) < 8 GROUP BY 1),
+         |pri2 AS (SELECT label, CAST(FLOOR(LN(CAST(docs_c AS DOUBLE) /
+         |                 CAST(SUM(docs_c) OVER () AS DOUBLE)) * 1000000.0) AS BIGINT) prior_fx
+         |         FROM pri),
+         |ctot AS (SELECT label, CAST(SUM(n) AS BIGINT) n_c FROM cb GROUP BY 1),
+         |nc AS (SELECT p.label, COALESCE(c.n_c, 0) AS n_c FROM pri p LEFT JOIN ctot c USING (label)),
+         |model AS (SELECT g.label, g.b,
+         |                 CAST(FLOOR(LN(CAST(COALESCE(cb.n, 0) + 1 AS DOUBLE) /
+         |                   CAST(g.n_c + $NbBuckets AS DOUBLE)) * 1000000.0) AS BIGINT) lp_fx
+         |          FROM (SELECT label, n_c, CAST(t.b AS BIGINT) b
+         |                FROM nc CROSS JOIN (SELECT UNNEST(RANGE($NbBuckets)) AS b) t) g
+         |          LEFT JOIN cb ON cb.label = g.label AND cb.b = g.b),
+         |pd AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) cnt FROM tk WHERE NOT is_train GROUP BY 1, 2),
+         |tokfx AS (SELECT pd.doc_id, m.label AS cls, CAST(SUM(pd.cnt * m.lp_fx) AS BIGINT) tok_fx
+         |          FROM pd JOIN model m ON m.b = pd.b GROUP BY 1, 2),
+         |base AS (SELECT d.doc_id, d.lang AS label, p2.label AS cls, p2.prior_fx
+         |         FROM documents d CROSS JOIN pri2 p2 WHERE (d.doc_id % 10) >= 8),
+         |sc AS (SELECT b2.doc_id, b2.label, b2.cls,
+         |              b2.prior_fx + COALESCE(t.tok_fx, 0) AS score_fx
+         |       FROM base b2 LEFT JOIN tokfx t ON t.doc_id = b2.doc_id AND t.cls = b2.cls),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                   ORDER BY score_fx DESC, cls ASC) r FROM sc)
+         |SELECT doc_id, label, cls AS predicted, (label = cls) AS correct,
+         |       CAST(score_fx AS DOUBLE) / 1000000.0 AS nb_score
+         |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    // Ensemble ranks: the Spark side computes percent_rank as
+    // cum_below/(N-1) from per-signal value histograms (no global sort);
+    // the oracle states the SAME quantity with native PERCENT_RANK —
+    // the definitions coincide exactly, so the hash compare
+    // cross-validates the histogram formulation. Signals are integers
+    // (ratios floor-quantized to 1e-6), rank sum order pinned.
+    "q_quality_ensemble" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) s_tokens,
+        |         CAST(FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) /
+        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_ttr,
+        |         CAST(FLOOR(CAST(n_chars - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE) /
+        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_mwl
+        |  FROM documents),
+        |r AS (SELECT doc_id, s_tokens,
+        |             PERCENT_RANK() OVER (ORDER BY s_tokens) r_tokens,
+        |             PERCENT_RANK() OVER (ORDER BY s_ttr) r_ttr,
+        |             PERCENT_RANK() OVER (ORDER BY s_mwl) r_mwl
+        |      FROM sig),
+        |e AS (SELECT doc_id, s_tokens AS n_tokens, r_tokens, r_ttr, r_mwl,
+        |             (r_tokens + r_ttr + r_mwl) / 3.0 AS ens FROM r),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ens DESC, doc_id ASC) rr FROM e)
+        |SELECT doc_id, n_tokens, r_tokens, r_ttr, r_mwl, ens
+        |FROM rk WHERE rr <= 100 ORDER BY doc_id""".stripMargin,
     "q_doc_percentiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |       quantile_cont(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 0.5) AS p50,

@@ -533,4 +533,63 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"the vote aggregation must partial-aggregate:\n$plan")
   }
+
+  test("NB classifier: dense model broadcasts; no window over the token stream") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val isTrain = col("doc_id") % 10 < 8
+    val TA = graft.operators.TextAnalysis
+    val tk = TA.nbTokenStream(docs, "text", "doc_id", "lang", isTrain, 1024)
+    // model counts: ONE map-side-combined aggregation of the token stream
+    val cbPlan = planOf(TA.nbCounts(tk))
+    assert(cbPlan.contains("partial_count"),
+      s"class-bucket counts must map-side combine:\n$cbPlan")
+    assert(!cbPlan.contains("Window"),
+      s"no window over the token stream:\n$cbPlan")
+    // scoring: the C·B model joins back as a BROADCAST hash join; the
+    // only nested-loop is the C-row prior attach (the documented tiny
+    // crossJoin); nothing shuffle-joins the corpus against the model
+    val cb = TA.nbCounts(tk).localCheckpoint()
+    val priors = TA.nbPriors(docs, "lang", isTrain).localCheckpoint()
+    val model = TA.nbModelTable(cb, priors, 1024)
+    val plan = planOf(
+      TA.nbScore(tk, docs, priors, model, "doc_id", "lang", isTrain))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dense model must broadcast onto the doc-bucket counts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in NB scoring:\n$plan")
+  }
+
+  test("quality ensemble: histogram ranks broadcast back — corpus never globally sorts for ranking") {
+    // qualityEnsemble localCheckpoints its result (truncating the
+    // observable plan) — re-derive the un-truncated rank attach from the
+    // signal frame instead
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val TA = graft.operators.TextAnalysis
+    val nTok = TA.tokenCount(col("text"))
+    val sigs = graft.Tables.documents(spark, dir).select(col("doc_id"),
+      nTok.as("s_tokens"),
+      floor(size(array_distinct(TA.tokens(col("text")))).cast(DoubleType) /
+          nTok.cast(DoubleType) * lit(1e6)).cast(LongType).as("s_ttr"),
+      floor((col("n_chars") - (nTok - lit(1))).cast(DoubleType) /
+          nTok.cast(DoubleType) * lit(1e6)).cast(LongType).as("s_mwl"))
+    val ranked = sigs
+      .join(broadcast(Pipeline.rankBySignal(sigs, "s_tokens", "r_tokens")),
+        Seq("s_tokens"))
+      .join(broadcast(Pipeline.rankBySignal(sigs, "s_ttr", "r_ttr")),
+        Seq("s_ttr"))
+      .join(broadcast(Pipeline.rankBySignal(sigs, "s_mwl", "r_mwl")),
+        Seq("s_mwl"))
+    val rankedPlan = planOf(ranked)
+    // every rank attaches as a broadcast hash join of a histogram frame
+    val bhj = rankedPlan.linesIterator
+      .count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 3,
+      s"all three histogram rank tables must broadcast, saw $bhj:\n$rankedPlan")
+    // the corpus side itself never sorts or windows: every Window in the
+    // plan sits above a HashAggregate (the histogram), none above the scan
+    assert(!rankedPlan.contains("SortMergeJoin"),
+      s"rank attach must not shuffle-join the corpus:\n$rankedPlan")
+  }
 }
