@@ -273,6 +273,29 @@ object StreamOps {
         graft.functions.DsirScoreFx.score(col(textCol), model))
       .filter(col("dsir_score") >= minScore)
 
+  /** Streaming Naive-Bayes classifier gate — the deployment form of
+    * [[graft.queries.Pipeline.nbClassify]] (the classifier-based
+    * data-selection family): each incoming document is argmax-scored
+    * against the batch-trained dense [[graft.functions.NbModel]] (one
+    * native tokenize-md5-argmax pass per row, the C·B fixed-point model
+    * riding in the plan) and rows whose predicted label is outside
+    * `keep` drop; an empty `keep` annotates without filtering. The
+    * model's cells are Spark-expression-exact and the argmax replicates
+    * the batch window's (score DESC, label ASC) tie-break, so batch and
+    * stream predictions are identical doc-for-doc (StreamOpsSpec pins
+    * it). Stateless, shuffle-free, append-mode-safe. Emits `nb_label`
+    * and `nb_score`. */
+  def nbGate(docs: DataFrame, textCol: String,
+      model: graft.functions.NbModel, keep: Set[String]): DataFrame = {
+    val tagged = docs
+      .withColumn("nb_label",
+        graft.functions.NbPredict.predict(col(textCol), model))
+      .withColumn("nb_score",
+        graft.functions.NbPredict.score(col(textCol), model))
+    if (keep.isEmpty) tagged
+    else tagged.filter(col("nb_label").isInCollection(keep))
+  }
+
   /** Streaming CCNet perplexity bucketing — the deployment form of
     * [[graft.queries.Pipeline.perplexityBuckets]]: score each incoming
     * document with the batch-trained pruned model (the [[lmGate]] native

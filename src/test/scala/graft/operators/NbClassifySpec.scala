@@ -113,6 +113,27 @@ class NbClassifySpec extends AnyFunSuite {
     assert(!out.head._4)
   }
 
+  test("native NbModel replicates the batch operator on real documents") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isT = col("doc_id") % 10 < 8
+    val model = graft.functions.NbPredict.train(
+      docs, "text", "doc_id", "lang", isT, buckets = 512)
+    val batch = TextAnalysis.nbClassify(
+        docs, "text", "doc_id", "lang", isT, buckets = 512)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(4)))
+      .toMap
+    val native = docs.filter(!isT).select(col("doc_id"),
+        graft.functions.NbPredict.predict(col("text"), model),
+        graft.functions.NbPredict.score(col("text"), model))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(native.nonEmpty && native.length == batch.size)
+    native.foreach { case (id, p, s) =>
+      val (bp, bs) = batch(id)
+      assert(p == bp && s == bs,
+        s"doc $id: native ($p, $s) != batch ($bp, $bs)")
+    }
+  }
+
   test("output is invariant under repartitioning") {
     val rows = Seq[(Long, String, String)](
       (1L, "cat cat dog", "A"), (2L, "cat fish", "A"),

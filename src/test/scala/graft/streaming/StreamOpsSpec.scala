@@ -648,6 +648,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming NB gate: batch-trained classifier predicts a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // train slice doc_id < 30, holdout streams in; two visibly distinct
+    // vocabularies so the classifier has signal
+    val docsSeq = (1L to 50L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val text =
+        if (lang == "en") "the quick brown fox " + ("dog " * (i % 3).toInt).trim
+        else "le renard brun rapide " + ("chien " * (i % 4).toInt).trim
+      (i, lang, text)
+    }
+    val batch = docsSeq.toDF("doc_id", "lang", "text")
+    val isTrain = col("doc_id") < 30
+    val model = graft.functions.NbPredict.train(batch, "text", "doc_id",
+      "lang", isTrain, buckets = 256)
+    // batch operator's holdout predictions — the parity target
+    val batchPred = graft.operators.TextAnalysis.nbClassify(
+        batch, "text", "doc_id", "lang", isTrain, buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(4)))
+      .toMap
+    val holdout = docsSeq.filter(_._1 >= 30)
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.nbGate(input.toDF.toDF("doc_id", "lang", "text"),
+        "text", model, keep = Set("en"))
+      .select("doc_id", "nb_label", "nb_score")
+      .writeStream.format("memory").queryName("nb_out")
+      .outputMode("append").start()
+    input.addData(holdout.take(10): _*)
+    q.processAllAvailable()
+    input.addData(holdout.drop(10): _*)
+    q.processAllAvailable(); q.stop()
+    val streamRows = spark.table("nb_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // the kept set is exactly the batch's predicted-"en" holdout docs
+    val batchEn = batchPred.collect { case (id, ("en", _)) => id }.toSet
+    assert(streamRows.map(_._1).toSet == batchEn,
+      "stream must keep exactly the docs the batch operator labels en")
+    assert(batchEn.nonEmpty && batchEn.size < holdout.size,
+      "the gate must visibly split the holdout")
+    // labels AND scores are the batch operator's, bit for bit
+    streamRows.foreach { case (id, label, score) =>
+      val (bLabel, bScore) = batchPred(id)
+      assert(label == bLabel && score == bScore,
+        s"doc $id: stream ($label, $score) != batch ($bLabel, $bScore)")
+    }
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming perplexity buckets: batch-derived thresholds bucket a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
