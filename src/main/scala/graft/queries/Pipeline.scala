@@ -1127,13 +1127,9 @@ object Pipeline {
     * with DuckDB's native PERCENT_RANK — cross-validating the
     * histogram formulation against the engine-native one. */
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = TA.tokenCount(col("text"))
-    val sigs = Tables.documents(spark, dir).select(col("doc_id"),
-        nTok.as("s_tokens"),
-        floor(size(array_distinct(TA.tokens(col("text")))).cast(DoubleType) /
-            nTok.cast(DoubleType) * lit(1e6)).cast(LongType).as("s_ttr"),
-        floor((col("n_chars") - (nTok - lit(1))).cast(DoubleType) /
-            nTok.cast(DoubleType) * lit(1e6)).cast(LongType).as("s_mwl"))
+    val sigs = Tables.documents(spark, dir).select(col("doc_id") +:
+        ensembleSignals(col("text"), col("n_chars"))
+          .map { case (n, c) => c.as(n) }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val ranked = sigs
@@ -1150,6 +1146,24 @@ object Pipeline {
         .orderBy("doc_id")
         .localCheckpoint()
     } finally sigs.unpersist(blocking = false)
+  }
+
+  /** The ensemble's three integer-valued quality signals as ONE shared
+    * set of Column trees — the batch query, its oracle restatement, and
+    * the streaming gate ([[graft.streaming.StreamOps.ensembleGate]]) all
+    * evaluate the identical op sequence, so signal values (and so
+    * ranks) agree bit-for-bit across paths. Ratios floor-quantize to
+    * 1e-6 fixed point, keeping each signal's value set
+    * cardinality-bounded (the histogram-rank precondition). */
+  private[graft] def ensembleSignals(text: Column,
+      nChars: Column): Seq[(String, Column)] = {
+    val nTok = TA.tokenCount(text)
+    Seq(
+      "s_tokens" -> nTok,
+      "s_ttr" -> floor(size(array_distinct(TA.tokens(text))).cast(DoubleType) /
+        nTok.cast(DoubleType) * lit(1e6)).cast(LongType),
+      "s_mwl" -> floor((nChars - (nTok - lit(1))).cast(DoubleType) /
+        nTok.cast(DoubleType) * lit(1e6)).cast(LongType))
   }
 
   /** Exact percent_rank of an integer-valued signal WITHOUT a global

@@ -296,6 +296,33 @@ object StreamOps {
     else tagged.filter(col("nb_label").isInCollection(keep))
   }
 
+  /** Streaming quality-ensemble gate — the deployment form of
+    * [[graft.queries.Pipeline.qualityEnsemble]]: each incoming document
+    * computes the SAME three integer signals as the batch query (the
+    * shared [[graft.queries.Pipeline.ensembleSignals]] Column trees),
+    * ranks each against its batch-trained [[graft.functions.RankTable]]
+    * (one native binary search per row, the histogram riding in the
+    * plan), fuses ranks in the batch's pinned order, and drops rows
+    * below `minEnsemble`. Signal values the batch profile never saw
+    * rank between their histogram neighbors — the natural "where would
+    * this doc have ranked" reading for drifting traffic. Stateless,
+    * shuffle-free, append-mode-safe; batch and stream ensembles are
+    * bit-identical on profile data (StreamOpsSpec pins it). Emits
+    * `r_tokens` / `r_ttr` / `r_mwl` / `ens`. */
+  def ensembleGate(docs: DataFrame, textCol: String, nCharsCol: String,
+      tables: Map[String, graft.functions.RankTable],
+      minEnsemble: Double): DataFrame = {
+    val sigs = graft.queries.Pipeline
+      .ensembleSignals(col(textCol), col(nCharsCol))
+    val ranked = sigs.foldLeft(docs) { case (d, (n, c)) =>
+      d.withColumn("r_" + n.stripPrefix("s_"),
+        graft.functions.RankLookup.rank(c, tables(n)))
+    }
+    ranked.withColumn("ens",
+        (col("r_tokens") + col("r_ttr") + col("r_mwl")) / lit(3.0))
+      .filter(col("ens") >= minEnsemble)
+  }
+
   /** Streaming CCNet perplexity bucketing — the deployment form of
     * [[graft.queries.Pipeline.perplexityBuckets]]: score each incoming
     * document with the batch-trained pruned model (the [[lmGate]] native

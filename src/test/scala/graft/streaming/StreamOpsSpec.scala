@@ -648,6 +648,56 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming ensemble gate: batch-trained rank tables score a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "n_chars")
+    // batch side: the query's own signal frame + histogram ranks
+    val sigs = docs.select(col("doc_id") +:
+      graft.queries.Pipeline.ensembleSignals(col("text"), col("n_chars"))
+        .map { case (n, c) => c.as(n) }: _*)
+    val tables = Seq("s_tokens", "s_ttr", "s_mwl")
+      .map(n => n -> graft.functions.RankLookup.train(sigs, n)).toMap
+    val batchEns = sigs
+      .join(graft.queries.Pipeline.rankBySignal(sigs, "s_tokens", "r_tokens"),
+        Seq("s_tokens"))
+      .join(graft.queries.Pipeline.rankBySignal(sigs, "s_ttr", "r_ttr"),
+        Seq("s_ttr"))
+      .join(graft.queries.Pipeline.rankBySignal(sigs, "s_mwl", "r_mwl"),
+        Seq("s_mwl"))
+      .withColumn("ens",
+        (col("r_tokens") + col("r_ttr") + col("r_mwl")) / lit(3.0))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ens"))
+      .toMap
+
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.ensembleGate(
+        input.toDF.toDF("doc_id", "text", "n_chars"),
+        "text", "n_chars", tables, minEnsemble = 0.5)
+      .select("doc_id", "ens")
+      .writeStream.format("memory").queryName("ens_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamEns = spark.table("ens_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectedKept = batchEns.filter(_._2 >= 0.5)
+    assert(streamEns.keySet == expectedKept.keySet,
+      "stream must keep exactly the batch's ens >= 0.5 set")
+    assert(expectedKept.nonEmpty && expectedKept.size < rows.length,
+      "the gate must visibly split the corpus")
+    streamEns.foreach { case (id, e) =>
+      assert(e == batchEns(id), s"doc $id: stream $e != batch ${batchEns(id)}")
+    }
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming NB gate: batch-trained classifier predicts a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
