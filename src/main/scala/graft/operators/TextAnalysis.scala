@@ -486,6 +486,45 @@ object TextAnalysis {
         (sum(col("cnt") * col("lr_fx")).cast(DoubleType) / lit(1e6))
           .as("dsir_score"))
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1) — the canonical
+    * hand-written document filter, each rule an explicit boolean beside
+    * its signal so a curator can audit WHICH rule dropped a document
+    * (the Dolma attributes pattern), adapted to the whitespace
+    * tokenizer: word count in [50, 100k], mean word length in [3, 10],
+    * ≥ 80% of words contain an alphabetic character, ≥ 2 stop words,
+    * symbol-to-word ratio (#, …) ≤ 0.1. Mean word length reads
+    * length(text) minus the n−1 separator spaces — exact for
+    * single-space-joined text, and every signal is per-row IEEE
+    * arithmetic, so the whole operator is ONE narrow shuffle-free
+    * projection: it runs unchanged on a stream (the repetitionGate
+    * pattern) and at any corpus size. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val nD = n.cast(DoubleType)
+    val mwl = when(n === 0, lit(0.0)).otherwise(
+      (length(col(textCol)) - (n - lit(1))).cast(DoubleType) / nD)
+    val alphaFrac = when(n === 0, lit(0.0)).otherwise(
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast(DoubleType) / nD)
+    val stopHits = size(filter(t, x => x.isInCollection(stopwords)))
+      .cast(LongType)
+    val symFrac = when(n === 0, lit(0.0)).otherwise(
+      size(filter(t, x => x.contains("#").or(x.contains("..."))))
+        .cast(DoubleType) / nD)
+    val rWords = n.between(50, 100000)
+    val rMwl = mwl.between(3.0, 10.0)
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = stopHits >= 2
+    val rSym = symFrac <= 0.1
+    docs.select(col(idCol), n.cast(LongType).as("n_tokens"),
+      mwl.as("mean_word_len"), alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"), symFrac.as("symbol_frac"),
+      rWords.as("r_words"), rMwl.as("r_mwl"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"), rSym.as("r_sym"),
+      (rWords && rMwl && rAlpha && rStop && rSym).as("keep"))
+  }
+
   /** Multinomial Naive-Bayes document classification over md5-bucketed
     * unigram tokens — the classifier-based data-selection shape (a la
     * GPT-3 / PaLM quality filtering: score every document with a cheap

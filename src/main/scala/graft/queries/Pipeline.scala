@@ -1114,6 +1114,13 @@ object Pipeline {
 
   private val NbBuckets = 1024
 
+  /** The Gopher rule-based quality filter ([[TA.gopherRules]]) as a
+    * first-class audit table: one row per document with every rule's
+    * signal, its boolean, and the fused keep flag. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TA.gopherRules(Tables.documents(spark, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** FineWeb-style multi-signal quality selection: three per-document
     * signals (token count, type-token ratio, mean word length) fuse as
     * the mean of their exact corpus-wide percentile ranks; top-100 by
@@ -1305,6 +1312,7 @@ object Pipeline {
     "q_dsir_select"      -> (dsirSelect _),
     "q_nb_classify"      -> (nbClassify _),
     "q_quality_ensemble" -> (qualityEnsemble _),
+    "q_gopher_rules"     -> (gopherRules _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -2083,6 +2091,35 @@ object Pipeline {
          |SELECT doc_id, label, cls AS predicted, (label = cls) AS correct,
          |       CAST(score_fx AS DOUBLE) / 1000000.0 AS nb_score
          |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    // Gopher rules: every signal is per-row arithmetic over exact
+    // integers (mean word length = (LENGTH − separators)/n, both
+    // code-point counts on both engines), so booleans and ratios are
+    // engine-exact with no quantization needed.
+    "q_gopher_rules" ->
+      """WITH s AS (SELECT doc_id, STRING_SPLIT(text, ' ') a,
+        |                  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) n,
+        |                  CAST(LENGTH(text) AS BIGINT) nc
+        |           FROM documents),
+        |m AS (SELECT doc_id, n,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(nc - (n - 1) AS DOUBLE) / CAST(n AS DOUBLE) END mwl,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(LEN(LIST_FILTER(a, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / CAST(n AS DOUBLE) END alpha_frac,
+        |  CAST(LEN(LIST_FILTER(a, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS BIGINT) stop_hits,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(LEN(LIST_FILTER(a, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE) / CAST(n AS DOUBLE) END sym_frac
+        |  FROM s)
+        |SELECT doc_id, n AS n_tokens, mwl AS mean_word_len, alpha_frac,
+        |       stop_hits, sym_frac AS symbol_frac,
+        |       (n BETWEEN 50 AND 100000) AS r_words,
+        |       (mwl BETWEEN 3.0 AND 10.0) AS r_mwl,
+        |       (alpha_frac >= 0.8) AS r_alpha,
+        |       (stop_hits >= 2) AS r_stop,
+        |       (sym_frac <= 0.1) AS r_sym,
+        |       ((n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |         AND (alpha_frac >= 0.8) AND (stop_hits >= 2)
+        |         AND (sym_frac <= 0.1)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // Ensemble ranks: the Spark side computes percent_rank as
     // cum_below/(N-1) from per-signal value histograms (no global sort);
     // the oracle states the SAME quantity with native PERCENT_RANK —

@@ -20,6 +20,30 @@ class TextOpsSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
   }
 
+  test("gopherRules: each rule flags independently and keep fuses them") {
+    val passing = (Seq.fill(48)("word") ++ Seq("the", "a")).mkString(" ")
+    val tooShort = "the a short doc"
+    val longWords = Seq.fill(50)("supercalifragilistic").mkString(" ")
+    val numeric = (Seq.fill(48)("123") ++ Seq("the", "a")).mkString(" ")
+    val d = docs(1L -> passing, 2L -> tooShort, 3L -> longWords,
+      4L -> numeric)
+    val out = TextAnalysis.gopherRules(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+        r.getBoolean(11)))
+    // (id, r_words, r_mwl, r_alpha, r_stop, r_sym, keep)
+    assert(out(0) == ((1L, true, true, true, true, true, true)))
+    assert(out(1)._2 == false && out(1)._7 == false) // < 50 words
+    assert(out(2)._3 == false && out(2)._5 == false && !out(2)._7) // 20-char words, no stopwords
+    assert(out(3)._4 == false && !out(3)._7) // 4% alphabetic words
+    // signal values are exact: doc 1's mean word length is 196/50
+    val mwl1 = TextAnalysis.gopherRules(d, "text", "doc_id")
+      .filter(col("doc_id") === 1).select("mean_word_len")
+      .head().getDouble(0)
+    assert(mwl1 == 196.0 / 50.0)
+  }
+
   test("spanDupStats: flags span instances shared across documents") {
     val d = docs(
       1L -> "a b c d e f", // spans "a b c d e" (shared with 2), "b c d e f"

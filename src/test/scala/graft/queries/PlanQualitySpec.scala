@@ -560,6 +560,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no cartesian anywhere in NB scoring:\n$plan")
   }
 
+  test("gopher rules: one narrow projection — only the orderBy exchanges") {
+    val plan = planOf(Pipeline.queries("q_gopher_rules")(spark, dir))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly the orderBy Exchange, found $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"the rule gate must be a pure per-row projection:\n$plan")
+  }
+
   test("quality ensemble: histogram ranks broadcast back — corpus never globally sorts for ranking") {
     // qualityEnsemble localCheckpoints its result (truncating the
     // observable plan) — re-derive the un-truncated rank attach from the
