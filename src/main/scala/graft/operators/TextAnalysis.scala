@@ -525,6 +525,97 @@ object TextAnalysis {
       (rWords && rMwl && rAlpha && rStop && rSym).as("keep"))
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016) — learn `numMerges`
+    * byte-pair merges from the corpus, returned as the ranked merge
+    * table (rank, lhs, rhs, pair_count). The 100 TB shape exploits what
+    * BPE training actually consumes: the WORD-FREQUENCY table, not the
+    * corpus — ONE map-side-combined token shuffle reduces any corpus to
+    * a vocabulary-sized frame, a deterministic top-`maxWords` cap
+    * ((count DESC, word ASC) — the [[graft.operators.Ivf]]
+    * bounded-training-collect argument; real tokenizer trainers cap
+    * their word tables the same way) bounds the driver set, and the
+    * merge iterations run driver-side over that capped table. Pair
+    * counting is the classic overlapping count; merge application is
+    * left-to-right non-overlapping; ties break (count DESC, pair
+    * lexicographic ASC) so the result is engine-exact — the DuckDB
+    * oracle replays all K iterations as unrolled MATERIALIZED CTEs over
+    * a separator-framed state string whose non-overlapping REPLACE is
+    * provably the same merge step. Encoding with the learned table is
+    * the native [[graft.functions.BpeEncodeCount]] codegen pass. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int = 40,
+      maxWords: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val merges = bpeLearn(bpeWordCounts(docs, textCol, maxWords), numMerges)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, pc), i) => ((i + 1).toLong, l, r, pc) }
+      .toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The learned merge table as a broadcastable
+    * [[graft.functions.BpeMerges]] encoder model. */
+  def bpeMergesModel(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int = 40,
+      maxWords: Int = 4096): graft.functions.BpeMerges =
+    new graft.functions.BpeMerges(
+      bpeLearn(bpeWordCounts(docs, textCol, maxWords), numMerges)
+        .map(t => (t._1, t._2)))
+
+  /** (word, count) top-`maxWords` by (count DESC, word ASC) — one
+    * map-side-combined shuffle + distributed top-k; the only corpus
+    * pass in BPE training. */
+  private[graft] def bpeWordCounts(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, maxWords: Int): Array[(String, Long)] =
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Driver-side merge learning over the capped word table — pure,
+    * deterministic, vocabulary-sized. Stops early when no adjacent
+    * pair remains. */
+  private[graft] def bpeLearn(wordCounts: Array[(String, Long)],
+      numMerges: Int): Array[(String, String, Long)] = {
+    var vocab = wordCounts.map { case (w, c) =>
+      (w.toCharArray.map(_.toString), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), pc) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((l, r, pc))
+        vocab = vocab.map { case (syms, c) => (bpeMergePair(syms, l, r), c) }
+        k += 1
+      }
+    }
+    merges.toArray
+  }
+
+  /** Left-to-right non-overlapping replacement of the adjacent pair. */
+  private def bpeMergePair(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
   /** Multinomial Naive-Bayes document classification over md5-bucketed
     * unigram tokens — the classifier-based data-selection shape (a la
     * GPT-3 / PaLM quality filtering: score every document with a cheap

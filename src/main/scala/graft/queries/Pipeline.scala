@@ -1114,6 +1114,54 @@ object Pipeline {
 
   private val NbBuckets = 1024
 
+  /** BPE tokenizer training ([[TA.bpeTrain]]): the 40-merge table
+    * learned from the corpus word-frequency profile — rank, merged
+    * pair, and the pair's weighted count at learn time. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TA.bpeTrain(Tables.documents(spark, dir), "text",
+        numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+      .orderBy("rank")
+
+  private val BpeNumMerges = 40
+  private val BpeMaxWords = 4096
+
+  /** The BPE oracle: all K merge iterations unrolled as MATERIALIZED
+    * CTE stages (inlining would expand the doubly-referenced state
+    * chain exponentially). The vocabulary state is a separator-framed
+    * string — each symbol wrapped in chr(31) with doubled separators
+    * between symbols — on which DuckDB's left-to-right non-overlapping
+    * REPLACE of `sep·lhs·sep·sep·rhs·sep` is exactly the BPE merge
+    * step (the framing makes cross-symbol-boundary matches
+    * impossible, including for prefix-sharing multi-char symbols).
+    * Tie-break (count DESC, lhs ASC, rhs ASC) matches the Scala
+    * minBy; an exhausted vocabulary yields empty b-stages on both
+    * sides. Prototype-validated merge-for-merge against an
+    * independent scalar reference. */
+  private def bpeTrainSql: String = {
+    val S = "chr(31)"
+    val SS = s"$S||$S"
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) c
+       | FROM (SELECT UNNEST(STRING_SPLIT(text,' ')) w FROM documents)
+       | GROUP BY w ORDER BY c DESC, w ASC LIMIT $BpeMaxWords),
+       |st0 AS MATERIALIZED (SELECT $S || ARRAY_TO_STRING(STRING_SPLIT(w, ''), $SS) || $S AS state, c FROM wc)""".stripMargin
+    for (k <- 0 until BpeNumMerges) {
+      sb ++= s""",
+         |p$k AS MATERIALIZED (SELECT a[i+1] l, a[i+2] r, CAST(SUM(c) AS BIGINT) pc
+         |  FROM (SELECT STRING_SPLIT(TRIM(state, chr(31)), $SS) a, c FROM st$k) t,
+         |       UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+         |st${k + 1} AS MATERIALIZED (SELECT REPLACE(state, $S||l||$SS||r||$S, $S||l||r||$S) state, c
+         |  FROM st$k CROSS JOIN b$k)""".stripMargin
+    }
+    val sel = (0 until BpeNumMerges)
+      .map(k => s"SELECT CAST(${k + 1} AS BIGINT) rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$k")
+      .mkString(" UNION ALL ")
+    sb ++= s"\nSELECT * FROM ($sel) ORDER BY rank"
+    sb.toString
+  }
+
   /** The Gopher rule-based quality filter ([[TA.gopherRules]]) as a
     * first-class audit table: one row per document with every rule's
     * signal, its boolean, and the fused keep flag. */
@@ -1313,6 +1361,7 @@ object Pipeline {
     "q_nb_classify"      -> (nbClassify _),
     "q_quality_ensemble" -> (qualityEnsemble _),
     "q_gopher_rules"     -> (gopherRules _),
+    "q_bpe_train"        -> (bpeTrain _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -2091,6 +2140,7 @@ object Pipeline {
          |SELECT doc_id, label, cls AS predicted, (label = cls) AS correct,
          |       CAST(score_fx AS DOUBLE) / 1000000.0 AS nb_score
          |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    "q_bpe_train" -> bpeTrainSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

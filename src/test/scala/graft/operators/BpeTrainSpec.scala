@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE tokenizer training ([[TextAnalysis.bpeTrain]]) and the native
+  * encoder ([[graft.functions.BpeMerges]]): hand-derived merges on a
+  * known corpus, early stop on an exhausted vocabulary, parity with an
+  * independently-written scalar reference on real documents, encoder
+  * replay of training segmentations (plus graceful unseen-word
+  * degradation), and determinism under repartitioning. */
+class BpeTrainSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("hand corpus learns the expected merges with deterministic tie-breaks") {
+    // words: low ×3, lower ×1. pair counts: (l,o)=4, (o,w)=4, (w,e)=1,
+    // (e,r)=1 → tie at 4 breaks lexicographically to (l,o); then
+    // (lo,w)=4; then (e,r)=1 beats (low,e)=1 lexicographically; then
+    // (low,er)=1; vocabulary exhausts at 4 merges though 10 were asked
+    val d = docs(1L -> "low low low", 2L -> "lower")
+    val out = TextAnalysis.bpeTrain(d, "text", numMerges = 10, maxWords = 100)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "l", "o", 4L), (2L, "lo", "w", 4L),
+      (3L, "e", "r", 1L), (4L, "low", "er", 1L)))
+  }
+
+  /** Clean-room scalar reference (structured differently from the
+    * operator: recounts via a Map fold, merges via split-rejoin). */
+  private def reference(words: Seq[(String, Long)],
+      k: Int): Seq[(String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    var out = Vector.empty[(String, String, Long)]
+    for (_ <- 1 to k if vocab.exists(_._1.size > 1)) {
+      val counts = vocab.flatMap { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.nonEmpty) {
+        val ((l, r), pc) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        out :+= ((l, r, pc))
+        vocab = vocab.map { case (s, c) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.size) {
+            if (i < s.size - 1 && s(i) == l && s(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += s(i); i += 1 }
+          }
+          (b.result(), c)
+        }
+      }
+    }
+    out
+  }
+
+  test("operator merges match the scalar reference on real documents") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = TextAnalysis.bpeWordCounts(d, "text", maxWords = 4096).toSeq
+    val exp = reference(words, 25)
+    val got = TextAnalysis.bpeTrain(d, "text", numMerges = 25, maxWords = 4096)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == exp)
+  }
+
+  test("encoder replays training segmentations and degrades on unseen words") {
+    val d = docs(1L -> "low low low", 2L -> "lower")
+    val m = TextAnalysis.bpeMergesModel(d, "text", numMerges = 10, maxWords = 100)
+    assert(m.segment("low").toSeq == Seq("low"))
+    assert(m.segment("lower").toSeq == Seq("lower"))
+    // unseen word: (l,o) then (lo,w) apply, the rest stay characters
+    assert(m.segment("slow").toSeq == Seq("s", "low"))
+    assert(m.segment("xyz").toSeq == Seq("x", "y", "z"))
+    assert(m.segment("").toSeq == Seq(""))
+    // native column form sums per-word segment counts: 1 + 1 + 2 = 4
+    val n = docs(9L -> "low lower slow")
+      .select(graft.functions.BpeEncodeCount.count(col("text"), m))
+      .head().getLong(0)
+    assert(n == 4L)
+  }
+
+  test("training is invariant under repartitioning") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextAnalysis.bpeTrain(d, "text", 15, 4096).collect().toSeq
+    val b = TextAnalysis.bpeTrain(d.repartition(7), "text", 15, 4096)
+      .collect().toSeq
+    assert(a == b)
+  }
+}
