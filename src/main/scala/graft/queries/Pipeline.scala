@@ -387,6 +387,33 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining (the DPR / E5 contrastive-training recipe):
+    * for each anchor vector, emit the nearest non-self neighbor as the
+    * POSITIVE and a deeper-ranked neighbor (rank 8) as the HARD
+    * NEGATIVE — semantically close enough to be informative, far
+    * enough to be (probably) wrong, which is exactly what contrastive
+    * embedding training wants over random negatives. Composes the
+    * proven [[Similarity.knnJoin]] rank stage (bit-exact cosine,
+    * (sim DESC, cid ASC) ties) with a conditional aggregation pivot;
+    * no float math beyond the proven stage. At 100 TB the neighbor
+    * stage swaps to the IVF shortlist exactly like q_knn_labels_ivf;
+    * the pivot is unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnJoin(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding", k = 8)
+      .filter(col("rank") === 1 || col("rank") === 8)
+      .groupBy(col("qid").as("anchor_id"))
+      .agg(
+        max(when(col("rank") === 1, col("cid"))).as("pos_id"),
+        max(when(col("rank") === 1, col("sim"))).as("pos_sim"),
+        max(when(col("rank") === 8, col("cid"))).as("neg_id"),
+        max(when(col("rank") === 8, col("sim"))).as("neg_sim"))
+      .orderBy("anchor_id")
+  }
+
   /** Semi-supervised kNN label propagation — the label-spreading pass
     * that turns an expensive hand-labeled subset (quality ratings, topic
     * tags) into corpus-wide labels: each unlabeled vector takes the
@@ -1362,6 +1389,7 @@ object Pipeline {
     "q_quality_ensemble" -> (qualityEnsemble _),
     "q_gopher_rules"     -> (gopherRules _),
     "q_bpe_train"        -> (bpeTrain _),
+    "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
@@ -2411,6 +2439,21 @@ object Pipeline {
         |           ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id >= 50)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // hard negatives: the q_knn_join rank recipe + a CASE pivot — ids
+    // BIGINT, sims the proven bit-exact cosine doubles
+    "q_hard_negatives" ->
+      """WITH ranked AS (
+        |  SELECT q.vec_id qid, c.vec_id cid,
+        |         LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) sim,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0)
+        |SELECT qid AS anchor_id,
+        |       MAX(CASE WHEN rank = 1 THEN cid END) AS pos_id,
+        |       MAX(CASE WHEN rank = 1 THEN sim END) AS pos_sim,
+        |       MAX(CASE WHEN rank = 8 THEN cid END) AS neg_id,
+        |       MAX(CASE WHEN rank = 8 THEN sim END) AS neg_sim
+        |FROM ranked WHERE rank IN (1, 8) GROUP BY qid ORDER BY anchor_id""".stripMargin,
     // label propagation: the q_knn_join neighbor recipe (proven cosine +
     // (sim DESC, cid ASC) tie-break), then an integer majority vote with
     // the deterministic (votes DESC, label ASC) pick — no float math past
