@@ -560,6 +560,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no cartesian anywhere in NB scoring:\n$plan")
   }
 
+  test("model-gate natives (NB, rank, BPE) run inside WholeStageCodegen, shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, dir)
+    val isTrain = col("doc_id") % 10 < 8
+    val nb = graft.functions.NbPredict.train(
+      docs, "text", "doc_id", "lang", isTrain, buckets = 128)
+    val sigs = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("s"))
+    val rt = graft.functions.RankLookup.train(sigs, "s")
+    val bpe = graft.operators.TextAnalysis
+      .bpeMergesModel(docs, "text", numMerges = 10, maxWords = 256)
+    val gate = docs.select(col("doc_id"),
+      graft.functions.NbPredict.predict(col("text"), nb).as("nb_label"),
+      graft.functions.RankLookup.rank(
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"), rt)
+        .as("len_rank"),
+      graft.functions.BpeEncodeCount.count(col("text"), bpe).as("bpe_tokens"))
+    val plan = planOf(gate)
+    for (fn <- Seq("rm_nb_predict", "rm_rank_lookup", "rm_bpe_encode_count"))
+      assert(plan.contains(fn), s"expected $fn in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"the composed model gate must be a narrow projection:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(")),
+      s"model probes fell out of whole-stage codegen:\n$plan")
+  }
+
   test("gopher rules: one narrow projection — only the orderBy exchanges") {
     val plan = planOf(Pipeline.queries("q_gopher_rules")(spark, dir))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
