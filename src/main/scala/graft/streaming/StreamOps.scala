@@ -273,6 +273,18 @@ object StreamOps {
         graft.functions.DsirScoreFx.score(col(textCol), model))
       .filter(col("dsir_score") >= minScore)
 
+  /** Streaming Gopher rule gate — [[graft.operators.TextAnalysis.gopherRules]]
+    * applied to a stream verbatim: the audit table is a pure per-row
+    * projection, so the batch operator IS the stream operator; this
+    * wrapper just drops rows whose fused `keep` is false while
+    * retaining the per-rule audit columns. Stateless, shuffle-free,
+    * append-mode-safe; batch and stream flags are identical by
+    * construction (StreamOpsSpec pins it anyway). */
+  def gopherGate(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol)
+      .filter(col("keep"))
+
   /** Streaming Naive-Bayes classifier gate — the deployment form of
     * [[graft.queries.Pipeline.nbClassify]] (the classifier-based
     * data-selection family): each incoming document is argmax-scored

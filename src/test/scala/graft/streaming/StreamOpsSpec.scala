@@ -648,6 +648,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming gopher gate: the per-row audit projection filters a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchKept = graft.operators.TextAnalysis.gopherRules(
+        rows.toSeq.toDF("doc_id", "text"), "text", "doc_id")
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < rows.length,
+      "the rules must visibly split the corpus")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.gopherGate(input.toDF.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("gopher_out")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept, "stream must keep exactly the batch's set")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming ensemble gate: batch-trained rank tables score a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
