@@ -73,6 +73,27 @@ class QualityEnsembleSpec extends AnyFunSuite {
     assert(table.rank(99L) == 1.0) // above the ceiling: all 7 below, 6/6
   }
 
+  test("property: RankTable matches the naive strictly-below rank on random multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(200)
+      val vals = Seq.fill(n)(rnd.nextInt(40).toLong) // dense values force ties
+      val sigs = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("doc_id", "s")
+      val table = graft.functions.RankLookup.train(sigs, "s")
+      // probes: every on-profile value plus off-profile ones (below,
+      // between, above)
+      val probes = (vals ++ Seq(-5L, 17L, 41L, 1000L)).distinct
+      probes.foreach { p =>
+        val below = math.min(vals.count(_ < p).toLong, (n - 1).toLong)
+        val expected = if (n <= 1) 0.0 else below.toDouble / (n - 1).toDouble
+        assert(table.rank(p) == expected,
+          s"n=$n probe=$p: table ${table.rank(p)} != naive $expected")
+      }
+    }
+  }
+
   test("single-row corpus degenerates to rank 0.0, not 0/0") {
     import spark.implicits._
     val one = Seq((7L, "only doc here", 13L)).toDF("doc_id", "text", "n_chars")
