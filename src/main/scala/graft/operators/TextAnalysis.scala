@@ -572,11 +572,33 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("w").asc).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+  /** The learned vocabulary (the tokenizer's second artifact beside
+    * the merge table): every symbol occurrence of every word's FINAL
+    * segmentation after `numMerges`, weighted by the word's corpus
+    * count. Same one-corpus-pass + driver-loop shape as [[bpeTrain]]. */
+  def bpeVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int = 40,
+      maxWords: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val (_, vocab) =
+      bpeLearnFull(bpeWordCounts(docs, textCol, maxWords), numMerges)
+    val rows = vocab.toSeq.flatMap { case (syms, c) => syms.map(s => (s, c)) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toDF("symbol", "n")
+  }
+
   /** Driver-side merge learning over the capped word table — pure,
     * deterministic, vocabulary-sized. Stops early when no adjacent
     * pair remains. */
   private[graft] def bpeLearn(wordCounts: Array[(String, Long)],
-      numMerges: Int): Array[(String, String, Long)] = {
+      numMerges: Int): Array[(String, String, Long)] =
+    bpeLearnFull(wordCounts, numMerges)._1
+
+  /** [[bpeLearn]] plus the final per-word segmentations. */
+  private[graft] def bpeLearnFull(wordCounts: Array[(String, Long)],
+      numMerges: Int): (Array[(String, String, Long)], Array[(Array[String], Long)]) = {
     var vocab = wordCounts.map { case (w, c) =>
       (w.toCharArray.map(_.toString), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -600,7 +622,7 @@ object TextAnalysis {
         k += 1
       }
     }
-    merges.toArray
+    (merges.toArray, vocab)
   }
 
   /** Left-to-right non-overlapping replacement of the adjacent pair. */

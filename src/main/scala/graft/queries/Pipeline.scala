@@ -1152,6 +1152,14 @@ object Pipeline {
   private val BpeNumMerges = 40
   private val BpeMaxWords = 4096
 
+  /** The learned BPE vocabulary ([[TA.bpeVocab]]): weighted symbol
+    * counts of the corpus's final segmentations — the loader-facing
+    * artifact beside the merge table. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    TA.bpeVocab(Tables.documents(spark, dir), "text",
+        numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+      .orderBy("symbol")
+
   /** The BPE oracle: all K merge iterations unrolled as MATERIALIZED
     * CTE stages (inlining would expand the doubly-referenced state
     * chain exponentially). The vocabulary state is a separator-framed
@@ -1164,7 +1172,7 @@ object Pipeline {
     * minBy; an exhausted vocabulary yields empty b-stages on both
     * sides. Prototype-validated merge-for-merge against an
     * independent scalar reference. */
-  private def bpeTrainSql: String = {
+  private def bpeCtes: String = {
     val S = "chr(31)"
     val SS = s"$S||$S"
     val sb = new StringBuilder
@@ -1173,20 +1181,38 @@ object Pipeline {
        | GROUP BY w ORDER BY c DESC, w ASC LIMIT $BpeMaxWords),
        |st0 AS MATERIALIZED (SELECT $S || ARRAY_TO_STRING(STRING_SPLIT(w, ''), $SS) || $S AS state, c FROM wc)""".stripMargin
     for (k <- 0 until BpeNumMerges) {
+      // the state step LEFT-joins its b-stage so an exhausted vocabulary
+      // (empty b) passes states through unchanged instead of emptying
+      // the chain — matching the Scala trainer's early stop
       sb ++= s""",
          |p$k AS MATERIALIZED (SELECT a[i+1] l, a[i+2] r, CAST(SUM(c) AS BIGINT) pc
          |  FROM (SELECT STRING_SPLIT(TRIM(state, chr(31)), $SS) a, c FROM st$k) t,
          |       UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) u(i)
          |  GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
-         |st${k + 1} AS MATERIALIZED (SELECT REPLACE(state, $S||l||$SS||r||$S, $S||l||r||$S) state, c
-         |  FROM st$k CROSS JOIN b$k)""".stripMargin
+         |st${k + 1} AS MATERIALIZED (SELECT COALESCE(REPLACE(state, $S||l||$SS||r||$S, $S||l||r||$S), state) state, c
+         |  FROM st$k LEFT JOIN b$k ON TRUE)""".stripMargin
     }
+    sb.toString
+  }
+
+  private def bpeTrainSql: String = {
     val sel = (0 until BpeNumMerges)
       .map(k => s"SELECT CAST(${k + 1} AS BIGINT) rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$k")
       .mkString(" UNION ALL ")
-    sb ++= s"\nSELECT * FROM ($sel) ORDER BY rank"
-    sb.toString
+    s"$bpeCtes\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** The learned vocabulary: every symbol OCCURRENCE of every word's
+    * final segmentation, weighted by the word's corpus count — the
+    * second artifact a trained tokenizer ships (merges + vocab). */
+  private def bpeVocabSql: String = {
+    val SS = "chr(31)||chr(31)"
+    s"""$bpeCtes
+       |SELECT sym AS symbol, CAST(SUM(c) AS BIGINT) AS n
+       |FROM (SELECT UNNEST(STRING_SPLIT(TRIM(state, chr(31)), $SS)) sym, c
+       |      FROM st$BpeNumMerges)
+       |GROUP BY sym ORDER BY symbol""".stripMargin
   }
 
   /** The Gopher rule-based quality filter ([[TA.gopherRules]]) as a
@@ -1389,6 +1415,7 @@ object Pipeline {
     "q_quality_ensemble" -> (qualityEnsemble _),
     "q_gopher_rules"     -> (gopherRules _),
     "q_bpe_train"        -> (bpeTrain _),
+    "q_bpe_vocab"        -> (bpeVocab _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2169,6 +2196,7 @@ object Pipeline {
          |       CAST(score_fx AS DOUBLE) / 1000000.0 AS nb_score
          |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_vocab" -> bpeVocabSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -93,6 +93,18 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("vocabulary is the weighted symbol counts of the final segmentations") {
+    val d = docs(1L -> "low low low", 2L -> "lower")
+    // after all 4 merges: low ×3 → [low], lower → [lower]
+    val full = TextAnalysis.bpeVocab(d, "text", numMerges = 10, maxWords = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(full.toSeq == Seq(("low", 3L), ("lower", 1L)))
+    // after only 2 merges: low ×3 → [low], lower → [low, e, r]
+    val partial = TextAnalysis.bpeVocab(d, "text", numMerges = 2, maxWords = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(partial.toSeq == Seq(("e", 1L), ("low", 4L), ("r", 1L)))
+  }
+
   test("training is invariant under repartitioning") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextAnalysis.bpeTrain(d, "text", 15, 4096).collect().toSeq
