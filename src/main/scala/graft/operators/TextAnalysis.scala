@@ -663,8 +663,11 @@ object TextAnalysis {
     * holdout counts; the dense model broadcasts back onto them; the
     * per-(doc, class) score frame is (holdout × C)-sized integer rows
     * (the q_knn_labels vote-table argument); argmax is a C-row window
-    * per doc on the shuffle the score aggregation already paid. Nothing
-    * re-scans the corpus and no window runs over an unbounded frame.
+    * per doc on the shuffle the score aggregation already paid. The
+    * TOKEN stream materializes once; the priors and holdout-base stages
+    * are two additional (id, label)-pruned column scans — deliberately
+    * cheaper at scale than persisting a corpus-sized id/label frame to
+    * save them. No window runs over an unbounded frame.
     *
     * Returns one row per holdout document: (idCol, label, predicted,
     * correct, nb_score) where nb_score is the winning score /1e6. */
