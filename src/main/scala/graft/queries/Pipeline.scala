@@ -1170,8 +1170,12 @@ object Pipeline {
     * impossible, including for prefix-sharing multi-char symbols).
     * Tie-break (count DESC, lhs ASC, rhs ASC) matches the Scala
     * minBy; an exhausted vocabulary yields empty b-stages on both
-    * sides. Prototype-validated merge-for-merge against an
-    * independent scalar reference. */
+    * sides (fully-merged one-symbol states produce no pairs, and the
+    * LEFT join passes states through). Precondition: tokens must not
+    * contain U+001F — true of any text corpus; a word containing the
+    * separator would corrupt only the ORACLE's framing, surfacing as
+    * a loud hash mismatch, never a silent pass. Prototype-validated
+    * merge-for-merge against an independent scalar reference. */
   private def bpeCtes: String = {
     val S = "chr(31)"
     val SS = s"$S||$S"
