@@ -599,8 +599,10 @@ object TextAnalysis {
   /** [[bpeLearn]] plus the final per-word segmentations. */
   private[graft] def bpeLearnFull(wordCounts: Array[(String, Long)],
       numMerges: Int): (Array[(String, String, Long)], Array[(Array[String], Long)]) = {
+    // Split on CODE POINTS, not UTF-16 units, to match the DuckDB
+    // oracle's STRING_SPLIT(w, '') — astral-plane chars stay one symbol.
     var vocab = wordCounts.map { case (w, c) =>
-      (w.toCharArray.map(_.toString), c) }
+      (w.codePoints.toArray.map(cp => new String(Character.toChars(cp))), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var k = 0
     var exhausted = false

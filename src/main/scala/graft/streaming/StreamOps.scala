@@ -324,6 +324,9 @@ object StreamOps {
   def ensembleGate(docs: DataFrame, textCol: String, nCharsCol: String,
       tables: Map[String, graft.functions.RankTable],
       minEnsemble: Double): DataFrame = {
+    require(Set("s_tokens", "s_ttr", "s_mwl").subsetOf(tables.keySet),
+      s"ensembleGate needs rank tables keyed s_tokens, s_ttr, s_mwl " +
+        s"(the ensembleSignals names); got ${tables.keySet.mkString(", ")}")
     val sigs = graft.queries.Pipeline
       .ensembleSignals(col(textCol), col(nCharsCol))
     val ranked = sigs.foldLeft(docs) { case (d, (n, c)) =>
