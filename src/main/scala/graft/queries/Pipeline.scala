@@ -1160,6 +1160,84 @@ object Pipeline {
         numMerges = BpeNumMerges, maxWords = BpeMaxWords)
       .orderBy("symbol")
 
+  /** Apply the learned tokenizer: per-document learned-BPE token count
+    * via the [[graft.functions.BpeEncodeCount]] native — the merge table
+    * rides the plan as a broadcast reference object, so scoring is one
+    * codegen scan with NO shuffle (the only exchange is the output sort).
+    * Oracle: the greedy lowest-rank-first encoder reproduces the
+    * trainer's final segmentation for every word the trainer saw, and
+    * `maxWords` covers the whole corpus vocabulary at test SFs, so the
+    * oracle reads each word's token count straight off the training
+    * chain's final state (`st{K}`) and joins it back to the documents'
+    * words. At 100 TB (vocabulary past `maxWords`) unseen words would
+    * segment with fewer merges — graceful degradation, same plan shape. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = TA.bpeMergesModel(docs, "text",
+      numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+    docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        graft.functions.BpeEncodeCount.count(col("text"), model).as("n_bpe"))
+      .withColumn("expansion",
+        col("n_bpe").cast(DoubleType) / col("n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-aware sequence packing: [[packSequences]]'s concat-and-chop
+    * manifest driven by the LEARNED tokenizer's per-document token counts
+    * instead of the whitespace proxy — the composition a real pretraining
+    * writer runs (train tokenizer → count real tokens → pack blocks).
+    * Same scale shape as q_pack_sequences: the token counting is a
+    * shuffle-free codegen scan, then one shuffle on the shard column for
+    * the per-shard running sum. */
+  def packBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = TA.bpeMergesModel(docs, "text",
+      numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+    val counted = docs.select(col("doc_id"), col("lang"),
+      graft.functions.BpeEncodeCount.count(col("text"), model).as("n_bpe"))
+    graft.operators.Packing
+      .packSequences(counted, "lang", "doc_id", "n_bpe", PackBpeBlock)
+      .orderBy("doc_id")
+  }
+
+  private val PackBpeBlock = 256L
+
+  /** C4-style lexicon terms for [[lexiconHits]]. Substring semantics
+    * (terms match inside words and across spaces — "low" hits inside
+    * "slow", "slow merge" is a phrase). Oracle-parity precondition
+    * (documented on [[graft.functions.LexiconAutomaton]]): every term is
+    * border-free — no proper prefix equals a suffix — so overlapping and
+    * non-overlapping per-term counts coincide. */
+  private[graft] val LexiconTerms: Array[String] =
+    Array("slow", "dup", "low", "a", "slow merge")
+
+  private lazy val lexiconModel =
+    new graft.functions.LexiconAutomaton(LexiconTerms)
+
+  /** Multi-pattern lexicon tagging ([[graft.functions.LexiconAutomaton]]):
+    * one Aho–Corasick pass per document counts every occurrence of every
+    * lexicon term — the badword-filter / topic-tagger primitive. One row
+    * per (document, term present): `doc_id, term, n_hits`. The automaton
+    * is a plan-borne broadcast object; per-row work is one codegen scan
+    * independent of lexicon size (the naive form is k per-term scans),
+    * and the generator's input is evaluated ONCE per row, so the text is
+    * scanned once even though the output fans out per term. No shuffle
+    * except the output sort. */
+  def lexiconHits(spark: SparkSession, dir: String): DataFrame = {
+    val termArr = array(LexiconTerms.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.LexiconCounts
+          .counts(col("text"), lexiconModel)).as(Seq("pos", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"),
+        element_at(termArr, col("pos") + 1).as("term"),
+        col("n_hits"))
+      .orderBy("doc_id", "term")
+  }
+
   /** The BPE oracle: all K merge iterations unrolled as MATERIALIZED
     * CTE stages (inlining would expand the doubly-referenced state
     * chain exponentially). The vocabulary state is a separator-framed
@@ -1183,7 +1261,7 @@ object Pipeline {
     sb ++= s"""WITH wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) c
        | FROM (SELECT UNNEST(STRING_SPLIT(text,' ')) w FROM documents)
        | GROUP BY w ORDER BY c DESC, w ASC LIMIT $BpeMaxWords),
-       |st0 AS MATERIALIZED (SELECT $S || ARRAY_TO_STRING(STRING_SPLIT(w, ''), $SS) || $S AS state, c FROM wc)""".stripMargin
+       |st0 AS MATERIALIZED (SELECT w, $S || ARRAY_TO_STRING(STRING_SPLIT(w, ''), $SS) || $S AS state, c FROM wc)""".stripMargin
     for (k <- 0 until BpeNumMerges) {
       // the state step LEFT-joins its b-stage so an exhausted vocabulary
       // (empty b) passes states through unchanged instead of emptying
@@ -1194,7 +1272,7 @@ object Pipeline {
          |       UNNEST(RANGE(GREATEST(LEN(a)-1, 0))) u(i)
          |  GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT l, r, pc FROM p$k ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
-         |st${k + 1} AS MATERIALIZED (SELECT COALESCE(REPLACE(state, $S||l||$SS||r||$S, $S||l||r||$S), state) state, c
+         |st${k + 1} AS MATERIALIZED (SELECT w, COALESCE(REPLACE(state, $S||l||$SS||r||$S, $S||l||r||$S), state) state, c
          |  FROM st$k LEFT JOIN b$k ON TRUE)""".stripMargin
     }
     sb.toString
@@ -1217,6 +1295,54 @@ object Pipeline {
        |FROM (SELECT UNNEST(STRING_SPLIT(TRIM(state, chr(31)), $SS)) sym, c
        |      FROM st$BpeNumMerges)
        |GROUP BY sym ORDER BY symbol""".stripMargin
+  }
+
+  /** Per-word learned-token counts off the training chain's final state —
+    * exact for the engine's greedy encoder because every corpus word is in
+    * the training word table at test SFs (see [[bpeEncode]]). */
+  private def wtokCte: String = {
+    val SS = "chr(31)||chr(31)"
+    s"wtok AS MATERIALIZED (SELECT w, CAST(LEN(STRING_SPLIT(TRIM(state, chr(31)), $SS)) AS BIGINT) nt FROM st$BpeNumMerges)"
+  }
+
+  private def bpeEncodeSql: String =
+    s"""$bpeCtes,
+       |$wtokCte,
+       |dw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) w FROM documents)
+       |SELECT dw.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(nt) AS BIGINT) AS n_bpe,
+       |       CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS expansion
+       |FROM dw JOIN wtok USING (w)
+       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
+
+  private def packBpeSql: String =
+    s"""$bpeCtes,
+       |$wtokCte,
+       |d AS (SELECT doc_id, lang, CAST(SUM(nt) AS BIGINT) n_bpe
+       |      FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) w FROM documents) dw
+       |      JOIN wtok USING (w) GROUP BY doc_id, lang),
+       |s AS (SELECT doc_id, lang, n_bpe,
+       |        CAST(SUM(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+       |                              ROWS UNBOUNDED PRECEDING) - n_bpe AS BIGINT) start_tok
+       |      FROM d)
+       |SELECT doc_id, lang, n_bpe, start_tok,
+       |       CAST(FLOOR(start_tok / 256.0) AS BIGINT) first_block,
+       |       CAST(FLOOR((start_tok + GREATEST(n_bpe, 1) - 1) / 256.0) AS BIGINT) last_block,
+       |       CAST(FLOOR((start_tok + GREATEST(n_bpe, 1) - 1) / 256.0)
+       |            - FLOOR(start_tok / 256.0) + 1 AS BIGINT) n_blocks
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Per-term REPLACE-count — identical to the automaton's overlapping
+    * count because every lexicon term is border-free. */
+  private def lexiconHitsSql: String = {
+    val vals = LexiconTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH lex(term) AS (VALUES $vals)
+       |SELECT doc_id, term,
+       |       CAST((LENGTH(text) - LENGTH(REPLACE(text, term, ''))) // LENGTH(term) AS BIGINT) AS n_hits
+       |FROM documents CROSS JOIN lex
+       |WHERE LENGTH(text) - LENGTH(REPLACE(text, term, '')) > 0
+       |ORDER BY doc_id, term""".stripMargin
   }
 
   /** The Gopher rule-based quality filter ([[TA.gopherRules]]) as a
@@ -1420,6 +1546,9 @@ object Pipeline {
     "q_gopher_rules"     -> (gopherRules _),
     "q_bpe_train"        -> (bpeTrain _),
     "q_bpe_vocab"        -> (bpeVocab _),
+    "q_bpe_encode"       -> (bpeEncode _),
+    "q_pack_bpe"         -> (packBpe _),
+    "q_lexicon_hits"     -> (lexiconHits _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2201,6 +2330,9 @@ object Pipeline {
          |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_vocab" -> bpeVocabSql,
+    "q_bpe_encode" -> bpeEncodeSql,
+    "q_pack_bpe" -> packBpeSql,
+    "q_lexicon_hits" -> lexiconHitsSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

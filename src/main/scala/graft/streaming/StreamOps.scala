@@ -285,6 +285,20 @@ object StreamOps {
     graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol)
       .filter(col("keep"))
 
+  /** Streaming lexicon (badword/topic) gate — the deployment form of
+    * [[graft.queries.Pipeline.lexiconHits]]: one Aho–Corasick pass per
+    * incoming document ([[graft.functions.LexiconHits]], the automaton a
+    * plan-borne broadcast object) counts total lexicon occurrences and
+    * rows over the `maxHits` budget drop (0 = the strict C4 rule: any
+    * hit rejects). Stateless, shuffle-free, append-mode-safe; batch and
+    * stream decisions are bit-identical (StreamOpsSpec pins it). Emits
+    * `lex_hits`. */
+  def lexiconGate(docs: DataFrame, textCol: String,
+      lexicon: graft.functions.LexiconAutomaton, maxHits: Long): DataFrame =
+    docs.withColumn("lex_hits",
+        graft.functions.LexiconHits.total(col(textCol), lexicon))
+      .filter(col("lex_hits") <= maxHits)
+
   /** Streaming Naive-Bayes classifier gate — the deployment form of
     * [[graft.queries.Pipeline.nbClassify]] (the classifier-based
     * data-selection family): each incoming document is argmax-scored

@@ -105,6 +105,29 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(partial.toSeq == Seq(("e", 1L), ("low", 4L), ("r", 1L)))
   }
 
+  test("greedy encoder reproduces every trained word's final segmentation") {
+    // the q_bpe_encode oracle reads token counts off the training chain's
+    // final states — valid only if greedy lowest-rank-first encoding equals
+    // the trainer's sequential segmentation for every trained word
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = TextAnalysis.bpeWordCounts(d, "text", maxWords = 4096)
+    val (merges, vocab) = TextAnalysis.bpeLearnFull(words, 40)
+    val m = new graft.functions.BpeMerges(merges.map(t => (t._1, t._2)))
+    for (((syms, _), (w, _)) <- vocab.zip(words))
+      assert(m.segment(w).toSeq == syms.toSeq,
+        s"greedy encode of '$w' diverged from the training segmentation")
+  }
+
+  test("astral-plane characters train and segment as single code points") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, two UTF-16 units
+    val d = docs(1L -> s"ab ${clef}b ab")
+    // pair counts: (a,b)=2, ($clef,b)=1 → the one merge is (a,b)
+    val m = TextAnalysis.bpeMergesModel(d, "text", numMerges = 1, maxWords = 10)
+    assert(m.segment(clef + "b").toSeq == Seq(clef, "b"),
+      "surrogate pair split into UTF-16 halves")
+    assert(m.segment("ab").toSeq == Seq("ab"))
+  }
+
   test("training is invariant under repartitioning") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextAnalysis.bpeTrain(d, "text", 15, 4096).collect().toSeq

@@ -587,6 +587,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"model probes fell out of whole-stage codegen:\n$plan")
   }
 
+  test("q_bpe_encode: one native codegen scan — only the orderBy exchanges") {
+    val plan = planOf(Pipeline.queries("q_bpe_encode")(spark, dir))
+    assert(plan.contains("rm_bpe_encode_count"),
+      s"expected the native encoder in:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly the orderBy Exchange, found $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"encoding must be a pure per-row projection:\n$plan")
+  }
+
+  test("q_lexicon_hits: one automaton pass feeds the generator — no lexicon join") {
+    val plan = planOf(Pipeline.queries("q_lexicon_hits")(spark, dir))
+    assert(plan.contains("rm_lexicon_counts"),
+      s"expected the native automaton pass in:\n$plan")
+    assert(plan.contains("Generate"),
+      s"expected the per-term generator in:\n$plan")
+    assert(!plan.contains("Join"),
+      s"terms must fan out from the counts array, not join a lexicon table:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly the orderBy Exchange, found $exchanges:\n$plan")
+  }
+
+  test("q_pack_bpe: narrow token counting, then one shard shuffle plus the output sort") {
+    val plan = planOf(Pipeline.queries("q_pack_bpe")(spark, dir))
+    assert(plan.contains("rm_bpe_encode_count"),
+      s"expected the native encoder in:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the merge table must ride the plan, not join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2,
+      s"expected the shard window Exchange + the orderBy Exchange, found $exchanges:\n$plan")
+  }
+
   test("gopher rules: one narrow projection — only the orderBy exchanges") {
     val plan = planOf(Pipeline.queries("q_gopher_rules")(spark, dir))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))

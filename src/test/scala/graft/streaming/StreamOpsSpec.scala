@@ -677,6 +677,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming lexicon gate: the automaton filters a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lex = new graft.functions.LexiconAutomaton(Array("dup", "slow merge"))
+    val maxHits = 1L
+    val batchDf = rows.toSeq.toDF("doc_id", "text")
+    val batchKept = StreamOps.lexiconGate(batchDf, "text", lex, maxHits)
+      .select("doc_id", "lex_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batchKept.nonEmpty && batchKept.size < rows.length,
+      "the gate must visibly split the corpus")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.lexiconGate(input.toDF.toDF("doc_id", "text"),
+        "text", lex, maxHits)
+      .select("doc_id", "lex_hits")
+      .writeStream.format("memory").queryName("lexicon_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("lexicon_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamKept == batchKept,
+      "stream must keep exactly the batch's rows with identical counts")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming ensemble gate: batch-trained rank tables score a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
