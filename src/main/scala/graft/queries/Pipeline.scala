@@ -1039,6 +1039,82 @@ object Pipeline {
       .orderBy("doc_id", "rank")
   }
 
+  /** Character-entropy quality signal ([[graft.functions.CharEntropyFx]]):
+    * Shannon entropy of each document's code-point histogram, the cheap
+    * detector for repeated-character / padding / binary-ish junk that
+    * length and word-ratio rules miss. One native codegen pass per row
+    * (histogram local to the row), shuffle-free except the output sort.
+    * Exactness: the score is a fixed-point integer (per-value FLOOR(LN
+    * ·1e6) logs, exact integer sum — deterministic under any
+    * accumulation order) with the nats value derived per-row. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("char_len"),
+        graft.functions.CharEntropyFx.entFx(col("text")).as("ent_fx"))
+      .withColumn("entropy",
+        when(col("char_len") === 0, lit(0.0))
+          .otherwise((col("ent_fx").cast(DoubleType) / lit(1000000.0))
+            / col("char_len")))
+      .orderBy("doc_id")
+
+  /** Okapi BM25 retrieval (Robertson et al., TREC-3): score every
+    * document against a fixed query-term set and keep the global top-k —
+    * the search primitive the corpus-curation loop uses to pull topical
+    * slices. Two passes, both scale-shaped: (1) a map-side-combined
+    * aggregate collapses the corpus to SIX scalars (N, Σdl, per-term
+    * document frequencies) which bake into the plan as literals — the
+    * mixture-gate pattern; (2) one narrow scoring scan — term
+    * frequencies from a single [[graft.functions.LexiconCounts]]
+    * automaton pass per row — feeding TakeOrderedAndProject (per-
+    * partition top-k, never a global sort). IDF uses the house
+    * fixed-point-log recipe (FLOOR(LN·1e6), the NB/DSIR pattern) so
+    * DuckDB restates it exactly; per-row double math is written in the
+    * identical association order on both sides. Term-count parity with
+    * the REPLACE oracle holds because every query term is border-free
+    * AND occurs in this corpus only as a whole space-delimited word, so
+    * occurrences never self-overlap. k1 = 1.2, b = 0.75 (the Lucene
+    * defaults). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lex = new graft.functions.LexiconAutomaton(Bm25Terms)
+    val counted = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"),
+      graft.functions.LexiconCounts.counts(col("text"), lex).as("tfs"))
+    val st = counted.agg(
+        count(lit(1)).as("nd"), sum("dl").as("sdl"),
+        sum(when(element_at(col("tfs"), 1) > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(element_at(col("tfs"), 2) > 0, 1L).otherwise(0L)).as("df2"),
+        sum(when(element_at(col("tfs"), 3) > 0, 1L).otherwise(0L)).as("df3"))
+      .head()
+    val nd = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nd
+    val idf = Array(st.getLong(2), st.getLong(3), st.getLong(4)).map { df =>
+      // fixed-point log (the NB/DSIR oracle recipe) → exact restatement
+      math.floor(math.log((nd.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+        * 1e6).toLong.toDouble / 1e6
+    }
+    val norm = lit(1.2) * (lit(0.25) +
+      lit(0.75) * col("dl").cast(DoubleType) / lit(avgdl))
+    def contrib(i: Int): Column = {
+      val tf = element_at(col("tfs"), i + 1).cast(DoubleType)
+      lit(idf(i)) * (tf * lit(2.2)) / (tf + norm)
+    }
+    counted.select(col("doc_id"),
+        element_at(col("tfs"), 1).as("tf_" + Bm25Terms(0)),
+        element_at(col("tfs"), 2).as("tf_" + Bm25Terms(1)),
+        element_at(col("tfs"), 3).as("tf_" + Bm25Terms(2)),
+        (contrib(0) + contrib(1) + contrib(2)).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25K)
+  }
+
+  /** BM25 query terms — each border-free (no proper prefix that is also
+    * a suffix) and a whole word wherever it occurs in this corpus, the
+    * two conditions that make the oracle's REPLACE count exact. */
+  private val Bm25Terms = Array("spark", "batch", "merge")
+  private val Bm25K = 10
+
   /** [[graft.operators.TextAnalysis.lmScore]] over the corpus: the
     * bigram-LM (CCNet-shape) quality score every document, ordered for
     * the driver compare. */
@@ -1333,6 +1409,55 @@ object Pipeline {
        |            - FLOOR(start_tok / 256.0) + 1 AS BIGINT) n_blocks
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** BM25 restated: REPLACE-length term frequencies (exact — see
+    * [[bm25TopK]]'s preconditions), the same six corpus scalars, the
+    * fixed-point-log IDF, and per-row double arithmetic written in the
+    * identical association order as the Column tree. */
+  private def bm25Sql: String = {
+    val Array(t1, t2, t3) = Bm25Terms
+    def tfExpr(t: String, n: Int) =
+      s"CAST((LENGTH(text) - LENGTH(REPLACE(text, '$t', ''))) // ${t.length} AS BIGINT) tf$n"
+    s"""WITH d AS (SELECT doc_id, text, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) dl FROM documents),
+       |tf AS (SELECT doc_id, dl, ${tfExpr(t1, 1)}, ${tfExpr(t2, 2)}, ${tfExpr(t3, 3)} FROM d),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) nd, CAST(SUM(dl) AS BIGINT) sdl,
+       |              CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) df1,
+       |              CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) df2,
+       |              CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) df3
+       |       FROM tf),
+       |idf AS (SELECT nd, sdl,
+       |          CAST(FLOOR(LN((CAST(nd AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0) * 1000000.0) AS BIGINT) i1,
+       |          CAST(FLOOR(LN((CAST(nd AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0) * 1000000.0) AS BIGINT) i2,
+       |          CAST(FLOOR(LN((CAST(nd AS DOUBLE) - df3 + 0.5) / (df3 + 0.5) + 1.0) * 1000000.0) AS BIGINT) i3
+       |        FROM st),
+       |sc AS (SELECT doc_id, tf1, tf2, tf3,
+       |         1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sdl AS DOUBLE) / nd)) nrm,
+       |         CAST(i1 AS DOUBLE) / 1000000.0 id1,
+       |         CAST(i2 AS DOUBLE) / 1000000.0 id2,
+       |         CAST(i3 AS DOUBLE) / 1000000.0 id3
+       |       FROM tf CROSS JOIN idf)
+       |SELECT doc_id, tf1 AS tf_$t1, tf2 AS tf_$t2, tf3 AS tf_$t3,
+       |       id1 * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + nrm)
+       |       + id2 * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + nrm)
+       |       + id3 * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + nrm) AS score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
+  /** Fixed-point entropy restated over the exploded code-point
+    * histogram; the integer sum makes accumulation order irrelevant. */
+  private def charEntropySql: String =
+    """WITH cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) n
+      |            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) c FROM documents)
+      |            GROUP BY doc_id, c),
+      |dl AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) char_len FROM documents),
+      |fx AS (SELECT cc.doc_id,
+      |         CAST(-SUM(n * CAST(FLOOR(LN(CAST(n AS DOUBLE) / char_len) * 1000000.0) AS BIGINT)) AS BIGINT) ent_fx
+      |       FROM cc JOIN dl ON dl.doc_id = cc.doc_id GROUP BY cc.doc_id)
+      |SELECT d.doc_id, d.char_len, CAST(COALESCE(f.ent_fx, 0) AS BIGINT) AS ent_fx,
+      |       CASE WHEN d.char_len = 0 THEN 0.0
+      |            ELSE (CAST(COALESCE(f.ent_fx, 0) AS DOUBLE) / 1000000.0) / d.char_len END AS entropy
+      |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Per-term REPLACE-count — identical to the automaton's overlapping
     * count because every lexicon term is border-free. */
   private def lexiconHitsSql: String = {
@@ -1549,6 +1674,8 @@ object Pipeline {
     "q_bpe_encode"       -> (bpeEncode _),
     "q_pack_bpe"         -> (packBpe _),
     "q_lexicon_hits"     -> (lexiconHits _),
+    "q_bm25_topk"        -> (bm25TopK _),
+    "q_char_entropy"     -> (charEntropy _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2333,6 +2460,8 @@ object Pipeline {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_pack_bpe" -> packBpeSql,
     "q_lexicon_hits" -> lexiconHitsSql,
+    "q_bm25_topk" -> bm25Sql,
+    "q_char_entropy" -> charEntropySql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -323,4 +323,36 @@ class NativeExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
     assert(rows(1).getSeq[Long](0).forall(_ == Long.MaxValue)) // empty set sentinel
   }
+
+  test("CharEntropyFx equals the scalar fixed-point definition, code-point-wise") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(s: String): Long = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0L
+      else {
+        val n = cps.length
+        -cps.groupBy(identity).values.map { g =>
+          val c = g.length.toLong
+          c * math.floor(math.log(c.toDouble / n) * 1e6).toLong
+        }.sum
+      }
+    }
+    val clef = new String(Character.toChars(0x1D11E))
+    val crafted = Seq("", "a", "aaaa", "abab", "the quick brown fox",
+      clef + clef + "a", // astral chars must count as ONE code point each
+      "x" * 1000)
+    for (t <- crafted)
+      assert(CharEntropyFx.compute(UTF8String.fromString(t)) == reference(t),
+        s"mismatch on '${t.take(20)}'")
+    // uniform two-symbol text: entropy must be ln 2 (up to the 1e-6 floor)
+    val fx = CharEntropyFx.compute(UTF8String.fromString("abab"))
+    val nats = fx.toDouble / 1e6 / 4
+    assert(math.abs(nats - math.log(2)) < 1e-5, s"uniform entropy $nats != ln2")
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 200) {
+      val t = Seq.fill(rnd.nextInt(80))("ab x".charAt(rnd.nextInt(4))).mkString
+      assert(CharEntropyFx.compute(UTF8String.fromString(t)) == reference(t),
+        s"random mismatch on '$t'")
+    }
+  }
 }

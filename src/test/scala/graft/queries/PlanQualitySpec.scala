@@ -622,6 +622,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the shard window Exchange + the orderBy Exchange, found $exchanges:\n$plan")
   }
 
+  test("q_bm25_topk: one scoring scan into a partial top-k — no global sort, no join") {
+    val plan = planOf(Pipeline.queries("q_bm25_topk")(spark, dir))
+    assert(plan.contains("rm_lexicon_counts"),
+      s"term frequencies must come from the one-pass automaton:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be the partial TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("Join"),
+      s"corpus stats are baked literals — no join in the scoring scan:\n$plan")
+  }
+
+  test("q_char_entropy: one narrow native projection — only the orderBy exchanges") {
+    val plan = planOf(Pipeline.queries("q_char_entropy")(spark, dir))
+    assert(plan.contains("rm_char_entropy_fx"),
+      s"expected the native entropy pass in:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly the orderBy Exchange, found $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"the entropy histogram is row-local — no aggregate, no join:\n$plan")
+  }
+
   test("gopher rules: one narrow projection — only the orderBy exchanges") {
     val plan = planOf(Pipeline.queries("q_gopher_rules")(spark, dir))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
