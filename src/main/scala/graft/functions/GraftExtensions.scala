@@ -128,6 +128,10 @@ object GraftExtensions {
     reg("rm_distinct_by_key",
       "_FUNC_(entries, keys) - first occurrence per key, null keys kept") { es =>
       arity("rm_distinct_by_key", es, 2); DistinctByKey(es(0), es(1))
+    },
+    reg("rm_char_entropy_fx",
+      "_FUNC_(text) - fixed-point (1e6) Shannon entropy sum of the code-point histogram") { es =>
+      arity("rm_char_entropy_fx", es, 1); CharEntropyFx(es(0))
     })
 
   private def reg(name: String, usage: String)

@@ -50,4 +50,57 @@ object Packing {
         blk(col("start_tok") + greatest(col(tokensCol), lit(1L)) - lit(1L)))
       .withColumn("n_blocks", col("last_block") - col("first_block") + lit(1L))
   }
+
+  /** Greedy next-fit WHOLE-document packing — the no-straddle mode an
+    * SFT/eval pipeline uses when a document must never span two training
+    * blocks: walk each shard's documents in order, place the document in
+    * the current block if it fits, else open a new block. Emits
+    * `block_id` and `block_offset` (tokens already in the block when the
+    * document lands). A document larger than `blockSize` gets a block of
+    * its own and overflows it (the writer's truncate/split policy is
+    * downstream); an empty document lands at the current offset.
+    *
+    * Execution shape: next-fit is a SEQUENTIAL fold per shard (each
+    * placement depends on the previous fill), so no window expresses it.
+    * The Spark-idiomatic form is the secondary-sort pattern: one shuffle
+    * partitions by shard, an in-partition sort makes each shard's run
+    * contiguous, and one mapPartitions pass folds each run with O(1)
+    * state — shards are the parallelism unit, exactly how a production
+    * packing writer scales (many bounded shards, one writer each).
+    * Deterministic for any partitioning: state resets on the shard
+    * boundary and never crosses partitions (hash-partitioned by shard). */
+  def packNextFit(docs: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, blockSize: Long): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val base = docs.select(col(shardCol), col(orderCol),
+      col(tokensCol).cast(LongType))
+    val outSchema = StructType(base.schema.fields ++ Seq(
+      StructField("block_id", LongType, nullable = false),
+      StructField("block_offset", LongType, nullable = false)))
+    val encoder =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    base
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .mapPartitions { it =>
+        var shard: Any = null
+        var started = false
+        var blockId = 0L
+        var fill = 0L
+        it.map { r =>
+          val s = r.get(0)
+          if (!started || s != shard) { // shard run boundary: reset
+            shard = s; started = true; blockId = 0L; fill = 0L
+          }
+          val t = r.getLong(2)
+          // an empty current block always accepts (oversized docs overflow it)
+          if (fill > 0 && fill + t > blockSize) { blockId += 1; fill = 0L }
+          val offset = fill
+          fill += t
+          Row(r.get(0), r.get(1), t, blockId, offset)
+        }
+      }(encoder)
+  }
 }

@@ -1280,6 +1280,25 @@ object Pipeline {
 
   private val PackBpeBlock = 256L
 
+  /** Greedy next-fit whole-document packing
+    * ([[graft.operators.Packing.packNextFit]]): the no-straddle manifest
+    * (per doc: block id + offset within its shard's block stream) — the
+    * SFT/eval packing mode where a document must never span blocks.
+    * Token counts are the whitespace proxy; shard = lang, 512-token
+    * blocks. One shuffle on the shard column, then a per-shard
+    * sequential fold (the secondary-sort mapPartitions pattern — see the
+    * operator doc for why no window can express it). */
+  def packNextFit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    graft.operators.Packing
+      .packNextFit(docs, "lang", "doc_id", "n_tokens", PackNextFitBlock)
+      .orderBy("doc_id")
+  }
+
+  private val PackNextFitBlock = 512L
+
   /** C4-style lexicon terms for [[lexiconHits]]. Substring semantics
     * (terms match inside words and across spaces — "low" hits inside
     * "slow", "slow merge" is a phrase). Oracle-parity precondition
@@ -1457,6 +1476,30 @@ object Pipeline {
       |            ELSE (CAST(COALESCE(f.ent_fx, 0) AS DOUBLE) / 1000000.0) / d.char_len END AS entropy
       |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Next-fit restated as a RECURSIVE CTE: shard-ordered documents are
+    * row-numbered and the recursion advances every shard one document
+    * per iteration, carrying (block_id, fill) — the same sequential fold
+    * the mapPartitions pass runs, written declaratively. */
+  private def packNextFitSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) n_tokens,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) rn
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, n_tokens, rn,
+       |         CAST(0 AS BIGINT) block_id, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+       |         CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > $PackNextFitBlock
+       |              THEN r.block_id + 1 ELSE r.block_id END,
+       |         CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > $PackNextFitBlock
+       |              THEN d.n_tokens ELSE r.fill + d.n_tokens END
+       |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+       |SELECT doc_id, lang, n_tokens, CAST(block_id AS BIGINT) AS block_id,
+       |       CAST(fill - n_tokens AS BIGINT) AS block_offset
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** Per-term REPLACE-count — identical to the automaton's overlapping
     * count because every lexicon term is border-free. */
@@ -1676,6 +1719,7 @@ object Pipeline {
     "q_lexicon_hits"     -> (lexiconHits _),
     "q_bm25_topk"        -> (bm25TopK _),
     "q_char_entropy"     -> (charEntropy _),
+    "q_pack_nextfit"     -> (packNextFit _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2462,6 +2506,7 @@ object Pipeline {
     "q_lexicon_hits" -> lexiconHitsSql,
     "q_bm25_topk" -> bm25Sql,
     "q_char_entropy" -> charEntropySql,
+    "q_pack_nextfit" -> packNextFitSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -285,6 +285,25 @@ object StreamOps {
     graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol)
       .filter(col("keep"))
 
+  /** Streaming character-entropy gate — the deployment form of
+    * [[graft.queries.Pipeline.charEntropy]]: per row, one native
+    * histogram pass ([[graft.functions.CharEntropyFx]]) derives the
+    * Shannon entropy in nats and rows below `minEntropy` drop — the
+    * cheap repeated-character/padding/junk filter. Empty documents
+    * score 0.0 (dropped by any positive threshold). Stateless,
+    * shuffle-free, append-mode-safe; batch and stream decisions are
+    * bit-identical (StreamOpsSpec pins it). Emits `entropy`. */
+  def entropyGate(docs: DataFrame, textCol: String,
+      minEntropy: Double): DataFrame = {
+    val len = length(col(textCol)).cast(org.apache.spark.sql.types.LongType)
+    docs.withColumn("entropy",
+        when(len === 0, lit(0.0))
+          .otherwise((graft.functions.CharEntropyFx.entFx(col(textCol))
+              .cast(org.apache.spark.sql.types.DoubleType) / lit(1000000.0))
+            / len))
+      .filter(col("entropy") >= minEntropy)
+  }
+
   /** Streaming lexicon (badword/topic) gate — the deployment form of
     * [[graft.queries.Pipeline.lexiconHits]]: one Aho–Corasick pass per
     * incoming document ([[graft.functions.LexiconHits]], the automaton a

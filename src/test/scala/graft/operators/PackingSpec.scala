@@ -64,4 +64,48 @@ class PackingSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"),
       s"no global sort funnel:\n$plan")
   }
+
+  test("next-fit: no straddle, empty-block acceptance, oversized overflow, shard reset") {
+    val out = Packing.packNextFit(docs(), "shard", "doc_id", "n_tokens", 64L)
+      .collect().map(r => (r.getLong(1),
+        (r.getAs[Long]("block_id"), r.getAs[Long]("block_offset"))))
+      .toMap
+    assert(out(1L) == ((0L, 0L)))   // 60 into empty block 0
+    assert(out(2L) == ((1L, 0L)))   // 60+30 > 64: opens block 1
+    assert(out(3L) == ((2L, 0L)))   // 30+50 > 64: opens block 2
+    assert(out(4L) == ((2L, 50L)))  // zero tokens: lands at the offset
+    assert(out(5L) == ((0L, 0L)))   // shard b resets; 100 > 64 overflows block 0
+    assert(out(6L) == ((1L, 0L)))   // block 0 is over budget: 28 opens block 1
+  }
+
+  test("next-fit: documents never straddle and blocks never exceed budget on random shards") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // tokens strictly under the budget so the ≤-budget invariant is exact
+    val rows = (1L to 400L).map(i =>
+      (s"s${rnd.nextInt(7)}", i, rnd.nextInt(60).toLong))
+    val df = rows.toDF("shard", "doc_id", "n_tokens")
+    val out = Packing.packNextFit(df, "shard", "doc_id", "n_tokens", 64L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("block_id"), r.getAs[Long]("block_offset")))
+    // per (shard, block): sum of tokens ≤ budget (no doc here exceeds it),
+    // offsets are the prefix sums in doc order, block ids are monotone
+    out.groupBy(t => (t._1, t._4)).foreach { case ((s, b), docs) =>
+      val sorted = docs.sortBy(_._2)
+      var fill = 0L
+      sorted.foreach { case (_, id, t, _, off) =>
+        assert(off == fill, s"doc $id in $s/$b: offset $off != fill $fill")
+        fill += t
+      }
+      assert(fill <= 64L, s"block $s/$b over budget: $fill")
+    }
+    // determinism under repartitioning
+    val again = Packing.packNextFit(df.repartition(11), "shard", "doc_id",
+        "n_tokens", 64L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("block_id"), r.getAs[Long]("block_offset")))
+    assert(out.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
 }

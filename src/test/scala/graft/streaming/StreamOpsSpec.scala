@@ -709,6 +709,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming entropy gate: the native histogram pass filters a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // corpus median-ish threshold so the gate visibly splits
+    // (sf0.001 doc entropies span ~2.55..2.94 nats, median ~2.85)
+    val minEnt = 2.85
+    val batchKept = StreamOps.entropyGate(
+        rows.toSeq.toDF("doc_id", "text"), "text", minEnt)
+      .select("doc_id", "entropy").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(batchKept.nonEmpty && batchKept.size < rows.length,
+      s"threshold $minEnt must visibly split the corpus " +
+        s"(kept ${batchKept.size}/${rows.length})")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.entropyGate(input.toDF.toDF("doc_id", "text"),
+        "text", minEnt)
+      .select("doc_id", "entropy")
+      .writeStream.format("memory").queryName("entropy_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("entropy_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(streamKept == batchKept,
+      "stream must keep exactly the batch's rows with identical entropies")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming ensemble gate: batch-trained rank tables score a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
