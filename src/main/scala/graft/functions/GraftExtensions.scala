@@ -132,6 +132,11 @@ object GraftExtensions {
     reg("rm_char_entropy_fx",
       "_FUNC_(text) - fixed-point (1e6) Shannon entropy sum of the code-point histogram") { es =>
       arity("rm_char_entropy_fx", es, 1); CharEntropyFx(es(0))
+    },
+    reg("rm_self_dedup_chunks",
+      "_FUNC_(text, w) - text with repeated w-word chunks removed (keep first)") { es =>
+      arity("rm_self_dedup_chunks", es, 2)
+      SelfDedupChunks(es(0), litInt(es(1), "rm_self_dedup_chunks", "w"))
     })
 
   private def reg(name: String, usage: String)

@@ -1039,6 +1039,54 @@ object Pipeline {
       .orderBy("doc_id", "rank")
   }
 
+  /** Within-document repeated-chunk scrub
+    * ([[graft.functions.SelfDedupChunks]]): remove every repeat of a
+    * 2-word chunk inside its own document (keep-first), the removal form
+    * of the Gopher repetition rules — complements the cross-document
+    * span dedup family, which never looks inside a single document.
+    * Pure per-row codegen pass, no shuffle except the output sort;
+    * `words_kept < n_words` marks the scrubbed documents. */
+  def selfDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        graft.functions.SelfDedupChunks.dedup(col("text"), SelfDedupW)
+          .as("text_dedup"))
+      .withColumn("words_kept",
+        size(split(col("text_dedup"), " ")).cast(LongType))
+      .orderBy("doc_id")
+
+  private val SelfDedupW = 2
+
+  /** Quality-gate threshold sweep: for a 20-step threshold grid over the
+    * [[TA.qualityScore]] signal, how many documents each gate would keep
+    * — the calibration table a curator reads before picking a cutoff.
+    * The scale shape is the point: a sweep is NOT 20 corpus passes (nor
+    * a corpus×grid cross join) — scores histogram into a bounded 20-row
+    * table in ONE map-side-combined aggregate, and every threshold's
+    * keep-count is a suffix-sum over that table. The window/join after
+    * the aggregate touch 20 rows, nothing corpus-sized. */
+  def gateSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TA.qualityScore(col("text"))
+    val hist = Tables.documents(spark, dir)
+      .select(least(floor(q * lit(20.0)).cast(LongType), lit(19L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val dense = spark.range(0, 20).toDF("bucket")
+      .join(hist, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+    val suffix = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .withColumn("n_ge", sum("n").over(suffix).cast(LongType))
+      .crossJoin(broadcast(dense.agg(sum("n").cast(LongType).as("total"))))
+      .select(
+        (col("bucket").cast(DoubleType) / lit(20.0)).as("threshold"),
+        col("n_ge"),
+        (col("n_ge").cast(DoubleType) / col("total")).as("frac"))
+      .orderBy("threshold")
+  }
+
   /** Character-entropy quality signal ([[graft.functions.CharEntropyFx]]):
     * Shannon entropy of each document's code-point histogram, the cheap
     * detector for repeated-character / padding / binary-ish junk that
@@ -1477,6 +1525,39 @@ object Pipeline {
       |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Sweep restated: same 20-bucket histogram + suffix-sum. */
+  private def gateSweepSql: String =
+    s"""WITH q AS (SELECT $qualitySql AS q FROM documents),
+       |h AS (SELECT LEAST(CAST(FLOOR(q * 20.0) AS BIGINT), 19) b,
+       |             CAST(COUNT(*) AS BIGINT) n
+       |      FROM q GROUP BY 1),
+       |g AS (SELECT CAST(range AS BIGINT) b FROM RANGE(20)),
+       |j AS (SELECT g.b, COALESCE(h.n, 0) n FROM g LEFT JOIN h ON h.b = g.b),
+       |c AS (SELECT b, CAST(SUM(n) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) n_ge FROM j),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) total FROM j)
+       |SELECT CAST(b AS DOUBLE) / 20.0 AS threshold, n_ge,
+       |       CAST(n_ge AS DOUBLE) / total AS frac
+       |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin
+
+  /** Keep-first chunk scrub restated relationally: explode the
+    * non-overlapping chunks with their position, keep each (doc, chunk
+    * content)'s first position, and STRING_AGG the survivors back in
+    * position order. */
+  private def selfDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+       |ch AS (SELECT doc_id, i,
+       |         ARRAY_TO_STRING(a[(i*$SelfDedupW+1):((i+1)*$SelfDedupW)], ' ') chunk
+       |       FROM w, UNNEST(RANGE(CAST(CEIL(LEN(a) / $SelfDedupW.0) AS BIGINT))) t(i)),
+       |k AS (SELECT doc_id, i, chunk,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY i) rn
+       |      FROM ch),
+       |agg AS (SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY i) text_dedup
+       |        FROM k WHERE rn = 1 GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(LEN(a) AS BIGINT) AS n_words, agg.text_dedup,
+       |       CAST(LEN(STRING_SPLIT(agg.text_dedup, ' ')) AS BIGINT) AS words_kept
+       |FROM w JOIN agg ON agg.doc_id = w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   /** Next-fit restated as a RECURSIVE CTE: shard-ordered documents are
     * row-numbered and the recursion advances every shard one document
     * per iteration, carrying (block_id, fill) — the same sequential fold
@@ -1720,6 +1801,8 @@ object Pipeline {
     "q_bm25_topk"        -> (bm25TopK _),
     "q_char_entropy"     -> (charEntropy _),
     "q_pack_nextfit"     -> (packNextFit _),
+    "q_self_dedup"       -> (selfDedup _),
+    "q_gate_sweep"       -> (gateSweep _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2507,6 +2590,8 @@ object Pipeline {
     "q_bm25_topk" -> bm25Sql,
     "q_char_entropy" -> charEntropySql,
     "q_pack_nextfit" -> packNextFitSql,
+    "q_self_dedup" -> selfDedupSql,
+    "q_gate_sweep" -> gateSweepSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  rm_shingle_text(text, 3, true) AS shtd,
         |  rm_gram_stats(text, 2) AS gs,
         |  rm_winnow_fingerprints(text, 3, 4) AS fps,
-        |  rm_char_entropy_fx(text) AS ent
+        |  rm_char_entropy_fx(text) AS ent,
+        |  rm_self_dedup_chunks(text, 2) AS sd
         |FROM ext_docs ORDER BY id""".stripMargin).collect()
     val viaApi = docs.select(col("id"),
         Md5SimHash.simhash(col("text"), 60).as("sh"),
@@ -52,7 +53,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         ShingleText.shingleText(col("text"), 3, distinct = true).as("shtd"),
         GramStats.gramStats(col("text"), 2).as("gs"),
         WinnowFingerprints.winnowFingerprints(col("text"), 3, 4).as("fps"),
-        CharEntropyFx.entFx(col("text")).as("ent"))
+        CharEntropyFx.entFx(col("text")).as("ent"),
+        SelfDedupChunks.dedup(col("text"), 2).as("sd"))
       .orderBy("id").collect()
     assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
 

@@ -324,6 +324,19 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rows(1).getSeq[Long](0).forall(_ == Long.MaxValue)) // empty set sentinel
   }
 
+  test("SelfDedupChunks keeps first occurrences, handles partial/empty chunks") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(s: String, w: Int): String =
+      SelfDedupChunks.compute(UTF8String.fromString(s), w).toString
+    assert(run("a b a b c d", 2) == "a b c d")      // exact repeat drops
+    assert(run("a b b a", 2) == "a b b a")           // different content stays
+    assert(run("a b c a b c a", 3) == "a b c a")     // partial tail differs from full chunk
+    assert(run("a a a a a", 1) == "a")               // width-1 = word dedup
+    assert(run("", 2) == "")                          // empty text round-trips
+    assert(run("x", 4) == "x")                        // single short chunk
+    assert(run("a b c d a b", 2) == "a b c d")       // repeat at the end
+  }
+
   test("CharEntropyFx equals the scalar fixed-point definition, code-point-wise") {
     import org.apache.spark.unsafe.types.UTF8String
     def reference(s: String): Long = {

@@ -643,6 +643,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the entropy histogram is row-local — no aggregate, no join:\n$plan")
   }
 
+  test("q_self_dedup: one narrow native scrub — only the orderBy exchanges") {
+    val plan = planOf(Pipeline.queries("q_self_dedup")(spark, dir))
+    assert(plan.contains("rm_self_dedup_chunks"),
+      s"expected the native chunk scrub in:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"expected exactly the orderBy Exchange, found $exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"the scrub is row-local — no aggregate, no join:\n$plan")
+  }
+
   test("gopher rules: one narrow projection — only the orderBy exchanges") {
     val plan = planOf(Pipeline.queries("q_gopher_rules")(spark, dir))
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
