@@ -1123,7 +1123,14 @@ object Pipeline {
     * AND occurs in this corpus only as a whole space-delimited word, so
     * occurrences never self-overlap. k1 = 1.2, b = 0.75 (the Lucene
     * defaults). */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25K)
+
+  /** The BM25 scoring scan without the top-k: (doc_id, per-term tfs,
+    * score). Shared by [[bm25TopK]] and the [[hybridRrf]] sparse leg. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val lex = new graft.functions.LexiconAutomaton(Bm25Terms)
     val counted = docs.select(col("doc_id"),
@@ -1149,13 +1156,47 @@ object Pipeline {
       lit(idf(i)) * (tf * lit(2.2)) / (tf + norm)
     }
     counted.select(col("doc_id"),
-        element_at(col("tfs"), 1).as("tf_" + Bm25Terms(0)),
-        element_at(col("tfs"), 2).as("tf_" + Bm25Terms(1)),
-        element_at(col("tfs"), 3).as("tf_" + Bm25Terms(2)),
-        (contrib(0) + contrib(1) + contrib(2)).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+      element_at(col("tfs"), 1).as("tf_" + Bm25Terms(0)),
+      element_at(col("tfs"), 2).as("tf_" + Bm25Terms(1)),
+      element_at(col("tfs"), 3).as("tf_" + Bm25Terms(2)),
+      (contrib(0) + contrib(1) + contrib(2)).as("score"))
+  }
+
+  /** Hybrid dense+sparse retrieval via Reciprocal Rank Fusion (Cormack
+    * et al. 2009): fuse the BM25 top-20 for the fixed term query with
+    * the cosine top-20 around a fixed query vector —
+    * `rrf = Σ 1/(60 + rank)`, absent-from-a-list contributing 0 — and
+    * keep the fused top-10. Rank-only fusion sidesteps score
+    * comparability between the two retrievers, which is why RRF is the
+    * standard first fusion. Scale shape: each leg is its own proven
+    * top-k (BM25's TakeOrderedAndProject scan; the kNN equi-join), the
+    * fusion then touches ≤ 40 rows — windows and the outer join run on
+    * candidate lists, never the corpus. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25Scored(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(HybridDepth)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast(LongType))
+      .select("doc_id", "bm25_rank")
+    val emb = Tables.embeddings(spark, dir)
+    val dense = Similarity.knnJoin(
+        emb.filter(col("vec_id") === HybridQueryVec),
+        emb.filter(col("vec_id") =!= HybridQueryVec),
+        "vec_id", "embedding", "vec_id", "embedding", k = HybridDepth)
+      .select(col("cid").as("doc_id"), col("rank").cast(LongType).as("cos_rank"))
+    sparse.join(dense, Seq("doc_id"), "outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("bm25_rank").cast(DoubleType)), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("cos_rank").cast(DoubleType)), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(Bm25K)
   }
+
+  private val HybridDepth = 20
+  private val HybridQueryVec = 0L
 
   /** BM25 query terms — each border-free (no proper prefix that is also
     * a suffix) and a whole word wherever it occurs in this corpus, the
@@ -1480,7 +1521,9 @@ object Pipeline {
     * [[bm25TopK]]'s preconditions), the same six corpus scalars, the
     * fixed-point-log IDF, and per-row double arithmetic written in the
     * identical association order as the Column tree. */
-  private def bm25Sql: String = {
+  /** The shared BM25 CTE chain ending in `sc` plus the scored select —
+    * reused verbatim by [[bm25Sql]] and the hybrid-RRF oracle. */
+  private def bm25Ctes: String = {
     val Array(t1, t2, t3) = Bm25Terms
     def tfExpr(t: String, n: Int) =
       s"CAST((LENGTH(text) - LENGTH(REPLACE(text, '$t', ''))) // ${t.length} AS BIGINT) tf$n"
@@ -1501,13 +1544,40 @@ object Pipeline {
        |         CAST(i1 AS DOUBLE) / 1000000.0 id1,
        |         CAST(i2 AS DOUBLE) / 1000000.0 id2,
        |         CAST(i3 AS DOUBLE) / 1000000.0 id3
-       |       FROM tf CROSS JOIN idf)
-       |SELECT doc_id, tf1 AS tf_$t1, tf2 AS tf_$t2, tf3 AS tf_$t3,
-       |       id1 * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + nrm)
-       |       + id2 * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + nrm)
-       |       + id3 * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + nrm) AS score
-       |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+       |       FROM tf CROSS JOIN idf),
+       |scored AS (SELECT doc_id, tf1, tf2, tf3,
+       |         id1 * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + nrm)
+       |         + id2 * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + nrm)
+       |         + id3 * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + nrm) AS score
+       |       FROM sc)""".stripMargin
   }
+
+  private def bm25Sql: String = {
+    val Array(t1, t2, t3) = Bm25Terms
+    s"""$bm25Ctes
+       |SELECT doc_id, tf1 AS tf_$t1, tf2 AS tf_$t2, tf3 AS tf_$t3, score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
+  /** RRF restated: each leg's rank list (same orderings as the proven
+    * leg oracles) full-outer-joined, 1/(60+rank) with absent = 0. */
+  private def hybridRrfSql: String =
+    s"""$bm25Ctes,
+       |sp AS (SELECT doc_id, bm25_rank FROM (
+       |         SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) bm25_rank
+       |         FROM scored)
+       |       WHERE bm25_rank <= $HybridDepth),
+       |de AS (SELECT cid AS doc_id, rank AS cos_rank FROM (
+       |         SELECT c.vec_id cid,
+       |                CAST(ROW_NUMBER() OVER (ORDER BY LIST_COSINE_SIMILARITY(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS BIGINT) rank
+       |         FROM embeddings q JOIN embeddings c ON q.vec_id = $HybridQueryVec AND c.vec_id <> $HybridQueryVec)
+       |       WHERE rank <= $HybridDepth),
+       |f AS (SELECT COALESCE(sp.doc_id, de.doc_id) doc_id, sp.bm25_rank, de.cos_rank,
+       |        COALESCE(1.0 / (60.0 + sp.bm25_rank), 0.0)
+       |        + COALESCE(1.0 / (60.0 + de.cos_rank), 0.0) AS rrf
+       |      FROM sp FULL OUTER JOIN de ON de.doc_id = sp.doc_id)
+       |SELECT doc_id, bm25_rank, cos_rank, rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT $Bm25K""".stripMargin
 
   /** Fixed-point entropy restated over the exploded code-point
     * histogram; the integer sum makes accumulation order irrelevant. */
@@ -1803,6 +1873,7 @@ object Pipeline {
     "q_pack_nextfit"     -> (packNextFit _),
     "q_self_dedup"       -> (selfDedup _),
     "q_gate_sweep"       -> (gateSweep _),
+    "q_hybrid_rrf"       -> (hybridRrf _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2592,6 +2663,7 @@ object Pipeline {
     "q_pack_nextfit" -> packNextFitSql,
     "q_self_dedup" -> selfDedupSql,
     "q_gate_sweep" -> gateSweepSql,
+    "q_hybrid_rrf" -> hybridRrfSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -643,6 +643,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the entropy histogram is row-local — no aggregate, no join:\n$plan")
   }
 
+  test("q_hybrid_rrf: both legs native, every join input a bounded candidate list") {
+    val plan = planOf(Pipeline.queries("q_hybrid_rrf")(spark, dir))
+    assert(plan.contains("rm_lexicon_counts") &&
+        plan.contains("rm_cosine_similarity"),
+      s"both retrieval legs must run their native passes in:\n$plan")
+    // the BM25 leg is a partial top-k and the fused result another one;
+    // the dense leg's ranks are WindowGroupLimit-bounded before ranking
+    assert(plan.contains("TakeOrderedAndProject(limit=20") &&
+        plan.contains("TakeOrderedAndProject(limit=10"),
+      s"both top-ks must be partial TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the dense leg must group-limit before ranking:\n$plan")
+    // the full-outer fusion join cannot broadcast (Spark restriction) but
+    // both its inputs are the ≤depth candidate lists, never the corpus
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the fusion:\n$plan")
+  }
+
   test("q_self_dedup: one narrow native scrub — only the orderBy exchanges") {
     val plan = planOf(Pipeline.queries("q_self_dedup")(spark, dir))
     assert(plan.contains("rm_self_dedup_chunks"),
