@@ -94,6 +94,9 @@ object Packing {
           if (!started || s != shard) { // shard run boundary: reset
             shard = s; started = true; blockId = 0L; fill = 0L
           }
+          // fail loudly at the operator boundary instead of an opaque NPE
+          if (r.isNullAt(2)) throw new IllegalArgumentException(
+            s"packNextFit: null $tokensCol in shard $s — token counts must be non-null")
           val t = r.getLong(2)
           // an empty current block always accepts (oversized docs overflow it)
           if (fill > 0 && fill + t > blockSize) { blockId += 1; fill = 0L }

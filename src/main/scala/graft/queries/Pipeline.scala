@@ -1077,9 +1077,14 @@ object Pipeline {
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
     val suffix = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total = the bucket-0 suffix sum — derived from the 20-row table
+    // itself (max over an unbounded window), NOT a second reference to
+    // the corpus subtree that would only collapse under ReuseExchange
+    val whole = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     dense
       .withColumn("n_ge", sum("n").over(suffix).cast(LongType))
-      .crossJoin(broadcast(dense.agg(sum("n").cast(LongType).as("total"))))
+      .withColumn("total", max(col("n_ge")).over(whole))
       .select(
         (col("bucket").cast(DoubleType) / lit(20.0)).as("threshold"),
         col("n_ge"),
@@ -1517,12 +1522,11 @@ object Pipeline {
        |            - FLOOR(start_tok / 256.0) + 1 AS BIGINT) n_blocks
        |FROM s ORDER BY doc_id""".stripMargin
 
-  /** BM25 restated: REPLACE-length term frequencies (exact — see
-    * [[bm25TopK]]'s preconditions), the same six corpus scalars, the
-    * fixed-point-log IDF, and per-row double arithmetic written in the
-    * identical association order as the Column tree. */
-  /** The shared BM25 CTE chain ending in `sc` plus the scored select —
-    * reused verbatim by [[bm25Sql]] and the hybrid-RRF oracle. */
+  /** The shared BM25 CTE chain ending in the `scored` select — REPLACE-
+    * length term frequencies (exact, see [[bm25TopK]]'s preconditions),
+    * the same six corpus scalars, the fixed-point-log IDF, and per-row
+    * double arithmetic in the identical association order as the Column
+    * tree. Reused verbatim by [[bm25Sql]] and the hybrid-RRF oracle. */
   private def bm25Ctes: String = {
     val Array(t1, t2, t3) = Bm25Terms
     def tfExpr(t: String, n: Int) =

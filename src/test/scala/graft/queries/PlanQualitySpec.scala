@@ -661,6 +661,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no cartesian anywhere in the fusion:\n$plan")
   }
 
+  test("q_gate_sweep: the corpus is scanned exactly once — sweep math runs on the 20-row table") {
+    val plan = planOf(Pipeline.queries("q_gate_sweep")(spark, dir))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"the threshold sweep must histogram the corpus in ONE scan, found $scans:\n$plan")
+  }
+
   test("q_self_dedup: one narrow native scrub — only the orderBy exchanges") {
     val plan = planOf(Pipeline.queries("q_self_dedup")(spark, dir))
     assert(plan.contains("rm_self_dedup_chunks"),
