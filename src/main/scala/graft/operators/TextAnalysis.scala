@@ -553,6 +553,38 @@ object TextAnalysis {
       .toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Persist a trained merge table ([[bpeTrain]]'s output shape) as a
+    * parquet artifact — the "train once, deploy" treatment the IVF index
+    * gets ([[Ivf.writeIndex]]): a tokenizer is trained on one corpus
+    * snapshot and then reused verbatim by every downstream job, so the
+    * merge table must survive JVM restarts bit-exactly (strings
+    * round-trip parquet exactly). `path/merges` holds (rank, lhs, rhs,
+    * pair_count), one tiny file; the parquet job's `_SUCCESS` marker is
+    * the completeness certificate ([[bpeModelExists]] probes it, so a
+    * half-written artifact reads as missing, never as a husk). */
+  def writeBpeModel(merges: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+
+  /** The persisted merge table back as a broadcastable encoder model —
+    * bit-identical segmentations to the freshly trained one
+    * (BpeTrainSpec pins the round-trip). */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.functions.BpeMerges =
+    new graft.functions.BpeMerges(
+      spark.read.parquet(s"$path/merges").orderBy("rank")
+        .select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))))
+
+  /** True when a complete [[writeBpeModel]] artifact exists at `path` —
+    * probes the parquet job-success marker through Hadoop's FileSystem
+    * (hdfs:///s3:// model locations work like local disk). */
+  def bpeModelExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** The learned merge table as a broadcastable
     * [[graft.functions.BpeMerges]] encoder model. */
   def bpeMergesModel(docs: org.apache.spark.sql.DataFrame, textCol: String,

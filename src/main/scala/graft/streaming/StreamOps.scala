@@ -285,6 +285,21 @@ object StreamOps {
     graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol)
       .filter(col("keep"))
 
+  /** Streaming learned-BPE token-budget gate — the deployment form of
+    * [[graft.queries.Pipeline.bpeEncode]]: each incoming document is
+    * counted with the batch-trained merge table (one
+    * [[graft.functions.BpeEncodeCount]] codegen pass, the model a
+    * plan-borne broadcast object — load it with
+    * [[graft.operators.TextAnalysis.readBpeModel]] in a deployment) and
+    * rows over `maxTokens` drop — the context-window admission filter.
+    * Stateless, shuffle-free, append-mode-safe; batch and stream counts
+    * are bit-identical (StreamOpsSpec pins it). Emits `n_bpe`. */
+  def bpeGate(docs: DataFrame, textCol: String,
+      merges: graft.functions.BpeMerges, maxTokens: Long): DataFrame =
+    docs.withColumn("n_bpe",
+        graft.functions.BpeEncodeCount.count(col(textCol), merges))
+      .filter(col("n_bpe") <= maxTokens)
+
   /** Streaming character-entropy gate — the deployment form of
     * [[graft.queries.Pipeline.charEntropy]]: per row, one native
     * histogram pass ([[graft.functions.CharEntropyFx]]) derives the

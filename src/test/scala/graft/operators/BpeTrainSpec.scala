@@ -128,6 +128,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(m.segment("ab").toSeq == Seq("ab"))
   }
 
+  test("model artifact round-trips bit-exactly; a markerless artifact reads as missing") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 25, maxWords = 4096)
+    val m0 = TextAnalysis.bpeMergesModel(d, "text", numMerges = 25, maxWords = 4096)
+    val path = java.nio.file.Files.createTempDirectory("bpe-model")
+      .toFile.getAbsolutePath + "/model"
+    assert(!TextAnalysis.bpeModelExists(spark, path))
+    TextAnalysis.writeBpeModel(merges, path)
+    assert(TextAnalysis.bpeModelExists(spark, path))
+    val m1 = TextAnalysis.readBpeModel(spark, path)
+    assert(m1 == m0, "re-read merge table must equal the trained one")
+    for ((w, _) <- TextAnalysis.bpeWordCounts(d, "text", 4096))
+      assert(m1.segment(w).toSeq == m0.segment(w).toSeq,
+        s"persisted model segments '$w' differently")
+    // deleting the job-success marker must flip the artifact to missing
+    val marker = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
+    marker.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(marker, false)
+    assert(!TextAnalysis.bpeModelExists(spark, path),
+      "a markerless (half-written) artifact must read as missing")
+  }
+
   test("training is invariant under repartitioning") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextAnalysis.bpeTrain(d, "text", 15, 4096).collect().toSeq

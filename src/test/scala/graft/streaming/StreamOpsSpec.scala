@@ -709,6 +709,43 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming BPE budget gate: the batch-trained merge table counts a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val model = graft.operators.TextAnalysis
+      .bpeMergesModel(docs, "text", numMerges = 20, maxWords = 4096)
+    // budget = the corpus median count, derived at test time
+    val counts = StreamOps.bpeGate(
+        rows.toSeq.toDF("doc_id", "text"), "text", model, Long.MaxValue)
+      .select("n_bpe").collect().map(_.getLong(0)).sorted
+    val budget = counts(counts.length / 2)
+    val batchKept = StreamOps.bpeGate(
+        rows.toSeq.toDF("doc_id", "text"), "text", model, budget)
+      .select("doc_id", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batchKept.nonEmpty && batchKept.size < rows.length,
+      "the budget must visibly split the corpus")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bpeGate(input.toDF.toDF("doc_id", "text"),
+        "text", model, budget)
+      .select("doc_id", "n_bpe")
+      .writeStream.format("memory").queryName("bpe_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("bpe_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamKept == batchKept,
+      "stream must keep exactly the batch's rows with identical counts")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming entropy gate: the native histogram pass filters a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -716,9 +753,12 @@ class StreamOpsSpec extends AnyFunSuite {
     val rows = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // corpus median-ish threshold so the gate visibly splits
-    // (sf0.001 doc entropies span ~2.55..2.94 nats, median ~2.85)
-    val minEnt = 2.85
+    // derive the threshold from the corpus median at test time so the
+    // visibly-splits property survives a driver testdata regeneration
+    val allEnts = StreamOps.entropyGate(
+        rows.toSeq.toDF("doc_id", "text"), "text", 0.0)
+      .select("entropy").collect().map(_.getDouble(0)).sorted
+    val minEnt = allEnts(allEnts.length / 2)
     val batchKept = StreamOps.entropyGate(
         rows.toSeq.toDF("doc_id", "text"), "text", minEnt)
       .select("doc_id", "entropy").collect()
