@@ -95,6 +95,48 @@ object Sampling {
     resampleByMass(df, idCol, sourceCol, masses, weights, mod)
   }
 
+  /** UniMax language-balanced allocation (Chung et al. 2023; the
+    * mT5-successor / PaLM-2 sampling rule): spread a token budget as
+    * UNIFORMLY as possible across languages, but never take more than a
+    * language HAS (the epoch cap, here 1 epoch) — low-resource languages
+    * are used in full, high-resource languages truncate at a common
+    * waterline, and no language is over-sampled the way temperature
+    * flattening over-samples the tail. The waterfill is INTEGER-EXACT:
+    * languages sorted by (mass ASC, name ASC), each takes
+    * `min(mass, remaining ⌊/⌋ languages-left)` — the sequence sums to
+    * exactly `budget` and leaves every uncapped language within 1 token
+    * of the others (SamplingSpec property-checks both), and integer
+    * arithmetic restates bit-exactly in the oracle's recursive CTE.
+    *
+    * Returns the |languages|-row allocation table: (source, lang_tokens,
+    * alloc_tokens, rate) where rate is per-million for composing with
+    * the md5-bucket document filter (the [[mixtureResample]] machinery).
+    * Scale shape: ONE map-side-combined aggregate to a languages-sized
+    * table, a driver fold over it, nothing corpus-sized after the scan.
+    * Budget = mass_total · budgetNum ⌊/⌋ budgetDen (integer, exact). */
+  def unimaxAlloc(df: DataFrame, sourceCol: String, massCol: String,
+      budgetNum: Long = 6L, budgetDen: Long = 10L): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    val spark = df.sparkSession
+    val sizes = df.groupBy(sourceCol)
+      .agg(sum(col(massCol)).cast(LongType).as("mass"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, m) => (m, l) }
+    require(sizes.forall(_._2 > 0), "every source needs positive mass")
+    val total = sizes.map(_._2).sum
+    val budget = total * budgetNum / budgetDen
+    var remaining = budget
+    val n = sizes.length
+    val rows = sizes.zipWithIndex.map { case ((l, m), i) =>
+      val share = remaining / (n - i)
+      val a = math.min(m, share)
+      remaining -= a
+      (l, m, a, a.toDouble * 1000000.0 / m)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(sourceCol, "lang_tokens", "alloc_tokens", "rate")
+  }
+
   /** Temperature-flattened multilingual mixture (Conneau et al. 2020
     * §3.1; the mT5 sampling rule): target weights derive from the
     * corpus's OWN distribution as mass^(1/τ), flattening it toward

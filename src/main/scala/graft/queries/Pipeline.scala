@@ -905,6 +905,18 @@ object Pipeline {
         Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2))
       .orderBy("doc_id")
 
+  /** UniMax language-balanced allocation
+    * ([[graft.operators.Sampling.unimaxAlloc]]): the 60%-of-corpus token
+    * budget waterfilled uniformly across languages with a 1-epoch cap —
+    * the languages-sized allocation table (mass, allocation, per-million
+    * keep rate) a curator composes with the md5-bucket filter. */
+  def unimaxAlloc(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.unimaxAlloc(
+        Tables.documents(spark, dir).select(col("lang"),
+          TA.tokenCount(col("text")).as("n_tokens")),
+        "lang", "n_tokens")
+      .orderBy("lang")
+
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.samplePerGroup(
@@ -1599,6 +1611,28 @@ object Pipeline {
       |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Integer waterfill restated as a recursive CTE over the
+    * mass-ascending language order — the packNextFit oracle pattern:
+    * each iteration allocates one language, carrying `remaining`. */
+  private def unimaxAllocSql: String =
+    """WITH RECURSIVE m AS (SELECT lang, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) mass
+      |       FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(mass) AS BIGINT) total, CAST(COUNT(*) AS BIGINT) n FROM m),
+      |s AS (SELECT lang, mass, ROW_NUMBER() OVER (ORDER BY mass ASC, lang ASC) rn FROM m),
+      |r AS (
+      |  SELECT s.lang, s.mass, s.rn,
+      |         LEAST(s.mass, (tot.total * 6 // 10) // tot.n) AS alloc,
+      |         (tot.total * 6 // 10) - LEAST(s.mass, (tot.total * 6 // 10) // tot.n) AS remaining
+      |  FROM s, tot WHERE s.rn = 1
+      |  UNION ALL
+      |  SELECT s.lang, s.mass, s.rn,
+      |         LEAST(s.mass, r.remaining // (tot.n - r.rn)) AS alloc,
+      |         r.remaining - LEAST(s.mass, r.remaining // (tot.n - r.rn))
+      |  FROM r JOIN s ON s.rn = r.rn + 1 CROSS JOIN tot)
+      |SELECT lang, mass AS lang_tokens, alloc AS alloc_tokens,
+      |       CAST(alloc AS DOUBLE) * 1000000.0 / mass AS rate
+      |FROM r ORDER BY lang""".stripMargin
+
   /** Sweep restated: same 20-bucket histogram + suffix-sum. */
   private def gateSweepSql: String =
     s"""WITH q AS (SELECT $qualitySql AS q FROM documents),
@@ -1878,6 +1912,7 @@ object Pipeline {
     "q_self_dedup"       -> (selfDedup _),
     "q_gate_sweep"       -> (gateSweep _),
     "q_hybrid_rrf"       -> (hybridRrf _),
+    "q_unimax_alloc"     -> (unimaxAlloc _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2668,6 +2703,7 @@ object Pipeline {
     "q_self_dedup" -> selfDedupSql,
     "q_gate_sweep" -> gateSweepSql,
     "q_hybrid_rrf" -> hybridRrfSql,
+    "q_unimax_alloc" -> unimaxAllocSql,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -59,6 +59,39 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("unimaxAlloc: waterfill sums to the exact budget, caps at mass, levels the uncapped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 25) {
+      val n = 1 + rnd.nextInt(7)
+      val masses = (0 until n).map(i => (s"l$i", 1L + rnd.nextInt(1000)))
+      // one row per source carrying its whole mass — the operator only
+      // aggregates, so the row shape is irrelevant to the algorithm
+      val df = masses.toDF("lang", "n_tokens")
+      val out = Sampling.unimaxAlloc(df, "lang", "n_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      val total = masses.map(_._2).sum
+      val budget = total * 6 / 10
+      assert(out.map(_._3).sum == budget,
+        s"trial $trial: allocations must sum to exactly the budget")
+      out.foreach { case (l, m, a, rate) =>
+        assert(a <= m, s"trial $trial: $l over-allocated past its mass")
+        assert(math.abs(rate - a.toDouble * 1000000.0 / m) == 0.0)
+      }
+      val uncapped = out.filter { case (_, m, a, _) => a < m }.map(_._3)
+      if (uncapped.nonEmpty)
+        assert(uncapped.max - uncapped.min <= 1,
+          s"trial $trial: uncapped languages must level within 1 token")
+      // low-resource languages below the waterline are used IN FULL
+      val waterline = if (uncapped.nonEmpty) uncapped.min else Long.MaxValue
+      out.foreach { case (l, m, a, _) =>
+        if (m < waterline) assert(a == m,
+          s"trial $trial: $l (mass $m) below the waterline must be whole")
+      }
+    }
+  }
+
   test("mixtureResample: target proportions, binding source whole, unweighted dropped") {
     import spark.implicits._
     // skewed corpus: a 4000, b 1000, c 500, d 800 (d gets no weight)
