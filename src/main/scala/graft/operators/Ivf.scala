@@ -181,10 +181,7 @@ object Ivf {
     // the NEW assignments if the crash lands between the phases — so the
     // stale marker is deleted up front, making a mid-overwrite crash read
     // as "missing" too (fresh write and overwrite share one crash story).
-    val marker = new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")
-    val fs = marker.getFileSystem(
-      b.sparkSession.sessionState.newHadoopConf())
-    if (fs.exists(marker)) fs.delete(marker, false)
+    Artifacts.deleteMarker(b.sparkSession, s"$path/centroids")
     writeAssignments(b, cents, path)
     writeCentroids(b.sparkSession, cents, path)
   }
@@ -236,10 +233,8 @@ object Ivf {
     * Hadoop's FileSystem so hdfs:///s3:// index locations work the same
     * as local disk. */
   def indexExists(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/centroids/_SUCCESS")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+      path: String): Boolean =
+    Artifacts.markerExists(spark, s"$path/centroids")
 
   /** IVF top-k: queries probe their `nprobe` nearest clusters, candidates
     * are those clusters' members, exact cosine (native codegen expression)

@@ -117,10 +117,25 @@ object Sampling {
   def unimaxAlloc(df: DataFrame, sourceCol: String, massCol: String,
       budgetNum: Long = 6L, budgetDen: Long = 10L): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget fraction must be positive")
+    // budget > total mass breaks the exact-sum contract (every language
+    // caps and the leftover has nowhere to go) — reject it loudly
+    require(budgetNum <= budgetDen,
+      s"unimaxAlloc budget fraction $budgetNum/$budgetDen exceeds 1: the " +
+        "1-epoch cap cannot absorb more than the corpus holds")
     val spark = df.sparkSession
     val sizes = df.groupBy(sourceCol)
       .agg(sum(col(massCol)).cast(LongType).as("mass"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"unimaxAlloc: null $sourceCol or all-null $massCol group — " +
+            "sources and masses must be non-null")
+        (r.getString(0), r.getLong(1))
+      }
+      // oracle-parity precondition (like the BM25 term list): equal-mass
+      // ties break on the source NAME, compared here in UTF-16 units and
+      // in the oracle in UTF-8 binary collation — identical for ASCII
+      // names (all shipped sources), divergent only for names mixing
+      // U+E000..U+FFFF with supplementary-plane characters
       .sortBy { case (l, m) => (m, l) }
     require(sizes.forall(_._2 > 0), "every source needs positive mass")
     val total = sizes.map(_._2).sum

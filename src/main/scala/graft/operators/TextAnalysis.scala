@@ -577,13 +577,10 @@ object TextAnalysis {
         .collect().map(r => (r.getString(0), r.getString(1))))
 
   /** True when a complete [[writeBpeModel]] artifact exists at `path` —
-    * probes the parquet job-success marker through Hadoop's FileSystem
-    * (hdfs:///s3:// model locations work like local disk). */
+    * the shared [[Artifacts.markerExists]] certificate probe. */
   def bpeModelExists(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/merges/_SUCCESS")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+      path: String): Boolean =
+    Artifacts.markerExists(spark, s"$path/merges")
 
   /** The learned merge table as a broadcastable
     * [[graft.functions.BpeMerges]] encoder model. */

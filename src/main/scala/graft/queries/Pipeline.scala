@@ -682,16 +682,13 @@ object Pipeline {
     // died mid-job leaves the directory behind, and treating that husk as
     // an index would poison every later run — no marker means the
     // overwrite-mode write simply runs again and heals it
-    def exists: Boolean =
-      try {
-        val p = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-        p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (!exists)
+    if (!graft.operators.Artifacts.markerExists(spark, path))
       try Quantize.writeIndex(emb, "id", "embedding", path)
       catch { case scala.util.control.NonFatal(_) => () }
     val inline = emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
-    if (exists)
+    // re-probe: the write above may have just created (or failed to
+    // create) the certificate
+    if (graft.operators.Artifacts.markerExists(spark, path))
       try Quantize.readIndexVectors(spark, path)
       catch { case scala.util.control.NonFatal(_) => inline }
     else inline

@@ -131,7 +131,11 @@ class BpeTrainSpec extends AnyFunSuite {
   test("model artifact round-trips bit-exactly; a markerless artifact reads as missing") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = TextAnalysis.bpeTrain(d, "text", numMerges = 25, maxWords = 4096)
-    val m0 = TextAnalysis.bpeMergesModel(d, "text", numMerges = 25, maxWords = 4096)
+    // the in-memory reference model comes off the already-trained table —
+    // no second training run
+    val m0 = new graft.functions.BpeMerges(
+      merges.orderBy("rank").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))))
     val path = java.nio.file.Files.createTempDirectory("bpe-model")
       .toFile.getAbsolutePath + "/model"
     assert(!TextAnalysis.bpeModelExists(spark, path))
