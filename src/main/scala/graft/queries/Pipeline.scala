@@ -914,6 +914,22 @@ object Pipeline {
         "lang", "n_tokens")
       .orderBy("lang")
 
+  /** Per-source exact-duplication audit: docs, distinct texts (by md5),
+    * duplicates and the dup rate for every source — the report a curator
+    * reads before deciding where dedup effort goes. Scale shape: exact
+    * per-source distinct counts are a (source, text-hash) map-side-
+    * combined aggregate — 16-byte digests shuffle, never text — then a
+    * source-cardinality result. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        countDistinct(md5(col("text"))).cast(LongType).as("n_unique"))
+      .withColumn("n_dupes", col("n_docs") - col("n_unique"))
+      .withColumn("dup_rate",
+        col("n_dupes").cast(DoubleType) / col("n_docs"))
+      .orderBy("source")
+
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.samplePerGroup(
@@ -1910,6 +1926,7 @@ object Pipeline {
     "q_gate_sweep"       -> (gateSweep _),
     "q_hybrid_rrf"       -> (hybridRrf _),
     "q_unimax_alloc"     -> (unimaxAlloc _),
+    "q_dedup_stats"      -> (dedupStats _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2701,6 +2718,12 @@ object Pipeline {
     "q_gate_sweep" -> gateSweepSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_unimax_alloc" -> unimaxAllocSql,
+    "q_dedup_stats" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+        |       CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_dupes,
+        |       CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are
