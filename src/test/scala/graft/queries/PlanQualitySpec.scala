@@ -661,6 +661,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no cartesian anywhere in the fusion:\n$plan")
   }
 
+  test("q_dedup_stats: distinct counts aggregate digests — one scan, digest-keyed shuffle") {
+    val plan = planOf(Pipeline.queries("q_dedup_stats")(spark, dir))
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"one corpus scan expected, found $scans:\n$plan")
+    // the partial aggregate keys on (source, md5(text)) BEFORE the
+    // exchange — full text never shuffles
+    assert(plan.contains("md5"),
+      s"expected digest-keyed aggregation in:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial aggregation in:\n$plan")
+  }
+
   test("q_gate_sweep: the corpus is scanned exactly once — sweep math runs on the 20-row table") {
     val plan = planOf(Pipeline.queries("q_gate_sweep")(spark, dir))
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
