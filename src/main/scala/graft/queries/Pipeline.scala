@@ -1418,6 +1418,47 @@ object Pipeline {
 
   private val PackNextFitBlock = 512L
 
+  /** The round-12 operators composed END-TO-END as one curation run:
+    * strict lexicon gate (any "dup" hit rejects — the C4 badword rule,
+    * one Aho–Corasick pass) → character-entropy gate (≥ 2.7 nats — drops
+    * low-entropy junk) → within-document repeated-chunk scrub → exact
+    * dedup keep-first on the SCRUBBED text → learned-BPE token
+    * accounting of the survivors (model trained on the full corpus).
+    * One narrow codegen scan carries all three gates and the scrub; the
+    * only shuffles are the 16-byte-digest dedup window and the output
+    * sort. Oracle-exactness: each stage reuses its own proven oracle
+    * restatement, chained as CTEs; the BPE count reads survivors' words
+    * off the training chain's final states (every scrubbed word is a
+    * corpus word, so the [[bpeEncode]] precondition carries over). */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val lex = new graft.functions.LexiconAutomaton(CurationLex)
+    val model = TA.bpeMergesModel(docs, "text",
+      numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+    val len = length(col("text")).cast(LongType)
+    val entropy = when(len === 0, lit(0.0))
+      .otherwise((graft.functions.CharEntropyFx.entFx(col("text"))
+          .cast(DoubleType) / lit(1000000.0)) / len)
+    val gated = docs
+      .filter(graft.functions.LexiconHits.total(col("text"), lex) === 0L)
+      .filter(entropy >= lit(CurationMinEntropy))
+    val scrubbed = gated.select(col("doc_id"), col("lang"),
+      graft.functions.SelfDedupChunks.dedup(col("text"), SelfDedupW)
+        .as("text_clean"))
+    val w = Window.partitionBy(md5(col("text_clean")))
+      .orderBy(col("doc_id").asc)
+    scrubbed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text_clean"), " ")).cast(LongType).as("n_words_clean"),
+        graft.functions.BpeEncodeCount.count(col("text_clean"), model)
+          .as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  private val CurationLex = Array("dup")
+  private val CurationMinEntropy = 2.7
+
   /** C4-style lexicon terms for [[lexiconHits]]. Substring semantics
     * (terms match inside words and across spaces — "low" hits inside
     * "slow", "slow merge" is a phrase). Oracle-parity precondition
@@ -1623,6 +1664,50 @@ object Pipeline {
       |            ELSE (CAST(COALESCE(f.ent_fx, 0) AS DOUBLE) / 1000000.0) / d.char_len END AS entropy
       |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** The composed curation run: every stage's proven oracle
+    * restatement chained as CTEs over the shared BPE training chain. */
+  private def curationPipelineSql: String = {
+    val Array(term) = CurationLex
+    s"""$bpeCtes,
+       |$wtokCte,
+       |lexgate AS (SELECT doc_id, lang, text FROM documents
+       |            WHERE (LENGTH(text) - LENGTH(REPLACE(text, '$term', ''))) // ${term.length} = 0),
+       |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) n
+       |       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) c FROM documents)
+       |       GROUP BY doc_id, c),
+       |dl AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) char_len FROM documents),
+       |fx AS (SELECT cc.doc_id,
+       |         CAST(-SUM(n * CAST(FLOOR(LN(CAST(n AS DOUBLE) / char_len) * 1000000.0) AS BIGINT)) AS BIGINT) ent_fx
+       |       FROM cc JOIN dl ON dl.doc_id = cc.doc_id GROUP BY cc.doc_id),
+       |egate AS (SELECT l.doc_id, l.lang, l.text
+       |          FROM lexgate l JOIN dl ON dl.doc_id = l.doc_id
+       |          LEFT JOIN fx ON fx.doc_id = l.doc_id
+       |          WHERE CASE WHEN dl.char_len = 0 THEN 0.0
+       |                     ELSE (CAST(COALESCE(fx.ent_fx, 0) AS DOUBLE) / 1000000.0) / dl.char_len
+       |                END >= $CurationMinEntropy),
+       |wsp AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') a FROM egate),
+       |ch AS (SELECT doc_id, i,
+       |         ARRAY_TO_STRING(a[(i*$SelfDedupW+1):((i+1)*$SelfDedupW)], ' ') chunk
+       |       FROM wsp, UNNEST(RANGE(CAST(CEIL(LEN(a) / $SelfDedupW.0) AS BIGINT))) t(i)),
+       |k2 AS (SELECT doc_id, i, chunk,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY i) rn
+       |       FROM ch),
+       |scrub AS (SELECT wsp.doc_id, wsp.lang, agg.text_clean
+       |          FROM wsp JOIN (SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY i) text_clean
+       |                         FROM k2 WHERE rn = 1 GROUP BY doc_id) agg
+       |          ON agg.doc_id = wsp.doc_id),
+       |ek AS (SELECT doc_id, lang, text_clean FROM (
+       |         SELECT doc_id, lang, text_clean,
+       |                ROW_NUMBER() OVER (PARTITION BY MD5(text_clean) ORDER BY doc_id) rn
+       |         FROM scrub) WHERE rn = 1),
+       |dwc AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text_clean, ' ')) w FROM ek)
+       |SELECT dwc.doc_id, dwc.lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words_clean,
+       |       CAST(SUM(nt) AS BIGINT) AS n_bpe
+       |FROM dwc JOIN wtok USING (w)
+       |GROUP BY dwc.doc_id, dwc.lang ORDER BY dwc.doc_id""".stripMargin
+  }
 
   /** Integer waterfill restated as a recursive CTE over the
     * mass-ascending language order — the packNextFit oracle pattern:
@@ -1927,6 +2012,7 @@ object Pipeline {
     "q_hybrid_rrf"       -> (hybridRrf _),
     "q_unimax_alloc"     -> (unimaxAlloc _),
     "q_dedup_stats"      -> (dedupStats _),
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2718,6 +2804,7 @@ object Pipeline {
     "q_gate_sweep" -> gateSweepSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_unimax_alloc" -> unimaxAllocSql,
+    "q_curation_pipeline" -> curationPipelineSql,
     "q_dedup_stats" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,

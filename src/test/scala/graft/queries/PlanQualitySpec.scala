@@ -661,6 +661,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no cartesian anywhere in the fusion:\n$plan")
   }
 
+  test("q_curation_pipeline: all four natives in one narrow chain — only the dedup window and sort shuffle") {
+    val plan = planOf(Pipeline.queries("q_curation_pipeline")(spark, dir))
+    for (fn <- Seq("rm_lexicon_hits", "rm_char_entropy_fx",
+        "rm_self_dedup_chunks", "rm_bpe_encode_count"))
+      assert(plan.contains(fn), s"expected $fn in the composed chain:\n$plan")
+    assert(!plan.contains("Join"),
+      s"gates and scrub are row-local — no join anywhere:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 2,
+      s"expected the digest-window Exchange + the orderBy Exchange, found $exchanges:\n$plan")
+  }
+
   test("q_dedup_stats: distinct counts aggregate digests — one scan, digest-keyed shuffle") {
     val plan = planOf(Pipeline.queries("q_dedup_stats")(spark, dir))
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
