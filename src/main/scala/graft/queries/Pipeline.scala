@@ -918,7 +918,8 @@ object Pipeline {
     * duplicates and the dup rate for every source — the report a curator
     * reads before deciding where dedup effort goes. Scale shape: exact
     * per-source distinct counts are a (source, text-hash) map-side-
-    * combined aggregate — 16-byte digests shuffle, never text — then a
+    * combined aggregate — 32-char hex digests shuffle, never full text —
+    * then a
     * source-cardinality result. */
   def dedupStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1129,12 +1130,21 @@ object Pipeline {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("char_len"),
-        graft.functions.CharEntropyFx.entFx(col("text")).as("ent_fx"))
-      .withColumn("entropy",
-        when(col("char_len") === 0, lit(0.0))
-          .otherwise((col("ent_fx").cast(DoubleType) / lit(1000000.0))
-            / col("char_len")))
+        graft.functions.CharEntropyFx.entFx(col("text")).as("ent_fx"),
+        entropyNats(col("text")).as("entropy"))
       .orderBy("doc_id")
+
+  /** The ONE definition of the entropy-in-nats expression — shared by
+    * [[charEntropy]], [[curationPipeline]]'s gate, and the streaming
+    * [[graft.streaming.StreamOps.entropyGate]], so the fixed-point scale
+    * and the empty-text convention can never drift between them.
+    * Codegen CSE collapses the duplicate native subtrees. */
+  private[graft] def entropyNats(text: Column): Column = {
+    val len = length(text).cast(LongType)
+    when(len === 0, lit(0.0))
+      .otherwise((graft.functions.CharEntropyFx.entFx(text)
+          .cast(DoubleType) / lit(1000000.0)) / len)
+  }
 
   /** Okapi BM25 retrieval (Robertson et al., TREC-3): score every
     * document against a fixed query-term set and keep the global top-k —
@@ -1425,30 +1435,25 @@ object Pipeline {
     * dedup keep-first on the SCRUBBED text → learned-BPE token
     * accounting of the survivors (model trained on the full corpus).
     * One narrow codegen scan carries all three gates and the scrub; the
-    * only shuffles are the 16-byte-digest dedup window and the output
+    * only shuffles are the hex-digest dedup window and the output
     * sort. Oracle-exactness: each stage reuses its own proven oracle
     * restatement, chained as CTEs; the BPE count reads survivors' words
     * off the training chain's final states (every scrubbed word is a
     * corpus word, so the [[bpeEncode]] precondition carries over). */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val lex = new graft.functions.LexiconAutomaton(CurationLex)
     val model = TA.bpeMergesModel(docs, "text",
       numMerges = BpeNumMerges, maxWords = BpeMaxWords)
-    val len = length(col("text")).cast(LongType)
-    val entropy = when(len === 0, lit(0.0))
-      .otherwise((graft.functions.CharEntropyFx.entFx(col("text"))
-          .cast(DoubleType) / lit(1000000.0)) / len)
     val gated = docs
       .filter(graft.functions.LexiconHits.total(col("text"), lex) === 0L)
-      .filter(entropy >= lit(CurationMinEntropy))
+      .filter(entropyNats(col("text")) >= lit(CurationMinEntropy))
     val scrubbed = gated.select(col("doc_id"), col("lang"),
       graft.functions.SelfDedupChunks.dedup(col("text"), SelfDedupW)
         .as("text_clean"))
-    val w = Window.partitionBy(md5(col("text_clean")))
-      .orderBy(col("doc_id").asc)
-    scrubbed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    Dedup.keepFirst(
+        scrubbed.withColumn("digest", md5(col("text_clean"))),
+        Seq("digest"), Seq(col("doc_id").asc))
       .select(col("doc_id"), col("lang"),
         size(split(col("text_clean"), " ")).cast(LongType).as("n_words_clean"),
         graft.functions.BpeEncodeCount.count(col("text_clean"), model)
@@ -1649,37 +1654,42 @@ object Pipeline {
        |SELECT doc_id, bm25_rank, cos_rank, rrf
        |FROM f ORDER BY rrf DESC, doc_id LIMIT $Bm25K""".stripMargin
 
-  /** Fixed-point entropy restated over the exploded code-point
-    * histogram; the integer sum makes accumulation order irrelevant. */
-  private def charEntropySql: String =
-    """WITH cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) n
-      |            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) c FROM documents)
-      |            GROUP BY doc_id, c),
+  /** cc/dl/fx: the per-document fixed-point entropy CTEs over
+    * `documents` — the ONE restatement shared by [[charEntropySql]] and
+    * the curation oracle (integer sum ⇒ accumulation order irrelevant). */
+  private def entropyFxCtes: String =
+    """cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) n
+      |       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) c FROM documents)
+      |       GROUP BY doc_id, c),
       |dl AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) char_len FROM documents),
       |fx AS (SELECT cc.doc_id,
       |         CAST(-SUM(n * CAST(FLOOR(LN(CAST(n AS DOUBLE) / char_len) * 1000000.0) AS BIGINT)) AS BIGINT) ent_fx
-      |       FROM cc JOIN dl ON dl.doc_id = cc.doc_id GROUP BY cc.doc_id)
-      |SELECT d.doc_id, d.char_len, CAST(COALESCE(f.ent_fx, 0) AS BIGINT) AS ent_fx,
-      |       CASE WHEN d.char_len = 0 THEN 0.0
-      |            ELSE (CAST(COALESCE(f.ent_fx, 0) AS DOUBLE) / 1000000.0) / d.char_len END AS entropy
-      |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |       FROM cc JOIN dl ON dl.doc_id = cc.doc_id GROUP BY cc.doc_id)""".stripMargin
 
-  /** The composed curation run: every stage's proven oracle
-    * restatement chained as CTEs over the shared BPE training chain. */
+  /** Fixed-point entropy restated over the exploded code-point
+    * histogram. */
+  private def charEntropySql: String =
+    s"""WITH $entropyFxCtes
+       |SELECT d.doc_id, d.char_len, CAST(COALESCE(f.ent_fx, 0) AS BIGINT) AS ent_fx,
+       |       CASE WHEN d.char_len = 0 THEN 0.0
+       |            ELSE (CAST(COALESCE(f.ent_fx, 0) AS DOUBLE) / 1000000.0) / d.char_len END AS entropy
+       |FROM dl d LEFT JOIN fx f ON f.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The composed curation run: every stage's SHARED oracle fragment
+    * chained as CTEs over the BPE training chain ([[entropyFxCtes]],
+    * [[scrubAggCtes]], [[wtokCte]] — one restatement each, so a fix to
+    * a stage oracle can never silently diverge from the composite). */
   private def curationPipelineSql: String = {
-    val Array(term) = CurationLex
+    // total lexicon hits = Σ per-term REPLACE counts — any term set
+    val lexHits = CurationLex
+      .map(t => s"(LENGTH(text) - LENGTH(REPLACE(text, '$t', ''))) // ${t.length}")
+      .mkString(" + ")
     s"""$bpeCtes,
        |$wtokCte,
        |lexgate AS (SELECT doc_id, lang, text FROM documents
-       |            WHERE (LENGTH(text) - LENGTH(REPLACE(text, '$term', ''))) // ${term.length} = 0),
-       |cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) n
-       |       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, '')) c FROM documents)
-       |       GROUP BY doc_id, c),
-       |dl AS (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) char_len FROM documents),
-       |fx AS (SELECT cc.doc_id,
-       |         CAST(-SUM(n * CAST(FLOOR(LN(CAST(n AS DOUBLE) / char_len) * 1000000.0) AS BIGINT)) AS BIGINT) ent_fx
-       |       FROM cc JOIN dl ON dl.doc_id = cc.doc_id GROUP BY cc.doc_id),
+       |            WHERE $lexHits = 0),
+       |$entropyFxCtes,
        |egate AS (SELECT l.doc_id, l.lang, l.text
        |          FROM lexgate l JOIN dl ON dl.doc_id = l.doc_id
        |          LEFT JOIN fx ON fx.doc_id = l.doc_id
@@ -1687,20 +1697,11 @@ object Pipeline {
        |                     ELSE (CAST(COALESCE(fx.ent_fx, 0) AS DOUBLE) / 1000000.0) / dl.char_len
        |                END >= $CurationMinEntropy),
        |wsp AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') a FROM egate),
-       |ch AS (SELECT doc_id, i,
-       |         ARRAY_TO_STRING(a[(i*$SelfDedupW+1):((i+1)*$SelfDedupW)], ' ') chunk
-       |       FROM wsp, UNNEST(RANGE(CAST(CEIL(LEN(a) / $SelfDedupW.0) AS BIGINT))) t(i)),
-       |k2 AS (SELECT doc_id, i, chunk,
-       |         ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY i) rn
-       |       FROM ch),
-       |scrub AS (SELECT wsp.doc_id, wsp.lang, agg.text_clean
-       |          FROM wsp JOIN (SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY i) text_clean
-       |                         FROM k2 WHERE rn = 1 GROUP BY doc_id) agg
-       |          ON agg.doc_id = wsp.doc_id),
+       |${scrubAggCtes("wsp")},
        |ek AS (SELECT doc_id, lang, text_clean FROM (
-       |         SELECT doc_id, lang, text_clean,
-       |                ROW_NUMBER() OVER (PARTITION BY MD5(text_clean) ORDER BY doc_id) rn
-       |         FROM scrub) WHERE rn = 1),
+       |         SELECT wsp.doc_id, wsp.lang, sagg.text_dedup AS text_clean,
+       |                ROW_NUMBER() OVER (PARTITION BY MD5(sagg.text_dedup) ORDER BY wsp.doc_id) rn
+       |         FROM wsp JOIN sagg ON sagg.doc_id = wsp.doc_id) WHERE rn = 1),
        |dwc AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text_clean, ' ')) w FROM ek)
        |SELECT dwc.doc_id, dwc.lang,
        |       CAST(COUNT(*) AS BIGINT) AS n_words_clean,
@@ -1745,23 +1746,30 @@ object Pipeline {
        |       CAST(n_ge AS DOUBLE) / total AS frac
        |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin
 
+  /** ch/k2/sagg: non-overlapping chunking + keep-first + ordered
+    * STRING_AGG rebuild over a CTE `src`(doc_id, …, a) — the ONE
+    * restatement shared by [[selfDedupSql]] and the curation oracle.
+    * Emits `sagg`(doc_id, text_dedup). */
+  private def scrubAggCtes(src: String): String =
+    s"""ch AS (SELECT doc_id, i,
+       |         ARRAY_TO_STRING(a[(i*$SelfDedupW+1):((i+1)*$SelfDedupW)], ' ') chunk
+       |       FROM $src, UNNEST(RANGE(CAST(CEIL(LEN(a) / $SelfDedupW.0) AS BIGINT))) t(i)),
+       |k2 AS (SELECT doc_id, i, chunk,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY i) rn
+       |       FROM ch),
+       |sagg AS (SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY i) text_dedup
+       |         FROM k2 WHERE rn = 1 GROUP BY doc_id)""".stripMargin
+
   /** Keep-first chunk scrub restated relationally: explode the
     * non-overlapping chunks with their position, keep each (doc, chunk
     * content)'s first position, and STRING_AGG the survivors back in
     * position order. */
   private def selfDedupSql: String =
     s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
-       |ch AS (SELECT doc_id, i,
-       |         ARRAY_TO_STRING(a[(i*$SelfDedupW+1):((i+1)*$SelfDedupW)], ' ') chunk
-       |       FROM w, UNNEST(RANGE(CAST(CEIL(LEN(a) / $SelfDedupW.0) AS BIGINT))) t(i)),
-       |k AS (SELECT doc_id, i, chunk,
-       |        ROW_NUMBER() OVER (PARTITION BY doc_id, chunk ORDER BY i) rn
-       |      FROM ch),
-       |agg AS (SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY i) text_dedup
-       |        FROM k WHERE rn = 1 GROUP BY doc_id)
-       |SELECT w.doc_id, CAST(LEN(a) AS BIGINT) AS n_words, agg.text_dedup,
-       |       CAST(LEN(STRING_SPLIT(agg.text_dedup, ' ')) AS BIGINT) AS words_kept
-       |FROM w JOIN agg ON agg.doc_id = w.doc_id
+       |${scrubAggCtes("w")}
+       |SELECT w.doc_id, CAST(LEN(a) AS BIGINT) AS n_words, sagg.text_dedup,
+       |       CAST(LEN(STRING_SPLIT(sagg.text_dedup, ' ')) AS BIGINT) AS words_kept
+       |FROM w JOIN sagg ON sagg.doc_id = w.doc_id
        |ORDER BY w.doc_id""".stripMargin
 
   /** Next-fit restated as a RECURSIVE CTE: shard-ordered documents are

@@ -309,15 +309,10 @@ object StreamOps {
     * shuffle-free, append-mode-safe; batch and stream decisions are
     * bit-identical (StreamOpsSpec pins it). Emits `entropy`. */
   def entropyGate(docs: DataFrame, textCol: String,
-      minEntropy: Double): DataFrame = {
-    val len = length(col(textCol)).cast(org.apache.spark.sql.types.LongType)
+      minEntropy: Double): DataFrame =
     docs.withColumn("entropy",
-        when(len === 0, lit(0.0))
-          .otherwise((graft.functions.CharEntropyFx.entFx(col(textCol))
-              .cast(org.apache.spark.sql.types.DoubleType) / lit(1000000.0))
-            / len))
+        graft.queries.Pipeline.entropyNats(col(textCol)))
       .filter(col("entropy") >= minEntropy)
-  }
 
   /** Streaming lexicon (badword/topic) gate — the deployment form of
     * [[graft.queries.Pipeline.lexiconHits]]: one Aho–Corasick pass per
