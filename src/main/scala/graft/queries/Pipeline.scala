@@ -1476,6 +1476,24 @@ object Pipeline {
   private lazy val lexiconModel =
     new graft.functions.LexiconAutomaton(LexiconTerms)
 
+  /** The lexicon family's REMOVAL form (count → gate → SCRUB): strip
+    * every lexicon term from the text by chained literal REPLACE, in
+    * lexicon order — Spark's `replace` builtin and DuckDB's REPLACE have
+    * identical leftmost non-overlapping semantics, so the oracle is the
+    * same chain verbatim and order-sensitivity (a later term matching
+    * inside an earlier term's remains) cancels out exactly. Narrow
+    * per-row projection, no shuffle except the output sort. */
+  def lexiconScrub(spark: SparkSession, dir: String): DataFrame = {
+    val masked = LexiconTerms.foldLeft(col("text")) { (c, t) =>
+      call_function("replace", c, lit(t), lit(""))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), masked.as("text_masked"),
+        (length(col("text")) - length(masked)).cast(LongType)
+          .as("n_chars_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Multi-pattern lexicon tagging ([[graft.functions.LexiconAutomaton]]):
     * one Aho–Corasick pass per document counts every occurrence of every
     * lexicon term — the badword-filter / topic-tagger primitive. One row
@@ -2021,6 +2039,7 @@ object Pipeline {
     "q_unimax_alloc"     -> (unimaxAlloc _),
     "q_dedup_stats"      -> (dedupStats _),
     "q_curation_pipeline" -> (curationPipeline _),
+    "q_lexicon_scrub"    -> (lexiconScrub _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
     "q_token_stats"      -> (tokenStats _),
@@ -2813,6 +2832,13 @@ object Pipeline {
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_unimax_alloc" -> unimaxAllocSql,
     "q_curation_pipeline" -> curationPipelineSql,
+    "q_lexicon_scrub" -> {
+      val masked = LexiconTerms.foldLeft("text") { (c, t) =>
+        s"REPLACE($c, '$t', '')" }
+      s"""SELECT doc_id, $masked AS text_masked,
+         |       CAST(LENGTH(text) - LENGTH($masked) AS BIGINT) AS n_chars_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_stats" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
