@@ -618,10 +618,11 @@ object Pipeline {
     * centroid parquet within one JVM. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long, Int, Int), Seq[Seq[Double]]]
-  private def embStamp(dir: String): Long =
+  private def embStamp(dir: String): Long = tableStamp(dir, "embeddings")
+  private def tableStamp(dir: String, table: String): Long =
     try {
       import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
       val s = java.nio.file.Files.walk(p)
       val files =
         try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
@@ -660,6 +661,47 @@ object Pipeline {
         try Ivf.writeCentroids(spark, cents, idxPath)
         catch { case scala.util.control.NonFatal(_) => () }
         cents
+      }
+    })
+  }
+
+  /** The corpus tokenizer as a once-per-dataset artifact — the
+    * [[sharedCentroids]] treatment applied to the BPE merge table: the
+    * first run trains ([[TA.bpeMergesModel]] — one corpus pass + a
+    * vocabulary-sized driver loop), persists via [[TA.writeBpeModel]]
+    * (`_SUCCESS`-certified parquet), and every later run — including
+    * after a JVM restart — reads the artifact back instead of paying
+    * the corpus pass again. Training is deterministic and strings
+    * round-trip parquet exactly, so a re-read model segments
+    * bit-identically (BpeTrainSpec pins this). Keyed by the documents
+    * table's data stamp so a rewritten corpus retrains; a TrieMap L1
+    * skips even the artifact read within one JVM. */
+  private val bpeModelCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, Long, Int, Int), graft.functions.BpeMerges]
+  private val BpeTrainFormat = 1
+  private[graft] def sharedBpeModel(spark: SparkSession,
+      dir: String): graft.functions.BpeMerges = {
+    val root = Ivf.indexRoot(spark)
+    val key = (root, dir, tableStamp(dir, "documents"), BpeNumMerges, BpeMaxWords)
+    bpeModelCache.getOrElseUpdate(key, {
+      val path = s"$root/graft_bpe_model/${md5Hex(s"$key:fmt$BpeTrainFormat")}"
+      val persisted =
+        if (TA.bpeModelExists(spark, path))
+          try Some(TA.readBpeModel(spark, path))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      persisted.getOrElse {
+        val docs = Tables.documents(spark, dir)
+        val merges = TA.bpeTrain(docs, "text",
+          numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+        // best-effort persist: a read-only artifact root must not fail
+        // the query — the fresh model is used either way
+        try TA.writeBpeModel(merges, path)
+        catch { case scala.util.control.NonFatal(_) => () }
+        new graft.functions.BpeMerges(merges.orderBy("rank")
+          .select("lhs", "rhs").collect()
+          .map(r => (r.getString(0), r.getString(1))))
       }
     })
   }
@@ -1317,14 +1359,14 @@ object Pipeline {
     * deterministic variant of the paper's Gumbel resampling, so the
     * kept set is oracle-checkable. The ln is floor-quantized to 1e-6
     * per bucket before any summation (see dsirScores), so scores are
-    * engine-exact integers over 1e6. */
+    * engine-exact integers over 1e6. The selection itself is
+    * orderBy+limit — TakeOrderedAndProject's per-partition partial
+    * top-k, never a global sort or a single-partition window. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val scored = TA.dsirScores(Tables.documents(spark, dir), "text", "doc_id",
       isTarget = col("lang") === "en", buckets = DsirBuckets)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("dsir_score").desc, col("doc_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 100)
+    scored.orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .limit(100)
       .select("doc_id", "n_grams", "dsir_score")
       .orderBy("doc_id")
   }
@@ -1378,8 +1420,7 @@ object Pipeline {
     * segment with fewer merges — graceful degradation, same plan shape. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val model = TA.bpeMergesModel(docs, "text",
-      numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+    val model = sharedBpeModel(spark, dir)
     docs.select(
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_words"),
@@ -1398,8 +1439,7 @@ object Pipeline {
     * the per-shard running sum. */
   def packBpe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val model = TA.bpeMergesModel(docs, "text",
-      numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+    val model = sharedBpeModel(spark, dir)
     val counted = docs.select(col("doc_id"), col("lang"),
       graft.functions.BpeEncodeCount.count(col("text"), model).as("n_bpe"))
     graft.operators.Packing
@@ -1433,7 +1473,8 @@ object Pipeline {
     * one Aho–Corasick pass) → character-entropy gate (≥ 2.7 nats — drops
     * low-entropy junk) → within-document repeated-chunk scrub → exact
     * dedup keep-first on the SCRUBBED text → learned-BPE token
-    * accounting of the survivors (model trained on the full corpus).
+    * accounting of the survivors (model trained once per dataset and
+    * read back from the persisted [[sharedBpeModel]] artifact after).
     * One narrow codegen scan carries all three gates and the scrub; the
     * only shuffles are the hex-digest dedup window and the output
     * sort. Oracle-exactness: each stage reuses its own proven oracle
@@ -1443,8 +1484,7 @@ object Pipeline {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val lex = new graft.functions.LexiconAutomaton(CurationLex)
-    val model = TA.bpeMergesModel(docs, "text",
-      numMerges = BpeNumMerges, maxWords = BpeMaxWords)
+    val model = sharedBpeModel(spark, dir)
     val gated = docs
       .filter(graft.functions.LexiconHits.total(col("text"), lex) === 0L)
       .filter(entropyNats(col("text")) >= lit(CurationMinEntropy))
@@ -1850,21 +1890,30 @@ object Pipeline {
         ensembleSignals(col("text"), col("n_chars"))
           .map { case (n, c) => c.as(n) }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ranked = sigs
-        .join(broadcast(rankBySignal(sigs, "s_tokens", "r_tokens")), Seq("s_tokens"))
-        .join(broadcast(rankBySignal(sigs, "s_ttr", "r_ttr")), Seq("s_ttr"))
-        .join(broadcast(rankBySignal(sigs, "s_mwl", "r_mwl")), Seq("s_mwl"))
-        .withColumn("ens",
-          (col("r_tokens") + col("r_ttr") + col("r_mwl")) / lit(3.0))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("ens").desc, col("doc_id").asc)
-      ranked.withColumn("rk", row_number().over(w)).filter(col("rk") <= 100)
-        .select(col("doc_id"), col("s_tokens").as("n_tokens"),
-          col("r_tokens"), col("r_ttr"), col("r_mwl"), col("ens"))
-        .orderBy("doc_id")
-        .localCheckpoint()
-    } finally sigs.unpersist(blocking = false)
+    // localCheckpoint (eager) materializes the 100-row result while sigs
+    // is still cached, so the unpersist cannot trigger a recompute.
+    try qualityEnsembleSelected(sigs).localCheckpoint()
+    finally sigs.unpersist(blocking = false)
+  }
+
+  /** The un-checkpointed selection plan over a signal frame — split out so
+    * PlanQualitySpec can assert the physical shape (localCheckpoint above
+    * truncates the observable plan to an RDD scan). */
+  private[queries] def qualityEnsembleSelected(sigs: DataFrame): DataFrame = {
+    val ranked = sigs
+      .join(broadcast(rankBySignal(sigs, "s_tokens", "r_tokens")), Seq("s_tokens"))
+      .join(broadcast(rankBySignal(sigs, "s_ttr", "r_ttr")), Seq("s_ttr"))
+      .join(broadcast(rankBySignal(sigs, "s_mwl", "r_mwl")), Seq("s_mwl"))
+      .withColumn("ens",
+        (col("r_tokens") + col("r_ttr") + col("r_mwl")) / lit(3.0))
+    // Top-100 via orderBy+limit: TakeOrderedAndProject keeps the
+    // selection a per-partition partial top-k (the (ens desc, doc_id)
+    // tiebreak is total, so rows match the rank formulation exactly) —
+    // never a corpus-sized single-partition Window.
+    ranked.orderBy(col("ens").desc, col("doc_id").asc).limit(100)
+      .select(col("doc_id"), col("s_tokens").as("n_tokens"),
+        col("r_tokens"), col("r_ttr"), col("r_mwl"), col("ens"))
+      .orderBy("doc_id")
   }
 
   /** The ensemble's three integer-valued quality signals as ONE shared

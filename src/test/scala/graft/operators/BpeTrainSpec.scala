@@ -154,6 +154,35 @@ class BpeTrainSpec extends AnyFunSuite {
       "a markerless (half-written) artifact must read as missing")
   }
 
+  test("sharedBpeModel trains once per dataset, persists, and re-reads bit-identically") {
+    val dir = "/root/testdata/sf0.001"
+    // point the artifact root at a fresh temp dir so this test owns the
+    // artifact lifecycle (same pattern as IvfSpec's index-root test)
+    val root = java.nio.file.Files.createTempDirectory("bpe-root")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.graft.index.root", root)
+    try {
+      val shared = graft.queries.Pipeline.sharedBpeModel(spark, dir)
+      // exactly one artifact written under the root, marker-certified
+      val modelDirs = new java.io.File(s"$root/graft_bpe_model").listFiles()
+      assert(modelDirs != null && modelDirs.length == 1,
+        "first call must persist exactly one model artifact")
+      val path = modelDirs.head.getAbsolutePath
+      assert(TextAnalysis.bpeModelExists(spark, path))
+      // the persisted bytes decode to the same merge table a fresh train
+      // produces — the artifact-read path of curationPipeline/bpeEncode
+      // is bit-identical to the train path
+      val reread = TextAnalysis.readBpeModel(spark, path)
+      val fresh = TextAnalysis.bpeMergesModel(
+        graft.Tables.documents(spark, dir), "text",
+        numMerges = 40, maxWords = 4096)
+      assert(shared.pairs.toSeq == fresh.pairs.toSeq,
+        "shared model must equal a fresh train")
+      assert(reread.pairs.toSeq == fresh.pairs.toSeq,
+        "persisted artifact must decode to the fresh train's merge table")
+    } finally spark.conf.unset("spark.graft.index.root")
+  }
+
   test("training is invariant under repartitioning") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val a = TextAnalysis.bpeTrain(d, "text", 15, 4096).collect().toSeq

@@ -744,4 +744,78 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!rankedPlan.contains("SortMergeJoin"),
       s"rank attach must not shuffle-join the corpus:\n$rankedPlan")
   }
+
+  test("q_dsir_select: top-100 is a partial TakeOrderedAndProject, never a global window") {
+    val plan = planOf(Pipeline.queries("q_dsir_select")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be the partial top-k, not a global sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window anywhere in DSIR selection:\n$plan")
+  }
+
+  test("quality ensemble selection: partial TakeOrderedAndProject, never a global window") {
+    // the declared query localCheckpoints (truncating its observable
+    // plan), so assert on the un-checkpointed selection plan directly
+    val sigs = graft.Tables.documents(spark, dir).select(
+      org.apache.spark.sql.functions.col("doc_id") +:
+        Pipeline.ensembleSignals(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("n_chars"))
+          .map { case (n, c) => c.as(n) }: _*)
+    val plan = planOf(Pipeline.qualityEnsembleSelected(sigs))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be the partial top-k, not a global sort:\n$plan")
+    // the only Windows are the cum_below windows over the histogram
+    // frames — every window's input subtree must contain the histogram
+    // HashAggregate; the corpus-sized ranked frame reaches the top-k
+    // without any Window of its own
+    val windows = collectWindows(
+      Pipeline.qualityEnsembleSelected(sigs).queryExecution.executedPlan)
+    assert(windows.nonEmpty, "expected the histogram cum_below windows")
+    windows.foreach { w =>
+      assert(w.toString.contains("HashAggregate"),
+        s"window not over the histogram aggregate in ensemble selection:\n$w")
+    }
+  }
+
+  private def collectWindows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    p match {
+      case a: AdaptiveSparkPlanExec => collectWindows(a.executedPlan)
+      case other =>
+        other.collect { case w: WindowExec => w } ++
+          other.collect { case a: AdaptiveSparkPlanExec => a }
+            .flatMap(a => collectWindows(a.executedPlan))
+    }
+  }
+
+  // Justified partition-less-window sites, by declared query name. Every
+  // other query's physical plan must be free of Window operators with an
+  // empty partition spec — the "moving all data to a single partition"
+  // shape that caps a 1000-executor cluster at one task.
+  private val justifiedGlobalWindows: Map[String, String] = Map(
+    // gateSweep's windows run over the 20-row threshold histogram only
+    "q_gate_sweep" -> "windows over the 20-bucket sweep frame",
+    // hybridRrf ranks inside HybridDepth-bounded candidate lists
+    "q_hybrid_rrf" -> "windows over depth-bounded candidate lists",
+    // grand-total share windows over POST-aggregation frames: the
+    // single-partition exchange moves ≤ nlist / ≤ sources×langs rows
+    "q_cluster_sizes" -> "share window over the ≤nlist post-agg frame",
+    "q_source_mixture" -> "share windows over the sources×langs post-agg frame")
+
+  test("fleet invariant: no query plan contains a partition-less Window (unbounded frame)") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, dir).queryExecution.executedPlan
+        collectWindows(plan)
+          .filter(_.partitionSpec.isEmpty)
+          .filterNot(_ => justifiedGlobalWindows.contains(name))
+          .map(w => s"$name:\n  ${w.toString.linesIterator.next()}")
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window operators found (add to the justified map " +
+        s"ONLY with a boundedness argument):\n${offenders.mkString("\n")}")
+  }
 }
