@@ -68,7 +68,12 @@ object Packing {
     * state — shards are the parallelism unit, exactly how a production
     * packing writer scales (many bounded shards, one writer each).
     * Deterministic for any partitioning: state resets on the shard
-    * boundary and never crosses partitions (hash-partitioned by shard). */
+    * boundary and never crosses partitions (hash-partitioned by shard).
+    * The in-partition sort keys are (shard, order, tokens) — the token
+    * count as final tie-break means rows tying on (shard, order) with
+    * DIFFERENT token counts still fold in one fixed order; rows tying
+    * on all three are interchangeable, so the output multiset is
+    * deterministic even without a unique (shard, order) key. */
   def packNextFit(docs: DataFrame, shardCol: String, orderCol: String,
       tokensCol: String, blockSize: Long): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
@@ -83,7 +88,7 @@ object Packing {
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     base
       .repartition(col(shardCol))
-      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol), col(tokensCol))
       .mapPartitions { it =>
         var shard: Any = null
         var started = false

@@ -138,8 +138,14 @@ object Sampling {
       // U+E000..U+FFFF with supplementary-plane characters
       .sortBy { case (l, m) => (m, l) }
     require(sizes.forall(_._2 > 0), "every source needs positive mass")
-    val total = sizes.map(_._2).sum
-    val budget = total * budgetNum / budgetDen
+    val totalB = sizes.map(m => BigInt(m._2)).sum
+    require(totalB.isValidLong,
+      s"unimaxAlloc: total mass $totalB overflows Long")
+    val total = totalB.toLong
+    // the product total * budgetNum can overflow Long for a 100 TB-scale
+    // corpus with a large caller-supplied numerator; BigInt keeps the
+    // quotient exact (it is ≤ total, so it always fits back in a Long)
+    val budget = (BigInt(total) * budgetNum / budgetDen).toLong
     var remaining = budget
     val n = sizes.length
     val rows = sizes.zipWithIndex.map { case ((l, m), i) =>

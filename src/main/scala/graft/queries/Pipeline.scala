@@ -882,6 +882,16 @@ object Pipeline {
   def docPercentiles(spark: SparkSession, dir: String): DataFrame =
     docPercentiles(spark, dir, exact = true)
 
+  /** The 100 TB regime of [[docPercentiles]] as its own declared query:
+    * `percentile_approx`'s bounded-memory rank summaries instead of the
+    * whole-multiset exact buffer. No DuckDB oracle can restate a GK
+    * sketch bit-for-bit, so this query is deliberately ABSENT from the
+    * oracle map — the driver records the weaker rows+schema check, and
+    * the numeric contract lives in PercentileParitySpec (rank error
+    * ≤ 1/accuracy against the exact dual). */
+  def docPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    docPercentiles(spark, dir, exact = false)
+
   def docPercentiles(spark: SparkSession, dir: String, exact: Boolean,
       accuracy: Int = 10000): DataFrame =
     Tables.documents(spark, dir)
@@ -962,12 +972,15 @@ object Pipeline {
     * per-source distinct counts are a (source, text-hash) map-side-
     * combined aggregate — 32-char hex digests shuffle, never full text —
     * then a
-    * source-cardinality result. */
+    * source-cardinality result. Null texts hash to a sentinel digest so
+    * countDistinct sees them as one real value — md5(NULL) is NULL and
+    * countDistinct would silently drop it, inflating n_dupes. */
   def dedupStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
-        countDistinct(md5(col("text"))).cast(LongType).as("n_unique"))
+        countDistinct(coalesce(md5(col("text")), lit("<null>")))
+          .cast(LongType).as("n_unique"))
       .withColumn("n_dupes", col("n_docs") - col("n_unique"))
       .withColumn("dup_rate",
         col("n_dupes").cast(DoubleType) / col("n_docs"))
@@ -1124,7 +1137,7 @@ object Pipeline {
         size(split(col("text_dedup"), " ")).cast(LongType))
       .orderBy("doc_id")
 
-  private val SelfDedupW = 2
+  private[graft] val SelfDedupW = 2
 
   /** Quality-gate threshold sweep: for a 20-step threshold grid over the
     * [[TA.qualityScore]] signal, how many documents each gate would keep
@@ -1334,6 +1347,15 @@ object Pipeline {
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     perplexityBuckets(spark, dir, exact = true)
 
+  /** The 100 TB regime of [[perplexityBuckets]] as its own declared
+    * query: bounded-memory `percentile_approx` quartiles, bucket
+    * projection unchanged. Deliberately ABSENT from the oracle map
+    * (no SQL engine restates the GK sketch) — the driver records the
+    * weaker rows+schema check; PercentileParitySpec carries the
+    * exact-vs-approx numeric contract. */
+  def perplexityBucketsApprox(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(spark, dir, exact = false)
+
   def perplexityBuckets(spark: SparkSession, dir: String, exact: Boolean,
       accuracy: Int = 10000): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1501,8 +1523,8 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  private val CurationLex = Array("dup")
-  private val CurationMinEntropy = 2.7
+  private[graft] val CurationLex = Array("dup")
+  private[graft] val CurationMinEntropy = 2.7
 
   /** C4-style lexicon terms for [[lexiconHits]]. Substring semantics
     * (terms match inside words and across spaces — "low" hits inside
@@ -2091,6 +2113,8 @@ object Pipeline {
     "q_lexicon_scrub"    -> (lexiconScrub _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
+    "q_perplexity_buckets_approx" -> (perplexityBucketsApprox _),
+    "q_doc_percentiles_approx" -> (docPercentilesApprox _),
     "q_token_stats"      -> (tokenStats _),
     "q_pack_sequences"   -> (packSequences _),
     "q_tfidf_topk"       -> (tfidfTopK _),
@@ -2890,9 +2914,9 @@ object Pipeline {
     },
     "q_dedup_stats" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
-        |       CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_dupes,
-        |       CAST(COUNT(*) - COUNT(DISTINCT MD5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+        |       CAST(COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS BIGINT) AS n_unique,
+        |       CAST(COUNT(*) - COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS BIGINT) AS n_dupes,
+        |       CAST(COUNT(*) - COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both

@@ -328,6 +328,36 @@ object StreamOps {
         graft.functions.LexiconHits.total(col(textCol), lexicon))
       .filter(col("lex_hits") <= maxHits)
 
+  /** Streaming curation gate — the deployment form of the per-document
+    * stages of [[graft.queries.Pipeline.curationPipeline]], composed as
+    * ONE stateless chain: strict lexicon gate (any hit rejects — the C4
+    * badword rule, one Aho–Corasick pass) → character-entropy gate
+    * (rows below `minEntropy` nats drop) → within-document
+    * repeated-chunk scrub (`text_clean`) → learned-BPE accounting of
+    * the survivor (`n_words_clean`, `n_bpe`) with the batch-trained
+    * merge table (load a deployment's via
+    * [[graft.operators.TextAnalysis.readBpeModel]] — the same
+    * persisted artifact the batch pipeline reads). All four passes are
+    * native codegen expressions, so the whole gate is one narrow
+    * projection: stateless, shuffle-free, append-mode-safe, and
+    * bit-identical to the batch stages doc-for-doc (StreamOpsSpec pins
+    * it). The batch pipeline's one CROSS-document stage — exact dedup
+    * keep-first — is deliberately not here: streaming dedup is the
+    * stateful [[incrementalIngest]] path, composed downstream of this
+    * gate on `text_clean`'s digest. */
+  def curationGate(docs: DataFrame, textCol: String,
+      lexicon: graft.functions.LexiconAutomaton, minEntropy: Double,
+      chunkW: Int, merges: graft.functions.BpeMerges): DataFrame =
+    docs
+      .filter(graft.functions.LexiconHits.total(col(textCol), lexicon) === 0L)
+      .filter(graft.queries.Pipeline.entropyNats(col(textCol)) >= lit(minEntropy))
+      .withColumn("text_clean",
+        graft.functions.SelfDedupChunks.dedup(col(textCol), chunkW))
+      .withColumn("n_words_clean",
+        size(split(col("text_clean"), " ")).cast("long"))
+      .withColumn("n_bpe",
+        graft.functions.BpeEncodeCount.count(col("text_clean"), merges))
+
   /** Streaming Naive-Bayes classifier gate — the deployment form of
     * [[graft.queries.Pipeline.nbClassify]] (the classifier-based
     * data-selection family): each incoming document is argmax-scored

@@ -1115,4 +1115,57 @@ class StreamOpsSpec extends AnyFunSuite {
       (2L, 600L, 600L, 1L)) // closed by the second watermark advance
     ) // user 3's session is still open — correctly unemitted
   }
+
+  test("streaming curation gate: the composed per-document stages filter a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = graft.queries.Pipeline
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+    // the SAME model artifacts the batch pipeline uses: its persisted
+    // shared BPE model and its lexicon
+    val model = P.sharedBpeModel(spark, dir)
+    val lex = new graft.functions.LexiconAutomaton(P.CurationLex)
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def gate(d: org.apache.spark.sql.DataFrame) =
+      StreamOps.curationGate(d, "text", lex, P.CurationMinEntropy,
+        P.SelfDedupW, model)
+    val batchDf = gate(rows.toSeq.toDF("doc_id", "lang", "text"))
+    val batchKept = batchDf
+      .select("doc_id", "text_clean", "n_words_clean", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batchKept.nonEmpty, "the gate must keep some documents")
+    val input = MemoryStream[(Long, String, String)]
+    val q = gate(input.toDF.toDF("doc_id", "lang", "text"))
+      .select("doc_id", "text_clean", "n_words_clean", "n_bpe")
+      .writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("curation_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamKept == batchKept,
+      "stream survivors must equal batch survivors doc-for-doc")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+    // end-to-end contract: gate survivors + the streaming-dedup-shaped
+    // keep-first on text_clean's digest reproduce the batch
+    // curationPipeline's rows exactly
+    val composed = graft.operators.Dedup.keepFirst(
+        batchDf.withColumn("digest", md5(col("text_clean"))),
+        Seq("digest"), Seq(col("doc_id").asc))
+      .select("doc_id", "lang", "n_words_clean", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val pipeline = P.curationPipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(composed == pipeline,
+      "gate + keep-first must reproduce the batch curation pipeline")
+  }
 }
