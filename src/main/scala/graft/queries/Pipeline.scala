@@ -164,6 +164,33 @@ object Pipeline {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     nearDupClusters(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** SOFT near-dup handling (the SlimPajama/D4 "downweight, don't drop"
+    * alternative to [[cleanCorpus]]'s removal): every member of a
+    * MinHash duplicate cluster keeps its row but carries weight
+    * 1/|cluster|, so the cluster contributes one document's worth of
+    * training mass in expectation while the sampler still sees every
+    * surface form; singletons weigh 1.0. Scale shape: the component
+    * table is dup-docs-sized (only documents that appear in a pair) and
+    * its size table smaller still, so both attach to the corpus spine
+    * as BROADCAST joins — the universe never shuffles (the
+    * [[graft.operators.Dedup.keepRepresentatives]] argument, applied to
+    * weighting instead of survivor selection). */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = nearDupClusters(docs)
+    val sizes = clusters.groupBy("canonical_id")
+      .agg(count(lit(1)).cast(LongType).as("cluster_size"))
+    val labeled = clusters.join(sizes, "canonical_id")
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast(DoubleType))
+          .as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** The composed training-data cleaning pipeline, end to end: quality
     * gate → exact dedup (keep the lowest doc_id per md5 digest) → near-dup
     * removal (drop every non-canonical member of a MinHash cluster).
@@ -1523,6 +1550,38 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-stage rejection audit of [[curationPipeline]] — the funnel
+    * report a curator reads beside the pipeline output: how many
+    * documents each gate rejected (attributed to the FIRST rejecting
+    * stage, in pipeline order), how many the exact post-scrub dedup
+    * dropped, and how many survived. ONE narrow codegen scan computes
+    * every per-document verdict (lexicon, entropy, scrub digest), then
+    * a single map-side-combined aggregation folds them to the 1-row
+    * report — the only shuffle is the digest countDistinct's two-phase
+    * aggregate; nothing corpus-sized moves. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val lex = new graft.functions.LexiconAutomaton(CurationLex)
+    val flagged = Tables.documents(spark, dir).select(
+      (graft.functions.LexiconHits.total(col("text"), lex) === 0L).as("lex_ok"),
+      (entropyNats(col("text")) >= lit(CurationMinEntropy)).as("ent_ok"),
+      graft.functions.SelfDedupChunks.dedup(col("text"), SelfDedupW)
+        .as("text_clean"))
+    flagged.agg(
+        count(lit(1)).cast(LongType).as("n_input"),
+        count(when(!col("lex_ok"), 1)).cast(LongType).as("n_lexicon_rejected"),
+        count(when(col("lex_ok") && !col("ent_ok"), 1)).cast(LongType)
+          .as("n_entropy_rejected"),
+        count(when(col("lex_ok") && col("ent_ok"), 1)).cast(LongType)
+          .as("n_gated"),
+        countDistinct(when(col("lex_ok") && col("ent_ok"),
+          md5(col("text_clean")))).cast(LongType).as("n_survivors"))
+      .withColumn("n_dedup_dropped",
+        (col("n_gated") - col("n_survivors")).cast(LongType))
+      .select("n_input", "n_lexicon_rejected", "n_entropy_rejected",
+        "n_gated", "n_dedup_dropped", "n_survivors")
+      .orderBy("n_input")
+  }
+
   private[graft] val CurationLex = Array("dup")
   private[graft] val CurationMinEntropy = 2.7
 
@@ -1788,6 +1847,37 @@ object Pipeline {
        |       CAST(SUM(nt) AS BIGINT) AS n_bpe
        |FROM dwc JOIN wtok USING (w)
        |GROUP BY dwc.doc_id, dwc.lang ORDER BY dwc.doc_id""".stripMargin
+  }
+
+  /** Funnel restated from the SAME stage fragments as
+    * [[curationPipelineSql]] (shared [[entropyFxCtes]] /
+    * [[scrubAggCtes]]) with per-stage counts instead of the survivor
+    * rows — a count fix in one place fixes both oracles. */
+  private def curationFunnelSql: String = {
+    val lexHits = CurationLex
+      .map(t => s"(LENGTH(text) - LENGTH(REPLACE(text, '$t', ''))) // ${t.length}")
+      .mkString(" + ")
+    s"""WITH $entropyFxCtes,
+       |lexf AS (SELECT doc_id, ($lexHits) = 0 AS lex_ok, text FROM documents),
+       |entf AS (SELECT d.doc_id,
+       |           (CASE WHEN dl.char_len = 0 THEN 0.0
+       |                 ELSE (CAST(COALESCE(fx.ent_fx, 0) AS DOUBLE) / 1000000.0) / dl.char_len
+       |            END >= $CurationMinEntropy) AS ent_ok
+       |         FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+       |         LEFT JOIN fx ON fx.doc_id = d.doc_id),
+       |gated AS (SELECT l.doc_id, l.text FROM lexf l JOIN entf e USING (doc_id)
+       |          WHERE l.lex_ok AND e.ent_ok),
+       |wsp AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM gated),
+       |${scrubAggCtes("wsp")}
+       |SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+       |       CAST((SELECT COUNT(*) FROM lexf WHERE NOT lex_ok) AS BIGINT) AS n_lexicon_rejected,
+       |       CAST((SELECT COUNT(*) FROM lexf l JOIN entf e USING (doc_id)
+       |             WHERE l.lex_ok AND NOT e.ent_ok) AS BIGINT) AS n_entropy_rejected,
+       |       CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_gated,
+       |       CAST((SELECT COUNT(*) FROM gated) AS BIGINT)
+       |         - CAST((SELECT COUNT(DISTINCT MD5(text_dedup)) FROM sagg) AS BIGINT) AS n_dedup_dropped,
+       |       CAST((SELECT COUNT(DISTINCT MD5(text_dedup)) FROM sagg) AS BIGINT) AS n_survivors
+       |ORDER BY n_input""".stripMargin
   }
 
   /** Integer waterfill restated as a recursive CTE over the
@@ -2110,6 +2200,8 @@ object Pipeline {
     "q_unimax_alloc"     -> (unimaxAlloc _),
     "q_dedup_stats"      -> (dedupStats _),
     "q_curation_pipeline" -> (curationPipeline _),
+    "q_curation_funnel"  -> (curationFunnel _),
+    "q_dedup_weights"    -> (dedupWeights _),
     "q_lexicon_scrub"    -> (lexiconScrub _),
     "q_hard_negatives"   -> (hardNegatives _),
     "q_perplexity_buckets" -> (perplexityBuckets _),
@@ -2905,6 +2997,27 @@ object Pipeline {
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_unimax_alloc" -> unimaxAllocSql,
     "q_curation_pipeline" -> curationPipelineSql,
+    "q_curation_funnel" -> curationFunnelSql,
+    // soft dedup: the q_dedup_clusters closure + a size table, LEFT
+    // joined back onto the corpus; weight is one IEEE double division
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT da a, db b FROM jp UNION SELECT db a, da b FROM jp),
+         |reach AS (SELECT a AS node, a AS reachable FROM edges
+         |          UNION
+         |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
+         |comp AS (SELECT node AS doc_id, MIN(reachable) AS canonical_id
+         |         FROM reach GROUP BY node),
+         |sizes AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) cluster_size
+         |          FROM comp GROUP BY canonical_id),
+         |lab AS (SELECT c.doc_id, c.canonical_id, s.cluster_size
+         |        FROM comp c JOIN sizes s USING (canonical_id))
+         |SELECT d.doc_id, d.lang,
+         |       CAST(COALESCE(l.canonical_id, d.doc_id) AS BIGINT) AS canonical_id,
+         |       CAST(COALESCE(l.cluster_size, 1) AS BIGINT) AS cluster_size,
+         |       CAST(1 AS DOUBLE) / CAST(COALESCE(l.cluster_size, 1) AS DOUBLE) AS weight
+         |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_lexicon_scrub" -> {
       val masked = LexiconTerms.foldLeft("text") { (c, t) =>
         s"REPLACE($c, '$t', '')" }

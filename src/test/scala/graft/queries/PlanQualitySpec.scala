@@ -745,6 +745,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank attach must not shuffle-join the corpus:\n$rankedPlan")
   }
 
+  test("q_dedup_weights: cluster sizes attach to the corpus spine by broadcast") {
+    val plan = planOf(Pipeline.queries("q_dedup_weights")(spark, dir))
+    // the component/size tables are dup-docs-sized — the corpus-side
+    // left join must broadcast them, never shuffle the universe
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"weight attach must be a broadcast left join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus spine must not shuffle for the weight attach:\n$plan")
+  }
+
+  test("q_curation_funnel: one scan, three natives, one aggregation — nothing corpus-sized moves") {
+    val plan = planOf(Pipeline.queries("q_curation_funnel")(spark, dir))
+    val scans = plan.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("documents"))
+    assert(scans == 1, s"funnel must scan documents once, saw $scans:\n$plan")
+    assert(plan.contains("rm_lexicon_hits") &&
+        plan.contains("rm_char_entropy_fx") &&
+        plan.contains("rm_self_dedup_chunks"),
+      s"all three per-doc verdicts must be native passes:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"the funnel is scan + aggregate only:\n$plan")
+  }
+
   test("q_dsir_select: top-100 is a partial TakeOrderedAndProject, never a global window") {
     val plan = planOf(Pipeline.queries("q_dsir_select")(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
