@@ -150,6 +150,54 @@ object TextAnalysis {
         .as("gram"): _*)
   }
 
+  /** Per-document n-gram novelty: how many DISTINCT word n-grams a
+    * document carries and what fraction of them the document introduces
+    * to the corpus — a gram is "novel" when no document with a smaller
+    * id contains it. The incremental-crawl curation signal: a document
+    * whose grams all already exist adds nothing to a training set; a
+    * high-novelty one is genuinely new material (the same min-owner
+    * attribution SemDeDup-style pipelines use to pick survivors).
+    *
+    * Scale shape: one tokenization pass emits per-document-distinct
+    * (id, gram) rows (native [[graft.functions.ShingleText]], no
+    * shuffle), grams collapse to 8-byte xxhash64 before anything moves,
+    * a map-side-combined `min(id)` per hash computes first owners, and
+    * the instance stream re-joins that table on the hash — two
+    * shuffles, both keyed on the 8-byte gram hash, then one per-doc
+    * aggregate. Novelty compares hashes, not gram text, so a 64-bit
+    * collision could mis-attribute a first owner — the accepted
+    * q_decontaminate trade. The tokenization feeds both the owner
+    * aggregate and the re-join, so the default materializes it once
+    * (the spanDupStats recipe); `materialize = false` returns the raw
+    * plan for plan-quality assertions.
+    *
+    * Documents with fewer than n tokens produce no grams and are absent
+    * from the output, mirroring the reference's span semantics
+    * (rulemorph tests/fixtures span family). */
+  def gramNovelty(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, n: Int,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val gramsRaw = ngramRows(docs, textCol, idCol, n, distinct = true)
+      .select(col(idCol), xxhash64(col("gram")).as("h"))
+    def out(grams: org.apache.spark.sql.DataFrame) = {
+      val first = grams.groupBy("h").agg(min(col(idCol)).as("first_owner"))
+      grams.join(first, Seq("h"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_owner") === col(idCol), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast(DoubleType) / col("n_grams"))
+    }
+    if (!materialize) out(gramsRaw)
+    else {
+      val grams =
+        gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try out(grams).localCheckpoint()
+      finally grams.unpersist(blocking = false)
+    }
+  }
+
   /** Collocation mining: bigrams whose observed frequency most exceeds
     * what their parts' frequencies predict — scored by the PMI RATIO
     * p(xy) / (p(x)·p(y)) rather than its log (log differs in the last

@@ -120,7 +120,159 @@ object Extensions {
       .orderBy("event_id", "r_event_id")
   }
 
+  /** First-touch conversion funnel view → click → purchase: a user
+    * reaches a stage when their FIRST event of that type comes at or
+    * after their first event of the previous stage (the classic
+    * first-occurrence funnel — strict per-event sequencing would need a
+    * per-user ordered fold; first-touch is what one aggregation
+    * expresses and what product funnels usually report). Output is the
+    * three-row funnel report with per-stage user counts and conversion
+    * ratios.
+    *
+    * Scale shape: ONE map-side-combined groupBy(user) with three
+    * conditional `min`s — the only shuffle, keyed on user_id — then a
+    * single-row global aggregate and a 3-row explode; the ratio math
+    * happens on the 1-row frame. No windows anywhere. Times compare at
+    * floor-second granularity on both engines (the proven q_sessionize
+    * recipe for nanosecond parquet timestamps); equal-second stage
+    * arrivals count as reached (>=), deterministic on both engines. */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast(LongType).as("sec"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("sec"))).as("t_view"),
+        min(when(col("event_type") === "click", col("sec"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("t_purchase"))
+    val counts = firsts.agg(
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("t_view").isNotNull && col("t_click") >= col("t_view"), 1L)
+        .otherwise(0L)).as("n2"),
+      sum(when(col("t_view").isNotNull && col("t_click") >= col("t_view") &&
+          col("t_purchase") >= col("t_click"), 1L).otherwise(0L)).as("n3"))
+    funnelReport(counts)
+  }
+
+  /** The 3-row funnel report from a 1-row (n1, n2, n3) stage-count
+    * frame — shared by both funnel forms; all ratio math runs on the
+    * 1-row frame. */
+  private def funnelReport(counts: DataFrame): DataFrame = {
+    def pct(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0, num.cast(DoubleType) / den).otherwise(lit(null).cast(DoubleType))
+    counts.select(explode(array(
+        struct(lit(1L).as("stage_idx"), lit("view").as("stage"),
+          col("n1").as("n_users"),
+          pct(col("n1"), col("n1")).as("pct_of_first"),
+          pct(col("n1"), col("n1")).as("pct_of_prev")),
+        struct(lit(2L).as("stage_idx"), lit("click").as("stage"),
+          col("n2").as("n_users"),
+          pct(col("n2"), col("n1")).as("pct_of_first"),
+          pct(col("n2"), col("n1")).as("pct_of_prev")),
+        struct(lit(3L).as("stage_idx"), lit("purchase").as("stage"),
+          col("n3").as("n_users"),
+          pct(col("n3"), col("n1")).as("pct_of_first"),
+          pct(col("n3"), col("n2")).as("pct_of_prev")))).as("s"))
+      .select(col("s.stage_idx"), col("s.stage"), col("s.n_users"),
+        col("s.pct_of_first"), col("s.pct_of_prev"))
+      .orderBy("stage_idx")
+  }
+
+  /** STRICT-sequencing funnel — the join-cascade sibling of
+    * [[eventFunnel]]: stage k's time is the user's first qualifying
+    * event at-or-after stage k−1's time (min click ≥ first view, then
+    * min purchase ≥ that click), not merely an ordering of first
+    * occurrences. The two definitions differ exactly on users whose
+    * first click precedes their first view but who click again later —
+    * strict counts them, first-touch does not, so strict stage counts
+    * are ≥ first-touch's. Scale shape: each stage is a per-user
+    * first-event table (one user-keyed aggregate) equi-joined back onto
+    * the next stage's events — every shuffle keys on user_id, so the
+    * exchange reuses one partitioning; stage tables are
+    * users-cardinality, never events-cardinality. */
+  def eventFunnelStrict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast(LongType).as("sec"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("sec").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("sec") >= col("t1"))
+      .groupBy("user_id").agg(min("sec").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("sec") >= col("t2"))
+      .groupBy("user_id").agg(min("sec").as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n3")))
+    funnelReport(counts)
+  }
+
+  /** Weekly retention cohort table: users grouped by their first-activity
+    * day (the cohort), counted in each later activity week — the
+    * product-analytics staple read as "of the users who arrived on day D,
+    * how many were still active k weeks later". Scale shape: events
+    * collapse to DISTINCT (user, activity-day) pairs in one map-side-
+    * combined shuffle (days-per-user bounded, never events-cardinality),
+    * the cohort day is a min-window PARTITIONED by user (bounded frame —
+    * a user's active days), and the final (cohort, week) aggregate is
+    * calendar-bounded. Floor-second epochs feed floor-day buckets on
+    * both engines. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("ts").cast(LongType) / 86400).cast(LongType).as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    userDays
+      .withColumn("cohort_day", min("day").over(w))
+      .withColumn("week_offset",
+        floor((col("day") - col("cohort_day")) / 7).cast(LongType))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct("user_id").cast(LongType).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  /** Hourly event-rate anomaly score: each (event_type, hour) bucket's
+    * count against the trailing 24 ACTIVE hours' mean and sample
+    * variance — the monitoring query that flags a traffic spike or
+    * outage without a model. Integer-exact formulation: the trailing
+    * frame contributes exact BIGINT `Σn` and `Σn²`, and mean/variance/z
+    * derive from them in a fixed double-op order (`s1/c`,
+    * `(s2 − s1·s1/c)/(c−1)`), so both engines compute bit-identical
+    * scores — windowed `stddev` builtins would tie parity to each
+    * engine's internal accumulation. Buckets with under 2 trailing
+    * hours, or zero trailing variance, carry NULL z. Scale shape: the
+    * corpus-sized work is ONE map-side-combined (type, hour) count; the
+    * windows run over the calendar-bounded hourly frame, partitioned by
+    * event_type with a 24-row bounded frame. */
+  def eventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("ts").cast(LongType) / 3600).cast(LongType).as("hour_bucket"))
+      .groupBy("event_type", "hour_bucket").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_bucket").rowsBetween(-24, -1)
+    hours
+      .withColumn("trailing_cnt", count(col("n")).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("trailing_mean",
+        when(col("trailing_cnt") >= 2, col("s1").cast(DoubleType) / col("trailing_cnt")))
+      .withColumn("varr",
+        when(col("trailing_cnt") >= 2,
+          (col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("s1") / col("trailing_cnt"))
+            / (col("trailing_cnt") - 1)))
+      .withColumn("z_score",
+        when(col("trailing_cnt") >= 2 && col("varr") > 0,
+          (col("n") - col("trailing_mean")) / sqrt(col("varr"))))
+      .select("event_type", "hour_bucket", "n", "trailing_cnt", "trailing_mean", "z_score")
+      .orderBy("event_type", "hour_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_funnel"        -> (eventFunnel _),
+    "q_event_funnel_strict" -> (eventFunnelStrict _),
+    "q_retention_cohorts"   -> (retentionCohorts _),
+    "q_event_anomaly"       -> (eventAnomaly _),
     "q_window_events"       -> (windowEvents _),
     "q_sessionize"          -> (sessionizeBatch _),
     "q_asof_join"           -> (asofJoin _),
@@ -129,6 +281,106 @@ object Extensions {
     "q_multimodal_features" -> (multimodalFeatures _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) sec FROM events),
+        |f AS (SELECT user_id,
+        |        MIN(CASE WHEN event_type = 'view' THEN sec END) t_view,
+        |        MIN(CASE WHEN event_type = 'click' THEN sec END) t_click,
+        |        MIN(CASE WHEN event_type = 'purchase' THEN sec END) t_purchase
+        |      FROM e GROUP BY user_id),
+        |c AS (SELECT
+        |        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) n1,
+        |        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+        |                      THEN 1 ELSE 0 END) AS BIGINT) n2,
+        |        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+        |                       AND t_purchase >= t_click
+        |                      THEN 1 ELSE 0 END) AS BIGINT) n3
+        |      FROM f)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) stage_idx, 'view' stage, n1 n_users,
+        |         CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END pct_of_first,
+        |         CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END pct_of_prev
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', n2,
+        |         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+        |         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', n3,
+        |         CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END,
+        |         CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END
+        |  FROM c)
+        |ORDER BY stage_idx""".stripMargin,
+    "q_event_funnel_strict" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) sec FROM events),
+        |v AS (SELECT user_id, MIN(sec) t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c2 AS (SELECT e.user_id, MIN(e.sec) t2 FROM e JOIN v USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.sec >= v.t1
+        |       GROUP BY e.user_id),
+        |p3 AS (SELECT e.user_id, MIN(e.sec) t3 FROM e JOIN c2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.sec >= c2.t2
+        |       GROUP BY e.user_id),
+        |c AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) n1,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) n2,
+        |             (SELECT CAST(COUNT(*) AS BIGINT) FROM p3) n3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) stage_idx, 'view' stage, n1 n_users,
+        |         CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END pct_of_first,
+        |         CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE) / n1 END pct_of_prev
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', n2,
+        |         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END,
+        |         CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE) / n1 END
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', n3,
+        |         CASE WHEN n1 > 0 THEN CAST(n3 AS DOUBLE) / n1 END,
+        |         CASE WHEN n2 > 0 THEN CAST(n3 AS DOUBLE) / n2 END
+        |  FROM c)
+        |ORDER BY stage_idx""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |                  CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) AS BIGINT) d
+        |           FROM events),
+        |ud AS (SELECT DISTINCT user_id, d FROM e),
+        |c AS (SELECT user_id, d,
+        |        MIN(d) OVER (PARTITION BY user_id) cohort_day FROM ud)
+        |SELECT cohort_day,
+        |       CAST(FLOOR((d - cohort_day) / 7) AS BIGINT) week_offset,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_day, week_offset""".stripMargin,
+    // mean/variance/z from exact BIGINT trailing sums in a fixed double-op
+    // order — NOT the engines' windowed stddev builtins, whose internal
+    // accumulation order is not a cross-engine contract
+    "q_event_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) AS BIGINT) hour_bucket
+        |           FROM events),
+        |h AS (SELECT event_type, hour_bucket, CAST(COUNT(*) AS BIGINT) n
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, hour_bucket, n,
+        |        CAST(COUNT(n) OVER w AS BIGINT) trailing_cnt,
+        |        CAST(SUM(n) OVER w AS BIGINT) s1,
+        |        CAST(SUM(n * n) OVER w AS BIGINT) s2
+        |      FROM h
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT event_type, hour_bucket, n, trailing_cnt,
+        |        CASE WHEN trailing_cnt >= 2
+        |             THEN CAST(s1 AS DOUBLE) / trailing_cnt END trailing_mean,
+        |        CASE WHEN trailing_cnt >= 2
+        |             THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / trailing_cnt)
+        |                  / (trailing_cnt - 1) END varr
+        |      FROM t)
+        |SELECT event_type, hour_bucket, n, trailing_cnt, trailing_mean,
+        |       CASE WHEN trailing_cnt >= 2 AND varr > 0
+        |            THEN (n - trailing_mean) / SQRT(varr) END z_score
+        |FROM v ORDER BY event_type, hour_bucket""".stripMargin,
     "q_window_events" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, COUNT(*) AS n,

@@ -1013,6 +1013,98 @@ object Pipeline {
         col("n_dupes").cast(DoubleType) / col("n_docs"))
       .orderBy("source")
 
+  /** Cross-source content-overlap matrix: for every pair of sources
+    * sharing at least one distinct word-5-gram, the shared-gram count
+    * and the Jaccard of the two sources' gram sets — the audit a
+    * curator reads to find sources that are partial mirrors of each
+    * other BEFORE mixing them (full-text digests miss near-mirrors;
+    * 5-gram sets catch them, the q_span_dedup granularity). Scale
+    * shape: one tokenization pass emits per-document-distinct grams
+    * (native ShingleText), grams collapse to 8-byte hashes before the
+    * per-source distinct, the self-join is an equi-join keyed on the
+    * 8-byte hash (never all pairs), and the result is bounded by
+    * sources² — per-source set sizes attach as broadcast joins. The
+    * distinct gram table feeds the sizes aggregate and both join sides,
+    * so it materializes once (the spanDupStats recipe). Spark compares
+    * hashes, the oracle literal gram text — counts coincide absent a
+    * 64-bit collision (the proven q_decontaminate argument). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sgRaw = sourceGrams(Tables.documents(spark, dir))
+    val sg = sgRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sourceOverlapFrom(sg).localCheckpoint()
+    finally sg.unpersist(blocking = false)
+  }
+
+  /** Per-source distinct 5-gram hash table feeding [[sourceOverlapFrom]]. */
+  private[queries] def sourceGrams(docs: DataFrame): DataFrame =
+    TA.ngramRows(docs.select("source", "text"), "text", "source",
+        n = 5, distinct = true)
+      .select(col("source"), xxhash64(col("gram")).as("h"))
+      .distinct()
+
+  /** The overlap matrix from the distinct (source, gram-hash) table —
+    * separated from the persist/checkpoint wrapper so PlanQualitySpec
+    * can assert the un-truncated plan (the qualityEnsembleSelected
+    * recipe). */
+  private[queries] def sourceOverlapFrom(sg: DataFrame): DataFrame = {
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sg.as("a").join(sg.as("b"), Seq("h"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Top-k corpus vocabulary the OOV audit measures coverage against —
+    * small on purpose (the synthetic corpus has ~50 distinct words, so
+    * 25 leaves a measurable out-of-vocabulary tail; a production run
+    * would pass the tokenizer's real vocab size). */
+  private[queries] val OovVocabSize = 25
+
+  /** Per-document out-of-vocabulary rate against the corpus top-k
+    * vocabulary — the tokenizer-coverage audit run before committing to
+    * a vocab size: documents with a high OOV rate will fragment into
+    * byte-fallback tokens and inflate sequence lengths. Scale shape:
+    * the vocabulary is a map-side-combined word count followed by a
+    * partial top-k (`TakeOrderedAndProject`, the q_bm25_topk shape —
+    * never a global sort), deterministic under the (count DESC, token
+    * ASC) tie-break; it then BROADCASTS onto the token stream, so the
+    * probe pass adds no shuffle beyond the final per-doc aggregate. At
+    * 100 TB the vocab would be trained once and persisted (the BPE
+    * artifact protocol); the two corpus scans here keep the query
+    * self-contained. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(OovVocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast(DoubleType) / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document 3-gram novelty ([[TA.gramNovelty]]): the fraction of
+    * a document's distinct grams first introduced by it — the
+    * incremental-crawl signal for "does this document add anything".
+    * Documents under 3 tokens carry no grams and are absent, matching
+    * the oracle's empty UNNEST. */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame =
+    TA.gramNovelty(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.samplePerGroup(
@@ -2199,6 +2291,9 @@ object Pipeline {
     "q_hybrid_rrf"       -> (hybridRrf _),
     "q_unimax_alloc"     -> (unimaxAlloc _),
     "q_dedup_stats"      -> (dedupStats _),
+    "q_source_overlap"   -> (sourceOverlap _),
+    "q_oov_rate"         -> (oovRate _),
+    "q_gram_novelty"     -> (gramNovelty _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_funnel"  -> (curationFunnel _),
     "q_dedup_weights"    -> (dedupWeights _),
@@ -3031,6 +3126,46 @@ object Pipeline {
         |       CAST(COUNT(*) - COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS BIGINT) AS n_dupes,
         |       CAST(COUNT(*) - COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Spark joins on xxhash64 of the gram, the oracle on literal gram
+    // text — counts coincide absent a 64-bit collision (the proven
+    // q_decontaminate argument). Jaccard divides the same three exact
+    // integers in the same order on both engines.
+    "q_source_overlap" ->
+      """WITH arr AS (SELECT source, STRING_SPLIT(text, ' ') a FROM documents),
+        |g0 AS (SELECT source, UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-4, 0)),
+        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4] || ' ' || a[i+5])) s
+        |       FROM arr),
+        |g AS (SELECT DISTINCT source, s FROM g0),
+        |sz AS (SELECT source, COUNT(*) n FROM g GROUP BY source),
+        |p AS (SELECT a.source sa, b.source sb, COUNT(*) ns
+        |      FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.sa AS source_a, p.sb AS source_b,
+        |       CAST(p.ns AS BIGINT) AS n_shared,
+        |       CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+        |       CAST(p.ns AS DOUBLE) / (x.n + y.n - p.ns) AS jaccard
+        |FROM p JOIN sz x ON x.source = p.sa JOIN sz y ON y.source = p.sb
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) tok FROM documents),
+         |cnt AS (SELECT tok, COUNT(*) c FROM toks GROUP BY tok),
+         |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT $OovVocabSize)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "q_gram_novelty" ->
+      """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+        |g0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3])) s
+        |       FROM arr),
+        |g AS (SELECT DISTINCT doc_id, s FROM g0),
+        |f AS (SELECT s, MIN(doc_id) first_owner FROM g GROUP BY s)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN f.first_owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN f.first_owner = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+        |FROM g JOIN f USING (s) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     // Gopher rules: every signal is per-row arithmetic over exact
     // integers (mean word length = (LENGTH − separators)/n, both
     // code-point counts on both engines), so booleans and ratios are

@@ -235,6 +235,41 @@ object StreamOps {
       .drop("__hits")
   }
 
+  /** Streaming n-gram novelty gate — the ingest deployment of
+    * [[graft.operators.TextAnalysis.gramNovelty]]: admit a document
+    * only when at least `minNovelty` of its DISTINCT n-grams are NOT
+    * already in the indexed corpus, "the corpus" being the compact
+    * Bloom bitset built batch-side over its gram hashes
+    * ([[graft.operators.Dedup.benchmarkBloom]] pointed at the corpus —
+    * a few cache-resident MB at any corpus size, carried in the plan
+    * like the other gates' sets). Per row: one native shingle-hash
+    * pass, an in-row distinct, one bitset probe per gram — stateless,
+    * shuffle-free, append-mode-safe. Semantics are CONSERVATIVE toward
+    * rejection: a Bloom false positive makes a genuinely new gram read
+    * as seen, so measured novelty UNDER-estimates by ~fpp and a
+    * borderline document may drop — the right trade for an admission
+    * gate (an admitted duplicate costs training mass; a lost borderline
+    * doc is cheap). Documents with fewer than n tokens carry no grams
+    * and drop at any positive threshold (novelty 0 — nothing new by
+    * construction). Emits `n_grams` / `n_novel` / `novelty` alongside
+    * the kept rows; batch and stream evaluate the identical expression,
+    * so the stream's kept set equals the batch filter's row for row. */
+  def noveltyGate(docs: DataFrame, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int, minNovelty: Double): DataFrame = {
+    val grams = array_distinct(
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+    val novel = size(filter(grams,
+      h => !graft.functions.BloomMightContain.mightContain(h, bloom)))
+    docs
+      .withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("n_novel", novel.cast("long"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_novel").cast("double") / col("n_grams")))
+      .filter(col("novelty") >= minNovelty)
+  }
+
   /** Streaming LM-quality gate — the CCNet-family perplexity filter as
     * an ingest stage: score each document's bigrams against a
     * batch-trained [[graft.functions.BigramLmModel]]

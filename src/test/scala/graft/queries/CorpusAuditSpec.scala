@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TextAnalysis => TA}
+
+/** Brute-force parity for the round-13 corpus-audit operators: n-gram
+  * novelty, cross-source overlap, OOV-rate, and the event funnel. Each
+  * distributed result is recomputed with plain Scala collections on the
+  * driver from the SAME input rows, so a wrong shuffle/join shape cannot
+  * agree by accident. */
+class CorpusAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("gramNovelty: hand-checked attribution on crafted docs") {
+    val d = docs(
+      1L -> "a b c d",   // grams: "a b c", "b c d" — both novel (first doc)
+      2L -> "a b c x",   // "a b c" seen (doc 1), "b c x" novel
+      3L -> "a b c d",   // both grams seen
+      4L -> "q r")       // < 3 tokens: absent
+    val out = TA.gramNovelty(d, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0)))
+  }
+
+  test("gramNovelty: within-doc repeats count once, conservation holds") {
+    val d = docs(
+      1L -> "a b c a b c a b c", // distinct grams: a b c / b c a / c a b
+      2L -> "a b c z z z")       // "a b c" seen; "b c z", "c z z", "z z z" novel
+    val out = TA.gramNovelty(d, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 3L, 3L), (2L, 4L, 3L)))
+    // conservation: every distinct gram in the corpus is novel exactly once
+    val totalDistinct = d.select(explode(
+        graft.functions.ShingleText.shingleText(col("text"), 3, distinct = true)))
+      .distinct().count()
+    assert(out.map(_._3).sum == totalDistinct)
+  }
+
+  test("q_gram_novelty equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.gramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val raw = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = raw.map { case (id, t) =>
+      val a = t.split(" ", -1)
+      id -> a.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val firstOwner = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val expected = grams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val novel = gs.count(g => firstOwner(g) == id)
+      (id, gs.size.toLong, novel.toLong, novel.toDouble / gs.size)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+  }
+
+  test("q_source_overlap equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val raw = graft.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = raw.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap { case (_, t) =>
+        val a = t.split(" ", -1)
+        a.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+      }.toSet
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = for {
+      a <- srcs; b <- srcs if a < b
+      inter = (bySrc(a) & bySrc(b)).size if inter > 0
+    } yield (a, b, inter.toLong, bySrc(a).size.toLong, bySrc(b).size.toLong,
+      inter.toDouble / (bySrc(a).size + bySrc(b).size - inter))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) ==
+      expected.sortBy(t => (t._1, t._2)))
+    got.foreach { t => assert(t._6 > 0.0 && t._6 <= 1.0) }
+  }
+
+  test("q_oov_rate equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.oovRate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val raw = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val counts = raw.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(Pipeline.OovVocabSize).map(_._1).toSet
+    val expected = raw.map { case (id, toks) =>
+      val oov = toks.count(!vocab(_))
+      (id, toks.size.toLong, oov.toLong, oov.toDouble / toks.size)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("q_event_funnel equals the driver-side brute force on sf0.001") {
+    val got = Extensions.eventFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstOf(xs: Array[(Long, String, Long)], t: String): Option[Long] = {
+      val ts = xs.collect { case (_, `t`, s) => s }
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    byUser.values.foreach { xs =>
+      val v = firstOf(xs, "view"); val c = firstOf(xs, "click")
+      val p = firstOf(xs, "purchase")
+      if (v.isDefined) {
+        n1 += 1
+        if (c.isDefined && c.get >= v.get) {
+          n2 += 1
+          if (p.isDefined && p.get >= c.get) n3 += 1
+        }
+      }
+    }
+    assert(got.toSeq == Seq(
+      (1L, "view", n1, 1.0, 1.0),
+      (2L, "click", n2, n2.toDouble / n1, n2.toDouble / n1),
+      (3L, "purchase", n3, n3.toDouble / n1, n3.toDouble / n2)))
+    // funnel counts are monotone non-increasing by construction
+    assert(n1 >= n2 && n2 >= n3 && n3 >= 0)
+  }
+
+  test("q_event_funnel_strict equals the brute force; stage counts ≥ first-touch") {
+    val got = Extensions.eventFunnelStrict(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    var n1 = 0L; var n2 = 0L; var n3 = 0L
+    ev.groupBy(_._1).values.foreach { xs =>
+      val views = xs.collect { case (_, "view", s) => s }
+      if (views.nonEmpty) {
+        n1 += 1
+        val t1 = views.min
+        val clicks = xs.collect { case (_, "click", s) if s >= t1 => s }
+        if (clicks.nonEmpty) {
+          n2 += 1
+          val t2 = clicks.min
+          if (xs.exists { case (_, t, s) => t == "purchase" && s >= t2 }) n3 += 1
+        }
+      }
+    }
+    assert(got.toSeq == Seq(
+      (1L, "view", n1, 1.0, 1.0),
+      (2L, "click", n2, n2.toDouble / n1, n2.toDouble / n1),
+      (3L, "purchase", n3, n3.toDouble / n1, n3.toDouble / n2)))
+    // strict sequencing can only ADD users vs the first-touch ordering
+    // (a first click before the first view no longer disqualifies), and
+    // both funnels share stage-1
+    val ft = Extensions.eventFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n1 == ft(1L))
+    assert(n2 >= ft(2L) && n3 >= ft(3L))
+  }
+
+  test("q_retention_cohorts equals the driver-side brute force on sf0.001") {
+    val got = Extensions.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L))
+    val userDays = ev.distinct
+    val cohort = userDays.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val expected = userDays
+      .map { case (u, d) => (cohort(u), (d - cohort(u)) / 7L, u) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((c, w), xs) => (c, w, xs.map(_._3).distinct.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected)
+    // week 0 exists for every cohort and is its largest week
+    expected.groupBy(_._1).foreach { case (_, rows) =>
+      val byWeek = rows.map(r => r._2 -> r._3).toMap
+      assert(byWeek.contains(0L))
+      assert(byWeek.values.max == byWeek(0L))
+    }
+  }
+
+  test("q_event_anomaly equals the driver-side brute force on sf0.001") {
+    val got = Extensions.eventAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600L))
+    val expected = ev.groupBy(identity).map { case ((t, h), xs) => (t, h, xs.length.toLong) }
+      .toSeq.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.zipWithIndex.map { case ((_, h, n), i) =>
+          val frame = sorted.slice(math.max(0, i - 24), i).map(_._3)
+          val c = frame.length.toLong
+          if (c >= 2) {
+            val s1 = frame.sum
+            val s2 = frame.map(x => x * x).sum
+            val mean = s1.toDouble / c
+            val varr = (s2.toDouble - s1.toDouble * s1 / c) / (c - 1)
+            val z = if (varr > 0) Some((n - mean) / math.sqrt(varr)) else None
+            (t, h, n, c, Some(mean), z)
+          } else (t, h, n, c, None, None)
+        }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expected)
+  }
+}

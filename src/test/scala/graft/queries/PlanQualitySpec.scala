@@ -801,6 +801,47 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_oov_rate: vocab is a partial top-k that broadcasts onto the token stream") {
+    val plan = planOf(Pipeline.queries("q_oov_rate")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut must be the partial top-k, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab must broadcast onto the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no shuffle join for a ${Pipeline.OovVocabSize}-row vocab:\n$plan")
+  }
+
+  test("source overlap: hash equi-join on the gram table, never a cartesian") {
+    // the declared query localCheckpoints (truncating its observable
+    // plan); assert on the un-checkpointed matrix plan directly
+    val sg = Pipeline.sourceGrams(graft.Tables.documents(spark, dir))
+    val plan = planOf(Pipeline.sourceOverlapFrom(sg))
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"source pairs must come from the gram-hash equi-join, not all pairs:\n$plan")
+    assert(!plan.contains("Window"), s"no windows in the overlap matrix:\n$plan")
+  }
+
+  test("q_event_funnel: one user-keyed aggregate, no windows, no joins") {
+    val plan = planOf(Extensions.queries("q_event_funnel")(spark, dir))
+    assert(!plan.contains("Window"),
+      s"the funnel is conditional aggregation, never a window:\n$plan")
+    assert(!plan.contains("Join"), s"no joins in the funnel:\n$plan")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("events"))
+    assert(scans == 1, s"funnel must scan events once, saw $scans:\n$plan")
+  }
+
+  test("q_gram_novelty: gram hashes shuffle, gram text never does") {
+    val plan = planOf(graft.operators.TextAnalysis.gramNovelty(
+      graft.Tables.documents(spark, dir).select("doc_id", "text"),
+      "text", "doc_id", n = 3, materialize = false))
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"first-owner attribution must be a hash equi-join:\n$plan")
+    assert(!plan.contains("Window"), s"no windows in novelty:\n$plan")
+  }
+
   private def collectWindows(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -965,6 +965,47 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyGate: corpus-bloom admission filter, stream equals batch, exact counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h i j")).toDF("doc_id", "text")
+    // tiny fpp: on this gram count the bitset is collision-free, so the
+    // measured novelty is EXACT and the assertions are deterministic
+    val bloom = graft.operators.Dedup.benchmarkBloom(
+      corpus, "text", "doc_id", n = 3, fpp = 1e-4)
+
+    val streamDocs = Seq(
+      (10L, "a b c d"),     // grams {abc,bcd} both indexed → novelty 0
+      (11L, "a b c x y"),   // {abc seen, bcx, cxy novel} → 2/3
+      (12L, "z z z z"),     // one distinct gram, novel → 1.0
+      (13L, "ti ny"))       // < 3 tokens: no grams → novelty 0, drops
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamOps.noveltyGate(
+      input.toDF.toDF("doc_id", "text"), "text", bloom, n = 3, minNovelty = 0.5)
+    val q = gated.select("doc_id", "n_grams", "n_novel", "novelty")
+      .writeStream.format("memory").queryName("novelty_gate_out")
+      .outputMode("append").start()
+    input.addData(streamDocs: _*)
+    q.processAllAvailable(); q.stop()
+
+    val kept = spark.table("novelty_gate_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(kept.keySet == Set(11L, 12L), s"kept: $kept")
+    assert(kept(11L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(kept(12L) == ((1L, 1L, 1.0)))
+    assert(q.lastProgress.stateOperators.isEmpty, "stateless narrow gate")
+
+    // batch parity: the same expression on the same rows keeps the same set
+    val batchKept = StreamOps.noveltyGate(
+        streamDocs.toDF("doc_id", "text"), "text", bloom, n = 3, minNovelty = 0.5)
+      .select("doc_id", "n_grams", "n_novel", "novelty").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(batchKept == kept, "stream kept set == batch kept set, value-exact")
+  }
+
   test("spanDupGate: an empty dup-span set (clean corpus) gates everything through") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
