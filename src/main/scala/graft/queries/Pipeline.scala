@@ -1020,37 +1020,55 @@ object Pipeline {
     * other BEFORE mixing them (full-text digests miss near-mirrors;
     * 5-gram sets catch them, the q_span_dedup granularity). Scale
     * shape: one tokenization pass emits per-document-distinct grams
-    * (native ShingleText), grams collapse to 8-byte hashes before the
-    * per-source distinct, the self-join is an equi-join keyed on the
-    * 8-byte hash (never all pairs), and the result is bounded by
-    * sources² — per-source set sizes attach as broadcast joins. The
-    * distinct gram table feeds the sizes aggregate and both join sides,
-    * so it materializes once (the spanDupStats recipe). Spark compares
+    * (native ShingleText), grams collapse to 8-byte hashes, and ONE
+    * map-side-combined shuffle on the hash builds a per-gram sorted
+    * source set; ordered pairs explode in-row from each set (bounded by
+    * sources-per-gram², the same bound the sources² output assumes) and
+    * per-source set sizes fall out of the same table — no gram-table
+    * self-join, no second corpus pass; sizes attach as broadcast joins.
+    * The per-gram table feeds the sizes and pair aggregates, so it
+    * materializes once (the spanDupStats recipe). Spark compares
     * hashes, the oracle literal gram text — counts coincide absent a
     * 64-bit collision (the proven q_decontaminate argument). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sgRaw = sourceGrams(Tables.documents(spark, dir))
-    val sg = sgRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try sourceOverlapFrom(sg).localCheckpoint()
-    finally sg.unpersist(blocking = false)
+    val gsRaw = sourceGrams(Tables.documents(spark, dir))
+    val gs = gsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sourceOverlapFrom(gs).localCheckpoint()
+    finally gs.unpersist(blocking = false)
   }
 
-  /** Per-source distinct 5-gram hash table feeding [[sourceOverlapFrom]]. */
+  /** Per-gram source-set table feeding [[sourceOverlapFrom]]: one row
+    * per distinct 5-gram hash with the SORTED set of sources containing
+    * it. collect_set partially aggregates map-side, so the single
+    * shuffle moves (8-byte hash, partial source set) — never a
+    * two-sided self-join of the gram table (the formulation this
+    * replaced shuffled the distinct gram table twice more). Set size is
+    * bounded by the source cardinality — the same bound the sources²
+    * output already assumes. */
   private[queries] def sourceGrams(docs: DataFrame): DataFrame =
     TA.ngramRows(docs.select("source", "text"), "text", "source",
         n = 5, distinct = true)
       .select(col("source"), xxhash64(col("gram")).as("h"))
-      .distinct()
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("srcs"))
 
-  /** The overlap matrix from the distinct (source, gram-hash) table —
-    * separated from the persist/checkpoint wrapper so PlanQualitySpec
-    * can assert the un-truncated plan (the qualityEnsembleSelected
-    * recipe). */
-  private[queries] def sourceOverlapFrom(sg: DataFrame): DataFrame = {
-    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = sg.as("a").join(sg.as("b"), Seq("h"))
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+  /** The overlap matrix from the per-gram source-set table — separated
+    * from the persist/checkpoint wrapper so PlanQualitySpec can assert
+    * the un-truncated plan (the qualityEnsembleSelected recipe).
+    * Ordered (a < b) source pairs explode IN-ROW from each sorted set
+    * (sources-per-gram² per row, bounded); per-source distinct-gram
+    * counts fall out of the same table by exploding set members — no
+    * second corpus pass, no join bigger than the broadcast size
+    * attach. */
+  private[queries] def sourceOverlapFrom(gramSources: DataFrame): DataFrame = {
+    val sizes = gramSources
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairArr = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))), y =>
+        struct(x.as("source_a"), y.as("source_b")))))
+    val pairs = gramSources
+      .select(explode(pairArr).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), Seq("source_a"))
@@ -1104,6 +1122,34 @@ object Pipeline {
         Tables.documents(spark, dir).select("doc_id", "text"),
         "text", "doc_id", n = 3)
       .orderBy("doc_id")
+
+  /** Per-label embedding centroids, one row per (label, dimension) — the
+    * class-prototype table probing/classification and drift monitoring
+    * read (cosine-to-centroid is the cheapest label sanity check, and
+    * [[graft.operators.Ivf]] consumes exactly this shape as seed
+    * centroids). ORDER-INVARIANT exactness by the repo's fixed-point
+    * doctrine (dsir/CharEntropy): each float component widens to double
+    * (exact) and floor-quantizes to a 1e-6 fixed-point BIGINT — one
+    * identical IEEE multiply + floor on both engines, no rounding-mode
+    * ties (a DECIMAL cast hits half-up-vs-half-even disagreements on
+    * the rare float that lands exactly on a scale boundary) — so the
+    * per-group sum is the same integer under ANY partitioning or
+    * aggregation order. The mean is then two fixed-order IEEE
+    * divisions; centroids are 1e-6-quantized, far inside any embedding
+    * model's noise floor. Scale shape: the (vector × dim) explode feeds
+    * ONE map-side-combined aggregate keyed (label, dim) — partials
+    * collapse to labels×dims rows per partition before the shuffle, and
+    * the output is labels×dims. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)).as("s_fx"))
+      .select(col("label"), col("dim").cast(LongType).as("dim"),
+        col("n_vecs"),
+        (col("s_fx").cast(DoubleType) / col("n_vecs") / lit(1e6)).as("centroid"))
+      .orderBy("label", "dim")
 
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
@@ -2294,6 +2340,7 @@ object Pipeline {
     "q_source_overlap"   -> (sourceOverlap _),
     "q_oov_rate"         -> (oovRate _),
     "q_gram_novelty"     -> (gramNovelty _),
+    "q_label_centroids"  -> (labelCentroids _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_funnel"  -> (curationFunnel _),
     "q_dedup_weights"    -> (dedupWeights _),
@@ -3155,6 +3202,19 @@ object Pipeline {
          |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
          |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // float → double (exact) → FLOOR(v·1e6) fixed-point BIGINT before
+    // summing on both engines: the group sum is an exact integer,
+    // order-invariant and free of decimal rounding-mode ties
+    "q_label_centroids" ->
+      """WITH x AS (SELECT label,
+        |             UNNEST(RANGE(LEN(embedding))) dim,
+        |             UNNEST(embedding) v
+        |           FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) dim,
+        |       CAST(COUNT(*) AS BIGINT) n_vecs,
+        |       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+        |         / COUNT(*) / 1e6 AS centroid
+        |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "q_gram_novelty" ->
       """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
         |g0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),

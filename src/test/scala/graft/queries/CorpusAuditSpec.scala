@@ -230,4 +230,36 @@ class CorpusAuditSpec extends AnyFunSuite {
       }.sortBy(r => (r._1, r._2))
     assert(got.toSeq == expected)
   }
+
+  test("q_label_centroids: fixed-point sums are exact and partitioning-invariant") {
+    val got = Pipeline.labelCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force over the same rows with the same fixed-point quantization
+    val raw = graft.Tables.embeddings(spark, dir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val expected = raw.flatMap { case (l, vec) =>
+      vec.zipWithIndex.map { case (v, d) => ((l, d.toLong), v) }
+    }.groupBy(_._1).map { case ((l, d), xs) =>
+      val s = xs.map(x => math.floor(x._2.toDouble * 1e6).toLong).sum
+      (l, d, xs.length.toLong, s.toDouble / xs.length / 1e6)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    // exact: the sums are integers and the two divisions run in the
+    // identical IEEE order on both sides
+    assert(got.toSeq == expected)
+    // partitioning invariance: the integer sums make the result bit-equal
+    // under a different physical layout
+    val got2 = Pipeline.labelCentroids(spark, dir)
+    assert(got2.count() == 10 * 64)
+    val reOrdered = graft.Tables.embeddings(spark, dir).repartition(7)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast("double") * lit(1e6)).cast("long")).as("s_fx"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
+        (col("s_fx").cast("double") / col("n_vecs") / lit(1e6)).as("centroid"))
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == reOrdered.toSeq, "bit-equal under repartitioning")
+  }
 }

@@ -811,14 +811,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no shuffle join for a ${Pipeline.OovVocabSize}-row vocab:\n$plan")
   }
 
-  test("source overlap: hash equi-join on the gram table, never a cartesian") {
+  test("source overlap: pairs explode from per-gram source sets — no gram self-join") {
     // the declared query localCheckpoints (truncating its observable
     // plan); assert on the un-checkpointed matrix plan directly
-    val sg = Pipeline.sourceGrams(graft.Tables.documents(spark, dir))
-    val plan = planOf(Pipeline.sourceOverlapFrom(sg))
+    val gs = Pipeline.sourceGrams(graft.Tables.documents(spark, dir))
+    val plan = planOf(Pipeline.sourceOverlapFrom(gs))
     assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"),
-      s"source pairs must come from the gram-hash equi-join, not all pairs:\n$plan")
+        !plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the only joins are the broadcast size attaches:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source sizes must attach by broadcast:\n$plan")
+    assert(plan.contains("Generate"),
+      s"pairs must explode in-row from the source sets:\n$plan")
     assert(!plan.contains("Window"), s"no windows in the overlap matrix:\n$plan")
   }
 
