@@ -384,6 +384,39 @@ object Pipeline {
         Tables.documents(spark, dir), "text", "doc_id", nShards = 16)
       .orderBy("shard")
 
+  /** Shard-balance audit over the [[shardManifest]] — the straggler
+    * predictor a publish step checks before a training run: with one
+    * writer (and later one data-loader worker) per shard, wall-clock is
+    * the MAX shard, so `skew_ratio` (max/mean tokens) IS the fraction of
+    * the fleet that idles, and `cv` (stddev/mean) says whether the hash
+    * assignment is balanced or needs more shards. One aggregate over the
+    * 16-row manifest; Σx² rides DECIMAL(38,0) (oracle HUGEINT) because
+    * squared per-shard token counts overflow a Long at 100 TB. The
+    * derived doubles run one fixed IEEE op order on both engines, with
+    * the variance clamped at 0 before sqrt (a rounding-mode −0 must not
+    * NaN the report). */
+  def shardSkew(spark: SparkSession, dir: String): DataFrame = {
+    val nd = col("n_shards").cast(DoubleType)
+    val totd = col("total_tokens").cast(DoubleType)
+    val m = totd / nd
+    val ex2 = col("s2").cast(DoubleType) / nd
+    graft.operators.Sharding.shardManifest(
+        Tables.documents(spark, dir), "text", "doc_id", nShards = 16)
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        sum(col("n_tokens").cast(DecimalType(38, 0))
+          * col("n_tokens").cast(DecimalType(38, 0))).as("s2"))
+      .select(col("n_shards"), col("total_tokens"), col("max_tokens"),
+        col("min_tokens"),
+        m.as("avg_tokens"),
+        when(col("total_tokens") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("max_tokens").cast(DoubleType) / m).as("skew_ratio"),
+        when(col("total_tokens") === 0, lit(null).cast(DoubleType))
+          .otherwise(sqrt(greatest(ex2 - m * m, lit(0.0))) / m).as("cv"))
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashAgg(Tables.documents(spark, dir), "text", "doc_id")
       .withColumnRenamed("doc", "doc_id")
@@ -580,6 +613,58 @@ object Pipeline {
     Similarity.lshTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
         nQueries = 50, k = 5, planes = 4, tables = 16, dims = 64)
       .orderBy("qid", "rank")
+
+  /** IVF index self-audit: recall@k of the probed-cluster serving path
+    * ([[Ivf.topKWith]] over the SHARED persisted centroids — the exact
+    * shortlist shape q_similarity_ivf serves) against the exhaustive
+    * exact top-k for the same sampled queries. This is THE index-tuning
+    * metric — nlist/nprobe trade recall for scan fraction, and a
+    * deployment publishes this table before trusting the index. The
+    * exact side is necessarily a brute-force pass, so it runs over the
+    * SAMPLED query set only (the documented broadcast-baseline shape:
+    * queries broadcast, the corpus streams once, per-query top-k); at
+    * 100 TB the sample stays fixed while the corpus side is one linear
+    * scan — the audit's irreducible cost. Both sides score with the
+    * same native cosine and the same (sim DESC, cid ASC) tie-break, so
+    * the per-query hit count — and recall exactly n_hits/k — is
+    * deterministic. No SQL oracle (the probe path needs the trained
+    * centroid artifact); the driver records rows+schema, and
+    * PlantedRecallSpec pins recall == 1.0 when every cluster is probed
+    * plus the planted-structure floors at the served nprobe. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    ivfRecallWith(b, sharedCentroids(b, dir), IvfNq, IvfK, IvfNprobe)
+  }
+
+  /** [[ivfRecall]] against caller-supplied centroids/config — the form
+    * PlantedRecallSpec drives with planted structure. */
+  private[graft] def ivfRecallWith(b: DataFrame, cents: Seq[Seq[Double]],
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.VectorOps
+    val approx = Ivf.topKWith(b, cents, nQueries, k, nprobe)
+      .select(col("qid"), col("cid"))
+    val queries = broadcast(b.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("raw").as("qvec")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val exact = b.select(col("id").as("cid"), col("raw").as("cvec"))
+      .crossJoin(queries)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("qid", "cid")
+    val hits = exact.join(broadcast(approx), Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+          / col("n_exact").cast(DoubleType)).as("recall"))
+      .orderBy("qid")
+  }
 
   // IVF configuration shared by the query, the SemDeDup query, and the
   // generated oracle SQL — one source of truth for the constants.
@@ -1150,6 +1235,88 @@ object Pipeline {
         col("n_vecs"),
         (col("s_fx").cast(DoubleType) / col("n_vecs") / lit(1e6)).as("centroid"))
       .orderBy("label", "dim")
+
+  /** Per-DIMENSION embedding moments (mean + population variance), the
+    * whitening / feature-scaling statistics an ANN pipeline trains
+    * before building an index (a dimension with 10× the variance of the
+    * rest dominates every L2 distance; whitening divides it out) and
+    * the drift monitor that catches an embedding-model swap. Same
+    * fixed-point doctrine as [[labelCentroids]]: components widen to
+    * double (exact) and floor-quantize to 1e-6 BIGINTs, so Σq and Σq²
+    * are exact integers, order- and partitioning-invariant; both sums
+    * ride DECIMAL(38,0) (the oracle's HUGEINT) because at 10¹²-row
+    * scale Σq² overflows a Long. The mean/variance doubles then come
+    * from one fixed IEEE op order on both engines. Scale shape: the
+    * (vector × dim) explode feeds ONE map-side-combined aggregate keyed
+    * by dim — partials collapse to `dims` rows per partition before the
+    * shuffle; output is `dims` rows. */
+  def embeddingMoments(spark: SparkSession, dir: String): DataFrame = {
+    val nd = col("n_vecs").cast(DoubleType)
+    val mq = col("s1").cast(DoubleType) / nd // mean in fixed-point units
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"),
+        floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType).as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q").cast(DecimalType(38, 0))).as("s1"),
+        sum(col("q").cast(DecimalType(38, 0))
+          * col("q").cast(DecimalType(38, 0))).as("s2"))
+      .select(col("dim").cast(LongType).as("dim"), col("n_vecs"),
+        (mq / lit(1e6)).as("mean"),
+        ((col("s2").cast(DoubleType) / nd - mq * mq) / lit(1e12)).as("variance"))
+      .orderBy("dim")
+  }
+
+  /** Token-length histogram per language in power-of-two buckets — the
+    * context-length planning report (what fraction of each language's
+    * documents fit in a 1k/4k/8k window, what the packing block size
+    * should be, where truncation starts to bite). Bucket = the largest
+    * power of two ≤ the whitespace token count, assigned by an exact
+    * integer CASE chain on BOTH engines (never floor(log2(n)) — log2 of
+    * an exact power of two is not reliably exact in floating point).
+    * Scale shape: per-row projection + ONE map-side-combined aggregate
+    * keyed (lang, bucket) — partials collapse to langs×buckets rows per
+    * partition; the share window runs over that tiny post-agg frame,
+    * partitioned by lang. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val bucket = LengthBuckets.foldLeft(lit(1L)) { (acc, b) =>
+      when(n >= b, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), bucket.as("bucket_lo"))
+      .groupBy("lang", "bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w).cast(DoubleType))
+      .orderBy("lang", "bucket_lo")
+  }
+
+  /** Power-of-two bucket floors shared by [[lengthHistogram]] and its
+    * generated oracle SQL — ascending so the fold's last-match-wins
+    * nesting picks the LARGEST floor ≤ n. */
+  private val LengthBuckets: Seq[Long] =
+    (1 to 13).map(p => 1L << p) // 2 .. 8192
+
+  /** q_length_histogram oracle generated from [[LengthBuckets]] — the
+    * same exact-integer bucket assignment as a descending CASE chain. */
+  private def lengthHistogramSql: String = {
+    val cases = LengthBuckets.reverse
+      .map(b => s"WHEN LEN(STRING_SPLIT(text, ' ')) >= $b THEN $b")
+      .mkString("\n              ")
+    s"""WITH b AS (SELECT lang,
+       |             CAST(CASE $cases
+       |              ELSE 1 END AS BIGINT) AS bucket_lo
+       |           FROM documents),
+       |h AS (SELECT lang, bucket_lo, CAST(COUNT(*) AS BIGINT) n_docs
+       |      FROM b GROUP BY 1, 2)
+       |SELECT lang, bucket_lo, n_docs,
+       |       CAST(n_docs AS DOUBLE)
+       |         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share
+       |FROM h ORDER BY lang, bucket_lo""".stripMargin
+  }
 
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
@@ -2341,6 +2508,10 @@ object Pipeline {
     "q_oov_rate"         -> (oovRate _),
     "q_gram_novelty"     -> (gramNovelty _),
     "q_label_centroids"  -> (labelCentroids _),
+    "q_embedding_moments" -> (embeddingMoments _),
+    "q_length_histogram" -> (lengthHistogram _),
+    "q_shard_skew"       -> (shardSkew _),
+    "q_ivf_recall"       -> (ivfRecall _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_funnel"  -> (curationFunnel _),
     "q_dedup_weights"    -> (dedupWeights _),
@@ -3215,6 +3386,44 @@ object Pipeline {
         |       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
         |         / COUNT(*) / 1e6 AS centroid
         |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // same 1e-6 fixed-point doctrine: Σq and Σq² are exact integers
+    // (HUGEINT here, DECIMAL(38,0) on the Spark side), the mean/variance
+    // doubles come from one shared IEEE op order
+    "q_embedding_moments" ->
+      """WITH x AS (SELECT UNNEST(RANGE(LEN(embedding))) dim,
+        |                  UNNEST(embedding) v
+        |           FROM embeddings),
+        |q AS (SELECT dim, CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) q FROM x)
+        |SELECT CAST(dim AS BIGINT) dim, CAST(COUNT(*) AS BIGINT) n_vecs,
+        |       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean,
+        |       (CAST(SUM(q * q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         - (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |           * (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) / 1e12
+        |         AS variance
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_length_histogram" -> lengthHistogramSql,
+    "q_shard_skew" ->
+      """WITH m AS (SELECT ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+        |                  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY shard),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) n_shards,
+        |             CAST(SUM(n_tokens) AS BIGINT) total_tokens,
+        |             MAX(n_tokens) max_tokens, MIN(n_tokens) min_tokens,
+        |             SUM(n_tokens * n_tokens) s2
+        |      FROM m)
+        |SELECT n_shards, total_tokens, max_tokens, min_tokens,
+        |       CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE) AS avg_tokens,
+        |       CASE WHEN total_tokens = 0 THEN NULL
+        |            ELSE CAST(max_tokens AS DOUBLE)
+        |                 / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)) END
+        |         AS skew_ratio,
+        |       CASE WHEN total_tokens = 0 THEN NULL
+        |            ELSE SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(n_shards AS DOUBLE)
+        |                   - (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE))
+        |                     * (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)), 0.0))
+        |                 / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)) END
+        |         AS cv
+        |FROM a""".stripMargin,
     "q_gram_novelty" ->
       """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
         |g0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),

@@ -161,4 +161,42 @@ class PlantedRecallSpec extends AnyFunSuite {
     assert(hit >= 0.9, s"planted-dup hit rate = $hit")
     assert(rec >= 0.7, s"recall@5 = $rec")
   }
+
+  test("ivfRecall audit: probing every cluster reports recall exactly 1.0") {
+    // q_ivf_recall's own correctness contract: with nprobe = nlist the
+    // probed candidate set IS the whole corpus (minus self), both sides
+    // score the same native cosine with the same (sim desc, cid asc)
+    // tie-break, so the audit must report n_hits == n_exact == k and
+    // recall == 1.0 for EVERY query — any other number is a bug in the
+    // audit itself, not in the index.
+    val b = Ivf.base(planted, "vec_id", "embedding")
+    val cents = Ivf.centroids(b, nlist = Clusters, iters = 2)
+    val rows = graft.queries.Pipeline
+      .ivfRecallWith(b, cents, NQueries, K, nprobe = Clusters)
+      .collect()
+    assert(rows.length == NQueries)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_exact")) == K.toLong, s"row $r")
+      assert(r.getLong(r.fieldIndex("n_hits")) == K.toLong, s"row $r")
+      assert(r.getDouble(r.fieldIndex("recall")) == 1.0, s"row $r")
+    }
+  }
+
+  test("ivfRecall audit: served-nprobe recall matches the planted-structure floor") {
+    // the tuning-metric use: at the partial probe (nprobe=4 of 20) the
+    // audit's mean recall must sit at the same >= 0.8 floor the direct
+    // IVF contract above pins — the audit measures the SAME serving
+    // path, so a lower number would mean the audit disagrees with the
+    // index it claims to measure.
+    val b = Ivf.base(planted, "vec_id", "embedding")
+    val cents = Ivf.centroids(b, nlist = Clusters, iters = 2)
+    val rows = graft.queries.Pipeline
+      .ivfRecallWith(b, cents, NQueries, K, nprobe = 4)
+      .collect()
+    assert(rows.length == NQueries)
+    val mean = rows.map(r => r.getDouble(r.fieldIndex("recall"))).sum / NQueries
+    assert(mean >= 0.8, s"mean recall@$K at nprobe=4 was $mean")
+    // and it can never exceed the full-probe ceiling
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("recall")) <= 1.0))
+  }
 }
