@@ -196,6 +196,26 @@ object Dedup {
     jaccardFromPairs(pairs, threshold)
   }
 
+  /** Exact Jaccard for EVERY pair sharing at least one shingle hash — the
+    * COMPLETE-candidate form, for threshold-sweep audits where banded
+    * recall would bend the measured curve (LSH detection probability is a
+    * function of the similarity itself, so a banded candidate step
+    * under-counts pairs more the further the threshold sits below the
+    * banding's design point). One self-equi-join on the 8-byte shingle
+    * hash; cost is Σ_h df(h)² over shingle document frequencies —
+    * complete, not all-pairs, but still superlinear on boilerplate-heavy
+    * corpora. At 100 TB this runs per shard or on a documented sample;
+    * the production dedup path stays [[minhashDupPairsFrom]] (banded
+    * candidates at the design threshold). */
+  def allPairsJaccard(sh: DataFrame, threshold: Double): DataFrame = {
+    val shr = shingleHashRows(sh)
+    val pairs = shr.as("x").join(shr.as("y"),
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("da"), col("y.doc").as("db"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+    jaccardFromPairs(pairs, threshold)
+  }
+
   /** The persistable MinHash-LSH signature index for incremental dedup:
     * one row per document with its distinct shingle-hash set and LSH band
     * keys — `|shh| + bands` longs per doc, never the body. In production

@@ -96,6 +96,48 @@ object Pipeline {
     finally sh.unpersist(blocking = false)
   }
 
+  /** Jaccard thresholds the dedup sweep measures, shared by the Spark
+    * side and the generated oracle — ascending, formatted into SQL with
+    * BigDecimal plain strings so both engines parse the same literals. */
+  private[graft] val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** Dedup threshold sweep — the tuning curve a curator reads before
+    * picking the near-dup cut: for each candidate threshold, how many
+    * exact-Jaccard pairs exist and how many documents they touch. Pairs
+    * come from [[Dedup.allPairsJaccard]] (the COMPLETE shared-shingle
+    * candidate form) because a banded candidate step's recall depends on
+    * the similarity itself and would bend exactly the curve being
+    * measured; see that method's scaladoc for the per-shard/sample 100 TB
+    * framing. The ≥ 0.5-floor pair list is tiny (near-dups are rare), so
+    * it is checkpointed once and every per-threshold count runs over the
+    * checkpoint — thresholds cost nothing beyond the one pair build. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pj =
+      try Dedup.allPairsJaccard(sh, threshold = SweepThresholds.min).localCheckpoint()
+      finally sh.unpersist(blocking = false)
+    val th = SweepThresholds.toDF("threshold")
+    val sel = pj.crossJoin(broadcast(th))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = sel.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = sel
+      .select(col("threshold"), explode(array(col("da"), col("db"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("total_docs"))
+    th.join(broadcast(nPairs), Seq("threshold"), "left")
+      .join(broadcast(nDocs), Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        (coalesce(col("n_docs"), lit(0L)).cast(DoubleType)
+          / col("total_docs").cast(DoubleType)).as("doc_share"))
+      .orderBy("threshold")
+  }
+
   /** Winnowing fingerprints USED for retrieval: candidate pairs are
     * documents sharing any MOSS fingerprint (the ~w×-smaller index of
     * [[winnowFingerprint]] — any shared run of ≥ w+n−1 tokens guarantees
@@ -664,6 +706,29 @@ object Pipeline {
         (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
           / col("n_exact").cast(DoubleType)).as("recall"))
       .orderBy("qid")
+  }
+
+  /** IVF cluster-occupancy audit — the index-balance report read next to
+    * [[ivfRecall]]: per-cluster member count, corpus share, and
+    * `load_factor` (share × nlist, 1.0 = perfectly balanced). Probe cost
+    * under IVF is proportional to the PROBED clusters' occupancy, so an
+    * overloaded cluster (load_factor ≫ 1) makes every query that probes
+    * it scan far more than corpus/nlist vectors, and empty clusters
+    * (absent rows — the report has one row per OCCUPIED cluster) waste
+    * index capacity; either signals a centroid retrain. Scale shape: the
+    * assignment is a narrow codegen scan against broadcast centroids
+    * ([[Ivf.assign]]), then ONE map-side-combined aggregate keyed by the
+    * nlist-valued cluster id; the 1-row total broadcasts back. */
+  def ivfOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val occ = Ivf.assign(b, sharedCentroids(b, dir))
+      .groupBy(col("cl").cast(LongType).as("cl"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val share = col("n_vecs").cast(DoubleType) / col("total").cast(DoubleType)
+    occ.crossJoin(broadcast(occ.agg(sum(col("n_vecs")).as("total"))))
+      .select(col("cl"), col("n_vecs"), share.as("share"),
+        (share * lit(IvfNlist.toDouble)).as("load_factor"))
+      .orderBy("cl")
   }
 
   // IVF configuration shared by the query, the SemDeDup query, and the
@@ -1280,13 +1345,9 @@ object Pipeline {
     * partition; the share window runs over that tiny post-agg frame,
     * partitioned by lang. */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val n = size(split(col("text"), " "))
-    val bucket = LengthBuckets.foldLeft(lit(1L)) { (acc, b) =>
-      when(n >= b, lit(b)).otherwise(acc)
-    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
     Tables.documents(spark, dir)
-      .select(col("lang"), bucket.as("bucket_lo"))
+      .select(col("lang"), lenBucketCol.as("bucket_lo"))
       .groupBy("lang", "bucket_lo")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share",
@@ -1300,15 +1361,32 @@ object Pipeline {
   private val LengthBuckets: Seq[Long] =
     (1 to 13).map(p => 1L << p) // 2 .. 8192
 
-  /** q_length_histogram oracle generated from [[LengthBuckets]] — the
-    * same exact-integer bucket assignment as a descending CASE chain. */
-  private def lengthHistogramSql: String = {
+  /** Largest power-of-two floor ≤ the whitespace token count, as a
+    * Column — the fold is last-match-wins, so ascending bucket order
+    * picks the LARGEST satisfied floor. Shared by [[lengthHistogram]]
+    * and [[splitPsi]]. */
+  private def lenBucketCol: Column = {
+    val n = size(split(col("text"), " "))
+    LengthBuckets.foldLeft(lit(1L)) { (acc, b) =>
+      when(n >= b, lit(b)).otherwise(acc)
+    }
+  }
+
+  /** The same bucket assignment as a DuckDB CASE chain (descending, so
+    * the FIRST satisfied arm is the largest floor) — shared by the
+    * q_length_histogram and q_split_psi oracles. */
+  private def lenBucketCaseSql: String = {
     val cases = LengthBuckets.reverse
       .map(b => s"WHEN LEN(STRING_SPLIT(text, ' ')) >= $b THEN $b")
       .mkString("\n              ")
+    s"CAST(CASE $cases\n              ELSE 1 END AS BIGINT)"
+  }
+
+  /** q_length_histogram oracle generated from [[LengthBuckets]] — the
+    * same exact-integer bucket assignment as a descending CASE chain. */
+  private def lengthHistogramSql: String = {
     s"""WITH b AS (SELECT lang,
-       |             CAST(CASE $cases
-       |              ELSE 1 END AS BIGINT) AS bucket_lo
+       |             $lenBucketCaseSql AS bucket_lo
        |           FROM documents),
        |h AS (SELECT lang, bucket_lo, CAST(COUNT(*) AS BIGINT) n_docs
        |      FROM b GROUP BY 1, 2)
@@ -1317,6 +1395,39 @@ object Pipeline {
        |         / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS share
        |FROM h ORDER BY lang, bucket_lo""".stripMargin
   }
+
+  /** q_split_psi oracle: the q_train_split md5-bucket predicate, the
+    * shared [[lenBucketCaseSql]] assignment, and the identical
+    * fixed-point-log PSI arithmetic (floor-quantized LN at 1e-6, then
+    * one shared IEEE op order for the emitted doubles). */
+  private def splitPsiSql: String =
+    s"""WITH s AS (SELECT lang,
+       |             CAST($lenBucketCaseSql AS VARCHAR) AS len_bucket,
+       |             CASE WHEN ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+       |                  THEN 'train' ELSE 'test' END AS split
+       |           FROM documents),
+       |f AS (SELECT 'lang' AS feature, lang AS bucket, split FROM s
+       |      UNION ALL
+       |      SELECT 'length' AS feature, len_bucket AS bucket, split FROM s),
+       |c AS (SELECT feature, bucket,
+       |             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) n_train,
+       |             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) n_test
+       |      FROM f GROUP BY 1, 2),
+       |t AS (SELECT feature, CAST(SUM(n_train) AS BIGINT) tot_train,
+       |             CAST(SUM(n_test) AS BIGINT) tot_test
+       |      FROM c GROUP BY 1)
+       |SELECT feature, bucket, n_train, n_test,
+       |       CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE) AS p_train,
+       |       CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE) AS p_test,
+       |       CASE WHEN n_train > 0 AND n_test > 0 THEN
+       |         (CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE)
+       |           - CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE))
+       |         * (CAST(FLOOR(LN((CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE))
+       |                          / (CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE)))
+       |                       * 1000000.0) AS BIGINT) / 1000000.0)
+       |       ELSE NULL END AS psi_term
+       |FROM c JOIN t USING (feature)
+       |ORDER BY feature, bucket""".stripMargin
 
   /** Exactly 25 documents per language, deterministically chosen. */
   def samplePerGroup(spark: SparkSession, dir: String): DataFrame =
@@ -1332,6 +1443,50 @@ object Pipeline {
         "doc_id", trainPct = 90)
       .select("doc_id", "lang", "bucket", "split")
       .orderBy("doc_id")
+
+  /** Population Stability Index between the train and test splits, per
+    * feature bucket — the split-health audit run before trusting an
+    * evaluation: a hash split SHOULD distribute every feature identically
+    * (PSI ≈ 0); a bucket with a large `psi_term` means the eval set is
+    * not measuring the training distribution for that slice (industry
+    * folklore: Σ psi_term > 0.2 = act). Features audited: `lang` (the
+    * categorical) and `length` (the [[LengthBuckets]] power-of-two
+    * floor), both riding ONE scan — a 2-element explode per row, then
+    * one map-side-combined aggregate on (feature, bucket) and a
+    * broadcast join of the feature-level totals. The log rides the
+    * 1e-6 floor-quantized fixed-point doctrine (the BM25-IDF treatment)
+    * so the reported doubles come from one shared IEEE op order; a
+    * bucket empty on either side reports psi_term NULL (the standard
+    * "PSI undefined, act anyway" signal) rather than ±∞. */
+  def splitPsi(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.operators.Sampling.trainTestSplit(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          lenBucketCol.cast(StringType).as("len_bucket")),
+      "doc_id", trainPct = 90)
+    val counts = assigned
+      .select(col("split"), explode(array(
+          struct(lit("lang").as("feature"), col("lang").as("bucket")),
+          struct(lit("length").as("feature"), col("len_bucket").as("bucket"))))
+        .as("fb"))
+      .select(col("split"), col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+      .groupBy("feature", "bucket")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val totals = counts.groupBy("feature")
+      .agg(sum(col("n_train")).as("tot_train"), sum(col("n_test")).as("tot_test"))
+    val pTrain = col("n_train").cast(DoubleType) / col("tot_train").cast(DoubleType)
+    val pTest = col("n_test").cast(DoubleType) / col("tot_test").cast(DoubleType)
+    counts.join(broadcast(totals), Seq("feature"))
+      .select(col("feature"), col("bucket"), col("n_train"), col("n_test"),
+        pTrain.as("p_train"), pTest.as("p_test"),
+        when(col("n_train") > 0 && col("n_test") > 0,
+          (pTrain - pTest) *
+            (floor(log(pTrain / pTest) * lit(1000000.0)).cast(LongType)
+              .cast(DoubleType) / lit(1000000.0)))
+          .otherwise(lit(null).cast(DoubleType)).as("psi_term"))
+      .orderBy("feature", "bucket")
+  }
 
   /** Vocabulary building: the top-10 BPE tokens per language by frequency
     * (count desc, token asc tiebreak) — explode is a narrow map, the
@@ -1784,6 +1939,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-language tokenizer-fertility audit off the SHARED BPE model —
+    * the report that decides whether one tokenizer serves a multilingual
+    * corpus: `fertility` (BPE tokens per whitespace word) and
+    * `chars_per_token` (compression) per language. A language whose
+    * fertility is 2× the rest pays 2× the context budget per sentence
+    * and trains on half the effective text — the standard argument for
+    * rebalancing the tokenizer's training mix (see UniMax / temperature
+    * sampling, which this table parameterizes). Scale shape: the token
+    * counting is the same shuffle-free codegen scan as [[bpeEncode]]
+    * (broadcast merge table inside [[graft.functions.BpeEncodeCount]]),
+    * then ONE map-side-combined aggregate on the languages-valued key;
+    * ratios are per-row doubles over the tiny post-agg frame. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = sharedBpeModel(spark, dir)
+    docs.select(col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("nw"),
+        graft.functions.BpeEncodeCount.count(col("text"), model).as("nb"),
+        length(col("text")).cast(LongType).as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpe"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        col("n_chars"),
+        (col("n_bpe").cast(DoubleType) / col("n_words").cast(DoubleType))
+          .as("fertility"),
+        (col("n_chars").cast(DoubleType) / col("n_bpe").cast(DoubleType))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** Tokenizer-aware sequence packing: [[packSequences]]'s concat-and-chop
     * manifest driven by the LEARNED tokenizer's per-document token counts
     * instead of the whitespace proxy — the composition a real pretraining
@@ -2019,6 +2205,24 @@ object Pipeline {
        |       CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS expansion
        |FROM dw JOIN wtok USING (w)
        |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q_bpe_fertility oracle: the [[bpeEncodeSql]] per-word token chain
+    * re-aggregated per language, with doc/char totals from the base
+    * table and the ratio doubles in the Column tree's op order. */
+  private def bpeFertilitySql: String =
+    s"""$bpeCtes,
+       |$wtokCte,
+       |dw AS (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) w FROM documents),
+       |wl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_words,
+       |              CAST(SUM(nt) AS BIGINT) n_bpe
+       |       FROM dw JOIN wtok USING (w) GROUP BY lang),
+       |dl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_docs,
+       |              CAST(SUM(LENGTH(text)) AS BIGINT) n_chars
+       |       FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_bpe, n_chars,
+       |       CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+       |       CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE) AS chars_per_token
+       |FROM dl JOIN wl USING (lang) ORDER BY lang""".stripMargin
 
   private def packBpeSql: String =
     s"""$bpeCtes,
@@ -2512,6 +2716,10 @@ object Pipeline {
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
+    "q_ivf_occupancy"    -> (ivfOccupancy _),
+    "q_dedup_sweep"      -> (dedupSweep _),
+    "q_split_psi"        -> (splitPsi _),
+    "q_bpe_fertility"    -> (bpeFertility _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_funnel"  -> (curationFunnel _),
     "q_dedup_weights"    -> (dedupWeights _),
@@ -2557,6 +2765,39 @@ object Pipeline {
       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
+
+  /** q_dedup_sweep oracle: [[jaccardSql]]'s shingle/intersection CTEs
+    * with the floor dropped to [[SweepThresholds]].min (the complete
+    * shared-shingle candidate step needs no recall argument at any
+    * threshold), then per-threshold pair/doc counts — thresholds
+    * formatted from the same Scala constants the Spark side scans. */
+  private def dedupSweepSql: String = {
+    val ths = SweepThresholds
+      .map(t => s"CAST(${BigDecimal(t).underlying.toPlainString} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val floor = BigDecimal(SweepThresholds.min).underlying.toPlainString
+    s"""WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+       |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+       |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+       |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id da, y.doc_id db, COUNT(*) inter
+       |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |pj AS (SELECT da, db, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS j
+       |       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $floor),
+       |t AS (SELECT UNNEST($ths) AS threshold),
+       |sel AS (SELECT threshold, da, db FROM pj, t WHERE j >= threshold),
+       |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) n_pairs FROM sel GROUP BY 1),
+       |nd AS (SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) n_docs
+       |       FROM (SELECT threshold, UNNEST([da, db]) d FROM sel) GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) total_docs FROM documents)
+       |SELECT t.threshold,
+       |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(n_docs, 0) AS DOUBLE) / CAST(total_docs AS DOUBLE) AS doc_share
+       |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold), tot
+       |ORDER BY threshold""".stripMargin
+  }
 
   /** Decontamination oracle, shared by the exact broadcast path and the
     * Bloom-prefilter path (the latter is exact by construction: the
@@ -2781,6 +3022,19 @@ object Pipeline {
        |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) sim FROM cand JOIN rawv q ON q.id=qid JOIN rawv c ON c.id=cid),
        |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) rank FROM scored)
        |SELECT qid, CAST(rank AS BIGINT) rank, cid, sim FROM ranked WHERE rank<=$IvfK ORDER BY qid, rank""".stripMargin
+
+  /** q_ivf_occupancy oracle: the bit-exact [[ivfCtes]] `assign` table
+    * grouped by cluster, with the same (n/total) and (n/total)×nlist
+    * double op order as the Column tree. */
+  private val ivfOccupancySql =
+    s"""$ivfCtes,
+       |occ AS (SELECT CAST(cl AS BIGINT) cl, CAST(COUNT(*) AS BIGINT) n_vecs
+       |        FROM assign GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) total FROM occ)
+       |SELECT cl, n_vecs,
+       |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |       (CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) * ${IvfNlist}.0 AS load_factor
+       |FROM occ, tot ORDER BY cl""".stripMargin
 
   private val semDedupSql =
     s"""$ivfCtes,
@@ -3402,6 +3656,10 @@ object Pipeline {
         |         AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "q_length_histogram" -> lengthHistogramSql,
+    "q_split_psi" -> splitPsiSql,
+    "q_dedup_sweep" -> dedupSweepSql,
+    "q_ivf_occupancy" -> ivfOccupancySql,
+    "q_bpe_fertility" -> bpeFertilitySql,
     "q_shard_skew" ->
       """WITH m AS (SELECT ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
         |                  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
