@@ -138,6 +138,39 @@ object Pipeline {
       .orderBy("threshold")
   }
 
+  /** Cross-source duplication matrix — WHERE the near-dups come from:
+    * the ≥ 0.8 near-dup pairs of [[minhashDedup]] attributed to their
+    * unordered source pair (crawl A mirroring crawl B shows up as one
+    * hot off-diagonal cell; a self-duplicating dump as a diagonal one).
+    * This is the table that decides which SOURCE to drop or de-prioritize
+    * rather than which documents — the coarse decision that precedes
+    * per-document dedup in a 100 TB ingest. Scale shape: the pair list
+    * is tiny (near-dups are rare) and BROADCASTS to the corpus scan to
+    * pick up each side's source — the corpus never shuffles — then one
+    * aggregate over the pair-sized tagged frame. */
+  def dupSources(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
+        .select("da", "db").localCheckpoint()
+      finally sh.unpersist(blocking = false)
+    val src = docs.select(col("doc_id"), col("source"))
+    val pa = src.join(broadcast(pairs), col("doc_id") === col("da"))
+      .select(col("da"), col("db"), col("source").as("src_a"))
+    val tagged = src.join(broadcast(pa), col("doc_id") === col("db"))
+      .select(least(col("src_a"), col("source")).as("source_a"),
+        greatest(col("src_a"), col("source")).as("source_b"))
+    val counts = tagged.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n_pairs")).as("total"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("n_pairs").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("pair_share"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Winnowing fingerprints USED for retrieval: candidate pairs are
     * documents sharing any MOSS fingerprint (the ~w×-smaller index of
     * [[winnowFingerprint]] — any shared run of ≥ w+n−1 tokens guarantees
@@ -2073,6 +2106,61 @@ object Pipeline {
       .orderBy("n_input")
   }
 
+  /** Selection-bias report of [[curationPipeline]] — the distribution-
+    * shift audit run before shipping a curated corpus: per feature
+    * bucket (language, source), the corpus share before curation vs
+    * among survivors, the keep rate, and the quantized log-ratio
+    * `bias_log` = ln(p_kept / p_corpus). A gate that is CONTENT-fair
+    * should be close to 0 everywhere; a strongly negative bucket means
+    * the pipeline is silently filtering out a language or source (the
+    * classic failure: an English-tuned quality gate halving the
+    * non-English share). Scale shape: ONE codegen scan computes every
+    * per-document verdict; the survivor flag needs only the digest-keyed
+    * keep-first window (gated rows sort first within each digest group,
+    * so rank 1 ∧ gated ≡ the pipeline's keep-first-among-gated rule —
+    * never a second pass); then a 2-element explode, one map-side-
+    * combined aggregate, and a broadcast totals join. The log rides the
+    * 1e-6 floor-quantized doctrine; an all-rejected bucket reports NULL
+    * rather than −∞. */
+  def curationBias(spark: SparkSession, dir: String): DataFrame = {
+    val lexAut = new graft.functions.LexiconAutomaton(CurationLex)
+    val flagged = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      (graft.functions.LexiconHits.total(col("text"), lexAut) === 0L &&
+        entropyNats(col("text")) >= lit(CurationMinEntropy)).as("gated"),
+      md5(graft.functions.SelfDedupChunks.dedup(col("text"), SelfDedupW))
+        .as("digest"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("gated").desc, col("doc_id").asc)
+    val counts = flagged
+      .withColumn("kept", col("gated") && row_number().over(w) === 1)
+      .select(col("kept"), explode(array(
+          struct(lit("lang").as("feature"), col("lang").as("bucket")),
+          struct(lit("source").as("feature"), col("source").as("bucket"))))
+        .as("fb"))
+      .select(col("kept"), col("fb.feature").as("feature"),
+        col("fb.bucket").as("bucket"))
+      .groupBy("feature", "bucket")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    val totals = counts.groupBy("feature")
+      .agg(sum(col("n_corpus")).as("tot_corpus"), sum(col("n_kept")).as("tot_kept"))
+    val pc = col("n_corpus").cast(DoubleType) / col("tot_corpus").cast(DoubleType)
+    val pk = col("n_kept").cast(DoubleType) / col("tot_kept").cast(DoubleType)
+    counts.join(broadcast(totals), Seq("feature"))
+      .select(col("feature"), col("bucket"), col("n_corpus"), col("n_kept"),
+        (col("n_kept").cast(DoubleType) / col("n_corpus").cast(DoubleType))
+          .as("keep_rate"),
+        pc.as("p_corpus"),
+        when(col("tot_kept") > 0, pk)
+          .otherwise(lit(null).cast(DoubleType)).as("p_kept"),
+        when(col("n_kept") > 0,
+          floor(log(pk / pc) * lit(1000000.0)).cast(LongType)
+            .cast(DoubleType) / lit(1000000.0))
+          .otherwise(lit(null).cast(DoubleType)).as("bias_log"))
+      .orderBy("feature", "bucket")
+  }
+
   private[graft] val CurationLex = Array("dup")
   private[graft] val CurationMinEntropy = 2.7
 
@@ -2387,6 +2475,52 @@ object Pipeline {
        |         - CAST((SELECT COUNT(DISTINCT MD5(text_dedup)) FROM sagg) AS BIGINT) AS n_dedup_dropped,
        |       CAST((SELECT COUNT(DISTINCT MD5(text_dedup)) FROM sagg) AS BIGINT) AS n_survivors
        |ORDER BY n_input""".stripMargin
+  }
+
+  /** q_curation_bias oracle: the SAME stage fragments as
+    * [[curationPipelineSql]] ([[entropyFxCtes]] / [[scrubAggCtes]]) but
+    * with the gate kept as a per-document flag, the keep-first window
+    * ordered (gated DESC, doc_id) over ALL docs per scrub digest — rank
+    * 1 ∧ gated ≡ the pipeline's keep-first-among-gated survivors — and
+    * per-(feature, bucket) corpus/kept shares with the floor-quantized
+    * log-ratio. Division order mirrors the Spark side operation for
+    * operation so the IEEE doubles are bitwise identical. */
+  private def curationBiasSql: String = {
+    val lexHits = CurationLex
+      .map(t => s"(LENGTH(text) - LENGTH(REPLACE(text, '$t', ''))) // ${t.length}")
+      .mkString(" + ")
+    s"""WITH $entropyFxCtes,
+       |gf AS (SELECT d.doc_id, d.lang, d.source, d.text,
+       |         (($lexHits) = 0 AND
+       |          (CASE WHEN dl.char_len = 0 THEN 0.0
+       |                ELSE (CAST(COALESCE(fx.ent_fx, 0) AS DOUBLE) / 1000000.0) / dl.char_len
+       |           END) >= $CurationMinEntropy) AS gated
+       |       FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+       |       LEFT JOIN fx ON fx.doc_id = d.doc_id),
+       |wsp AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM gf),
+       |${scrubAggCtes("wsp")},
+       |kf AS (SELECT g.doc_id, g.lang, g.source, g.gated,
+       |         ROW_NUMBER() OVER (PARTITION BY MD5(sagg.text_dedup)
+       |                            ORDER BY g.gated DESC, g.doc_id ASC) rn
+       |       FROM gf g JOIN sagg ON sagg.doc_id = g.doc_id),
+       |fb AS (SELECT (gated AND rn = 1) AS kept, 'lang' AS feature, lang AS bucket FROM kf
+       |       UNION ALL
+       |       SELECT (gated AND rn = 1), 'source', source FROM kf),
+       |c AS (SELECT feature, bucket, CAST(COUNT(*) AS BIGINT) n_corpus,
+       |        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) n_kept
+       |      FROM fb GROUP BY 1, 2),
+       |t AS (SELECT feature, CAST(SUM(n_corpus) AS BIGINT) tot_corpus,
+       |        CAST(SUM(n_kept) AS BIGINT) tot_kept FROM c GROUP BY 1)
+       |SELECT c.feature, bucket, n_corpus, n_kept,
+       |       CAST(n_kept AS DOUBLE) / CAST(n_corpus AS DOUBLE) AS keep_rate,
+       |       CAST(n_corpus AS DOUBLE) / CAST(tot_corpus AS DOUBLE) AS p_corpus,
+       |       CASE WHEN tot_kept > 0
+       |            THEN CAST(n_kept AS DOUBLE) / CAST(tot_kept AS DOUBLE) END AS p_kept,
+       |       CASE WHEN n_kept > 0
+       |            THEN CAST(FLOOR(LN((CAST(n_kept AS DOUBLE) / CAST(tot_kept AS DOUBLE))
+       |                               / (CAST(n_corpus AS DOUBLE) / CAST(tot_corpus AS DOUBLE)))
+       |                          * 1000000.0) AS BIGINT) / 1000000.0 END AS bias_log
+       |FROM c JOIN t USING (feature) ORDER BY feature, bucket""".stripMargin
   }
 
   /** Integer waterfill restated as a recursive CTE over the
@@ -2722,6 +2856,8 @@ object Pipeline {
     "q_bpe_fertility"    -> (bpeFertility _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_funnel"  -> (curationFunnel _),
+    "q_curation_bias"    -> (curationBias _),
+    "q_dup_sources"      -> (dupSources _),
     "q_dedup_weights"    -> (dedupWeights _),
     "q_lexicon_scrub"    -> (lexiconScrub _),
     "q_hard_negatives"   -> (hardNegatives _),
@@ -2766,17 +2902,12 @@ object Pipeline {
       |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
       |ORDER BY da, db""".stripMargin
 
-  /** q_dedup_sweep oracle: [[jaccardSql]]'s shingle/intersection CTEs
-    * with the floor dropped to [[SweepThresholds]].min (the complete
-    * shared-shingle candidate step needs no recall argument at any
-    * threshold), then per-threshold pair/doc counts — thresholds
-    * formatted from the same Scala constants the Spark side scans. */
-  private def dedupSweepSql: String = {
-    val ths = SweepThresholds
-      .map(t => s"CAST(${BigDecimal(t).underlying.toPlainString} AS DOUBLE)")
-      .mkString("[", ", ", "]")
-    val floor = BigDecimal(SweepThresholds.min).underlying.toPlainString
-    s"""WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+  /** [[jaccardSql]]'s shingle/intersection chain ending in a `pj`
+    * (da, db, j ≥ floor) CTE — shared by the q_dedup_sweep and
+    * q_dup_sources oracles so the exact-Jaccard restatement lives in one
+    * place. */
+  private def jaccardPairCtes(floor: String): String =
+    s"""arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
        |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
        |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
@@ -2784,7 +2915,19 @@ object Pipeline {
        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
        |pj AS (SELECT da, db, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS j
        |       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-       |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $floor),
+       |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $floor)""".stripMargin
+
+  /** q_dedup_sweep oracle: [[jaccardPairCtes]] with the floor dropped to
+    * [[SweepThresholds]].min (the complete shared-shingle candidate step
+    * needs no recall argument at any threshold), then per-threshold
+    * pair/doc counts — thresholds formatted from the same Scala
+    * constants the Spark side scans. */
+  private def dedupSweepSql: String = {
+    val ths = SweepThresholds
+      .map(t => s"CAST(${BigDecimal(t).underlying.toPlainString} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val floor = BigDecimal(SweepThresholds.min).underlying.toPlainString
+    s"""WITH ${jaccardPairCtes(floor)},
        |t AS (SELECT UNNEST($ths) AS threshold),
        |sel AS (SELECT threshold, da, db FROM pj, t WHERE j >= threshold),
        |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) n_pairs FROM sel GROUP BY 1),
@@ -2798,6 +2941,23 @@ object Pipeline {
        |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold), tot
        |ORDER BY threshold""".stripMargin
   }
+
+  /** q_dup_sources oracle: the exact ≥ 0.8 pair set ([[jaccardPairCtes]]
+    * — the same oracle q_minhash_dedup shares, so the banded candidate
+    * recall argument carries over verbatim) attributed to unordered
+    * source pairs. */
+  private def dupSourcesSql: String =
+    s"""WITH ${jaccardPairCtes("0.8")},
+       |ps AS (SELECT LEAST(xa.source, xb.source) AS source_a,
+       |              GREATEST(xa.source, xb.source) AS source_b
+       |       FROM pj JOIN documents xa ON xa.doc_id = pj.da
+       |               JOIN documents xb ON xb.doc_id = pj.db),
+       |c AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) n_pairs
+       |      FROM ps GROUP BY 1, 2),
+       |t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) total FROM c)
+       |SELECT source_a, source_b, n_pairs,
+       |       CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS pair_share
+       |FROM c, t ORDER BY source_a, source_b""".stripMargin
 
   /** Decontamination oracle, shared by the exact broadcast path and the
     * Bloom-prefilter path (the latter is exact by construction: the
@@ -3565,6 +3725,8 @@ object Pipeline {
     "q_unimax_alloc" -> unimaxAllocSql,
     "q_curation_pipeline" -> curationPipelineSql,
     "q_curation_funnel" -> curationFunnelSql,
+    "q_curation_bias" -> curationBiasSql,
+    "q_dup_sources" -> dupSourcesSql,
     // soft dedup: the q_dedup_clusters closure + a size table, LEFT
     // joined back onto the corpus; weight is one IEEE double division
     "q_dedup_weights" ->
