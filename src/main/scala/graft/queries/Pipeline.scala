@@ -1196,6 +1196,34 @@ object Pipeline {
         col("n_dupes").cast(DoubleType) / col("n_docs"))
       .orderBy("source")
 
+  /** Sketch-based distinct-gram cardinality audit: per source, the
+    * EXACT distinct 5-gram count beside the HyperLogLog++ estimate
+    * (`approx_count_distinct`, rsd 2%) and the realized relative error.
+    * At 100 TB the exact column is the one you cannot afford — its
+    * countDistinct shuffles every distinct (source, gram) pair — while
+    * the sketch column is ONE pass with bytes-sized partial aggregates
+    * (per-partition HLL registers, max-merged at the reducer: the same
+    * mergeability that lets per-shard sketches from different ingest
+    * days union into a corpus-wide cardinality without re-reading
+    * anything). This query ships both at test SF to MEASURE the
+    * estimator against ground truth; the production form drops the
+    * exact column. Estimates are deterministic (register max-merge is
+    * order/partitioning-invariant — CardinalityAuditSpec pins that and
+    * the error bound), but DuckDB's approx_distinct is a different
+    * sketch, so this declares NO oracle SQL: the driver records the
+    * rows+schema-level check (the q_ivf_recall precedent). */
+  def cardinalityAudit(spark: SparkSession, dir: String): DataFrame =
+    TA.ngramRows(Tables.documents(spark, dir).select("source", "text"),
+        "text", "source", n = 5, distinct = true)
+      .select(col("source"), xxhash64(col("gram")).as("h"))
+      .groupBy("source")
+      .agg(countDistinct(col("h")).cast(LongType).as("n_exact"),
+        approx_count_distinct(col("h"), 0.02).cast(LongType).as("n_approx"))
+      .withColumn("rel_error",
+        abs(col("n_approx") - col("n_exact")).cast(DoubleType) /
+          col("n_exact").cast(DoubleType))
+      .orderBy("source")
+
   /** Cross-source content-overlap matrix: for every pair of sources
     * sharing at least one distinct word-5-gram, the shared-gram count
     * and the Jaccard of the two sources' gram sets — the audit a
@@ -1476,6 +1504,28 @@ object Pipeline {
         "doc_id", trainPct = 90)
       .select("doc_id", "lang", "bucket", "split")
       .orderBy("doc_id")
+
+  /** Leakage-safe split: [[trainSplit]]'s deterministic md5-bucket
+    * assignment keyed on the NEAR-DUP CLUSTER instead of the document,
+    * so two near-duplicates can never straddle train/test — the eval-
+    * contamination failure a per-document hash split cannot prevent
+    * (the doc-level q_train_split puts ~2·p(1−p) of each dup pair
+    * across the boundary; this puts zero). Every document maps to its
+    * MinHash connected-component canonical (its own id when
+    * unduplicated) and the bucket hashes that `unit_id`. Scale shape:
+    * the component table is dup-docs-sized → BROADCAST left join onto
+    * the corpus spine (the [[dedupWeights]] argument); the split itself
+    * stays a narrow per-row hash — no new shuffle beyond the pair
+    * mining already proven for [[dedupClusters]]. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val units = docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(nearDupClusters(docs)), Seq("doc_id"), "left")
+      .withColumn("unit_id", coalesce(col("canonical_id"), col("doc_id")))
+    graft.operators.Sampling.trainTestSplit(units, "unit_id", trainPct = 90)
+      .select("doc_id", "lang", "unit_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
 
   /** Population Stability Index between the train and test splits, per
     * feature bucket — the split-health audit run before trusting an
@@ -2750,6 +2800,42 @@ object Pipeline {
         "doc_id", "n_tokens", "quality", budget = 10000L)
       .orderBy("doc_id")
 
+  /** Per-source quantile CALIBRATION of the quality score — the raw
+    * score made cross-source comparable (a 0.9-quantile document in a
+    * noisy crawl and in a clean dump both report q_rank 0.9) so one
+    * global keep-threshold stops favoring whichever source's score
+    * distribution happens to sit higher: the per-source-threshold
+    * practice of the Gopher/FineWeb curation recipes, as a table.
+    * `q_rank` is the exact within-source percent_rank (strictly-below
+    * count / (n−1); single-member sources report 0). Scale shape: the
+    * [[rankBySignal]] histogram doctrine, per source — the score
+    * floor-quantizes to 1e-6 fixed point (cardinality-bounded), ONE
+    * map-side-combined groupBy builds the (source, value) histogram,
+    * the rank windows run PARTITIONED BY SOURCE over that bytes-sized
+    * frame (never over documents), and the calibration table broadcasts
+    * back onto the corpus scan. */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      floor(TA.qualityScore(col("text")) * lit(1000000.0))
+        .cast(LongType).as("q_fx"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("q_fx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val calib = sig.groupBy(col("source"), col("q_fx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("source"), col("q_fx"),
+        when(sum(col("cnt")).over(wAll) > 1,
+          coalesce(sum(col("cnt")).over(wCum), lit(0L)).cast(DoubleType) /
+            (sum(col("cnt")).over(wAll) - lit(1L)).cast(DoubleType))
+          .otherwise(lit(0.0)).as("q_rank"))
+    sig.join(broadcast(calib), Seq("source", "q_fx"))
+      .select(col("doc_id"), col("source"),
+        (col("q_fx").cast(DoubleType) / lit(1000000.0)).as("quality"),
+        col("q_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus mixture report: per (source, lang), document and token
     * counts plus each cell's share of the whole corpus — the dataset
     * card every training run starts from. One map-side-combined
@@ -2858,6 +2944,9 @@ object Pipeline {
     "q_curation_funnel"  -> (curationFunnel _),
     "q_curation_bias"    -> (curationBias _),
     "q_dup_sources"      -> (dupSources _),
+    "q_quality_calibrated" -> (qualityCalibrated _),
+    "q_leakage_safe_split" -> (leakageSafeSplit _),
+    "q_cardinality_audit" -> (cardinalityAudit _),
     "q_dedup_weights"    -> (dedupWeights _),
     "q_lexicon_scrub"    -> (lexiconScrub _),
     "q_hard_negatives"   -> (hardNegatives _),
@@ -3727,6 +3816,41 @@ object Pipeline {
     "q_curation_funnel" -> curationFunnelSql,
     "q_curation_bias" -> curationBiasSql,
     "q_dup_sources" -> dupSourcesSql,
+    // q_quality_calibrated: RANK()−1 ≡ the strictly-below cumulative
+    // count the Spark histogram computes; the (rk, n−1) division is the
+    // same two-bigint IEEE op on both engines.
+    "q_quality_calibrated" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |             CAST(FLOOR(($qualitySql) * 1000000.0) AS BIGINT) q_fx
+         |           FROM documents),
+         |r AS (SELECT doc_id, source, q_fx,
+         |        CAST(RANK() OVER (PARTITION BY source ORDER BY q_fx) - 1 AS BIGINT) rk,
+         |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) n
+         |      FROM q)
+         |SELECT doc_id, source, CAST(q_fx AS DOUBLE) / 1000000.0 AS quality,
+         |       CASE WHEN n > 1 THEN CAST(rk AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+         |            ELSE 0.0 END AS q_rank
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // q_leakage_safe_split: the q_dedup_clusters reachability closure
+    // picks each dup doc's canonical, COALESCE defaults singletons to
+    // themselves, and the bucket is the q_train_split md5 recipe over
+    // the unit id.
+    "q_leakage_safe_split" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT da a, db b FROM jp UNION SELECT db a, da b FROM jp),
+         |reach AS (SELECT a AS node, a AS reachable FROM edges
+         |          UNION
+         |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
+         |comp AS (SELECT node AS doc_id, MIN(reachable) AS canonical_id
+         |         FROM reach GROUP BY node),
+         |u AS (SELECT d.doc_id, d.lang,
+         |        COALESCE(c.canonical_id, d.doc_id) AS unit_id
+         |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, lang, unit_id,
+         |       ('0x' || SUBSTR(MD5(CAST(unit_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+         |       CASE WHEN ('0x' || SUBSTR(MD5(CAST(unit_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+         |            THEN 'train' ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
     // soft dedup: the q_dedup_clusters closure + a size table, LEFT
     // joined back onto the corpus; weight is one IEEE double division
     "q_dedup_weights" ->
