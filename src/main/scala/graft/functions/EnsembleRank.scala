@@ -106,4 +106,26 @@ object RankLookup {
     while (i < hist.length) { acc += hist(i)._2; cumLE(i) = acc; i += 1 }
     new RankTable(values, cumLE)
   }
+
+  /** One [[RankTable]] PER GROUP of a string key column — the
+    * deployment artifact of
+    * [[graft.queries.Pipeline.qualityCalibrated]]'s per-source
+    * histograms. One aggregation collects every group's histogram
+    * together (collect bound: Σ per-group distinct values — the same
+    * quantization bound as [[train]], summed over groups). */
+  def trainPerGroup(sigs: DataFrame, groupCol: String,
+      signalCol: String): Map[String, RankTable] = {
+    val hist = sigs.groupBy(col(groupCol), col(signalCol))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    hist.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val values = sorted.map(_._2)
+      val cumLE = new Array[Long](values.length)
+      var acc = 0L
+      var i = 0
+      while (i < values.length) { acc += sorted(i)._3; cumLE(i) = acc; i += 1 }
+      g -> new RankTable(values, cumLE)
+    }
+  }
 }

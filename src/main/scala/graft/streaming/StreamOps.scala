@@ -446,6 +446,36 @@ object StreamOps {
       .filter(col("ens") >= minEnsemble)
   }
 
+  /** Streaming per-source calibrated-quality gate — the deployment form
+    * of [[graft.queries.Pipeline.qualityCalibrated]]: each incoming
+    * document quantizes its quality score to the batch's 1e-6 fixed
+    * point and ranks it against ITS SOURCE's batch-trained
+    * [[graft.functions.RankTable]] ([[graft.functions.RankLookup
+    * .trainPerGroup]] — the per-source histograms as one plan-borne
+    * artifact map, dispatched by a sources-sized CASE chain, the
+    * [[lmBucket]] pattern), so one `minRank` threshold means the same
+    * thing in every source — the cross-source-fair admission rule the
+    * raw score cannot give. Sources absent from the batch profile rank
+    * NULL and DROP — the conservative routing for unknown provenance.
+    * Off-profile VALUES from a known source rank between their
+    * histogram neighbors (the ensembleGate reading). Stateless,
+    * shuffle-free, append-mode-safe; batch and stream ranks are
+    * bit-identical on profile data (StreamOpsSpec pins it). Emits
+    * `q_rank`. */
+  def calibratedGate(docs: DataFrame, textCol: String, sourceCol: String,
+      tables: Map[String, graft.functions.RankTable],
+      minRank: Double): DataFrame = {
+    require(tables.nonEmpty, "calibratedGate needs at least one source profile")
+    val qfx = floor(graft.operators.TextAnalysis.qualityScore(col(textCol))
+      * lit(1000000.0)).cast("long")
+    val rank = tables.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, t)) =>
+        when(col(sourceCol) === s,
+          graft.functions.RankLookup.rank(qfx, t)).otherwise(acc)
+      }
+    docs.withColumn("q_rank", rank).filter(col("q_rank") >= minRank)
+  }
+
   /** Streaming CCNet perplexity bucketing — the deployment form of
     * [[graft.queries.Pipeline.perplexityBuckets]]: score each incoming
     * document with the batch-trained pruned model (the [[lmGate]] native

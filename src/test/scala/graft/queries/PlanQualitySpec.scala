@@ -874,6 +874,34 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_cluster_sizes" -> "share window over the ≤nlist post-agg frame",
     "q_source_mixture" -> "share windows over the sources×langs post-agg frame")
 
+  test("q_quality_calibrated: calibration attaches as a broadcast, never a corpus sort-merge") {
+    val plan = planOf(Pipeline.qualityCalibrated(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast calibration attach in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the calibration attach:\n$plan")
+  }
+
+  test("q_leakage_safe_split: the component table attaches as a broadcast LEFT join") {
+    val plan = planOf(Pipeline.leakageSafeSplit(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      s"expected broadcast left-outer unit attach in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in the split spine:\n$plan")
+  }
+
+  test("q_cardinality_audit: one corpus scan, no join; the sketch aggregates map-side") {
+    val plan = planOf(Pipeline.cardinalityAudit(spark, dir))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"expected exactly one documents scan in:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    // HLL partials must combine before the shuffle: a partial_ aggregate
+    // mode line containing the approx sketch proves the map-side stage
+    assert(plan.contains("partial_approx_count_distinct")
+        || plan.contains("approx_count_distinct"),
+      s"sketch aggregate missing from:\n$plan")
+  }
+
   test("fleet invariant: no query plan contains a partition-less Window (unbounded frame)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>

@@ -833,6 +833,59 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming calibrated gate: per-source rank tables score a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text")
+    val sigs = docs.select(col("doc_id"), col("source"),
+      floor(graft.operators.TextAnalysis.qualityScore(col("text"))
+        * lit(1000000.0)).cast("long").as("q_fx"))
+    val tables = graft.functions.RankLookup.trainPerGroup(sigs, "source", "q_fx")
+    assert(tables.size > 1, "fixture corpus must have several sources")
+    // batch side: the declared query's own ranks
+    val batchRank = graft.queries.Pipeline.qualityCalibrated(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("q_rank"))
+      .toMap
+
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamOps.calibratedGate(
+        input.toDF.toDF("doc_id", "source", "text"),
+        "text", "source", tables, minRank = 0.5)
+      .select("doc_id", "q_rank")
+      .writeStream.format("memory").queryName("calib_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamRank = spark.table("calib_out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectedKept = batchRank.filter(_._2 >= 0.5)
+    assert(streamRank.keySet == expectedKept.keySet,
+      "stream must keep exactly the batch's q_rank >= 0.5 set")
+    assert(expectedKept.nonEmpty && expectedKept.size < rows.length,
+      "the gate must visibly split the corpus")
+    streamRank.foreach { case (id, r) =>
+      assert(r == batchRank(id), s"doc $id: stream $r != batch ${batchRank(id)}")
+    }
+    // an unknown source must drop, not throw or rank against another profile
+    val input2 = MemoryStream[(Long, String, String)]
+    val q2 = StreamOps.calibratedGate(
+        input2.toDF.toDF("doc_id", "source", "text"),
+        "text", "source", tables, minRank = 0.0)
+      .writeStream.format("memory").queryName("calib_unknown")
+      .outputMode("append").start()
+    input2.addData((999L, "never-seen-source", "some text here"))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("calib_unknown").isEmpty,
+      "unknown sources must be rejected")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming NB gate: batch-trained classifier predicts a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
