@@ -137,6 +137,10 @@ object GraftExtensions {
       "_FUNC_(text, w) - text with repeated w-word chunks removed (keep first)") { es =>
       arity("rm_self_dedup_chunks", es, 2)
       SelfDedupChunks(es(0), litInt(es(1), "rm_self_dedup_chunks", "w"))
+    },
+    reg("rm_normalize_text",
+      "_FUNC_(text) - NFC + ROOT-lowercase + whitespace-collapsed text") { es =>
+      arity("rm_normalize_text", es, 1); NormalizeText(es(0))
     })
 
   private def reg(name: String, usage: String)

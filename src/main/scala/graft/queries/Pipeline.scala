@@ -1362,6 +1362,47 @@ object Pipeline {
         (col("s_fx").cast(DoubleType) / col("n_vecs") / lit(1e6)).as("centroid"))
       .orderBy("label", "dim")
 
+  /** Per-SOURCE embedding drift — the L2 distance between each source's
+    * centroid and the global corpus centroid: the provenance-sliced
+    * drift monitor read next to [[embeddingMoments]] (global) and
+    * [[labelCentroids]] (by class). A source whose centroid sits far
+    * from the corpus mean is either genuinely different content or was
+    * embedded by a different model version — both require attention
+    * before the source joins an ANN index or a training mix. Exactness:
+    * per-(source, dim) sums ride the labelCentroids fixed-point
+    * doctrine (exact BIGINTs, order/partitioning-invariant); the global
+    * per-dim sums are the SAME integers re-aggregated (never a second
+    * corpus pass); each dim's squared mean-difference floor-quantizes
+    * to 1e-12 fixed point so the cross-dim sum is again an exact
+    * integer — drift is deterministic to the last bit. Scale shape: one
+    * id-keyed equi join pairs modalities (bucketed co-location at
+    * 100 TB — the clusterProfile contract), the explode feeds ONE
+    * map-side-combined aggregate, and everything after is
+    * sources×dims-sized with a broadcast global attach. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val paired = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+    val bySrc = paired
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("source", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)).as("s_fx"))
+    val global = bySrc.groupBy("dim")
+      .agg(sum(col("n")).as("n_g"), sum(col("s_fx")).as("g_fx"))
+    val d = (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)) -
+      (col("g_fx").cast(DoubleType) / col("n_g") / lit(1e6))
+    bySrc.join(broadcast(global), Seq("dim"))
+      .select(col("source"), col("n"),
+        floor(d * d * lit(1e12)).cast(LongType).as("t_fx"))
+      .groupBy("source")
+      .agg(max(col("n")).as("n_vecs"), sum(col("t_fx")).as("d2_fx"))
+      .select(col("source"), col("n_vecs"),
+        sqrt(col("d2_fx").cast(DoubleType) / lit(1e12)).as("drift"))
+      .orderBy("source")
+  }
+
   /** Per-DIMENSION embedding moments (mean + population variance), the
     * whitening / feature-scaling statistics an ANN pipeline trains
     * before building an index (a dimension with 10× the variance of the
@@ -2226,6 +2267,32 @@ object Pipeline {
   private lazy val lexiconModel =
     new graft.functions.LexiconAutomaton(LexiconTerms)
 
+  /** Canonical text normalization ([[graft.functions.NormalizeText]]:
+    * Unicode NFC → ROOT lowercase → ASCII-whitespace-run collapse +
+    * trim) — the pass a CCNet/C4-style corpus runs BEFORE dedup so
+    * byte-level variants of one content (composed vs decomposed
+    * accents, case, ragged whitespace) stop evading hash/shingle
+    * matching. The fixture corpus is already clean lowercase ASCII, so
+    * the query normalizes a deterministically MESSIED variant (upper-
+    * cased prefix echo, tab runs, trailing newline — built from the
+    * text itself, no synthetic inputs) and proves the collapse does
+    * real work: `n_chars_messy` > `n_chars_norm` on every row. Narrow
+    * per-row codegen projection, no shuffle except the output sort;
+    * stream-safe. Oracle restates the exact op order over the same
+    * messied string (ASCII-only parity precondition documented on the
+    * native). */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  "), upper(substring(col("text"), 1, 40)),
+      lit("\t\t"), col("text"), lit(" \n"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), messy.as("messy"))
+      .select(col("doc_id"),
+        length(col("messy")).cast(LongType).as("n_chars_messy"),
+        graft.functions.NormalizeText.normalize(col("messy")).as("text_norm"))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   /** The lexicon family's REMOVAL form (count → gate → SCRUB): strip
     * every lexicon term from the text by chained literal REPLACE, in
     * lexicon order — Spark's `replace` builtin and DuckDB's REPLACE have
@@ -2947,6 +3014,8 @@ object Pipeline {
     "q_quality_calibrated" -> (qualityCalibrated _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_cardinality_audit" -> (cardinalityAudit _),
+    "q_normalize_text"   -> (normalizeText _),
+    "q_source_drift"     -> (sourceDrift _),
     "q_dedup_weights"    -> (dedupWeights _),
     "q_lexicon_scrub"    -> (lexiconScrub _),
     "q_hard_negatives"   -> (hardNegatives _),
@@ -3831,6 +3900,22 @@ object Pipeline {
          |       CASE WHEN n > 1 THEN CAST(rk AS DOUBLE) / CAST(n - 1 AS DOUBLE)
          |            ELSE 0.0 END AS q_rank
          |FROM r ORDER BY doc_id""".stripMargin,
+    // q_normalize_text: the native's exact op order (NFC → lowercase →
+    // ASCII-whitespace collapse + trim) over the same messied string;
+    // NFC and case are identity on the ASCII corpus (the documented
+    // parity precondition), so the collapse logic is what's exercised.
+    "q_normalize_text" ->
+      """WITH m AS (SELECT doc_id,
+        |             '  ' || UPPER(SUBSTR(text, 1, 40)) || CHR(9) || CHR(9)
+        |               || text || ' ' || CHR(10) AS messy
+        |           FROM documents)
+        |SELECT doc_id, CAST(LENGTH(messy) AS BIGINT) AS n_chars_messy,
+        |       TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(messy)),
+        |                           '[\t\n\x0B\f\r ]+', ' ', 'g'), ' ') AS text_norm,
+        |       CAST(LENGTH(TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(messy)),
+        |                           '[\t\n\x0B\f\r ]+', ' ', 'g'), ' ')) AS BIGINT)
+        |         AS n_chars_norm
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q_leakage_safe_split: the q_dedup_clusters reachability closure
     // picks each dup doc's canonical, COALESCE defaults singletons to
     // themselves, and the bucket is the q_train_split md5 recipe over
@@ -3926,6 +4011,28 @@ object Pipeline {
         |       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
         |         / COUNT(*) / 1e6 AS centroid
         |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    // q_source_drift: the labelCentroids fixed-point sums per source,
+    // re-aggregated for the global centroid, squared differences floor-
+    // quantized to 1e-12 — every aggregate an exact integer, the doubles
+    // derived in one shared IEEE op order
+    "q_source_drift" ->
+      """WITH p AS (SELECT e.vec_id, d.source, e.embedding
+        |           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |x AS (SELECT source, UNNEST(RANGE(LEN(embedding))) dim,
+        |             UNNEST(embedding) v FROM p),
+        |s AS (SELECT source, dim, CAST(COUNT(*) AS BIGINT) n,
+        |        CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) s_fx
+        |      FROM x GROUP BY 1, 2),
+        |g AS (SELECT dim, CAST(SUM(n) AS BIGINT) n_g,
+        |        CAST(SUM(s_fx) AS BIGINT) g_fx FROM s GROUP BY 1),
+        |t AS (SELECT source, n,
+        |        CAST(FLOOR((CAST(s_fx AS DOUBLE) / n / 1e6 - CAST(g_fx AS DOUBLE) / n_g / 1e6)
+        |                 * (CAST(s_fx AS DOUBLE) / n / 1e6 - CAST(g_fx AS DOUBLE) / n_g / 1e6)
+        |                 * 1e12) AS BIGINT) t_fx
+        |      FROM s JOIN g USING (dim))
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_vecs,
+        |       SQRT(CAST(CAST(SUM(t_fx) AS BIGINT) AS DOUBLE) / 1e12) AS drift
+        |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
     // same 1e-6 fixed-point doctrine: Σq and Σq² are exact integers
     // (HUGEINT here, DECIMAL(38,0) on the Spark side), the mean/variance
     // doubles come from one shared IEEE op order

@@ -44,7 +44,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  rm_gram_stats(text, 2) AS gs,
         |  rm_winnow_fingerprints(text, 3, 4) AS fps,
         |  rm_char_entropy_fx(text) AS ent,
-        |  rm_self_dedup_chunks(text, 2) AS sd
+        |  rm_self_dedup_chunks(text, 2) AS sd,
+        |  rm_normalize_text(UPPER(text) || '  \t') AS nt
         |FROM ext_docs ORDER BY id""".stripMargin).collect()
     val viaApi = docs.select(col("id"),
         Md5SimHash.simhash(col("text"), 60).as("sh"),
@@ -54,7 +55,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         GramStats.gramStats(col("text"), 2).as("gs"),
         WinnowFingerprints.winnowFingerprints(col("text"), 3, 4).as("fps"),
         CharEntropyFx.entFx(col("text")).as("ent"),
-        SelfDedupChunks.dedup(col("text"), 2).as("sd"))
+        SelfDedupChunks.dedup(col("text"), 2).as("sd"),
+        NormalizeText.normalize(concat(upper(col("text")), lit("  \t"))).as("nt"))
       .orderBy("id").collect()
     assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
 

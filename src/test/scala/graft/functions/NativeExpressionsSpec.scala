@@ -337,6 +337,27 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(run("a b c d a b", 2) == "a b c d")       // repeat at the end
   }
 
+  test("NormalizeText: NFC composition, casefold, whitespace collapse, idempotence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(s: String): String =
+      NormalizeText.compute(UTF8String.fromString(s)).toString
+    // decomposed e + COMBINING ACUTE composes to the same bytes as é
+    assert(run("café") == run("café"))
+    assert(run("CAFÉ") == "café")
+    // whitespace runs of every ASCII class collapse; edges trim away
+    assert(run("  a\t\tb \n c\r\n") == "a b c")
+    assert(run("\t\n ") == "")
+    assert(run("") == "")
+    assert(run("already clean") == "already clean")
+    // idempotence: a normalized string is its own normal form
+    val crafted = Seq("café  X\tY", "A  B", "Ångström\n",
+      "MiXeD   CaSe", " x ")
+    for (t <- crafted) assert(run(run(t)) == run(t), s"not idempotent on '$t'")
+    // astral code points survive (surrogate pairs are not whitespace/case)
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(run(s"$clef  $clef") == s"$clef $clef")
+  }
+
   test("CharEntropyFx equals the scalar fixed-point definition, code-point-wise") {
     import org.apache.spark.unsafe.types.UTF8String
     def reference(s: String): Long = {

@@ -231,6 +231,36 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("q_source_drift: equals the driver-side fixed-point brute force; zero iff one source") {
+    val got = Pipeline.sourceDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val sources = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val raw = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (sources(r.getLong(0)), r.getSeq[Float](1)))
+    val dims = raw.head._2.length
+    def fx(vs: Seq[Float]): Seq[Long] =
+      vs.map(v => math.floor(v.toDouble * 1e6).toLong)
+    val bySrc = raw.groupBy(_._1).map { case (s, xs) =>
+      val sums = xs.map(x => fx(x._2)).toSeq.transpose.map(_.sum)
+      (s, xs.length.toLong, sums)
+    }
+    val nG = raw.length.toLong
+    val gSums = raw.map(x => fx(x._2)).toSeq.transpose.map(_.sum)
+    val expected = bySrc.map { case (s, n, sums) =>
+      val d2 = (0 until dims).map { d =>
+        val diff = sums(d).toDouble / n / 1e6 - gSums(d).toDouble / nG / 1e6
+        math.floor(diff * diff * 1e12).toLong
+      }.sum
+      (s, n, math.sqrt(d2.toDouble / 1e12))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got.length > 1 && got.exists(_._3 > 0.0),
+      "fixture corpus must show measurable per-source drift")
+  }
+
   test("q_label_centroids: fixed-point sums are exact and partitioning-invariant") {
     val got = Pipeline.labelCentroids(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
