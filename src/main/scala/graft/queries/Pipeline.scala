@@ -1641,6 +1641,40 @@ object Pipeline {
     TA.repetitionStats(Tables.documents(spark, dir), "text", "doc_id", "n_chars")
       .orderBy("doc_id")
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021 §A1.1, the
+    * n-gram half): per document, the fraction of characters covered by
+    * the most frequent n-gram for n ∈ {2,3,4} (count × gram chars /
+    * doc chars) and by duplicated n-grams for n ∈ {5..10} (Σ count ×
+    * gram chars over grams occurring more than once) — the nine
+    * columns MassiveText thresholds to drop machine-generated
+    * repetition ([[repetitionStats]] is the 2-signal teaser; this is
+    * the whole table). Scale shape: the signals are DOC-LOCAL, so all
+    * NINE ride one narrow shuffle-free projection of per-row
+    * [[graft.functions.GramStats]] natives — never nine exploded gram
+    * shuffles (the formulation the in-row native replaced, measured
+    * 2.3× slower at n=2,3 alone); composes with streaming unchanged. */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GramStats.gramStats
+    val staged = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("n_chars")) ++
+        (RepetitionTopNs ++ RepetitionDupNs)
+          .map(n => gramStats(col("text"), n).as(s"s$n")): _*)
+    staged.select(col("doc_id") +: (
+      RepetitionTopNs.map(n =>
+        when(col("n_chars") === 0 || col(s"s$n.top_cnt") === 0, lit(0.0))
+          .otherwise((col(s"s$n.top_cnt") * length(col(s"s$n.top_gram")))
+            .cast(DoubleType) / col("n_chars"))
+          .as(s"top_${n}gram_frac")) ++
+      RepetitionDupNs.map(n =>
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(col(s"s$n.dup_chars").cast(DoubleType) / col("n_chars"))
+          .as(s"dup_${n}gram_frac"))): _*)
+      .orderBy("doc_id")
+  }
+
+  private[queries] val RepetitionTopNs = Seq(2, 3, 4)
+  private[queries] val RepetitionDupNs = Seq(5, 6, 7, 8, 9, 10)
+
   /** Corpus-wide boilerplate detection: 3-grams appearing in ≥ minDf
     * distinct documents are "boilerplate"; per document, the fraction of
     * its distinct 3-grams that are boilerplate. The doc-frequency count is
@@ -3029,6 +3063,7 @@ object Pipeline {
     "q_train_split"      -> (trainSplit _),
     "q_vocab_topk"       -> (vocabTopK _),
     "q_quality_repetition" -> (repetitionStats _),
+    "q_repetition_profile" -> (repetitionProfile _),
     "q_boilerplate"      -> ((s: SparkSession, d: String) => boilerplate(s, d)),
     "q_pii_scrub"        -> (piiScrub _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -3047,6 +3082,48 @@ object Pipeline {
        |        + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
        |        + LEAST(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS($stopList, x))) AS DOUBLE)
        |                / LEN(STRING_SPLIT(text, ' ')) * 5.0, 1.0)) / 3.0""".stripMargin
+
+  /** q_repetition_profile oracle: per n, explode the n-grams from the
+    * shared token array, count per (doc, gram), and restate the two
+    * fraction families with the exact tie-break ((cnt DESC, gram ASC))
+    * and the integer-multiply-then-divide IEEE order the native uses.
+    * Docs shorter than n have no grams → NULL-guarded 0.0, the
+    * GramStats edge. */
+  private def repetitionProfileSql: String = {
+    def gramExpr(n: Int) = (1 to n).map(j => s"a[i+$j]").mkString(" || ' ' || ")
+    val ns = RepetitionTopNs ++ RepetitionDupNs
+    val gramCtes = ns.map { n =>
+      s"""g$n AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-${n - 1}, 0)),
+         |          i -> ${gramExpr(n)})) AS g FROM arr),
+         |c$n AS (SELECT doc_id, g, COUNT(*) cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+    }
+    val tops = RepetitionTopNs.map { n =>
+      s"""t$n AS (SELECT doc_id, g, cnt FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) rn
+         |  FROM c$n) WHERE rn = 1)""".stripMargin
+    }
+    val dups = RepetitionDupNs.map { n =>
+      s"""d$n AS (SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(g) END) dc
+         |       FROM c$n GROUP BY 1)""".stripMargin
+    }
+    val topCols = RepetitionTopNs.map { n =>
+      s"""CASE WHEN d.n_chars = 0 OR t$n.cnt IS NULL THEN 0.0
+         |     ELSE t$n.cnt * LENGTH(t$n.g) * 1.0 / d.n_chars END AS top_${n}gram_frac""".stripMargin
+    }
+    val dupCols = RepetitionDupNs.map { n =>
+      s"""CASE WHEN d.n_chars = 0 OR d$n.dc IS NULL THEN 0.0
+         |     ELSE d$n.dc * 1.0 / d.n_chars END AS dup_${n}gram_frac""".stripMargin
+    }
+    val joins = RepetitionTopNs.map(n => s"LEFT JOIN t$n ON t$n.doc_id = d.doc_id") ++
+      RepetitionDupNs.map(n => s"LEFT JOIN d$n ON d$n.doc_id = d.doc_id")
+    s"""WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+       |${(gramCtes ++ tops ++ dups).mkString(",\n")}
+       |SELECT d.doc_id,
+       |${(topCols ++ dupCols).mkString(",\n")}
+       |FROM documents d
+       |${joins.mkString("\n")}
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   private val jaccardSql =
     """WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
@@ -3620,6 +3697,7 @@ object Pipeline {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= GREATEST(n_g - 4, 0)
         |ORDER BY doc_id, fp""".stripMargin,
+    "q_repetition_profile" -> repetitionProfileSql,
     "q_quality_repetition" ->
       """WITH t AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) tok,
         |                  unnest(range(len(string_split(text, ' ')))) pos

@@ -19,6 +19,39 @@ class CorpusHealthSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("repetitionProfile: equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.repetitionProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(r.getDouble).toSeq).toMap
+    val raw = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def gramCounts(toks: Array[String], n: Int): Map[String, Int] =
+      if (toks.length < n) Map.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (g, xs) => g -> xs.size }
+    raw.foreach { case (id, text, chars) =>
+      val toks = text.split(" ", -1)
+      val expected =
+        Pipeline.RepetitionTopNs.map { n =>
+          val cs = gramCounts(toks, n)
+          if (chars == 0 || cs.isEmpty) 0.0
+          else {
+            val (g, c) = cs.toSeq.minBy { case (g, c) => (-c, g) }
+            (c.toLong * g.length).toDouble / chars
+          }
+        } ++
+        Pipeline.RepetitionDupNs.map { n =>
+          val cs = gramCounts(toks, n)
+          if (chars == 0) 0.0
+          else cs.collect { case (g, c) if c > 1 => c.toLong * g.length }
+            .sum.toDouble / chars
+        }
+      assert(got(id) == expected, s"doc $id")
+    }
+    // the battery must fire somewhere on the fixture corpus
+    assert(raw.exists(r => got(r._1).exists(_ > 0.0)))
+  }
+
   test("dedupSweep: counts are monotone non-increasing in the threshold") {
     val rows = Pipeline.dedupSweep(spark, dir).collect()
     assert(rows.map(_.getDouble(0)).toSeq == Pipeline.SweepThresholds)
