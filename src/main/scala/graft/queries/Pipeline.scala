@@ -764,6 +764,41 @@ object Pipeline {
       .orderBy("cl")
   }
 
+  /** D4 prototypicality pruning (Tirumala et al. 2023, the "SSL
+    * prototypes" stage run after SemDeDup): within each embedding
+    * cluster, the members MOST similar to their cluster centroid are
+    * the redundant/template core — drop the top [[ProtoDropFrac]] of
+    * each cluster by (cosine-to-centroid DESC, id ASC) rank and keep
+    * the diverse tail. Emits the audit columns (cluster, similarity,
+    * rank, kept) rather than just survivors so a curator can sweep the
+    * drop fraction. Scale shape: assignment and the per-member cosine
+    * are ONE narrow codegen scan against broadcast centroids (the
+    * nlist-sized CASE dispatch); the rank window partitions BY CLUSTER
+    * — bounded by occupancy ≈ corpus/nlist, the parallelism unit nlist
+    * controls (the D4 recipe's own sharding), never a global window. */
+  def protoPrune(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val cents = sharedCentroids(b, dir)
+    val withCl = b.withColumn("cl",
+      Ivf.nearestCluster(col("e"), cents).cast(LongType))
+    val sim = cents.indices.foldLeft(lit(null).cast(DoubleType)) { (acc, i) =>
+      when(col("cl") === i, graft.functions.VectorOps
+        .cosineSimilarity(col("raw"), typedLit(cents(i)))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
+      .orderBy(col("proto_sim").desc, col("id").asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cl"))
+    withCl.select(col("id"), col("cl"), sim.as("proto_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .withColumn("n_cl", count(lit(1)).over(wc))
+      .select(col("id"), col("cl"), col("proto_sim"), col("rank"),
+        (col("rank") > ceil(col("n_cl").cast(DoubleType) * lit(ProtoDropFrac))
+          .cast(LongType)).as("kept"))
+      .orderBy("id")
+  }
+
+  private[queries] val ProtoDropFrac = 0.2
+
   // IVF configuration shared by the query, the SemDeDup query, and the
   // generated oracle SQL — one source of truth for the constants.
   private val IvfDims = 64; private val IvfNlist = 10; private val IvfIters = 2
@@ -3038,6 +3073,7 @@ object Pipeline {
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
     "q_ivf_occupancy"    -> (ivfOccupancy _),
+    "q_proto_prune"      -> (protoPrune _),
     "q_dedup_sweep"      -> (dedupSweep _),
     "q_split_psi"        -> (splitPsi _),
     "q_bpe_fertility"    -> (bpeFertility _),
@@ -3430,6 +3466,25 @@ object Pipeline {
        |       CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
        |       (CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)) * ${IvfNlist}.0 AS load_factor
        |FROM occ, tot ORDER BY cl""".stripMargin
+
+  /** q_proto_prune oracle: the bit-exact [[ivfCtes]] assignment joined
+    * to the FINAL centroid table, cosine against the centroid list, the
+    * same (sim DESC, id ASC) per-cluster rank, and the same
+    * CEIL(n × fraction) cut arithmetic. */
+  private def protoPruneSql: String =
+    s"""$ivfCtes,
+       |ps AS (SELECT a.id, CAST(a.cl AS BIGINT) cl,
+       |         LIST_COSINE_SIMILARITY(b.raw, c.c) proto_sim
+       |       FROM assign a JOIN rawv b ON b.id = a.id
+       |       JOIN cent$IvfIters c ON c.cl = a.cl),
+       |rk AS (SELECT id, cl, proto_sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY cl
+       |           ORDER BY proto_sim DESC, id ASC) AS BIGINT) rank,
+       |         CAST(COUNT(*) OVER (PARTITION BY cl) AS BIGINT) n_cl
+       |       FROM ps)
+       |SELECT id, cl, proto_sim, rank,
+       |       rank > CAST(CEIL(CAST(n_cl AS DOUBLE) * $ProtoDropFrac) AS BIGINT) AS kept
+       |FROM rk ORDER BY id""".stripMargin
 
   private val semDedupSql =
     s"""$ivfCtes,
@@ -4130,6 +4185,7 @@ object Pipeline {
     "q_split_psi" -> splitPsiSql,
     "q_dedup_sweep" -> dedupSweepSql,
     "q_ivf_occupancy" -> ivfOccupancySql,
+    "q_proto_prune" -> protoPruneSql,
     "q_bpe_fertility" -> bpeFertilitySql,
     "q_shard_skew" ->
       """WITH m AS (SELECT ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,

@@ -147,6 +147,27 @@ class IvfSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.root")
   }
 
+  test("protoPrune drops exactly the ceil-fraction most-prototypical prefix per cluster") {
+    val rows = graft.queries.Pipeline.protoPrune(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == emb.count())
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val n = members.length
+      val cut = math.ceil(n * 0.2).toLong
+      val dropped = members.filter(!_._5)
+      assert(dropped.length.toLong == cut, s"cluster $cl")
+      // the dropped set is exactly ranks 1..cut — the most-similar prefix
+      assert(dropped.map(_._4).sorted.toSeq == (1L to cut),
+        s"cluster $cl dropped ranks ${dropped.map(_._4).sorted.toSeq}")
+      // rank order agrees with similarity order (ties by id)
+      val byRank = members.sortBy(_._4)
+      assert(byRank.sliding(2).forall { case Array(a, b) =>
+        a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)
+      }, s"cluster $cl rank/similarity order")
+    }
+  }
+
   test("SemDeDup pairs are within-cluster, above threshold, and deduplicated") {
     val pairs = Ivf.semDedupPairs(emb, "vec_id", "embedding",
       nlist = 10, iters = 2, threshold = 0.35).collect()
