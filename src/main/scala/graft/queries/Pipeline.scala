@@ -1688,27 +1688,37 @@ object Pipeline {
     * [[graft.functions.GramStats]] natives — never nine exploded gram
     * shuffles (the formulation the in-row native replaced, measured
     * 2.3× slower at n=2,3 alone); composes with streaming unchanged. */
-  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GramStats.gramStats
-    val staged = Tables.documents(spark, dir)
-      .select(Seq(col("doc_id"), col("n_chars")) ++
-        (RepetitionTopNs ++ RepetitionDupNs)
-          .map(n => gramStats(col("text"), n).as(s"s$n")): _*)
-    staged.select(col("doc_id") +: (
-      RepetitionTopNs.map(n =>
-        when(col("n_chars") === 0 || col(s"s$n.top_cnt") === 0, lit(0.0))
-          .otherwise((col(s"s$n.top_cnt") * length(col(s"s$n.top_gram")))
-            .cast(DoubleType) / col("n_chars"))
-          .as(s"top_${n}gram_frac")) ++
-      RepetitionDupNs.map(n =>
-        when(col("n_chars") === 0, lit(0.0))
-          .otherwise(col(s"s$n.dup_chars").cast(DoubleType) / col("n_chars"))
-          .as(s"dup_${n}gram_frac"))): _*)
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +:
+        repetitionSignals(col("text"), col("n_chars"))
+          .map { case (n, c) => c.as(n) }: _*)
       .orderBy("doc_id")
+
+  /** The nine repetition fractions as ONE shared set of Column trees —
+    * the batch query and the streaming gate
+    * ([[graft.streaming.StreamOps.repetitionGate]]) evaluate the
+    * identical op sequence, so signal values (and keep decisions)
+    * agree bit-for-bit across paths (the ensembleSignals doctrine). */
+  private[graft] def repetitionSignals(text: Column,
+      nChars: Column): Seq[(String, Column)] = {
+    import graft.functions.GramStats.gramStats
+    RepetitionTopNs.map { n =>
+      val s = gramStats(text, n)
+      s"top_${n}gram_frac" ->
+        when(nChars === 0 || s.getField("top_cnt") === 0, lit(0.0))
+          .otherwise((s.getField("top_cnt") * length(s.getField("top_gram")))
+            .cast(DoubleType) / nChars)
+    } ++ RepetitionDupNs.map { n =>
+      val s = gramStats(text, n)
+      s"dup_${n}gram_frac" ->
+        when(nChars === 0, lit(0.0))
+          .otherwise(s.getField("dup_chars").cast(DoubleType) / nChars)
+    }
   }
 
-  private[queries] val RepetitionTopNs = Seq(2, 3, 4)
-  private[queries] val RepetitionDupNs = Seq(5, 6, 7, 8, 9, 10)
+  private[graft] val RepetitionTopNs = Seq(2, 3, 4)
+  private[graft] val RepetitionDupNs = Seq(5, 6, 7, 8, 9, 10)
 
   /** Corpus-wide boilerplate detection: 3-grams appearing in ≥ minDf
     * distinct documents are "boilerplate"; per document, the fraction of

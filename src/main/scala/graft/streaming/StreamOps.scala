@@ -446,6 +446,41 @@ object StreamOps {
       .filter(col("ens") >= minEnsemble)
   }
 
+  /** Streaming Gopher repetition gate — the deployment form of
+    * [[graft.queries.Pipeline.repetitionProfile]]: each incoming
+    * document computes the SAME nine repetition fractions (the shared
+    * [[graft.queries.Pipeline.repetitionSignals]] Column trees — all
+    * doc-local [[graft.functions.GramStats]] natives) and drops when
+    * ANY signal exceeds its threshold, the MassiveText §A1.1 rule with
+    * the paper's published limits as defaults. Stateless, shuffle-free,
+    * append-mode-safe; batch and stream fractions are bit-identical
+    * doc-for-doc (StreamOpsSpec pins it). Emits all nine fraction
+    * columns for the survivor rows. */
+  def repetitionGate(docs: DataFrame, textCol: String, nCharsCol: String,
+      maxFracs: Map[String, Double] = RepetitionLimits): DataFrame = {
+    val sigs = graft.queries.Pipeline
+      .repetitionSignals(col(textCol), col(nCharsCol))
+    val sigNames = sigs.map(_._1).toSet
+    require(maxFracs.keySet.subsetOf(sigNames),
+      s"repetitionGate thresholds must name repetition signals " +
+        s"(${sigNames.mkString(", ")}); got ${maxFracs.keySet.mkString(", ")}")
+    val tagged = sigs.foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+    maxFracs.toSeq.sortBy(_._1).foldLeft(tagged) { case (d, (n, m)) =>
+      d.filter(col(n) <= m)
+    }
+  }
+
+  /** The MassiveText repetition limits (Rae et al. 2021, Table A1):
+    * top-n-gram character fractions capped at 0.20/0.18/0.16 for
+    * n=2/3/4, duplicated-n-gram fractions at 0.15/0.14/0.13/0.12/0.11/
+    * 0.10 for n=5..10. */
+  val RepetitionLimits: Map[String, Double] = Map(
+    "top_2gram_frac" -> 0.20, "top_3gram_frac" -> 0.18,
+    "top_4gram_frac" -> 0.16,
+    "dup_5gram_frac" -> 0.15, "dup_6gram_frac" -> 0.14,
+    "dup_7gram_frac" -> 0.13, "dup_8gram_frac" -> 0.12,
+    "dup_9gram_frac" -> 0.11, "dup_10gram_frac" -> 0.10)
+
   /** Streaming per-source calibrated-quality gate — the deployment form
     * of [[graft.queries.Pipeline.qualityCalibrated]]: each incoming
     * document quantizes its quality score to the batch's 1e-6 fixed

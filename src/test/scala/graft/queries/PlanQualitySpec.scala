@@ -902,6 +902,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"sketch aggregate missing from:\n$plan")
   }
 
+  test("q_repetition_profile: all nine signals ride one narrow projection — no join, no window, one scan") {
+    val plan = planOf(Pipeline.repetitionProfile(spark, dir))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"expected exactly one documents scan in:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"unexpected join/window in:\n$plan")
+    assert(plan.contains("rm_gram_stats"),
+      s"native gram-stats pass missing from:\n$plan")
+  }
+
+  test("q_normalize_text: a narrow native projection — no join, no aggregate") {
+    val plan = planOf(Pipeline.normalizeText(spark, dir))
+    assert(plan.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"expected exactly one documents scan in:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"unexpected join/aggregate in:\n$plan")
+    assert(plan.contains("rm_normalize_text"),
+      s"native normalize pass missing from:\n$plan")
+  }
+
+  test("q_source_drift: one modality-pairing join; the global centroid attaches broadcast") {
+    val plan = planOf(Pipeline.sourceDrift(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast global-centroid attach in:\n$plan")
+    // the only non-broadcast join allowed is the id-keyed modality pairing
+    val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"more than the pairing join shuffles:\n$plan")
+  }
+
   test("fleet invariant: no query plan contains a partition-less Window (unbounded frame)") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, q) =>

@@ -833,6 +833,50 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming repetition gate: the nine doc-local fractions filter a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.queries.Pipeline.repetitionProfile(spark, dir)
+      .collect().map(r => r.getLong(0) -> (1 to 9).map(r.getDouble).toSeq).toMap
+    val limits = StreamOps.RepetitionLimits
+    val names = graft.queries.Pipeline
+      .repetitionSignals(col("text"), col("n_chars")).map(_._1)
+    val expectedKept = batch.filter { case (_, fr) =>
+      names.zip(fr).forall { case (n, v) => v <= limits(n) }
+    }
+
+    val rows = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.repetitionGate(
+        input.toDF.toDF("doc_id", "text", "n_chars"), "text", "n_chars")
+      .select(col("doc_id") +: names.map(col): _*)
+      .writeStream.format("memory").queryName("rep_out")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("rep_out").collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(r.getDouble).toSeq).toMap
+    assert(streamed.keySet == expectedKept.keySet,
+      "stream must keep exactly the batch's within-limits set")
+    assert(expectedKept.nonEmpty, "some fixture docs must survive")
+    streamed.foreach { case (id, fr) =>
+      assert(fr == batch(id), s"doc $id fractions diverge")
+    }
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+    // an unknown threshold key must fail loudly, not silently no-op
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.repetitionGate(
+        spark.range(1).toDF("doc_id")
+          .withColumn("text", lit("a")).withColumn("n_chars", lit(1L)),
+        "text", "n_chars", Map("nonsense" -> 0.5))
+    }
+    assert(e.getMessage.contains("repetition signals"))
+  }
+
   test("streaming calibrated gate: per-source rank tables score a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
