@@ -69,18 +69,27 @@ object Packing {
     * packing writer scales (many bounded shards, one writer each).
     * Deterministic for any partitioning: state resets on the shard
     * boundary and never crosses partitions (hash-partitioned by shard).
-    * The in-partition sort keys are (shard, order, tokens) — the token
-    * count as final tie-break means rows tying on (shard, order) with
-    * DIFFERENT token counts still fold in one fixed order; rows tying
-    * on all three are interchangeable, so the output multiset is
-    * deterministic even without a unique (shard, order) key. */
+    * The in-partition sort keys are (shard, orders..., tokens) — the
+    * token count as final tie-break means rows tying on the order keys
+    * with DIFFERENT token counts still fold in one fixed order; rows
+    * tying on everything are interchangeable, so the output multiset is
+    * deterministic even without a unique (shard, orders) key. Pass a
+    * COMPOSITE order (e.g. (quality, doc_id)) when per-row block
+    * assignment must be fully deterministic under order-key ties. */
   def packNextFit(docs: DataFrame, shardCol: String, orderCol: String,
+      tokensCol: String, blockSize: Long): DataFrame =
+    packNextFit(docs, shardCol, Seq(orderCol), tokensCol, blockSize)
+
+  /** [[packNextFit]] with a composite in-shard order key. */
+  def packNextFit(docs: DataFrame, shardCol: String, orderCols: Seq[String],
       tokensCol: String, blockSize: Long): DataFrame = {
     require(blockSize > 0, "blockSize must be positive")
+    require(orderCols.nonEmpty, "at least one order column")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
-    val base = docs.select(col(shardCol), col(orderCol),
-      col(tokensCol).cast(LongType))
+    val base = docs.select(col(shardCol) +: orderCols.map(col) :+
+      col(tokensCol).cast(LongType): _*)
+    val tokIdx = 1 + orderCols.length
     val outSchema = StructType(base.schema.fields ++ Seq(
       StructField("block_id", LongType, nullable = false),
       StructField("block_offset", LongType, nullable = false)))
@@ -88,7 +97,8 @@ object Packing {
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     base
       .repartition(col(shardCol))
-      .sortWithinPartitions(col(shardCol), col(orderCol), col(tokensCol))
+      .sortWithinPartitions(col(shardCol) +: orderCols.map(col) :+
+        col(tokensCol): _*)
       .mapPartitions { it =>
         var shard: Any = null
         var started = false
@@ -100,14 +110,14 @@ object Packing {
             shard = s; started = true; blockId = 0L; fill = 0L
           }
           // fail loudly at the operator boundary instead of an opaque NPE
-          if (r.isNullAt(2)) throw new IllegalArgumentException(
+          if (r.isNullAt(tokIdx)) throw new IllegalArgumentException(
             s"packNextFit: null $tokensCol in shard $s — token counts must be non-null")
-          val t = r.getLong(2)
+          val t = r.getLong(tokIdx)
           // an empty current block always accepts (oversized docs overflow it)
           if (fill > 0 && fill + t > blockSize) { blockId += 1; fill = 0L }
           val offset = fill
           fill += t
-          Row(r.get(0), r.get(1), t, blockId, offset)
+          Row.fromSeq(r.toSeq :+ blockId :+ offset)
         }
       }(encoder)
   }

@@ -2262,6 +2262,30 @@ object Pipeline {
 
   private val PackNextFitBlock = 512L
 
+  /** Curriculum packing — [[packNextFit]]'s no-straddle block writer
+    * with the documents ordered EASY→HARD inside each language shard by
+    * the quantized quality score (ties broken by doc_id, so block
+    * assignment is fully deterministic — the composite-order form of
+    * the packing operator): the data-ordering step of curriculum
+    * training, where early blocks carry the cleanest documents and a
+    * loader walking block_id ascending gets a monotone difficulty
+    * schedule without any global sort of the corpus. Same scale shape
+    * as q_pack_nextfit — one shuffle on the shard column, per-shard
+    * sequential fold; the quality signal rides the same codegen scan
+    * that counts tokens. */
+  def curriculumPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(TA.qualityScore(col("text")) * lit(1000000.0))
+          .cast(LongType).as("q_fx"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    graft.operators.Packing
+      .packNextFit(docs.select("lang", "q_fx", "doc_id", "n_tokens"),
+        "lang", Seq("q_fx", "doc_id"), "n_tokens", PackNextFitBlock)
+      .select("doc_id", "lang", "q_fx", "n_tokens", "block_id", "block_offset")
+      .orderBy("doc_id")
+  }
+
   /** The round-12 operators composed END-TO-END as one curation run:
     * strict lexicon gate (any "dup" hit rejects — the C4 badword rule,
     * one Aho–Corasick pass) → character-entropy gate (≥ 2.7 nats — drops
@@ -2856,6 +2880,33 @@ object Pipeline {
        |       CAST(fill - n_tokens AS BIGINT) AS block_offset
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q_curriculum_pack oracle: [[packNextFitSql]]'s recursion with the
+    * in-shard walk ordered (q_fx, doc_id) — the shared [[qualitySql]]
+    * quantized to the same 1e-6 fixed point. */
+  private def curriculumPackSql: String =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, lang,
+       |         CAST(FLOOR(($qualitySql) * 1000000.0) AS BIGINT) q_fx,
+       |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) n_tokens
+       |  FROM documents),
+       |d AS (SELECT doc_id, lang, q_fx, n_tokens,
+       |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q_fx, doc_id) rn
+       |      FROM d0),
+       |r AS (
+       |  SELECT doc_id, lang, q_fx, n_tokens, rn,
+       |         CAST(0 AS BIGINT) block_id, n_tokens AS fill
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.lang, d.q_fx, d.n_tokens, d.rn,
+       |         CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > $PackNextFitBlock
+       |              THEN r.block_id + 1 ELSE r.block_id END,
+       |         CASE WHEN r.fill > 0 AND r.fill + d.n_tokens > $PackNextFitBlock
+       |              THEN d.n_tokens ELSE r.fill + d.n_tokens END
+       |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+       |SELECT doc_id, lang, q_fx, n_tokens, CAST(block_id AS BIGINT) AS block_id,
+       |       CAST(fill - n_tokens AS BIGINT) AS block_offset
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Per-term REPLACE-count — identical to the automaton's overlapping
     * count because every lexicon term is border-free. */
   private def lexiconHitsSql: String = {
@@ -3120,6 +3171,7 @@ object Pipeline {
     "q_bm25_topk"        -> (bm25TopK _),
     "q_char_entropy"     -> (charEntropy _),
     "q_pack_nextfit"     -> (packNextFit _),
+    "q_curriculum_pack"  -> (curriculumPack _),
     "q_self_dedup"       -> (selfDedup _),
     "q_gate_sweep"       -> (gateSweep _),
     "q_hybrid_rrf"       -> (hybridRrf _),
@@ -4072,6 +4124,7 @@ object Pipeline {
     "q_bm25_topk" -> bm25Sql,
     "q_char_entropy" -> charEntropySql,
     "q_pack_nextfit" -> packNextFitSql,
+    "q_curriculum_pack" -> curriculumPackSql,
     "q_self_dedup" -> selfDedupSql,
     "q_gate_sweep" -> gateSweepSql,
     "q_hybrid_rrf" -> hybridRrfSql,

