@@ -458,7 +458,11 @@ object Pipeline {
     * HLL++ register max-merge IS bit-invariant but has no binary
     * sketch/union surface. No oracle (DuckDB has no DataSketches HLL
     * — the q_cardinality_audit precedent); SketchUnionSpec carries the
-    * drift and accuracy contracts. */
+    * drift and accuracy contracts. The per-slice `n*_exact` columns are
+    * the test-SF measuring stick (their countDistinct shuffles every
+    * distinct pair — the cost the sketches exist to avoid); the
+    * production form drops them, exactly as [[cardinalityAudit]]
+    * documents. */
   def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
     val grams = TA.ngramRows(
         Tables.documents(spark, dir).select("doc_id", "source", "text"),
@@ -3061,7 +3065,11 @@ object Pipeline {
     * map-side-combined groupBy builds the (source, value) histogram,
     * the rank windows run PARTITIONED BY SOURCE over that bytes-sized
     * frame (never over documents), and the calibration table broadcasts
-    * back onto the corpus scan. */
+    * back onto the corpus scan. Broadcast bound: ≤ min(docs-in-source,
+    * 1e6+1) cells per source — the deployment dial for thousands of
+    * sources is a coarser quantization (1e-4 caps the table at 10⁴
+    * cells/source), which only coarsens rank resolution, never
+    * correctness. */
   def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
       floor(TA.qualityScore(col("text")) * lit(1000000.0))

@@ -358,6 +358,32 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(run(s"$clef  $clef") == s"$clef $clef")
   }
 
+  test("NormalizeText properties on seeded random strings: idempotent, collapsed, reference-equal") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(s: String): String =
+      NormalizeText.compute(UTF8String.fromString(s)).toString
+    // independent scalar reference: NFC → ROOT lowercase → regex collapse
+    def reference(s: String): String = {
+      val lower = java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+      lower.replaceAll("[\t\n\\x0B\f\r ]+", " ")
+        .replaceAll("^ | $", "")
+    }
+    val rnd = new scala.util.Random(1313)
+    val alphabet = "aBcD \t\n\r\f\u000B" + "é" + "é" + "Ångü" + "字"
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(40)
+      val s = (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val out = run(s)
+      assert(out == reference(s), s"reference mismatch on ${s.take(30).toList}")
+      assert(run(out) == out, s"not idempotent on ${s.take(30).toList}")
+      assert(!out.contains("  ") && !out.startsWith(" ") && !out.endsWith(" "),
+        s"collapse violated on ${s.take(30).toList}")
+      assert(out == out.toLowerCase(java.util.Locale.ROOT))
+    }
+  }
+
   test("CharEntropyFx equals the scalar fixed-point definition, code-point-wise") {
     import org.apache.spark.unsafe.types.UTF8String
     def reference(s: String): Long = {
