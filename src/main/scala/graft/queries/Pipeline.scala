@@ -2155,6 +2155,60 @@ object Pipeline {
 
   private val NbBuckets = 1024
 
+  /** Per-class precision / recall / F1 of [[nbClassify]]'s holdout
+    * predictions — the evaluation table a pipeline publishes BEFORE
+    * trusting any classifier-gated selection (a class with precision
+    * 0.6 means 40% of what the gate admits under that label is
+    * mislabeled). All counts are exact integers off the classify
+    * result; the derived doubles run one mirrored IEEE op order; a
+    * never-predicted class reports NULL precision/F1 rather than 0/0.
+    * Scale shape: two tiny aggregations over the classified holdout
+    * (classes-sized frames) and a broadcast join — the expensive part
+    * is the classify chain itself, already plan-proven. */
+  def nbEval(spark: SparkSession, dir: String): DataFrame = {
+    val cls = TA.nbClassify(Tables.documents(spark, dir), "text", "doc_id",
+      "lang", isTrain = col("doc_id") % 10 < 8, buckets = NbBuckets)
+    val byTrue = cls.groupBy("label")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+    val byPred = cls.groupBy(col("predicted").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val prec = when(col("n_pred") > 0,
+      col("n_correct").cast(DoubleType) / col("n_pred").cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+    val recall = col("n_correct").cast(DoubleType) / col("n_true").cast(DoubleType)
+    byTrue.join(broadcast(byPred), Seq("label"), "left")
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("prec", prec)
+      .withColumn("recall", recall)
+      .select(col("label"), col("n_true"), col("n_pred"), col("n_correct"),
+        col("prec"), col("recall"),
+        when(col("prec").isNotNull && col("prec") + col("recall") > 0.0,
+          lit(2.0) * col("prec") * col("recall") / (col("prec") + col("recall")))
+          .otherwise(lit(null).cast(DoubleType)).as("f1"))
+      .orderBy("label")
+  }
+
+  /** Language-ID confusion matrix — the heuristic [[langId]] guess
+    * against the stored label, per (true, guessed) cell with the
+    * within-true-class share: the audit that says WHERE the cheap
+    * n-gram marker heuristic is safe to gate on and where it routes to
+    * `und`/wrong (the fixture's zh has no marker list, so its row is
+    * the designed failure case a curator must see). One narrow codegen
+    * scan + one map-side-combined aggregate on the langs²-bounded key;
+    * totals attach broadcast. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir)
+      .select(col("lang").as("lang_true"), TA.langId(col("text")).as("lang_guess"))
+      .groupBy("lang_true", "lang_guess").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("lang_true").agg(sum(col("n")).as("n_true"))
+    c.join(broadcast(t), Seq("lang_true"))
+      .select(col("lang_true"), col("lang_guess"), col("n"),
+        (col("n").cast(DoubleType) / col("n_true").cast(DoubleType)).as("frac"),
+        (col("lang_true") === col("lang_guess")).as("correct"))
+      .orderBy("lang_true", "lang_guess")
+  }
+
   /** BPE tokenizer training ([[TA.bpeTrain]]): the 40-merge table
     * learned from the corpus word-frequency profile — rank, merged
     * pair, and the pair's weighted count at learn time. */
@@ -2911,6 +2965,92 @@ object Pipeline {
        |       CAST(fill - n_tokens AS BIGINT) AS block_offset
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** The full NB train→model→score→argmax chain — extracted to a def so
+    * the q_nb_eval oracle aggregates the SAME restatement instead of a
+    * second copy that could drift. */
+  private def nbClassifySql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, (doc_id % 10) < 8 AS is_train,
+       |                   ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT % $NbBuckets AS b
+       |            FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)),
+       |cb AS (SELECT lang AS label, b, CAST(COUNT(*) AS BIGINT) n FROM tk WHERE is_train GROUP BY 1, 2),
+       |pri AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) docs_c
+       |        FROM documents WHERE (doc_id % 10) < 8 GROUP BY 1),
+       |pri2 AS (SELECT label, CAST(FLOOR(LN(CAST(docs_c AS DOUBLE) /
+       |                 CAST(SUM(docs_c) OVER () AS DOUBLE)) * 1000000.0) AS BIGINT) prior_fx
+       |         FROM pri),
+       |ctot AS (SELECT label, CAST(SUM(n) AS BIGINT) n_c FROM cb GROUP BY 1),
+       |nc AS (SELECT p.label, COALESCE(c.n_c, 0) AS n_c FROM pri p LEFT JOIN ctot c USING (label)),
+       |model AS (SELECT g.label, g.b,
+       |                 CAST(FLOOR(LN(CAST(COALESCE(cb.n, 0) + 1 AS DOUBLE) /
+       |                   CAST(g.n_c + $NbBuckets AS DOUBLE)) * 1000000.0) AS BIGINT) lp_fx
+       |          FROM (SELECT label, n_c, CAST(t.b AS BIGINT) b
+       |                FROM nc CROSS JOIN (SELECT UNNEST(RANGE($NbBuckets)) AS b) t) g
+       |          LEFT JOIN cb ON cb.label = g.label AND cb.b = g.b),
+       |pd AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) cnt FROM tk WHERE NOT is_train GROUP BY 1, 2),
+       |tokfx AS (SELECT pd.doc_id, m.label AS cls, CAST(SUM(pd.cnt * m.lp_fx) AS BIGINT) tok_fx
+       |          FROM pd JOIN model m ON m.b = pd.b GROUP BY 1, 2),
+       |base AS (SELECT d.doc_id, d.lang AS label, p2.label AS cls, p2.prior_fx
+       |         FROM documents d CROSS JOIN pri2 p2 WHERE (d.doc_id % 10) >= 8),
+       |sc AS (SELECT b2.doc_id, b2.label, b2.cls,
+       |              b2.prior_fx + COALESCE(t.tok_fx, 0) AS score_fx
+       |       FROM base b2 LEFT JOIN tokfx t ON t.doc_id = b2.doc_id AND t.cls = b2.cls),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                   ORDER BY score_fx DESC, cls ASC) r FROM sc)
+       |SELECT doc_id, label, cls AS predicted, (label = cls) AS correct,
+       |       CAST(score_fx AS DOUBLE) / 1000000.0 AS nb_score
+       |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin
+
+  /** q_nb_eval oracle: the SAME classify chain aggregated to the
+    * per-class precision/recall/F1 table, double ops mirrored
+    * column-for-column. */
+  private def nbEvalSql: String =
+    s"""WITH cls AS ($nbClassifySql),
+       |p AS (SELECT label, CAST(COUNT(*) AS BIGINT) n_true,
+       |        CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) n_correct
+       |      FROM cls GROUP BY 1),
+       |q AS (SELECT predicted, CAST(COUNT(*) AS BIGINT) n_pred FROM cls GROUP BY 1),
+       |m AS (SELECT p.label, p.n_true, COALESCE(q.n_pred, 0) AS n_pred, p.n_correct,
+       |        CASE WHEN COALESCE(q.n_pred, 0) > 0
+       |             THEN CAST(p.n_correct AS DOUBLE) / CAST(q.n_pred AS DOUBLE) END AS prec,
+       |        CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE) AS recall
+       |      FROM p LEFT JOIN q ON q.predicted = p.label)
+       |SELECT label, n_true, n_pred, n_correct, prec, recall,
+       |       CASE WHEN prec IS NOT NULL AND prec + recall > 0.0
+       |            THEN 2.0 * prec * recall / (prec + recall) END AS f1
+       |FROM m ORDER BY label""".stripMargin
+
+  /** The q_lang_id oracle, extracted so the confusion-matrix oracle
+    * aggregates the SAME guess restatement. */
+  private val langIdGuessSql: String =
+    """WITH hits AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['the','and','of'], x))) AS BIGINT) en_hits,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['der','und','das'], x))) AS BIGINT) de_hits,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['le','et','les'], x))) AS BIGINT) fr_hits,
+      |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['el','y','los'], x))) AS BIGINT) es_hits
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+      |            WHEN de_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+      |            WHEN en_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+      |            WHEN es_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
+      |            ELSE 'fr' END AS lang_guess,
+      |       en_hits, de_hits, fr_hits, es_hits
+      |FROM hits ORDER BY doc_id""".stripMargin
+
+  /** q_langid_confusion oracle: the q_lang_id guess restated (the same
+    * hash-green marker CASE) joined to the stored label and aggregated
+    * to the confusion matrix. */
+  private def langIdConfusionSql: String =
+    s"""WITH g AS ($langIdGuessSql),
+       |c AS (SELECT d.lang AS lang_true, g.lang_guess, CAST(COUNT(*) AS BIGINT) n
+       |      FROM documents d JOIN g ON g.doc_id = d.doc_id GROUP BY 1, 2),
+       |t AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) n_true FROM c GROUP BY 1)
+       |SELECT lang_true, lang_guess, n,
+       |       CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) AS frac,
+       |       (lang_true = lang_guess) AS correct
+       |FROM c JOIN t USING (lang_true) ORDER BY lang_true, lang_guess""".stripMargin
+
   /** Per-term REPLACE-count — identical to the automaton's overlapping
     * count because every lexicon term is border-free. */
   private def lexiconHitsSql: String = {
@@ -3169,6 +3309,8 @@ object Pipeline {
     "q_lm_gate"          -> (lmGate _),
     "q_dsir_select"      -> (dsirSelect _),
     "q_nb_classify"      -> (nbClassify _),
+    "q_nb_eval"          -> (nbEval _),
+    "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_ensemble" -> (qualityEnsemble _),
     "q_gopher_rules"     -> (gopherRules _),
     "q_bpe_train"        -> (bpeTrain _),
@@ -4093,37 +4235,9 @@ object Pipeline {
     // summation, so per-(doc, class) scores are exact integers and the
     // argmax (score DESC, class ASC) is engine-independent. Sums CAST to
     // BIGINT (DuckDB HUGEINT dtype trap).
-    "q_nb_classify" ->
-      s"""WITH tk AS (SELECT doc_id, lang, (doc_id % 10) < 8 AS is_train,
-         |                   ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT % $NbBuckets AS b
-         |            FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)),
-         |cb AS (SELECT lang AS label, b, CAST(COUNT(*) AS BIGINT) n FROM tk WHERE is_train GROUP BY 1, 2),
-         |pri AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) docs_c
-         |        FROM documents WHERE (doc_id % 10) < 8 GROUP BY 1),
-         |pri2 AS (SELECT label, CAST(FLOOR(LN(CAST(docs_c AS DOUBLE) /
-         |                 CAST(SUM(docs_c) OVER () AS DOUBLE)) * 1000000.0) AS BIGINT) prior_fx
-         |         FROM pri),
-         |ctot AS (SELECT label, CAST(SUM(n) AS BIGINT) n_c FROM cb GROUP BY 1),
-         |nc AS (SELECT p.label, COALESCE(c.n_c, 0) AS n_c FROM pri p LEFT JOIN ctot c USING (label)),
-         |model AS (SELECT g.label, g.b,
-         |                 CAST(FLOOR(LN(CAST(COALESCE(cb.n, 0) + 1 AS DOUBLE) /
-         |                   CAST(g.n_c + $NbBuckets AS DOUBLE)) * 1000000.0) AS BIGINT) lp_fx
-         |          FROM (SELECT label, n_c, CAST(t.b AS BIGINT) b
-         |                FROM nc CROSS JOIN (SELECT UNNEST(RANGE($NbBuckets)) AS b) t) g
-         |          LEFT JOIN cb ON cb.label = g.label AND cb.b = g.b),
-         |pd AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) cnt FROM tk WHERE NOT is_train GROUP BY 1, 2),
-         |tokfx AS (SELECT pd.doc_id, m.label AS cls, CAST(SUM(pd.cnt * m.lp_fx) AS BIGINT) tok_fx
-         |          FROM pd JOIN model m ON m.b = pd.b GROUP BY 1, 2),
-         |base AS (SELECT d.doc_id, d.lang AS label, p2.label AS cls, p2.prior_fx
-         |         FROM documents d CROSS JOIN pri2 p2 WHERE (d.doc_id % 10) >= 8),
-         |sc AS (SELECT b2.doc_id, b2.label, b2.cls,
-         |              b2.prior_fx + COALESCE(t.tok_fx, 0) AS score_fx
-         |       FROM base b2 LEFT JOIN tokfx t ON t.doc_id = b2.doc_id AND t.cls = b2.cls),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-         |                   ORDER BY score_fx DESC, cls ASC) r FROM sc)
-         |SELECT doc_id, label, cls AS predicted, (label = cls) AS correct,
-         |       CAST(score_fx AS DOUBLE) / 1000000.0 AS nb_score
-         |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    "q_nb_classify" -> nbClassifySql,
+    "q_nb_eval" -> nbEvalSql,
+    "q_langid_confusion" -> langIdConfusionSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_vocab" -> bpeVocabSql,
     "q_bpe_encode" -> bpeEncodeSql,
@@ -4479,22 +4593,7 @@ object Pipeline {
          |                 / LEN(STRING_SPLIT(text, ' ')) END AS distinct_ratio,
          |       $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_lang_id" ->
-      """WITH hits AS (
-        |  SELECT doc_id,
-        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['the','and','of'], x))) AS BIGINT) en_hits,
-        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['der','und','das'], x))) AS BIGINT) de_hits,
-        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['le','et','les'], x))) AS BIGINT) fr_hits,
-        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LIST_CONTAINS(['el','y','los'], x))) AS BIGINT) es_hits
-        |  FROM documents)
-        |SELECT doc_id,
-        |       CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
-        |            WHEN de_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
-        |            WHEN en_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
-        |            WHEN es_hits = GREATEST(en_hits, de_hits, fr_hits, es_hits) THEN 'es'
-        |            ELSE 'fr' END AS lang_guess,
-        |       en_hits, de_hits, fr_hits, es_hits
-        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> langIdGuessSql,
     "q_fingerprint_dedup" ->
       """SELECT MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ')) AS fp,
         |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs

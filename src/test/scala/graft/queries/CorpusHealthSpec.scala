@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Cross-query consistency contracts for the corpus-health audits added
@@ -18,6 +19,57 @@ class CorpusHealthSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("nbEval: equals the brute force over the classify result; un-predicted classes go NULL") {
+    val cls = graft.operators.TextAnalysis.nbClassify(
+        graft.Tables.documents(spark, dir), "text", "doc_id", "lang",
+        isTrain = col("doc_id") % 10 < 8, buckets = 1024)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getBoolean(3)))
+    val byTrue = cls.groupBy(_._1)
+    val byPred = cls.groupBy(_._2).map { case (p, xs) => p -> xs.length }
+    val got = Pipeline.nbEval(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSeq == byTrue.keys.toSeq.sorted)
+    got.foreach { r =>
+      val label = r.getString(0)
+      val xs = byTrue(label)
+      val nTrue = xs.length.toLong
+      val nCorrect = xs.count(_._3).toLong
+      val nPred = byPred.getOrElse(label, 0).toLong
+      assert(r.getLong(1) == nTrue && r.getLong(2) == nPred &&
+        r.getLong(3) == nCorrect, s"counts for $label")
+      if (nPred == 0) assert(r.isNullAt(4) && r.isNullAt(6), s"$label NULLs")
+      else {
+        val p = nCorrect.toDouble / nPred
+        val rec = nCorrect.toDouble / nTrue
+        assert(r.getDouble(4) == p && r.getDouble(5) == rec, s"$label p/r")
+        if (p + rec > 0.0) assert(r.getDouble(6) == 2.0 * p * rec / (p + rec))
+        else assert(r.isNullAt(6))
+      }
+    }
+  }
+
+  test("langIdConfusion: cells equal the brute force; zh is the designed marker-less failure row") {
+    val raw = graft.Tables.documents(spark, dir).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val guesses = graft.Tables.documents(spark, dir)
+      .select(col("lang"), graft.operators.TextAnalysis.langId(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = guesses.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val totals = guesses.groupBy(_._1).map { case (l, xs) => l -> xs.length.toLong }
+    val got = Pipeline.langIdConfusion(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))))
+    assert(got.map(_._1).toSet == cells.keySet)
+    got.foreach { case ((t, g), (n, frac, correct)) =>
+      assert(n == cells((t, g)))
+      assert(frac == n.toDouble / totals(t))
+      assert(correct == (t == g))
+    }
+    // the designed failure mode is VISIBLE: zh rows exist and none are correct
+    val zh = got.filter(_._1._1 == "zh")
+    assert(zh.nonEmpty && zh.forall(!_._2._3), "zh must misroute (no marker list)")
+    assert(raw.nonEmpty)
+  }
 
   test("repetitionProfile: equals the driver-side brute force on sf0.001") {
     val got = Pipeline.repetitionProfile(spark, dir).collect()
