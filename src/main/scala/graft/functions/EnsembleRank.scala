@@ -117,7 +117,15 @@ object RankLookup {
       signalCol: String): Map[String, RankTable] = {
     val hist = sigs.groupBy(col(groupCol), col(signalCol))
       .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        // fail loudly at the operator boundary (the packNextFit rule): a
+        // null group would become an unmatchable Map key the gate's CASE
+        // chain silently drops, a null signal an opaque getLong NPE
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"trainPerGroup: null $groupCol or $signalCol in the profile — " +
+            "group keys and signal values must be non-null")
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      }
     hist.groupBy(_._1).map { case (g, rows) =>
       val sorted = rows.sortBy(_._2)
       val values = sorted.map(_._2)

@@ -480,12 +480,19 @@ object Pipeline {
       count_distinct(col("h")).as("n2_exact"))
     val direct = grams.groupBy("source")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("h"))).as("n_direct_est"))
-    s1.join(s2, Seq("source"), "left")
-      .select(col("source"), col("n1_exact"), coalesce(col("n2_exact"), lit(0L)).as("n2_exact"),
-        hll_sketch_estimate(col("sk1")).as("n1_est"),
-        when(col("sk2").isNotNull,
+    // FULL outer: a source whose every row hashes into one slice must
+    // still appear (a left join anchored on slice 1 would silently drop
+    // a slice-2-only source from the audit)
+    s1.join(s2, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("n1_exact"), lit(0L)).as("n1_exact"),
+        coalesce(col("n2_exact"), lit(0L)).as("n2_exact"),
+        when(col("sk1").isNotNull, hll_sketch_estimate(col("sk1")))
+          .otherwise(lit(0L)).as("n1_est"),
+        when(col("sk1").isNotNull && col("sk2").isNotNull,
           hll_sketch_estimate(hll_union(col("sk1"), col("sk2"))))
-          .otherwise(hll_sketch_estimate(col("sk1"))).as("n_union_est"))
+          .when(col("sk1").isNotNull, hll_sketch_estimate(col("sk1")))
+          .otherwise(hll_sketch_estimate(col("sk2"))).as("n_union_est"))
       .join(broadcast(direct), Seq("source"))
       .withColumn("union_drift",
         abs(col("n_union_est") - col("n_direct_est")).cast(DoubleType) /
@@ -2176,8 +2183,15 @@ object Pipeline {
     val prec = when(col("n_pred") > 0,
       col("n_correct").cast(DoubleType) / col("n_pred").cast(DoubleType))
       .otherwise(lit(null).cast(DoubleType))
-    val recall = col("n_correct").cast(DoubleType) / col("n_true").cast(DoubleType)
-    byTrue.join(broadcast(byPred), Seq("label"), "left")
+    val recall = when(col("n_true") > 0,
+      col("n_correct").cast(DoubleType) / col("n_true").cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+    // FULL outer: a class predicted for other classes' holdout docs but
+    // with no holdout true rows of its own (precision 0) must still
+    // appear — a left join anchored on the true side would hide it
+    byTrue.join(broadcast(byPred), Seq("label"), "full")
+      .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+      .withColumn("n_correct", coalesce(col("n_correct"), lit(0L)))
       .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
       .withColumn("prec", prec)
       .withColumn("recall", recall)
@@ -3009,11 +3023,14 @@ object Pipeline {
        |        CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) n_correct
        |      FROM cls GROUP BY 1),
        |q AS (SELECT predicted, CAST(COUNT(*) AS BIGINT) n_pred FROM cls GROUP BY 1),
-       |m AS (SELECT p.label, p.n_true, COALESCE(q.n_pred, 0) AS n_pred, p.n_correct,
+       |m AS (SELECT COALESCE(p.label, q.predicted) AS label,
+       |        COALESCE(p.n_true, 0) AS n_true, COALESCE(q.n_pred, 0) AS n_pred,
+       |        COALESCE(p.n_correct, 0) AS n_correct,
        |        CASE WHEN COALESCE(q.n_pred, 0) > 0
-       |             THEN CAST(p.n_correct AS DOUBLE) / CAST(q.n_pred AS DOUBLE) END AS prec,
-       |        CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE) AS recall
-       |      FROM p LEFT JOIN q ON q.predicted = p.label)
+       |             THEN CAST(COALESCE(p.n_correct, 0) AS DOUBLE) / CAST(q.n_pred AS DOUBLE) END AS prec,
+       |        CASE WHEN COALESCE(p.n_true, 0) > 0
+       |             THEN CAST(p.n_correct AS DOUBLE) / CAST(p.n_true AS DOUBLE) END AS recall
+       |      FROM p FULL OUTER JOIN q ON q.predicted = p.label)
        |SELECT label, n_true, n_pred, n_correct, prec, recall,
        |       CASE WHEN prec IS NOT NULL AND prec + recall > 0.0
        |            THEN 2.0 * prec * recall / (prec + recall) END AS f1
