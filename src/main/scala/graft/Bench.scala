@@ -82,17 +82,26 @@ object Bench {
     }
     val retryRuns = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    val retryFail = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (_ <- 1 to reps; name <- firstNoisy) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); retryRuns(name) :+= (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        System.err.println(s"bench: retry $name failed: ${e.getMessage}") }
+        System.err.println(s"bench: retry $name failed: ${e.getMessage}")
+        retryFail(name) += 1 }
     }
     val retried = firstNoisy.filter(n => retryRuns(n).nonEmpty &&
       median(retryRuns(n)) < median(runsByName(n)))
     val allRuns = names.map(n => n -> (runsByName(n) ++ retryRuns(n))).toMap
-    retried.foreach(n => runsByName(n) = retryRuns(n))
+    // when the retry batch is KEPT, its failure count replaces the first
+    // batch's — partial/failed must describe the batch the medians came
+    // from, not a mix (a 2/3-success first batch + kept 3/3 retry batch
+    // previously reported 3 successes AND a failure for n=3 reps)
+    retried.foreach { n =>
+      runsByName(n) = retryRuns(n)
+      failCount(n) = retryFail(n)
+    }
     // a query with at least one successful rep keeps its median; `failed`
     // lists zero-success queries, and `partial` surfaces per-query
     // success counts when some (not all) reps threw — a single-run
@@ -180,11 +189,15 @@ object Bench {
       .map { case (n, ok) => "\"" + n + "\":" + ok }.mkString("{", ",", "}")
     val minRegressedJson =
       minRegressed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val retriedJson = firstNoisy.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // `retried` = queries whose RETRY batch was kept (the medians in this
+    // artifact came from it); `retry_attempted` = every noisy query that
+    // got a retry batch, kept or not
+    val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val attemptedJson = firstNoisy.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
         jmap(medians)},"min":${jmap(mins)},"spread":${jmap(spreads)
-        },"max_spread_ratio":${fmtN(3)(maxSpreadRatio)},"noisy":$noisyJson,"retried":$retriedJson,"min_regressed":$minRegressedJson,"failed":$failedJson,"partial":$partialJson,"n":$reps,"sf":"$sfDir"}"""
+        },"max_spread_ratio":${fmtN(3)(maxSpreadRatio)},"noisy":$noisyJson,"retried":$retriedJson,"retry_attempted":$attemptedJson,"min_regressed":$minRegressedJson,"failed":$failedJson,"partial":$partialJson,"n":$reps,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json") // cwd = repo root (run/fork)
     java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     System.err.println(s"bench: full per-query medians -> ${fullPath.toAbsolutePath}")

@@ -123,13 +123,19 @@ object Sampling {
       s"unimaxAlloc budget fraction $budgetNum/$budgetDen exceeds 1: the " +
         "1-epoch cap cannot absorb more than the corpus holds")
     val spark = df.sparkSession
+    // sum on DECIMAL(38,0): a Long accumulator would WRAP silently on a
+    // 100 TB-scale source before the driver-side overflow guards below
+    // ever see the value — widen first, range-check loudly at collect
     val sizes = df.groupBy(sourceCol)
-      .agg(sum(col(massCol)).cast(LongType).as("mass"))
+      .agg(sum(col(massCol).cast(DecimalType(38, 0))).as("mass"))
       .collect().map { r =>
         require(!r.isNullAt(0) && !r.isNullAt(1),
           s"unimaxAlloc: null $sourceCol or all-null $massCol group — " +
             "sources and masses must be non-null")
-        (r.getString(0), r.getLong(1))
+        val mass = r.getDecimal(1).toBigInteger
+        require(BigInt(mass).isValidLong,
+          s"unimaxAlloc: mass $mass for source ${r.getString(0)} overflows Long")
+        (r.getString(0), mass.longValueExact())
       }
       // oracle-parity precondition (like the BM25 term list): equal-mass
       // ties break on the source NAME, compared here in UTF-16 units and

@@ -792,6 +792,10 @@ object Pipeline {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "cid")
+      // the brute-force scan is the audit's dominant cost and feeds BOTH
+      // consumers below — checkpoint the (queries × k)-row result so it
+      // runs once, not twice
+      .localCheckpoint()
     val hits = exact.join(broadcast(approx), Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
     exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
@@ -816,9 +820,13 @@ object Pipeline {
     * nlist-valued cluster id; the 1-row total broadcasts back. */
   def ivfOccupancy(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    // checkpoint the ≤nlist-row aggregate: occ feeds the output AND its
+    // own total, and without the barrier the corpus-sized assignment
+    // scan would execute twice
     val occ = Ivf.assign(b, sharedCentroids(b, dir))
       .groupBy(col("cl").cast(LongType).as("cl"))
       .agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint()
     val share = col("n_vecs").cast(DoubleType) / col("total").cast(DoubleType)
     occ.crossJoin(broadcast(occ.agg(sum(col("n_vecs")).as("total"))))
       .select(col("cl"), col("n_vecs"), share.as("share"),
@@ -1452,8 +1460,12 @@ object Pipeline {
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
+      // sum on DECIMAL(38,0) (the embeddingMoments treatment): at
+      // 10¹²-row scale a Long accumulator would wrap silently while the
+      // oracle's SUM(BIGINT) promotes to HUGEINT and diverges
       .agg(count(lit(1)).as("n_vecs"),
-        sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)).as("s_fx"))
+        sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)
+          .cast(DecimalType(38, 0))).as("s_fx"))
       .select(col("label"), col("dim").cast(LongType).as("dim"),
         col("n_vecs"),
         (col("s_fx").cast(DoubleType) / col("n_vecs") / lit(1e6)).as("centroid"))
@@ -1484,8 +1496,11 @@ object Pipeline {
     val bySrc = paired
       .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("source", "dim")
+      // DECIMAL(38,0) sums — the labelCentroids/embeddingMoments
+      // overflow treatment for 10¹²-row fixed-point accumulations
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)).as("s_fx"))
+        sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)
+          .cast(DecimalType(38, 0))).as("s_fx"))
     val global = bySrc.groupBy("dim")
       .agg(sum(col("n")).as("n_g"), sum(col("s_fx")).as("g_fx"))
     val d = (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)) -
@@ -2402,9 +2417,16 @@ object Pipeline {
     * aggregate; nothing corpus-sized moves. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val lex = new graft.functions.LexiconAutomaton(CurationLex)
+    // NULL text coalesces to lexicon-rejected: the pipeline's first
+    // filter drops such rows (a null predicate filters out), so
+    // attributing them to stage 1 keeps the funnel ADDITIVE — without
+    // the coalesce a null-text doc lands in n_input but in NO stage
+    // bucket and the report stops summing
     val flagged = Tables.documents(spark, dir).select(
-      (graft.functions.LexiconHits.total(col("text"), lex) === 0L).as("lex_ok"),
-      (entropyNats(col("text")) >= lit(CurationMinEntropy)).as("ent_ok"),
+      coalesce(graft.functions.LexiconHits.total(col("text"), lex) === 0L,
+        lit(false)).as("lex_ok"),
+      coalesce(entropyNats(col("text")) >= lit(CurationMinEntropy),
+        lit(false)).as("ent_ok"),
       graft.functions.SelfDedupChunks.dedup(col("text"), SelfDedupW)
         .as("text_clean"))
     flagged.agg(
@@ -2797,12 +2819,14 @@ object Pipeline {
     val lexHits = CurationLex
       .map(t => s"(LENGTH(text) - LENGTH(REPLACE(text, '$t', ''))) // ${t.length}")
       .mkString(" + ")
+    // NULL text → lexicon-rejected (COALESCE FALSE) — the Spark side's
+    // additivity rule, mirrored
     s"""WITH $entropyFxCtes,
-       |lexf AS (SELECT doc_id, ($lexHits) = 0 AS lex_ok, text FROM documents),
+       |lexf AS (SELECT doc_id, COALESCE(($lexHits) = 0, FALSE) AS lex_ok, text FROM documents),
        |entf AS (SELECT d.doc_id,
-       |           (CASE WHEN dl.char_len = 0 THEN 0.0
+       |           COALESCE(CASE WHEN dl.char_len = 0 THEN 0.0
        |                 ELSE (CAST(COALESCE(fx.ent_fx, 0) AS DOUBLE) / 1000000.0) / dl.char_len
-       |            END >= $CurationMinEntropy) AS ent_ok
+       |            END >= $CurationMinEntropy, FALSE) AS ent_ok
        |         FROM documents d JOIN dl ON dl.doc_id = d.doc_id
        |         LEFT JOIN fx ON fx.doc_id = d.doc_id),
        |gated AS (SELECT l.doc_id, l.text FROM lexf l JOIN entf e USING (doc_id)

@@ -257,8 +257,9 @@ object StreamOps {
   def noveltyGate(docs: DataFrame, textCol: String,
       bloom: org.apache.spark.util.sketch.BloomFilter,
       n: Int, minNovelty: Double): DataFrame = {
-    val grams = array_distinct(
-      graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+    // ShingleHashes dedupes in its own single native pass — no
+    // array_distinct wrapper needed
+    val grams = graft.functions.ShingleHashes.shingleHashes(col(textCol), n)
     val novel = size(filter(grams,
       h => !graft.functions.BloomMightContain.mightContain(h, bloom)))
     docs
