@@ -266,6 +266,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware near-dup survivor selection (the FineWeb "keep the
+    * best member, not the first" refinement of [[cleanCorpus]]'s
+    * canonical-only rule): within each MinHash duplicate cluster the
+    * survivor is the member with the highest lexical diversity
+    * ([[TA.distinctTokenRatio]]), tie-broken toward the lowest doc_id;
+    * every member row is returned with its `kept` flag so the audit
+    * shows exactly what a quality-ranked dedup would drop and why.
+    * Scale shape: quality is computed for cluster MEMBERS only — the
+    * dup-docs-sized component table prunes the corpus scan via an inner
+    * broadcast join before any tokenization — and the survivor argmax
+    * is a `max_by` aggregation over that dup-docs frame (map-side
+    * partials, one small shuffle on canonical_id; no window), whose
+    * clusters-sized result broadcasts back onto the member rows. */
+  def clusterBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = nearDupClusters(docs)
+    // dup-docs-sized; checkpoint so the scan feeding BOTH consumers
+    // below (the argmax and the output join) runs once
+    val members = docs
+      .join(broadcast(clusters), Seq("doc_id"))
+      .select(col("doc_id"), col("canonical_id"),
+        TA.distinctTokenRatio(col("text")).as("quality"))
+      .localCheckpoint()
+    // max of (quality, -doc_id) = highest quality, lowest id on ties —
+    // doc_id is unique, so the argmax is total and deterministic
+    val best = members.groupBy("canonical_id")
+      .agg(max_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("nid"))).as("best_id"),
+        count(lit(1)).cast(LongType).as("cluster_size"))
+    members.join(broadcast(best), Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        col("quality"), (col("doc_id") === col("best_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** The composed training-data cleaning pipeline, end to end: quality
     * gate → exact dedup (keep the lowest doc_id per md5 digest) → near-dup
     * removal (drop every non-canonical member of a MinHash cluster).
@@ -773,18 +808,19 @@ object Pipeline {
     ivfRecallWith(b, sharedCentroids(b, dir), IvfNq, IvfK, IvfNprobe)
   }
 
-  /** [[ivfRecall]] against caller-supplied centroids/config — the form
-    * PlantedRecallSpec drives with planted structure. */
-  private[graft] def ivfRecallWith(b: DataFrame, cents: Seq[Seq[Double]],
-      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+  /** Exhaustive exact top-k (qid, cid) pairs for the first `nQueries`
+    * ids — the ground-truth side shared by [[ivfRecallWith]] and
+    * [[ivfSweep]]: queries broadcast, the corpus streams once, the
+    * per-query rank window is query-partitioned. Checkpointed because
+    * the brute-force scan is every recall audit's dominant cost and
+    * each caller consumes it at least twice. */
+  private def exactTopKPairs(b: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import graft.functions.VectorOps
-    val approx = Ivf.topKWith(b, cents, nQueries, k, nprobe)
-      .select(col("qid"), col("cid"))
     val queries = broadcast(b.filter(col("id") < nQueries)
       .select(col("id").as("qid"), col("raw").as("qvec")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid").asc)
-    val exact = b.select(col("id").as("cid"), col("raw").as("cvec"))
+    b.select(col("id").as("cid"), col("raw").as("cvec"))
       .crossJoin(queries)
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -792,10 +828,16 @@ object Pipeline {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("qid", "cid")
-      // the brute-force scan is the audit's dominant cost and feeds BOTH
-      // consumers below — checkpoint the (queries × k)-row result so it
-      // runs once, not twice
       .localCheckpoint()
+  }
+
+  /** [[ivfRecall]] against caller-supplied centroids/config — the form
+    * PlantedRecallSpec drives with planted structure. */
+  private[graft] def ivfRecallWith(b: DataFrame, cents: Seq[Seq[Double]],
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val approx = Ivf.topKWith(b, cents, nQueries, k, nprobe)
+      .select(col("qid"), col("cid"))
+    val exact = exactTopKPairs(b, nQueries, k)
     val hits = exact.join(broadcast(approx), Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
     exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
@@ -805,6 +847,76 @@ object Pipeline {
         (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
           / col("n_exact").cast(DoubleType)).as("recall"))
       .orderBy("qid")
+  }
+
+  /** nprobe values the recall sweep serves — ascending, max = the
+    * served [[IvfNprobe]] so the sweep's last row IS the production
+    * configuration's recall. */
+  // lazy: IvfNprobe is declared further down the object body, and a
+  // strict val here would capture its uninitialized 0
+  private lazy val IvfSweepProbes = Seq(1L, 2L, IvfNprobe.toLong)
+
+  /** IVF recall-vs-nprobe sweep — [[ivfRecall]]'s tuning curve, the
+    * [[dedupSweep]] treatment applied to the ANN index: micro-averaged
+    * recall@k at each candidate nprobe in ONE pass, so an operator
+    * reads off the cheapest probe count that clears their recall bar
+    * instead of re-running the audit per setting. The sweep exploits
+    * that probe lists are rank-nested: each (query, candidate) pair is
+    * generated and scored ONCE, tagged with the FIRST probe rank that
+    * reaches it, and each threshold's shortlist is a filter + rank over
+    * that shared scored frame — recall is provably non-decreasing in
+    * nprobe (a superset's extra candidates can only displace non-true
+    * neighbors, since anything outranking a true top-k member is itself
+    * a true top-k member), which IvfSpec pins. Scale shape: probe
+    * assignment is a narrow codegen scan against broadcast centroids,
+    * candidates come from the cluster-id equi-join, scoring touches
+    * each pair once (checkpointed), and the per-threshold rank windows
+    * partition by (query, nprobe) — candidate-bounded, never global.
+    * The exact side is [[exactTopKPairs]]' one linear corpus scan. */
+  def ivfSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
+    val cents = sharedCentroids(b, dir)
+    val probes = b.filter(col("id") < IvfNq)
+      .select(col("id").as("qid"),
+        posexplode(Ivf.probeClusters(col("e"), cents, IvfNprobe))
+          .as(Seq("pos", "cl")))
+    val assigned = Ivf.assign(b, cents).select(col("id").as("cid"), col("cl"))
+    val pairs = probes.join(assigned, Seq("cl"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg((min(col("pos")) + lit(1L)).as("first_probe"))
+    val qvecs = broadcast(b.filter(col("id") < IvfNq)
+      .select(col("id").as("qid"), col("raw").as("qvec")))
+    val scored = pairs
+      .join(b.select(col("id").as("cid"), col("raw").as("cvec")), Seq("cid"))
+      .join(qvecs, Seq("qid"))
+      .select(col("qid"), col("cid"), col("first_probe"),
+        VectorOps.cosineSimilarity(col("qvec"), col("cvec")).as("sim"))
+      // scored ONCE, consumed once per swept threshold
+      .localCheckpoint()
+    val thresholds = spark.createDataFrame(IvfSweepProbes.map(Tuple1(_)))
+      .toDF("nprobe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    val approxTopK = scored.crossJoin(broadcast(thresholds))
+      .filter(col("first_probe") <= col("nprobe"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfK)
+      .select("nprobe", "qid", "cid")
+    val exact = exactTopKPairs(b, IvfNq, IvfK)
+    val hits = approxTopK.join(broadcast(exact), Seq("qid", "cid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val totals = exact.agg(count(lit(1)).as("n_exact"),
+      countDistinct(col("qid")).as("n_queries"))
+    thresholds.crossJoin(broadcast(totals))
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_queries"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+          / col("n_exact").cast(DoubleType)).as("recall"))
+      .orderBy("nprobe")
   }
 
   /** IVF cluster-occupancy audit — the index-balance report read next to
@@ -1512,6 +1624,53 @@ object Pipeline {
       .agg(max(col("n")).as("n_vecs"), sum(col("t_fx")).as("d2_fx"))
       .select(col("source"), col("n_vecs"),
         sqrt(col("d2_fx").cast(DoubleType) / lit(1e12)).as("drift"))
+      .orderBy("source")
+  }
+
+  /** Per-source unigram-distribution drift: KL(P_source ‖ P_corpus)
+    * over whitespace tokens — the TEXT-space twin of [[sourceDrift]]'s
+    * embedding-space monitor (the signal data-mixing work weighs
+    * sources by: a source whose token distribution diverges hard from
+    * the corpus either adds diversity or is broken extraction, and the
+    * mixer needs to know which before it allocates budget). Exactness:
+    * each word's contribution floor-quantizes to a 1e-6 fixed-point
+    * BIGINT — `FLOOR(1e6 · p_sw · LN(ratio))` with the probability and
+    * ratio doubles built from exact integer counts in one shared IEEE
+    * op order — so the per-source sum is an exact integer (the
+    * [[splitPsi]] doctrine, summed because integer addition commutes).
+    * Scale shape: the corpus tokenizes ONCE into a (source, word)
+    * map-side-combined count table; per-word corpus counts and
+    * per-source totals are re-aggregations of those counts (never a
+    * second scan); the only corpus-sized-ish join is the vocab-keyed
+    * equi-join of the (source, word) frame with the per-word table,
+    * while source totals and the corpus total attach as broadcasts. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("c_sw"))
+      // one tokenization scan feeding THREE re-aggregations below
+      .localCheckpoint()
+    val byWord = sw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val bySrc = sw.groupBy("source")
+      .agg(sum(col("c_sw")).as("n_s"), count(lit(1)).cast(LongType).as("vocab"))
+    val total = bySrc.agg(sum(col("n_s")).as("n"))
+    val ratio = (col("c_sw").cast(DoubleType) * col("n").cast(DoubleType)) /
+      (col("n_s").cast(DoubleType) * col("c_w").cast(DoubleType))
+    val termFx = floor(lit(1e6) *
+      (col("c_sw").cast(DoubleType) / col("n_s").cast(DoubleType)) *
+      log(ratio)).cast(LongType)
+    sw.join(byWord, Seq("word"))
+      .join(broadcast(bySrc), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), termFx.as("fx"))
+      .groupBy("source")
+      // DECIMAL(38,0): the sourceDrift overflow treatment (the per-word
+      // terms are small, but the vocab count they sum over is not)
+      .agg(sum(col("fx").cast(DecimalType(38, 0))).as("kl_fx"))
+      .join(broadcast(bySrc), Seq("source"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+        (col("kl_fx").cast(DoubleType) / lit(1e6)).as("kl"))
       .orderBy("source")
   }
 
@@ -3376,7 +3535,10 @@ object Pipeline {
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
+    "q_ivf_sweep"        -> (ivfSweep _),
     "q_ivf_occupancy"    -> (ivfOccupancy _),
+    "q_cluster_best"     -> (clusterBest _),
+    "q_source_kl"        -> (sourceKl _),
     "q_proto_prune"      -> (protoPrune _),
     "q_dedup_sweep"      -> (dedupSweep _),
     "q_split_psi"        -> (splitPsi _),
@@ -3758,6 +3920,42 @@ object Pipeline {
        |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) sim FROM cand JOIN rawv q ON q.id=qid JOIN rawv c ON c.id=cid),
        |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) rank FROM scored)
        |SELECT qid, CAST(rank AS BIGINT) rank, cid, sim FROM ranked WHERE rank<=$IvfK ORDER BY qid, rank""".stripMargin
+
+  /** q_ivf_sweep oracle: the bit-exact [[ivfCtes]] machinery with the
+    * probe RANK kept (`probesW`), candidates tagged with the first
+    * probe rank that reaches them, one shared scored frame, and a
+    * per-threshold rank/hits/recall restatement of the Column tree —
+    * the exact side is the proven q_similarity_topk brute-force shape,
+    * recall the single micro-averaged double division. */
+  private def ivfSweepSql: String =
+    s"""$ivfCtes,
+       |probesW AS (SELECT id qid, cl, rn FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${ivfDistChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id<$IvfNq) WHERE rn<=$IvfNprobe),
+       |cand AS (SELECT p.qid, a.id cid, CAST(MIN(p.rn) AS BIGINT) first_probe
+       |         FROM probesW p JOIN assign a ON a.cl=p.cl WHERE a.id<>p.qid GROUP BY 1, 2),
+       |scored AS (SELECT cand.qid, cand.cid, cand.first_probe,
+       |             LIST_COSINE_SIMILARITY(q.raw, c.raw) sim
+       |           FROM cand JOIN rawv q ON q.id=cand.qid JOIN rawv c ON c.id=cand.cid),
+       |th AS (SELECT UNNEST([${IvfSweepProbes.mkString(", ")}]) AS nprobe),
+       |exactk AS (SELECT qid, cid FROM (
+       |             SELECT q.id qid, c.id cid,
+       |               ROW_NUMBER() OVER (PARTITION BY q.id
+       |                 ORDER BY LIST_COSINE_SIMILARITY(q.raw, c.raw) DESC, c.id ASC) rk
+       |             FROM rawv q JOIN rawv c ON q.id<$IvfNq AND c.id<>q.id)
+       |           WHERE rk<=$IvfK),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_exact,
+       |               CAST(COUNT(DISTINCT qid) AS BIGINT) n_queries FROM exactk),
+       |ranked AS (SELECT t.nprobe, s.qid, s.cid,
+       |             ROW_NUMBER() OVER (PARTITION BY t.nprobe, s.qid
+       |               ORDER BY s.sim DESC, s.cid ASC) rk
+       |           FROM th t JOIN scored s ON s.first_probe <= t.nprobe),
+       |hits AS (SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) n_hits
+       |         FROM ranked r JOIN exactk e ON e.qid=r.qid AND e.cid=r.cid
+       |         WHERE r.rk<=$IvfK GROUP BY 1)
+       |SELECT CAST(t.nprobe AS BIGINT) nprobe, tot.n_queries, tot.n_exact,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(tot.n_exact AS DOUBLE) AS recall
+       |FROM th t CROSS JOIN tot LEFT JOIN hits h ON h.nprobe=t.nprobe
+       |ORDER BY nprobe""".stripMargin
 
   /** q_ivf_occupancy oracle: the bit-exact [[ivfCtes]] `assign` table
     * grouped by cluster, with the same (n/total) and (n/total)×nlist
@@ -4208,6 +4406,7 @@ object Pipeline {
         |  FROM documents) WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
+    "q_ivf_sweep" -> ivfSweepSql,
     "q_cluster_sizes" ->
       s"""$ivfCtes
          |SELECT cl, COUNT(*) AS n_vectors,
@@ -4444,6 +4643,30 @@ object Pipeline {
         |SELECT source, CAST(MAX(n) AS BIGINT) AS n_vecs,
         |       SQRT(CAST(CAST(SUM(t_fx) AS BIGINT) AS DOUBLE) / 1e12) AS drift
         |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
+    // source KL: per-word 1e-6 fixed-point terms (FLOOR of one shared
+    // IEEE product order: (1e6 * p_sw) * LN(ratio)) summed as exact
+    // integers — the splitPsi doctrine with a cross-vocab sum
+    "q_source_kl" ->
+      """WITH sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) c_sw
+        |            FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) w
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |bw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) c_w FROM sw GROUP BY 1),
+        |bs AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) n_s,
+        |              CAST(COUNT(*) AS BIGINT) vocab FROM sw GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_sw) AS BIGINT) n FROM sw),
+        |terms AS (SELECT s.source,
+        |            CAST(FLOOR(1000000.0
+        |              * (CAST(s.c_sw AS DOUBLE) / CAST(b.n_s AS DOUBLE))
+        |              * LN((CAST(s.c_sw AS DOUBLE) * CAST(t.n AS DOUBLE))
+        |                   / (CAST(b.n_s AS DOUBLE) * CAST(w.c_w AS DOUBLE))))
+        |              AS BIGINT) fx
+        |          FROM sw s JOIN bw w USING (w) JOIN bs b USING (source)
+        |          CROSS JOIN t),
+        |kls AS (SELECT source, SUM(fx) kl_fx FROM terms GROUP BY 1)
+        |SELECT b.source, b.n_s AS n_tokens, b.vocab,
+        |       CAST(k.kl_fx AS DOUBLE) / 1000000.0 AS kl
+        |FROM bs b JOIN kls k USING (source) ORDER BY source""".stripMargin,
     // same 1e-6 fixed-point doctrine: Σq and Σq² are exact integers
     // (HUGEINT here, DECIMAL(38,0) on the Spark side), the mean/variance
     // doubles come from one shared IEEE op order
@@ -4737,6 +4960,33 @@ object Pipeline {
          |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable)
          |SELECT node AS doc_id, MIN(reachable) AS canonical_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // cluster best: the q_dedup_clusters closure + the q_text_stats
+    // distinct_ratio recipe, survivor = ROW_NUMBER (quality DESC, doc_id
+    // ASC) = the Column tree's max_by(doc_id, (quality, -doc_id))
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT da a, db b FROM jp UNION SELECT db a, da b FROM jp),
+         |reach AS (SELECT a AS node, a AS reachable FROM edges
+         |          UNION
+         |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
+         |clus AS (SELECT node AS doc_id, MIN(reachable) AS canonical_id
+         |         FROM reach GROUP BY node),
+         |mem AS (SELECT c.doc_id, c.canonical_id,
+         |          CASE WHEN LEN(STRING_SPLIT(d.text, ' ')) = 0 THEN 0.0
+         |               ELSE CAST(LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS DOUBLE)
+         |                    / LEN(STRING_SPLIT(d.text, ' ')) END AS quality
+         |        FROM clus c JOIN documents d USING (doc_id)),
+         |best AS (SELECT canonical_id, doc_id AS best_id FROM (
+         |           SELECT canonical_id, doc_id,
+         |             ROW_NUMBER() OVER (PARTITION BY canonical_id
+         |               ORDER BY quality DESC, doc_id ASC) rn
+         |           FROM mem) WHERE rn = 1),
+         |sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) cluster_size
+         |       FROM mem GROUP BY 1)
+         |SELECT m.doc_id, m.canonical_id, s.cluster_size, m.quality,
+         |       (m.doc_id = b.best_id) AS kept
+         |FROM mem m JOIN best b USING (canonical_id) JOIN sz s USING (canonical_id)
+         |ORDER BY m.doc_id""".stripMargin,
     "q_similarity_topk" ->
       """SELECT qid, rank, cid, sim FROM (
         |  SELECT q.vec_id qid, c.vec_id cid,

@@ -180,4 +180,23 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pairs.forall(r => cl(r.getLong(0)) == cl(r.getLong(1))))
   }
+
+  test("ivfSweep: recall monotone in nprobe; last row = ivfRecall micro-average") {
+    val sweep = graft.queries.Pipeline.ivfSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(sweep.length == 3 && sweep.map(_._1).toSeq == sweep.map(_._1).sorted.toSeq)
+    // nested candidate sets: a superset's extra candidates can only
+    // displace non-true neighbors, so recall never decreases
+    assert(sweep.sliding(2).forall { case Array(a, b) => a._5 <= b._5 },
+      s"recall must be monotone: ${sweep.map(_._5).toSeq}")
+    assert(sweep.forall(r => r._4 <= r._3 && r._5 >= 0.0 && r._5 <= 1.0))
+    // the sweep's served setting (its max nprobe) must agree with the
+    // per-query q_ivf_recall audit micro-averaged
+    val rec = graft.queries.Pipeline.ivfRecall(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val micro = rec.map(_._2).sum.toDouble / rec.map(_._1).sum
+    assert(sweep.last._5 == micro,
+      s"sweep ${sweep.last._5} vs ivfRecall micro $micro")
+  }
 }

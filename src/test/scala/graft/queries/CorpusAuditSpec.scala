@@ -292,4 +292,58 @@ class CorpusAuditSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == reOrdered.toSeq, "bit-equal under repartitioning")
   }
+
+  test("q_source_kl equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.sourceKl(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val words = graft.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).toSeq
+        .flatMap(_.split(" ", -1)).map(r.getString(0) -> _))
+    val cSw = words.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cW = words.groupBy(_._2).map { case (w, v) => w -> v.length.toLong }
+    val nS = words.groupBy(_._1).map { case (s, v) => s -> v.length.toLong }
+    val n = words.length.toLong
+    val expected = cSw.groupBy(_._1._1).map { case (s, m) =>
+      val fx = m.map { case ((_, w), c) =>
+        math.floor(1e6 * (c.toDouble / nS(s)) *
+          math.log((c.toDouble * n) / (nS(s).toDouble * cW(w)))).toLong
+      }.sum
+      (s, nS(s), m.size.toLong, fx.toDouble / 1e6)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // a floored-term KL can only undershoot the true (non-negative) KL by
+    // < 1e-6 per vocab word — anything below that bound is a real bug
+    got.foreach { case (s, _, vocab, kl) =>
+      assert(kl >= -(vocab.toDouble / 1e6), s"source $s: kl $kl below floor bound")
+    }
+  }
+
+  test("q_cluster_best: survivor is the brute-force quality argmax per component") {
+    val text = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clus = Pipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def quality(t: String): Double = {
+      val a = t.split(" ", -1)
+      a.distinct.length.toDouble / a.length
+    }
+    val expected = clus.toSeq.groupBy(_._2).toSeq.flatMap { case (canon, ms) =>
+      val mem = ms.map { case (id, _) => (id, quality(text(id))) }
+      val best = mem.minBy { case (id, q) => (-q, id) }._1
+      mem.map { case (id, q) => (id, canon, ms.length.toLong, q, id == best) }
+    }.sortBy(_._1)
+    val got = Pipeline.clusterBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == expected)
+    // exactly one survivor per cluster, and clusters have ≥ 2 members
+    val byCanon = got.groupBy(_._2)
+    assert(byCanon.nonEmpty)
+    byCanon.foreach { case (c, ms) =>
+      assert(ms.count(_._5) == 1, s"cluster $c must keep exactly one member")
+      assert(ms.length >= 2, s"cluster $c: singletons never enter the pair graph")
+    }
+  }
 }
