@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Top principal component of the embedding matrix via DETERMINISTIC
+  * power iteration — the whitening / OPQ-rotation prep statistic an ANN
+  * pipeline computes before quantizing (a dominant direction carrying
+  * most of the variance makes every IVF/PQ cell elongated; projecting it
+  * out or rotating against it is standard index prep), and the
+  * one-number drift monitor for "did the embedding model change" that is
+  * stronger than per-dim variance alone.
+  *
+  * Determinism doctrine (the [[Ivf]] decimal-mean treatment applied to
+  * iterative linear algebra): every cross-row and cross-dim SUM of
+  * doubles — the two places IEEE addition order would leak the physical
+  * partitioning into the result — floor-quantizes each term to a 1e-6
+  * fixed-point BIGINT first, so all sums are exact integers and the
+  * derived doubles come from one shared op order. The iteration is
+  * driver-coordinated like k-means: each step is ONE map-side-combined
+  * aggregate keyed by the dims-valued dimension id, and the driver holds
+  * only d-sized state (the current direction), so the shape is exactly
+  * distributed-PCA at 100 TB — `iters + 1` linear corpus scans total,
+  * nothing corpus-sized ever shuffles.
+  */
+object Pca {
+
+  /** (dim, mean, loading, eigval) for the top principal direction of the
+    * CENTERED vectors after `iters` power-iteration steps from the fixed
+    * uniform seed 1/√dims. `loading` is the unit direction, `eigval` the
+    * covariance-eigenvalue estimate ‖Σᵢ(xᵢ−m)((xᵢ−m)·v)‖ / n. */
+  def topComponent(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val base = emb
+      .select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-dim fixed-point means — the embeddingMoments recipe, the
+      // doubles derived with Spark's own cast semantics IN the frame so
+      // the collected literals are bit-identical to the SQL oracle's
+      val mRows = base.select(posexplode(col("raw")).as(Seq("dim", "v")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * lit(1e6)).cast(LongType)
+            .cast(DecimalType(38, 0))).as("s_fx"))
+        .select(col("dim"),
+          col("n"), (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)).as("mean"))
+        .collect()
+      require(mRows.length == dims,
+        s"Pca.topComponent: expected $dims dims, found ${mRows.length}")
+      val n = mRows.head.getLong(1)
+      val means = Array.ofDim[Double](dims)
+      mRows.foreach(r => means(r.getInt(0)) = r.getDouble(2))
+
+      var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+      var nrm = 0.0
+      for (_ <- 1 to iters) {
+        // per-row centered dot against the CURRENT direction: a 64-term
+        // integer chain of 1e-6-floored element products (codegen'd,
+        // order-free), never a cross-dim double sum
+        val dotFx: Column = (0 until dims).map { d =>
+          floor(lit(1e6) * (element_at(col("raw"), d + 1) - lit(means(d)))
+            * lit(v(d))).cast(LongType)
+        }.reduce(_ + _)
+        val meansArr = typedLit(means.toSeq)
+        val w = base
+          .select(col("raw"), (dotFx.cast(DoubleType) / lit(1e6)).as("dot"))
+          .select(posexplode(col("raw")).as(Seq("dim", "x")), col("dot"))
+          .select(col("dim"),
+            floor(lit(1e6) * (col("x") - element_at(meansArr, col("dim") + 1))
+              * col("dot")).cast(LongType).as("fx"))
+          .groupBy("dim")
+          // DECIMAL(38,0): at 10¹²-row scale the per-dim term sum
+          // overflows a Long (the embeddingMoments doctrine)
+          .agg(sum(col("fx").cast(DecimalType(38, 0))).as("s_fx"))
+          .select(col("dim"), (col("s_fx").cast(DoubleType) / lit(1e6)).as("w"))
+          .collect()
+          .foldLeft(Array.ofDim[Double](dims)) { (acc, r) =>
+            acc(r.getInt(0)) = r.getDouble(1); acc
+          }
+        // cross-dim norm: same fixed-point treatment, on the driver
+        val nrm2Fx = w.map(x => math.floor(1e6 * x * x).toLong).sum
+        nrm = math.sqrt(nrm2Fx.toDouble / 1e6)
+        v = w.map(_ / nrm)
+      }
+      val rows = (0 until dims).map(d => (d.toLong, means(d), v(d), nrm / n.toDouble))
+      spark.createDataFrame(rows)
+        .toDF("dim", "mean", "loading", "eigval")
+        .orderBy("dim")
+    } finally { base.unpersist(blocking = false); () }
+  }
+}

@@ -1688,6 +1688,55 @@ object Pipeline {
     * (vector × dim) explode feeds ONE map-side-combined aggregate keyed
     * by dim — partials collapse to `dims` rows per partition before the
     * shuffle; output is `dims` rows. */
+  private val PcaIters = 3
+
+  /** Top principal component of the embeddings via deterministic
+    * fixed-point power iteration ([[graft.operators.Pca.topComponent]])
+    * — the whitening / rotation prep read next to [[embeddingMoments]]
+    * before building an IVF/PQ index, and a one-direction drift monitor.
+    * `iters + 1` linear corpus scans, one dims-keyed map-side aggregate
+    * each, d-sized driver state — the distributed-PCA shape. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.topComponent(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", dims = IvfDims, iters = PcaIters)
+
+  /** q_pca_power oracle: the same fixed-point power iteration unrolled
+    * as CTEs — per-row dots and per-dim sums are SUMs of 1e-6-floored
+    * BIGINT terms (exact, order-free), directions renormalized through
+    * the identical fixed-point norm, means from the embeddingMoments
+    * recipe. One CTE trio (p/s/vt) per iteration. */
+  private def pcaPowerSql: String = {
+    val seed = java.lang.Double.toString(1.0 / math.sqrt(IvfDims.toDouble))
+    val sb = new StringBuilder
+    sb ++= s"""WITH xr AS (SELECT vec_id id, CAST(embedding AS DOUBLE[]) raw FROM embeddings),
+              |x AS (SELECT id, UNNEST(RANGE(LEN(raw))) dim, UNNEST(raw) v FROM xr),
+              |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM xr),
+              |mm AS (SELECT dim, CAST(COUNT(*) AS BIGINT) n,
+              |         CAST(CAST(SUM(CAST(FLOOR(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+              |              / COUNT(*) / 1000000.0 AS DOUBLE) AS mean
+              |       FROM x GROUP BY dim),
+              |vt0 AS (SELECT dim, $seed AS vv FROM mm)""".stripMargin
+    for (t <- 1 to PcaIters) {
+      sb ++= s""",
+                |p$t AS (SELECT x.id, SUM(CAST(FLOOR(1000000.0 * (x.v - mm.mean) * vt.vv) AS BIGINT)) dot_fx
+                |        FROM x JOIN mm USING (dim) JOIN vt${t - 1} vt USING (dim) GROUP BY x.id),
+                |s$t AS (SELECT x.dim, SUM(CAST(FLOOR(1000000.0 * (x.v - mm.mean)
+                |                 * (CAST(p.dot_fx AS DOUBLE) / 1000000.0)) AS BIGINT)) s_fx
+                |        FROM x JOIN mm USING (dim) JOIN p$t p USING (id) GROUP BY x.dim),
+                |w$t AS (SELECT dim, CAST(s_fx AS DOUBLE) / 1000000.0 AS wv FROM s$t),
+                |n$t AS (SELECT SUM(CAST(FLOOR(1000000.0 * wv * wv) AS BIGINT)) nrm_fx FROM w$t),
+                |vt$t AS (SELECT dim, wv / SQRT(CAST(n.nrm_fx AS DOUBLE) / 1000000.0) AS vv
+                |         FROM w$t CROSS JOIN n$t n)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT CAST(mm.dim AS BIGINT) dim, mm.mean, vt.vv AS loading,
+              |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1000000.0) / CAST(cnt.n AS DOUBLE) AS eigval
+              |FROM mm JOIN vt$PcaIters vt USING (dim)
+              |CROSS JOIN n$PcaIters n CROSS JOIN cnt
+              |ORDER BY dim""".stripMargin
+    sb.result()
+  }
+
   def embeddingMoments(spark: SparkSession, dir: String): DataFrame = {
     val nd = col("n_vecs").cast(DoubleType)
     val mq = col("s1").cast(DoubleType) / nd // mean in fixed-point units
@@ -2349,6 +2398,10 @@ object Pipeline {
   def nbEval(spark: SparkSession, dir: String): DataFrame = {
     val cls = TA.nbClassify(Tables.documents(spark, dir), "text", "doc_id",
       "lang", isTrain = col("doc_id") % 10 < 8, buckets = NbBuckets)
+      // the classify chain (train aggregation + scoring scan) is the
+      // audit's dominant cost and feeds BOTH aggregations below —
+      // checkpoint the holdout-sized result so it runs once, not twice
+      .localCheckpoint()
     val byTrue = cls.groupBy("label")
       .agg(count(lit(1)).as("n_true"),
         sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
@@ -3532,6 +3585,7 @@ object Pipeline {
     "q_gram_novelty"     -> (gramNovelty _),
     "q_label_centroids"  -> (labelCentroids _),
     "q_embedding_moments" -> (embeddingMoments _),
+    "q_pca_power"        -> (pcaPower _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
@@ -4682,6 +4736,7 @@ object Pipeline {
         |           * (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) / 1e12
         |         AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_pca_power" -> pcaPowerSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_split_psi" -> splitPsiSql,
     "q_dedup_sweep" -> dedupSweepSql,
