@@ -29,13 +29,17 @@ object Pca {
   /** (dim, mean, loading, eigval) for the top principal direction of the
     * CENTERED vectors after `iters` power-iteration steps from the fixed
     * uniform seed 1/√dims. `loading` is the unit direction, `eigval` the
-    * covariance-eigenvalue estimate ‖Σᵢ(xᵢ−m)((xᵢ−m)·v)‖ / n. */
+    * covariance-eigenvalue estimate ‖(1/n)Σᵢ(xᵢ−m)((xᵢ−m)·v)‖. Null
+    * vectors are excluded (mirrored in the oracle); ragged embeddings
+    * (any row shorter or longer than `dims`) fail loudly rather than
+    * silently dropping rows from the iteration. */
   def topComponent(emb: DataFrame, idCol: String, vecCol: String,
       dims: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
     val base = emb
       .select(col(idCol).cast(LongType).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
+      .filter(col("raw").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // per-dim fixed-point means — the embeddingMoments recipe, the
@@ -51,6 +55,13 @@ object Pca {
         .collect()
       require(mRows.length == dims,
         s"Pca.topComponent: expected $dims dims, found ${mRows.length}")
+      // equal per-dim counts ⇔ every row has exactly `dims` elements: a
+      // 63-element row would lower dim 62's count and silently vanish
+      // from the dot chain (element_at → null) while still shifting the
+      // means — fail loudly instead
+      require(mRows.map(_.getLong(1)).distinct.length == 1,
+        "Pca.topComponent: ragged embeddings (per-dim counts differ) — " +
+          "every vector must have exactly `dims` elements")
       val n = mRows.head.getLong(1)
       val means = Array.ofDim[Double](dims)
       mRows.foreach(r => means(r.getInt(0)) = r.getDouble(2))
@@ -76,17 +87,30 @@ object Pca {
           // DECIMAL(38,0): at 10¹²-row scale the per-dim term sum
           // overflows a Long (the embeddingMoments doctrine)
           .agg(sum(col("fx").cast(DecimalType(38, 0))).as("s_fx"))
-          .select(col("dim"), (col("s_fx").cast(DoubleType) / lit(1e6)).as("w"))
+          // divide by n HERE, before the fixed-point norm: the raw sum
+          // grows linearly with the corpus (|Σ| ~ 0.1·n — its 1e-6
+          // floor would overflow a Long past ~3e7 rows), while the
+          // covariance-apply result C·v = Σ/n is O(variance) at ANY
+          // corpus size, keeping the norm terms Long-safe forever
+          .select(col("dim"),
+            (col("s_fx").cast(DoubleType) / lit(1e6) / lit(n.toDouble)).as("w"))
           .collect()
           .foldLeft(Array.ofDim[Double](dims)) { (acc, r) =>
             acc(r.getInt(0)) = r.getDouble(1); acc
           }
-        // cross-dim norm: same fixed-point treatment, on the driver
-        val nrm2Fx = w.map(x => math.floor(1e6 * x * x).toLong).sum
-        nrm = math.sqrt(nrm2Fx.toDouble / 1e6)
+        // cross-dim norm on the driver, fixed-pointed at 1e-12 (the
+        // sourceDrift squared-term precision): w = C·v is O(eigenvalue),
+        // corpus-size-independent, so w² terms are tiny — 1e-6 would
+        // quantize the norm to ~3 digits — while 1e12·w² stays Long-safe
+        // for any corpus (w² ≤ trace² ≤ dims² for unit-scale embeddings)
+        val nrm2Fx = w.map(x => math.floor(1e12 * x * x).toLong).sum
+        require(nrm2Fx > 0L,
+          "Pca.topComponent: zero-variance corpus (or iterate annihilated " +
+            "by centering) — the power iterate has no direction to follow")
+        nrm = math.sqrt(nrm2Fx.toDouble / 1e12)
         v = w.map(_ / nrm)
       }
-      val rows = (0 until dims).map(d => (d.toLong, means(d), v(d), nrm / n.toDouble))
+      val rows = (0 until dims).map(d => (d.toLong, means(d), v(d), nrm))
       spark.createDataFrame(rows)
         .toDF("dim", "mean", "loading", "eigval")
         .orderBy("dim")

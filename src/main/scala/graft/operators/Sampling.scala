@@ -123,6 +123,15 @@ object Sampling {
       s"unimaxAlloc budget fraction $budgetNum/$budgetDen exceeds 1: the " +
         "1-epoch cap cannot absorb more than the corpus holds")
     val spark = df.sparkSession
+    // masses are token COUNTS by contract: the per-row DECIMAL(38,0)
+    // widening below would silently round a fractional mass HALF_UP per
+    // row (0.6 + 0.6 would sum to 2, not 1) — reject non-integral
+    // columns loudly instead of repurposing the semantics
+    df.schema(massCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"unimaxAlloc: $massCol must be an integral token count, got $other")
+    }
     // sum on DECIMAL(38,0): a Long accumulator would WRAP silently on a
     // 100 TB-scale source before the driver-side overflow guards below
     // ever see the value — widen first, range-check loudly at collect

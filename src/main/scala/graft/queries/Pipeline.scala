@@ -875,6 +875,15 @@ object Pipeline {
     * The exact side is [[exactTopKPairs]]' one linear corpus scan. */
   def ivfSweep(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps
+    // a duplicated threshold would put two copies of every candidate in
+    // the same (nprobe, qid) rank window and silently halve that row's
+    // shortlist; a threshold above IvfNprobe would silently report the
+    // IvfNprobe recall under a bigger label
+    require(IvfSweepProbes.distinct == IvfSweepProbes &&
+        IvfSweepProbes == IvfSweepProbes.sorted &&
+        IvfSweepProbes.last == IvfNprobe.toLong,
+      s"ivfSweep thresholds must be strictly ascending and end at the " +
+        s"served nprobe $IvfNprobe: $IvfSweepProbes")
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
     val cents = sharedCentroids(b, dir)
     val probes = b.filter(col("id") < IvfNq)
@@ -1708,7 +1717,8 @@ object Pipeline {
   private def pcaPowerSql: String = {
     val seed = java.lang.Double.toString(1.0 / math.sqrt(IvfDims.toDouble))
     val sb = new StringBuilder
-    sb ++= s"""WITH xr AS (SELECT vec_id id, CAST(embedding AS DOUBLE[]) raw FROM embeddings),
+    sb ++= s"""WITH xr AS (SELECT vec_id id, CAST(embedding AS DOUBLE[]) raw
+              |           FROM embeddings WHERE embedding IS NOT NULL),
               |x AS (SELECT id, UNNEST(RANGE(LEN(raw))) dim, UNNEST(raw) v FROM xr),
               |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM xr),
               |mm AS (SELECT dim, CAST(COUNT(*) AS BIGINT) n,
@@ -1723,16 +1733,17 @@ object Pipeline {
                 |s$t AS (SELECT x.dim, SUM(CAST(FLOOR(1000000.0 * (x.v - mm.mean)
                 |                 * (CAST(p.dot_fx AS DOUBLE) / 1000000.0)) AS BIGINT)) s_fx
                 |        FROM x JOIN mm USING (dim) JOIN p$t p USING (id) GROUP BY x.dim),
-                |w$t AS (SELECT dim, CAST(s_fx AS DOUBLE) / 1000000.0 AS wv FROM s$t),
-                |n$t AS (SELECT SUM(CAST(FLOOR(1000000.0 * wv * wv) AS BIGINT)) nrm_fx FROM w$t),
-                |vt$t AS (SELECT dim, wv / SQRT(CAST(n.nrm_fx AS DOUBLE) / 1000000.0) AS vv
+                |w$t AS (SELECT dim, CAST(s_fx AS DOUBLE) / 1000000.0 / CAST(c.n AS DOUBLE) AS wv
+                |        FROM s$t CROSS JOIN cnt c),
+                |n$t AS (SELECT SUM(CAST(FLOOR(1e12 * wv * wv) AS BIGINT)) nrm_fx FROM w$t),
+                |vt$t AS (SELECT dim, wv / SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS vv
                 |         FROM w$t CROSS JOIN n$t n)""".stripMargin
     }
     sb ++= s"""
               |SELECT CAST(mm.dim AS BIGINT) dim, mm.mean, vt.vv AS loading,
-              |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1000000.0) / CAST(cnt.n AS DOUBLE) AS eigval
+              |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS eigval
               |FROM mm JOIN vt$PcaIters vt USING (dim)
-              |CROSS JOIN n$PcaIters n CROSS JOIN cnt
+              |CROSS JOIN n$PcaIters n
               |ORDER BY dim""".stripMargin
     sb.result()
   }

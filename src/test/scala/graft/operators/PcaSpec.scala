@@ -34,13 +34,13 @@ class PcaSpec extends AnyFunSuite {
       val w = Array.tabulate(dims) { d =>
         vecs.indices.map(i =>
           math.floor(1e6 * (vecs(i)(d) - means(d)) * dots(i)).toLong)
-          .sum.toDouble / 1e6
+          .sum.toDouble / 1e6 / n.toDouble
       }
-      val nrm2Fx = w.map(x => math.floor(1e6 * x * x).toLong).sum
-      nrm = math.sqrt(nrm2Fx.toDouble / 1e6)
+      val nrm2Fx = w.map(x => math.floor(1e12 * x * x).toLong).sum
+      nrm = math.sqrt(nrm2Fx.toDouble / 1e12)
       v = w.map(_ / nrm)
     }
-    (means, v, nrm / n.toDouble)
+    (means, v, nrm)
   }
 
   test("topComponent equals the driver-side brute force on sf0.001") {
