@@ -1422,6 +1422,45 @@ object Pipeline {
         col("n_dupes").cast(DoubleType) / col("n_docs"))
       .orderBy("source")
 
+  /** One-row dataset card — the headline stats a curated corpus
+    * publishes (the Datasheets-for-Datasets summary block): document /
+    * token totals, language and source cardinalities, exact-duplicate
+    * share, and mean token count / quality. Scale shape: everything
+    * except the duplicate share comes from ONE corpus scan aggregated to
+    * the (lang, source)-sized frame and re-aggregated (the tableProfile
+    * no-Expand doctrine: the multi-distinct runs over the tiny grouped
+    * frame, never the corpus); the exact duplicate share is the one
+    * inherently distinct-shuffle stat — digests-only, the [[dedupStats]]
+    * contract, with null texts hashed to a sentinel so the share is
+    * exact in their presence. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val g = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(TA.tokenCount(col("text")).cast(DecimalType(38, 0))).as("tok"),
+        sum(floor(TA.qualityScore(col("text")) * lit(1000000.0))
+          .cast(LongType).cast(DecimalType(38, 0))).as("q_fx"))
+    val head = g.agg(sum(col("n")).cast(LongType).as("n_docs"),
+      sum(col("tok")).as("tok_d"),
+      sum(col("q_fx")).as("q_fx_d"),
+      countDistinct(col("lang")).cast(LongType).as("n_langs"),
+      countDistinct(col("source")).cast(LongType).as("n_sources"))
+    val uniq = docs.agg(
+      countDistinct(coalesce(md5(col("text")), lit("<null>")))
+        .cast(LongType).as("n_unique"))
+    head.crossJoin(broadcast(uniq))
+      .select(col("n_docs"),
+        col("tok_d").cast(LongType).as("n_tokens"),
+        col("n_langs"), col("n_sources"), col("n_unique"),
+        ((col("n_docs") - col("n_unique")).cast(DoubleType)
+          / col("n_docs").cast(DoubleType)).as("dup_share"),
+        (col("tok_d").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("mean_tokens"),
+        (col("q_fx_d").cast(DoubleType) / col("n_docs").cast(DoubleType)
+          / lit(1e6)).as("mean_quality"))
+      .orderBy("n_docs") // single row; the house total-ORDER-BY rule
+  }
+
   /** Sketch-based distinct-gram cardinality audit: per source, the
     * EXACT distinct 5-gram count beside the HyperLogLog++ estimate
     * (`approx_count_distinct`, rsd 2%) and the realized relative error.
@@ -3597,6 +3636,7 @@ object Pipeline {
     "q_label_centroids"  -> (labelCentroids _),
     "q_embedding_moments" -> (embeddingMoments _),
     "q_pca_power"        -> (pcaPower _),
+    "q_dataset_card"     -> (datasetCard _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
@@ -4638,6 +4678,26 @@ object Pipeline {
          |       CAST(LENGTH(text) - LENGTH($masked) AS BIGINT) AS n_chars_removed
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // dataset card: the text-stats token recipe, the calibrated-quality
+    // fixed point, and the dedup-stats sentinel digest in one card; the
+    // derived doubles run one shared IEEE op order
+    "q_dataset_card" ->
+      s"""WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) n,
+         |             SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) tok,
+         |             SUM(CAST(FLOOR(($qualitySql) * 1000000.0) AS BIGINT)) q_fx
+         |           FROM documents GROUP BY 1, 2),
+         |h AS (SELECT CAST(SUM(n) AS BIGINT) n_docs,
+         |             CAST(SUM(tok) AS BIGINT) n_tokens,
+         |             CAST(SUM(q_fx) AS BIGINT) q_fx,
+         |             CAST(COUNT(DISTINCT lang) AS BIGINT) n_langs,
+         |             CAST(COUNT(DISTINCT source) AS BIGINT) n_sources FROM g),
+         |u AS (SELECT CAST(COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS BIGINT) n_unique
+         |      FROM documents)
+         |SELECT n_docs, n_tokens, n_langs, n_sources, n_unique,
+         |       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share,
+         |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+         |       CAST(q_fx AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000.0 AS mean_quality
+         |FROM h CROSS JOIN u ORDER BY n_docs""".stripMargin,
     "q_dedup_stats" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(COUNT(DISTINCT COALESCE(MD5(text), '<null>')) AS BIGINT) AS n_unique,

@@ -319,6 +319,28 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dataset_card equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.datasetCard(spark, dir).collect().head
+    val rows = graft.Tables.documents(spark, dir)
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val n = rows.length.toLong
+    val toks = rows.flatMap(r => Option(r._3).map(_.split(" ", -1).length.toLong))
+    // per-doc quality from the already-proven textStats column, so the
+    // card's mean is checked against the SAME fixed-point quantization
+    val qFx = Pipeline.textStats(spark, dir).select("quality").collect()
+      .map(r => math.floor(r.getDouble(0) * 1e6).toLong)
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == toks.sum)
+    assert(got.getLong(2) == rows.map(_._1).distinct.length.toLong)
+    assert(got.getLong(3) == rows.map(_._2).distinct.length.toLong)
+    assert(got.getLong(4) ==
+      rows.map(r => Option(r._3).getOrElse("<null>")).distinct.length.toLong)
+    assert(got.getDouble(5) == (n - got.getLong(4)).toDouble / n)
+    assert(got.getDouble(6) == toks.sum.toDouble / n)
+    assert(got.getDouble(7) == qFx.sum.toDouble / n / 1e6)
+  }
+
   test("q_cluster_best: survivor is the brute-force quality argmax per component") {
     val text = graft.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
