@@ -26,16 +26,35 @@ import org.apache.spark.sql.types._
   */
 object Pca {
 
-  /** (dim, mean, loading, eigval) for the top principal direction of the
-    * CENTERED vectors after `iters` power-iteration steps from the fixed
-    * uniform seed 1/√dims. `loading` is the unit direction, `eigval` the
-    * covariance-eigenvalue estimate ‖(1/n)Σᵢ(xᵢ−m)((xᵢ−m)·v)‖. Null
-    * vectors are excluded (mirrored in the oracle); ragged embeddings
-    * (any row shorter or longer than `dims`) fail loudly rather than
-    * silently dropping rows from the iteration. */
-  def topComponent(emb: DataFrame, idCol: String, vecCol: String,
-      dims: Int, iters: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** The trained artifact: per-dim means, the unit top direction, and
+    * the eigenvalue estimate ‖(1/n)Σᵢ(xᵢ−m)((xᵢ−m)·v)‖ — 2·dims+1
+    * doubles, the batch-trained model a streaming gate bakes into its
+    * plan ([[graft.streaming.StreamOps.projectionGate]]). */
+  final case class PcaModel(means: Array[Double], loading: Array[Double],
+      eigval: Double) {
+    def dims: Int = means.length
+  }
+
+  /** The fixed-point centered projection of `raw` onto the model's top
+    * direction: Σ_d ⌊1e6·(x_d−m_d)·v_d⌋ / 1e6 — a narrow integer-chain
+    * projection (codegen'd, shuffle-free, stateless), the shared scoring
+    * column of [[projections]] and the streaming gate. */
+  def projection(raw: Column, model: PcaModel): Column =
+    dotFx(raw, model.means, model.loading).cast(DoubleType) / lit(1e6)
+
+  private def dotFx(raw: Column, means: Array[Double],
+      v: Array[Double]): Column =
+    means.indices.map { d =>
+      floor(lit(1e6) * (element_at(raw, d + 1) - lit(means(d)))
+        * lit(v(d))).cast(LongType)
+    }.reduce(_ + _)
+
+  /** Train the model: `iters` power-iteration steps from the fixed
+    * uniform seed 1/√dims over the CENTERED non-null vectors. Ragged
+    * embeddings (any row shorter or longer than `dims`) fail loudly
+    * rather than silently dropping rows from the iteration. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, iters: Int): PcaModel = {
     val base = emb
       .select(col(idCol).cast(LongType).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
@@ -54,13 +73,13 @@ object Pca {
           col("n"), (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)).as("mean"))
         .collect()
       require(mRows.length == dims,
-        s"Pca.topComponent: expected $dims dims, found ${mRows.length}")
+        s"Pca.fit: expected $dims dims, found ${mRows.length}")
       // equal per-dim counts ⇔ every row has exactly `dims` elements: a
       // 63-element row would lower dim 62's count and silently vanish
       // from the dot chain (element_at → null) while still shifting the
       // means — fail loudly instead
       require(mRows.map(_.getLong(1)).distinct.length == 1,
-        "Pca.topComponent: ragged embeddings (per-dim counts differ) — " +
+        "Pca.fit: ragged embeddings (per-dim counts differ) — " +
           "every vector must have exactly `dims` elements")
       val n = mRows.head.getLong(1)
       val means = Array.ofDim[Double](dims)
@@ -72,13 +91,10 @@ object Pca {
         // per-row centered dot against the CURRENT direction: a 64-term
         // integer chain of 1e-6-floored element products (codegen'd,
         // order-free), never a cross-dim double sum
-        val dotFx: Column = (0 until dims).map { d =>
-          floor(lit(1e6) * (element_at(col("raw"), d + 1) - lit(means(d)))
-            * lit(v(d))).cast(LongType)
-        }.reduce(_ + _)
         val meansArr = typedLit(means.toSeq)
         val w = base
-          .select(col("raw"), (dotFx.cast(DoubleType) / lit(1e6)).as("dot"))
+          .select(col("raw"),
+            (dotFx(col("raw"), means, v).cast(DoubleType) / lit(1e6)).as("dot"))
           .select(posexplode(col("raw")).as(Seq("dim", "x")), col("dot"))
           .select(col("dim"),
             floor(lit(1e6) * (col("x") - element_at(meansArr, col("dim") + 1))
@@ -105,15 +121,44 @@ object Pca {
         // for any corpus (w² ≤ trace² ≤ dims² for unit-scale embeddings)
         val nrm2Fx = w.map(x => math.floor(1e12 * x * x).toLong).sum
         require(nrm2Fx > 0L,
-          "Pca.topComponent: zero-variance corpus (or iterate annihilated " +
+          "Pca.fit: zero-variance corpus (or iterate annihilated " +
             "by centering) — the power iterate has no direction to follow")
         nrm = math.sqrt(nrm2Fx.toDouble / 1e12)
         v = w.map(_ / nrm)
       }
-      val rows = (0 until dims).map(d => (d.toLong, means(d), v(d), nrm))
-      spark.createDataFrame(rows)
-        .toDF("dim", "mean", "loading", "eigval")
-        .orderBy("dim")
+      PcaModel(means, v, nrm)
     } finally { base.unpersist(blocking = false); () }
+  }
+
+  /** [[fit]] rendered as the (dim, mean, loading, eigval) report. */
+  def topComponent(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, iters: Int): DataFrame =
+    toFrame(emb.sparkSession, fit(emb, idCol, vecCol, dims, iters))
+
+  /** A trained model as the (dim, mean, loading, eigval) report frame. */
+  def toFrame(spark: org.apache.spark.sql.SparkSession,
+      model: PcaModel): DataFrame = {
+    val rows = (0 until model.dims).map(d =>
+      (d.toLong, model.means(d), model.loading(d), model.eigval))
+    spark.createDataFrame(rows)
+      .toDF("dim", "mean", "loading", "eigval")
+      .orderBy("dim")
+  }
+
+  /** Per-vector scalar projection onto the model's top direction plus an
+    * `outlier` flag at |t| > sigmas·√eigval — the along-dominant-axis
+    * outlier report (a vector far out on the corpus's own biggest axis
+    * is a different-model embedding or genuinely alien content). One
+    * narrow codegen scan against the baked-in model; no join, no
+    * shuffle. */
+  def projections(emb: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel, sigmas: Double): DataFrame = {
+    val thr = sigmas * math.sqrt(model.eigval)
+    emb.select(col(idCol).cast(LongType).as("vec_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
+      .filter(col("raw").isNotNull)
+      .select(col("vec_id"), projection(col("raw"), model).as("t"))
+      .withColumn("outlier", abs(col("t")) > lit(thr))
+      .orderBy("vec_id")
   }
 }

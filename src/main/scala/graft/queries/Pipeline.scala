@@ -1737,23 +1737,49 @@ object Pipeline {
     * by dim — partials collapse to `dims` rows per partition before the
     * shuffle; output is `dims` rows. */
   private val PcaIters = 3
+  private val PcaOutlierSigmas = 3.0
+
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap[(String, Long, Int),
+      graft.operators.Pca.PcaModel]()
+
+  /** The trained PCA model as a once-per-dataset in-JVM artifact (the
+    * [[sharedCentroids]] treatment minus disk persistence — the model is
+    * 2·dims+1 doubles and training is deterministic, so re-deriving it
+    * per JVM is cheap while sharing it across q_pca_power /
+    * q_pca_outliers avoids retraining inside one run). */
+  private def sharedPcaModel(spark: SparkSession,
+      dir: String): graft.operators.Pca.PcaModel =
+    pcaCache.getOrElseUpdate((dir, embStamp(dir), PcaIters),
+      graft.operators.Pca.fit(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", dims = IvfDims, iters = PcaIters))
 
   /** Top principal component of the embeddings via deterministic
-    * fixed-point power iteration ([[graft.operators.Pca.topComponent]])
-    * — the whitening / rotation prep read next to [[embeddingMoments]]
+    * fixed-point power iteration ([[graft.operators.Pca.fit]]) — the
+    * whitening / rotation prep read next to [[embeddingMoments]]
     * before building an IVF/PQ index, and a one-direction drift monitor.
     * `iters + 1` linear corpus scans, one dims-keyed map-side aggregate
     * each, d-sized driver state — the distributed-PCA shape. */
   def pcaPower(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Pca.topComponent(Tables.embeddings(spark, dir),
-      "vec_id", "embedding", dims = IvfDims, iters = PcaIters)
+    graft.operators.Pca.toFrame(spark, sharedPcaModel(spark, dir))
 
-  /** q_pca_power oracle: the same fixed-point power iteration unrolled
-    * as CTEs — per-row dots and per-dim sums are SUMs of 1e-6-floored
-    * BIGINT terms (exact, order-free), directions renormalized through
-    * the identical fixed-point norm, means from the embeddingMoments
-    * recipe. One CTE trio (p/s/vt) per iteration. */
-  private def pcaPowerSql: String = {
+  /** Per-vector projection onto the shared PCA direction with the
+    * |t| > 3·√eigval outlier flag ([[graft.operators.Pca.projections]])
+    * — the along-dominant-axis outlier report, and the batch twin of
+    * [[graft.streaming.StreamOps.projectionGate]]. One narrow codegen
+    * scan against the baked-in 2·dims+1-double model. */
+  def pcaOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.projections(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", sharedPcaModel(spark, dir),
+      sigmas = PcaOutlierSigmas)
+
+  /** The fixed-point power iteration unrolled as CTEs — per-row dots and
+    * per-dim sums are SUMs of 1e-6-floored BIGINT terms (exact,
+    * order-free), directions renormalized through the identical
+    * fixed-point norm, means from the embeddingMoments recipe. One CTE
+    * trio (p/s/vt) per iteration; shared by the q_pca_power and
+    * q_pca_outliers oracles. */
+  private def pcaCtes: String = {
     val seed = java.lang.Double.toString(1.0 / math.sqrt(IvfDims.toDouble))
     val sb = new StringBuilder
     sb ++= s"""WITH xr AS (SELECT vec_id id, CAST(embedding AS DOUBLE[]) raw
@@ -1778,14 +1804,29 @@ object Pipeline {
                 |vt$t AS (SELECT dim, wv / SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS vv
                 |         FROM w$t CROSS JOIN n$t n)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT CAST(mm.dim AS BIGINT) dim, mm.mean, vt.vv AS loading,
-              |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS eigval
-              |FROM mm JOIN vt$PcaIters vt USING (dim)
-              |CROSS JOIN n$PcaIters n
-              |ORDER BY dim""".stripMargin
     sb.result()
   }
+
+  private def pcaPowerSql: String =
+    s"""$pcaCtes
+       |SELECT CAST(mm.dim AS BIGINT) dim, mm.mean, vt.vv AS loading,
+       |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS eigval
+       |FROM mm JOIN vt$PcaIters vt USING (dim)
+       |CROSS JOIN n$PcaIters n
+       |ORDER BY dim""".stripMargin
+
+  /** q_pca_outliers oracle: the [[pcaCtes]] chain's FINAL direction,
+    * applied to every vector through the identical fixed-point dot, the
+    * outlier bound 3·√eigval from the same norm CTE. */
+  private def pcaOutliersSql: String =
+    s"""$pcaCtes,
+       |pf AS (SELECT x.id, SUM(CAST(FLOOR(1000000.0 * (x.v - mm.mean) * vt.vv) AS BIGINT)) dot_fx
+       |       FROM x JOIN mm USING (dim) JOIN vt$PcaIters vt USING (dim) GROUP BY x.id)
+       |SELECT id AS vec_id, CAST(dot_fx AS DOUBLE) / 1000000.0 AS t,
+       |       (ABS(CAST(dot_fx AS DOUBLE) / 1000000.0)
+       |          > $PcaOutlierSigmas * SQRT(SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12))) AS outlier
+       |FROM pf CROSS JOIN n$PcaIters n
+       |ORDER BY vec_id""".stripMargin
 
   def embeddingMoments(spark: SparkSession, dir: String): DataFrame = {
     val nd = col("n_vecs").cast(DoubleType)
@@ -3636,6 +3677,7 @@ object Pipeline {
     "q_label_centroids"  -> (labelCentroids _),
     "q_embedding_moments" -> (embeddingMoments _),
     "q_pca_power"        -> (pcaPower _),
+    "q_pca_outliers"     -> (pcaOutliers _),
     "q_dataset_card"     -> (datasetCard _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
@@ -4808,6 +4850,7 @@ object Pipeline {
         |         AS variance
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "q_pca_power" -> pcaPowerSql,
+    "q_pca_outliers" -> pcaOutliersSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_split_psi" -> splitPsiSql,
     "q_dedup_sweep" -> dedupSweepSql,

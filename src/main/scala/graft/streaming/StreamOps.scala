@@ -350,6 +350,26 @@ object StreamOps {
         graft.queries.Pipeline.entropyNats(col(textCol)))
       .filter(col("entropy") >= minEntropy)
 
+  /** Streaming embedding-drift gate — the deployment form of
+    * [[graft.queries.Pipeline.pcaOutliers]]: the batch-trained
+    * [[graft.operators.Pca.PcaModel]] (2·dims+1 doubles) bakes into the
+    * plan, each incoming vector's fixed-point projection onto the
+    * corpus's dominant direction is a narrow integer-chain column, and
+    * rows beyond `sigmas`·√eigval along that axis drop (a vector far out
+    * on the corpus's own biggest axis is a different-model embedding or
+    * alien content — catch it BEFORE it enters an index or a training
+    * mix). Stateless, shuffle-free, append-mode-safe; batch/stream
+    * decisions bit-identical (StreamOpsSpec pins it). Emits `t`. */
+  def projectionGate(emb: DataFrame, vecCol: String,
+      model: graft.operators.Pca.PcaModel, sigmas: Double): DataFrame = {
+    val thr = sigmas * math.sqrt(model.eigval)
+    emb.withColumn("t",
+        graft.operators.Pca.projection(
+          col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)), model))
+      .filter(abs(col("t")) <= thr)
+  }
+
   /** Streaming lexicon (badword/topic) gate — the deployment form of
     * [[graft.queries.Pipeline.lexiconHits]]: one Aho–Corasick pass per
     * incoming document ([[graft.functions.LexiconHits]], the automaton a

@@ -783,6 +783,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming projection gate: batch-trained PCA model filters a stream to batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = graft.operators.Pca.fit(emb, "vec_id", "embedding",
+      dims = 64, iters = 3)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // 1σ along the dominant axis splits any non-degenerate corpus
+    val batchKept = StreamOps.projectionGate(
+        rows.toSeq.toDF("vec_id", "embedding"), "embedding", model, sigmas = 1.0)
+      .select("vec_id", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(batchKept.nonEmpty && batchKept.size < rows.length,
+      s"1-sigma gate must visibly split (kept ${batchKept.size}/${rows.length})")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.projectionGate(
+        input.toDF.toDF("vec_id", "embedding"), "embedding", model, sigmas = 1.0)
+      .select("vec_id", "t")
+      .writeStream.format("memory").queryName("proj_out")
+      .outputMode("append").start()
+    input.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("proj_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(streamKept == batchKept,
+      "stream must keep exactly the batch's rows with identical projections")
+    assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
+  }
+
   test("streaming ensemble gate: batch-trained rank tables score a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
