@@ -1422,6 +1422,43 @@ object Pipeline {
         col("n_dupes").cast(DoubleType) / col("n_docs"))
       .orderBy("source")
 
+  /** Per-document rare-token profile — the tail-knowledge upsampling
+    * signal (documents carrying below-uniform-frequency vocabulary are
+    * where long-tail facts live; documents that are MOSTLY rare tokens
+    * are usually OCR garbage — the two ends a curator reads this table
+    * for). "Rare" is scale-free and sort-free: a word is rare when its
+    * corpus count sits below the uniform share (c_w · vocab < total, an
+    * exact integer comparison) — no global rank window, no data-
+    * dependent threshold. Scale shape: ONE tokenization scan into the
+    * (word)-keyed count table; the doc-word frame re-joins it on the
+    * vocab key (the [[sourceKl]] join) with the two scalars attached
+    * broadcast; one doc-keyed aggregate ends it. */
+  def rareTokens(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val byWord = words.groupBy("word").agg(count(lit(1)).as("c_w"))
+      // word counts feed the totals AND the join back — one scan
+      .localCheckpoint()
+    val totals = byWord.agg(sum(col("c_w")).as("total"),
+      count(lit(1)).cast(LongType).as("vocab"))
+    words.join(byWord, Seq("word"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        // DECIMAL product: c_w·vocab overflows a Long (ANSI throw) once
+        // counts reach 1e13 × vocab 1e8; DuckDB's BIGINT·BIGINT promotes
+        // to HUGEINT, so the widened compare matches the oracle exactly
+        sum(when(col("c_w").cast(DecimalType(38, 0))
+              * col("vocab").cast(DecimalType(38, 0))
+              < col("total").cast(DecimalType(38, 0)), 1L).otherwise(0L))
+          .as("n_rare"),
+        min(col("c_w")).as("min_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"), col("min_count"),
+        (col("n_rare").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
   /** One-row dataset card — the headline stats a curated corpus
     * publishes (the Datasheets-for-Datasets summary block): document /
     * token totals, language and source cardinalities, exact-duplicate
@@ -3679,6 +3716,7 @@ object Pipeline {
     "q_pca_power"        -> (pcaPower _),
     "q_pca_outliers"     -> (pcaOutliers _),
     "q_dataset_card"     -> (datasetCard _),
+    "q_rare_tokens"      -> (rareTokens _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
@@ -4720,6 +4758,20 @@ object Pipeline {
          |       CAST(LENGTH(text) - LENGTH($masked) AS BIGINT) AS n_chars_removed
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // rare tokens: exact integer rarity test (c_w·vocab < total), the
+    // one derived double in the shared op order
+    "q_rare_tokens" ->
+      """WITH dw AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) w FROM documents),
+        |bw AS (SELECT w, CAST(COUNT(*) AS BIGINT) c_w FROM dw GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_w) AS BIGINT) total,
+        |             CAST(COUNT(*) AS BIGINT) vocab FROM bw)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+        |       CAST(SUM(CASE WHEN c_w * vocab < total THEN 1 ELSE 0 END) AS BIGINT) n_rare,
+        |       CAST(MIN(c_w) AS BIGINT) min_count,
+        |       CAST(SUM(CASE WHEN c_w * vocab < total THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+        |FROM dw JOIN bw USING (w) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // dataset card: the text-stats token recipe, the calibrated-quality
     // fixed point, and the dedup-stats sentinel digest in one card; the
     // derived doubles run one shared IEEE op order

@@ -319,6 +319,28 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_rare_tokens equals the driver-side brute force on sf0.001") {
+    val got = Pipeline.rareTokens(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docWords = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).toSeq
+        .flatMap(_.split(" ", -1)).map(r.getLong(0) -> _))
+    val cW = docWords.groupBy(_._2).map { case (w, v) => w -> v.length.toLong }
+    val total = docWords.length.toLong
+    val vocab = cW.size.toLong
+    val expected = docWords.groupBy(_._1).map { case (id, ws) =>
+      val counts = ws.map(w => cW(w._2))
+      val rare = counts.count(c => BigInt(c) * vocab < total).toLong
+      (id, ws.length.toLong, rare, counts.min,
+        rare.toDouble / ws.length.toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected)
+    // the below-uniform rarity test must visibly split the fixture
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0))
+  }
+
   test("q_dataset_card equals the driver-side brute force on sf0.001") {
     val got = Pipeline.datasetCard(spark, dir).collect().head
     val rows = graft.Tables.documents(spark, dir)
