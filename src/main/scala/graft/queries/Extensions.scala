@@ -268,7 +268,64 @@ object Extensions {
       .orderBy("event_type", "hour_bucket")
   }
 
+  /** Declarative data-quality constraint report — the deequ pattern
+    * Spark-native: each table's checks (non-null, uniqueness, domain
+    * consistency, value range, referential integrity) evaluate to one
+    * (constraint, n_checked, n_violations, pass) row, the gate a
+    * pipeline reads before promoting an ingest. Scale shape: all
+    * same-table ANALYZER checks batch into ONE map-side-combined
+    * aggregation pass per table (a new constraint adds a column, never
+    * a scan); the uniqueness check is its own single-distinct aggregate
+    * (batching it with the sums would plan an Expand that doubles the
+    * scanned rows — the tableProfile lesson; production swaps in
+    * approx_count_distinct); referential integrity is the one join —
+    * LEFT against the distinct key side, violations = unmatched. */
+  def constraintReport(spark: SparkSession, dir: String): DataFrame =
+    docConstraints(Tables.documents(spark, dir))
+      .unionAll(lineitemConstraints(Tables.lineitem(spark, dir),
+        Tables.orders(spark, dir)))
+      .orderBy("constraint_name")
+
+  private def report(src: DataFrame, name: String, v: String): DataFrame =
+    src.select(lit(name).as("constraint_name"), col("n").as("n_checked"),
+      col(v).as("n_violations"), (col(v) === 0L).as("pass"))
+
+  /** The documents-table analyzers: non-null key, unique key, derived-
+    * column consistency — the spec drives these with crafted dirty
+    * frames to pin violation DETECTION, not just the clean fixture. */
+  private[queries] def docConstraints(docs: DataFrame): DataFrame = {
+    val d = docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(!(col("n_chars") <=> length(col("text"))), 1L).otherwise(0L))
+        .as("v_chars"))
+    val du = docs.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_uniq"))
+    report(d, "docs_doc_id_not_null", "v_null")
+      .unionAll(report(d.crossJoin(du), "docs_doc_id_unique", "v_uniq"))
+      .unionAll(report(d, "docs_n_chars_matches_text", "v_chars"))
+  }
+
+  /** The lineitem analyzers: value range in one batched aggregation,
+    * referential integrity as the one LEFT join against the distinct
+    * key side. */
+  private[queries] def lineitemConstraints(li: DataFrame,
+      ord: DataFrame): DataFrame = {
+    val l = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull || col("l_quantity") < 1
+        || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_qty"))
+    val fk = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"))
+    report(l, "lineitem_quantity_in_1_50", "v_qty")
+      .unionAll(report(fk, "lineitem_orderkey_fk_orders", "v_fk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_constraint_report"   -> (constraintReport _),
     "q_event_funnel"        -> (eventFunnel _),
     "q_event_funnel_strict" -> (eventFunnelStrict _),
     "q_retention_cohorts"   -> (retentionCohorts _),
@@ -281,6 +338,30 @@ object Extensions {
     "q_multimodal_features" -> (multimodalFeatures _))
 
   val oracles: Map[String, String] = Map(
+    // the Spark side's null-safe equality (<=>) is IS NOT DISTINCT FROM;
+    // count-distinct ignores nulls identically on both engines
+    "q_constraint_report" ->
+      """WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_null,
+        |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) v_uniq,
+        |  CAST(SUM(CASE WHEN n_chars IS DISTINCT FROM LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) v_chars
+        |  FROM documents),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |                THEN 1 ELSE 0 END) AS BIGINT) v_qty
+        |  FROM lineitem),
+        |fk AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_fk
+        |  FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON li.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'docs_doc_id_not_null' AS constraint_name, n AS n_checked,
+        |         v_null AS n_violations, v_null = 0 AS pass FROM d
+        |  UNION ALL SELECT 'docs_doc_id_unique', n, v_uniq, v_uniq = 0 FROM d
+        |  UNION ALL SELECT 'docs_n_chars_matches_text', n, v_chars, v_chars = 0 FROM d
+        |  UNION ALL SELECT 'lineitem_quantity_in_1_50', n, v_qty, v_qty = 0 FROM l
+        |  UNION ALL SELECT 'lineitem_orderkey_fk_orders', n, v_fk, v_fk = 0 FROM fk)
+        |ORDER BY constraint_name""".stripMargin,
     "q_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |                  CAST(FLOOR(EPOCH(ts)) AS BIGINT) sec FROM events),

@@ -319,6 +319,38 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("constraint report: crafted dirty frames produce exact violation counts") {
+    import spark.implicits._
+    // two null ids, one duplicated id, two n_chars mismatches (one via
+    // null n_chars against non-null text)
+    val dirtyDocs = Seq(
+      (Some(1L), "abc", Some(3L)),
+      (Some(1L), "abcd", Some(4L)),
+      (None, "x", Some(1L)),
+      (None, "xy", Some(99L)),
+      (Some(2L), "ok", None))
+      .toDF("doc_id", "text", "n_chars")
+    val d = Extensions.docConstraints(dirtyDocs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(d("docs_doc_id_not_null") == ((5L, 2L, false)))
+    // 5 rows, 2 distinct non-null ids ({1, 2}) → 3 uniqueness violations
+    // (the duplicate AND both nulls, which countDistinct ignores)
+    assert(d("docs_doc_id_unique") == ((5L, 3L, false)))
+    assert(d("docs_n_chars_matches_text") == ((5L, 2L, false)))
+    val dirtyLi = Seq((10L, 5.0), (11L, 0.0), (12L, 51.0), (10L, 50.0))
+      .toDF("l_orderkey", "l_quantity")
+    val ords = Seq(10L, 99L).toDF("o_orderkey")
+    val l = Extensions.lineitemConstraints(dirtyLi, ords).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(l("lineitem_quantity_in_1_50") == ((4L, 2L, false)))
+    assert(l("lineitem_orderkey_fk_orders") == ((4L, 2L, false)))
+    // and the shipped fixture is clean end to end
+    val rep = Extensions.constraintReport(spark, dir).collect()
+    assert(rep.length == 5 && rep.forall(_.getBoolean(3)))
+  }
+
   test("q_rare_tokens equals the driver-side brute force on sf0.001") {
     val got = Pipeline.rareTokens(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
