@@ -55,6 +55,10 @@ object Pca {
     * rather than silently dropping rows from the iteration. */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
       dims: Int, iters: Int): PcaModel = {
+    require(dims > 0 && iters > 0,
+      s"Pca.fit: dims ($dims) and iters ($iters) must be positive — " +
+        "0 iterations would return the uniform seed with eigval 0 and " +
+        "every downstream sigma-threshold collapses to 0")
     val base = emb
       .select(col(idCol).cast(LongType).as("id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
@@ -66,11 +70,11 @@ object Pca {
       // the collected literals are bit-identical to the SQL oracle's
       val mRows = base.select(posexplode(col("raw")).as(Seq("dim", "v")))
         .groupBy("dim")
-        .agg(count(lit(1)).as("n"),
+        .agg(count(lit(1)).as("n"), count(col("v")).as("n_nonnull"),
           sum(floor(col("v") * lit(1e6)).cast(LongType)
             .cast(DecimalType(38, 0))).as("s_fx"))
-        .select(col("dim"),
-          col("n"), (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)).as("mean"))
+        .select(col("dim"), col("n"), col("n_nonnull"),
+          (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)).as("mean"))
         .collect()
       require(mRows.length == dims,
         s"Pca.fit: expected $dims dims, found ${mRows.length}")
@@ -81,9 +85,16 @@ object Pca {
       require(mRows.map(_.getLong(1)).distinct.length == 1,
         "Pca.fit: ragged embeddings (per-dim counts differ) — " +
           "every vector must have exactly `dims` elements")
+      // a null ELEMENT passes both guards above but nulls the row's
+      // whole `+`-chain dot (the row silently vanishes from the
+      // iteration while the oracle's SUM would keep a partial dot) —
+      // the non-null count exposes it at zero extra scans
+      require(mRows.forall(r => r.getLong(1) == r.getLong(2)),
+        "Pca.fit: null embedding elements found — a null element would " +
+          "silently drop its row from the power iteration")
       val n = mRows.head.getLong(1)
       val means = Array.ofDim[Double](dims)
-      mRows.foreach(r => means(r.getInt(0)) = r.getDouble(2))
+      mRows.foreach(r => means(r.getInt(0)) = r.getDouble(3))
 
       var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
       var nrm = 0.0
@@ -150,15 +161,19 @@ object Pca {
     * outlier report (a vector far out on the corpus's own biggest axis
     * is a different-model embedding or genuinely alien content). One
     * narrow codegen scan against the baked-in model; no join, no
-    * shuffle. */
+    * shuffle (callers order the output). Rows whose projection nulls
+    * out — null vector or null element — are EXCLUDED (defined,
+    * parity-safe semantics shared with the streaming gate); a
+    * too-short array fails loudly under ANSI element_at. [[fit]]
+    * rejects such corpora upstream, so this only matters when
+    * projecting a different frame than the one fitted. */
   def projections(emb: DataFrame, idCol: String, vecCol: String,
       model: PcaModel, sigmas: Double): DataFrame = {
     val thr = sigmas * math.sqrt(model.eigval)
     emb.select(col(idCol).cast(LongType).as("vec_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
-      .filter(col("raw").isNotNull)
       .select(col("vec_id"), projection(col("raw"), model).as("t"))
+      .filter(col("t").isNotNull)
       .withColumn("outlier", abs(col("t")) > lit(thr))
-      .orderBy("vec_id")
   }
 }

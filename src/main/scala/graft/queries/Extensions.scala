@@ -294,14 +294,22 @@ object Extensions {
     * column consistency — the spec drives these with crafted dirty
     * frames to pin violation DETECTION, not just the clean fixture. */
   private[queries] def docConstraints(docs: DataFrame): DataFrame = {
+    // sums COALESCE to 0: over an EMPTY table (the likeliest broken
+    // ingest a promote gate exists to catch) sum() is NULL and pass
+    // would be three-valued NULL — an alert on pass === false would
+    // never fire. The not-empty analyzer makes that case an explicit
+    // red row instead.
     val d = docs.agg(
       count(lit(1)).as("n"),
-      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null"),
-      sum(when(!(col("n_chars") <=> length(col("text"))), 1L).otherwise(0L))
-        .as("v_chars"))
+      coalesce(sum(when(col("doc_id").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("v_null"),
+      coalesce(sum(when(!(col("n_chars") <=> length(col("text"))), 1L)
+        .otherwise(0L)), lit(0L)).as("v_chars"))
+      .withColumn("v_empty", when(col("n") === 0L, 1L).otherwise(0L))
     val du = docs.agg(
       (count(lit(1)) - countDistinct(col("doc_id"))).as("v_uniq"))
-    report(d, "docs_doc_id_not_null", "v_null")
+    report(d, "docs_not_empty", "v_empty")
+      .unionAll(report(d, "docs_doc_id_not_null", "v_null"))
       .unionAll(report(d.crossJoin(du), "docs_doc_id_unique", "v_uniq"))
       .unionAll(report(d, "docs_n_chars_matches_text", "v_chars"))
   }
@@ -313,13 +321,14 @@ object Extensions {
       ord: DataFrame): DataFrame = {
     val l = li.agg(
       count(lit(1)).as("n"),
-      sum(when(col("l_quantity").isNull || col("l_quantity") < 1
-        || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_qty"))
+      coalesce(sum(when(col("l_quantity").isNull || col("l_quantity") < 1
+        || col("l_quantity") > 50, 1L).otherwise(0L)), lit(0L)).as("v_qty"))
     val fk = li.select(col("l_orderkey"))
       .join(ord.select(col("o_orderkey")).distinct(),
         col("l_orderkey") === col("o_orderkey"), "left")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"))
+        coalesce(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("v_fk"))
     report(l, "lineitem_quantity_in_1_50", "v_qty")
       .unionAll(report(fk, "lineitem_orderkey_fk_orders", "v_fk"))
   }
@@ -342,21 +351,23 @@ object Extensions {
     // count-distinct ignores nulls identically on both engines
     "q_constraint_report" ->
       """WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) n,
-        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_null,
+        |  CAST(COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) v_null,
         |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) v_uniq,
-        |  CAST(SUM(CASE WHEN n_chars IS DISTINCT FROM LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) v_chars
+        |  CAST(COALESCE(SUM(CASE WHEN n_chars IS DISTINCT FROM LENGTH(text) THEN 1 ELSE 0 END), 0) AS BIGINT) v_chars,
+        |  CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS BIGINT) v_empty
         |  FROM documents),
         |l AS (SELECT CAST(COUNT(*) AS BIGINT) n,
-        |  CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
-        |                THEN 1 ELSE 0 END) AS BIGINT) v_qty
+        |  CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+        |                THEN 1 ELSE 0 END), 0) AS BIGINT) v_qty
         |  FROM lineitem),
         |fk AS (SELECT CAST(COUNT(*) AS BIGINT) n,
-        |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_fk
+        |  CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) v_fk
         |  FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON li.l_orderkey = o.o_orderkey)
         |SELECT * FROM (
-        |  SELECT 'docs_doc_id_not_null' AS constraint_name, n AS n_checked,
-        |         v_null AS n_violations, v_null = 0 AS pass FROM d
+        |  SELECT 'docs_not_empty' AS constraint_name, n AS n_checked,
+        |         v_empty AS n_violations, v_empty = 0 AS pass FROM d
+        |  UNION ALL SELECT 'docs_doc_id_not_null', n, v_null, v_null = 0 FROM d
         |  UNION ALL SELECT 'docs_doc_id_unique', n, v_uniq, v_uniq = 0 FROM d
         |  UNION ALL SELECT 'docs_n_chars_matches_text', n, v_chars, v_chars = 0 FROM d
         |  UNION ALL SELECT 'lineitem_quantity_in_1_50', n, v_qty, v_qty = 0 FROM l

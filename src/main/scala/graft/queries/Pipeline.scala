@@ -1809,6 +1809,7 @@ object Pipeline {
     graft.operators.Pca.projections(Tables.embeddings(spark, dir),
       "vec_id", "embedding", sharedPcaModel(spark, dir),
       sigmas = PcaOutlierSigmas)
+      .orderBy("vec_id") // the house total-ORDER-BY rule, query layer
 
   /** The fixed-point power iteration unrolled as CTEs — per-row dots and
     * per-dim sums are SUMs of 1e-6-floored BIGINT terms (exact,

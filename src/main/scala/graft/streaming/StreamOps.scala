@@ -359,7 +359,10 @@ object StreamOps {
     * on the corpus's own biggest axis is a different-model embedding or
     * alien content — catch it BEFORE it enters an index or a training
     * mix). Stateless, shuffle-free, append-mode-safe; batch/stream
-    * decisions bit-identical (StreamOpsSpec pins it). Emits `t`. */
+    * decisions bit-identical (StreamOpsSpec pins it). Emits `t`.
+    * Null-vector / null-element rows are EXCLUDED — the same defined
+    * semantics as the batch [[graft.operators.Pca.projections]], made
+    * explicit here rather than left to three-valued filter logic. */
   def projectionGate(emb: DataFrame, vecCol: String,
       model: graft.operators.Pca.PcaModel, sigmas: Double): DataFrame = {
     val thr = sigmas * math.sqrt(model.eigval)
@@ -367,7 +370,7 @@ object StreamOps {
         graft.operators.Pca.projection(
           col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)), model))
-      .filter(abs(col("t")) <= thr)
+      .filter(col("t").isNotNull && abs(col("t")) <= thr)
   }
 
   /** Streaming lexicon (badword/topic) gate — the deployment form of

@@ -346,9 +346,19 @@ class CorpusAuditSpec extends AnyFunSuite {
       .toMap
     assert(l("lineitem_quantity_in_1_50") == ((4L, 2L, false)))
     assert(l("lineitem_orderkey_fk_orders") == ((4L, 2L, false)))
+    // an EMPTY ingest is an explicit red not-empty row, never a
+    // three-valued NULL pass the alerting would miss
+    val empty = Extensions.docConstraints(
+      Seq.empty[(Option[Long], String, Option[Long])]
+        .toDF("doc_id", "text", "n_chars")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(empty("docs_not_empty") == ((0L, 1L, false)))
+    assert(empty("docs_doc_id_not_null") == ((0L, 0L, true)))
+    assert(empty("docs_n_chars_matches_text") == ((0L, 0L, true)))
     // and the shipped fixture is clean end to end
     val rep = Extensions.constraintReport(spark, dir).collect()
-    assert(rep.length == 5 && rep.forall(_.getBoolean(3)))
+    assert(rep.length == 6 && rep.forall(_.getBoolean(3)))
   }
 
   test("q_rare_tokens equals the driver-side brute force on sf0.001") {
