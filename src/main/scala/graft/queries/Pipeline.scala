@@ -1811,6 +1811,44 @@ object Pipeline {
       sigmas = PcaOutlierSigmas)
       .orderBy("vec_id") // the house total-ORDER-BY rule, query layer
 
+  /** Explained-variance summary for the top component: eigval (from the
+    * shared PCA model), the covariance trace (Σ per-dim variances, each
+    * 1e-12 floor-quantized so the cross-dim sum is exact), and their
+    * ratio — THE "is one axis dominant enough to whiten / rotate
+    * against?" number read before index prep. Scale shape: one
+    * [[embeddingMoments]] aggregate re-reduced to a single row; the
+    * model attaches as driver literals. */
+  def pcaResidual(spark: SparkSession, dir: String): DataFrame = {
+    val m = sharedPcaModel(spark, dir)
+    embeddingMoments(spark, dir)
+      .select(floor(col("variance") * lit(1e12)).cast(LongType).as("v_fx"))
+      .agg(sum(col("v_fx")).as("tr_fx"))
+      .select(lit(m.eigval).as("eigval"),
+        (col("tr_fx").cast(DoubleType) / lit(1e12)).as("trace"),
+        (lit(m.eigval) / (col("tr_fx").cast(DoubleType) / lit(1e12)))
+          .as("explained_ratio"))
+      .orderBy("eigval") // single row; the house total-ORDER-BY rule
+  }
+
+  /** q_pca_residual oracle: the q_embedding_moments variance recipe over
+    * [[pcaCtes]]' x frame, trace as the exact 1e-12 fixed-point sum,
+    * eigval from the shared norm CTE — all three doubles in the Column
+    * tree's op order. */
+  private def pcaResidualSql: String =
+    s"""$pcaCtes,
+       |qq AS (SELECT dim, CAST(FLOOR(v * 1000000.0) AS BIGINT) q FROM x),
+       |mv AS (SELECT dim,
+       |         (CAST(SUM(q * q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |           - (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |             * (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) / 1e12 AS variance
+       |       FROM qq GROUP BY dim),
+       |tr AS (SELECT CAST(SUM(CAST(FLOOR(variance * 1e12) AS BIGINT)) AS BIGINT) tr_fx FROM mv)
+       |SELECT SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS eigval,
+       |       CAST(tr.tr_fx AS DOUBLE) / 1e12 AS trace,
+       |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12)
+       |         / (CAST(tr.tr_fx AS DOUBLE) / 1e12) AS explained_ratio
+       |FROM tr CROSS JOIN n$PcaIters n ORDER BY eigval""".stripMargin
+
   /** The fixed-point power iteration unrolled as CTEs — per-row dots and
     * per-dim sums are SUMs of 1e-6-floored BIGINT terms (exact,
     * order-free), directions renormalized through the identical
@@ -3716,6 +3754,7 @@ object Pipeline {
     "q_embedding_moments" -> (embeddingMoments _),
     "q_pca_power"        -> (pcaPower _),
     "q_pca_outliers"     -> (pcaOutliers _),
+    "q_pca_residual"     -> (pcaResidual _),
     "q_dataset_card"     -> (datasetCard _),
     "q_rare_tokens"      -> (rareTokens _),
     "q_length_histogram" -> (lengthHistogram _),
@@ -4904,6 +4943,7 @@ object Pipeline {
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "q_pca_power" -> pcaPowerSql,
     "q_pca_outliers" -> pcaOutliersSql,
+    "q_pca_residual" -> pcaResidualSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_split_psi" -> splitPsiSql,
     "q_dedup_sweep" -> dedupSweepSql,
