@@ -3540,6 +3540,52 @@ object Pipeline {
     * ranks) agree bit-for-bit across paths. Ratios floor-quantize to
     * 1e-6 fixed point, keeping each signal's value set
     * cardinality-bounded (the histogram-rank precondition). */
+  /** Pairwise Pearson correlation of the ensemble's quality signals —
+    * the signal-REDUNDANCY audit read before trusting a multi-signal
+    * gate (two signals correlating ≈1 vote twice for the same thing; an
+    * ensemble wants complementary members, and this table says which
+    * one to drop). Exactness: the signals are already exact integers
+    * ([[ensembleSignals]]' 1e-6 fixed points), so every moment (Σx,
+    * Σx², Σxy) is an exact DECIMAL(38,0) integer — order- and
+    * partitioning-invariant — and each correlation is ONE shared IEEE
+    * expression over those integers; zero-variance signals report NULL
+    * rather than 0/0. Scale shape: ONE corpus scan into ONE map-side-
+    * combined 1-row moment aggregate (a new signal adds columns, never
+    * a scan — the constraint-report batching doctrine); the three
+    * correlation rows are selects over that single row. The DECIMAL
+    * moments hold to ~1e38 (n·Σxy ≤ 1e12·1e24 at 10¹² docs) — past
+    * that the ANSI decimal overflow fails loudly, never wraps. */
+  def signalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = ensembleSignals(col("text"), col("n_chars"))
+    val names = sigCols.map(_._1)
+    val sigs = Tables.documents(spark, dir)
+      .select(sigCols.map { case (n, c) =>
+        c.cast(DecimalType(38, 0)).as(n) }: _*)
+    val corrPairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    val aggs =
+      names.map(n => sum(col(n)).as(s"sx_$n")) ++
+        names.map(n => sum(col(n) * col(n)).as(s"sq_$n")) ++
+        corrPairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val m = sigs
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"), aggs: _*)
+      .localCheckpoint() // 1 row, consumed once per pair below
+    def corrRow(a: String, b: String): DataFrame = {
+      val num = col("n") * col(s"sp_${a}_$b") - col(s"sx_$a") * col(s"sx_$b")
+      def den(s: String) = col("n") * col(s"sq_$s") - col(s"sx_$s") * col(s"sx_$s")
+      m.select(lit(a).as("signal_a"), lit(b).as("signal_b"),
+        col("n").cast(LongType).as("n_docs"),
+        when(den(a) === 0 || den(b) === 0, lit(null).cast(DoubleType))
+          .otherwise(num.cast(DoubleType)
+            / sqrt(den(a).cast(DoubleType) * den(b).cast(DoubleType)))
+          .as("corr"))
+    }
+    corrPairs.map { case (a, b) => corrRow(a, b) }
+      .reduce(_ unionAll _)
+      .orderBy("signal_a", "signal_b")
+  }
+
   private[graft] def ensembleSignals(text: Column,
       nChars: Column): Seq[(String, Column)] = {
     val nTok = TA.tokenCount(text)
@@ -3757,6 +3803,7 @@ object Pipeline {
     "q_pca_residual"     -> (pcaResidual _),
     "q_dataset_card"     -> (datasetCard _),
     "q_rare_tokens"      -> (rareTokens _),
+    "q_signal_corr"      -> (signalCorr _),
     "q_length_histogram" -> (lengthHistogram _),
     "q_shard_skew"       -> (shardSkew _),
     "q_ivf_recall"       -> (ivfRecall _),
@@ -5018,6 +5065,52 @@ object Pipeline {
     // the definitions coincide exactly, so the hash compare
     // cross-validates the histogram formulation. Signals are integers
     // (ratios floor-quantized to 1e-6), rank sum order pinned.
+    // signal correlations: the ensemble sig CTE's exact integers, all
+    // moments in HUGEINT (the Spark side's DECIMAL(38,0)), one shared
+    // IEEE expression per correlation
+    "q_signal_corr" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) s_tokens,
+        |         CAST(FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) /
+        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_ttr,
+        |         CAST(FLOOR(CAST(n_chars - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE) /
+        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_mwl
+        |  FROM documents),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
+        |        SUM(CAST(s_tokens AS HUGEINT)) sx_t,
+        |        SUM(CAST(s_ttr AS HUGEINT)) sx_r,
+        |        SUM(CAST(s_mwl AS HUGEINT)) sx_m,
+        |        SUM(CAST(s_tokens AS HUGEINT) * CAST(s_tokens AS HUGEINT)) sq_t,
+        |        SUM(CAST(s_ttr AS HUGEINT) * CAST(s_ttr AS HUGEINT)) sq_r,
+        |        SUM(CAST(s_mwl AS HUGEINT) * CAST(s_mwl AS HUGEINT)) sq_m,
+        |        SUM(CAST(s_tokens AS HUGEINT) * CAST(s_ttr AS HUGEINT)) sp_tr,
+        |        SUM(CAST(s_tokens AS HUGEINT) * CAST(s_mwl AS HUGEINT)) sp_tm,
+        |        SUM(CAST(s_ttr AS HUGEINT) * CAST(s_mwl AS HUGEINT)) sp_rm
+        |      FROM sig)
+        |SELECT * FROM (
+        |  SELECT 's_tokens' AS signal_a, 's_ttr' AS signal_b,
+        |         CAST(n AS BIGINT) n_docs,
+        |         CASE WHEN n*sq_t - sx_t*sx_t = 0 OR n*sq_r - sx_r*sx_r = 0 THEN NULL
+        |              ELSE CAST(n*sp_tr - sx_t*sx_r AS DOUBLE)
+        |                / SQRT(CAST(n*sq_t - sx_t*sx_t AS DOUBLE)
+        |                       * CAST(n*sq_r - sx_r*sx_r AS DOUBLE)) END AS corr
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 's_tokens', 's_mwl', CAST(n AS BIGINT),
+        |         CASE WHEN n*sq_t - sx_t*sx_t = 0 OR n*sq_m - sx_m*sx_m = 0 THEN NULL
+        |              ELSE CAST(n*sp_tm - sx_t*sx_m AS DOUBLE)
+        |                / SQRT(CAST(n*sq_t - sx_t*sx_t AS DOUBLE)
+        |                       * CAST(n*sq_m - sx_m*sx_m AS DOUBLE)) END
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 's_ttr', 's_mwl', CAST(n AS BIGINT),
+        |         CASE WHEN n*sq_r - sx_r*sx_r = 0 OR n*sq_m - sx_m*sx_m = 0 THEN NULL
+        |              ELSE CAST(n*sp_rm - sx_r*sx_m AS DOUBLE)
+        |                / SQRT(CAST(n*sq_r - sx_r*sx_r AS DOUBLE)
+        |                       * CAST(n*sq_m - sx_m*sx_m AS DOUBLE)) END
+        |  FROM m)
+        |ORDER BY signal_a, signal_b""".stripMargin,
     "q_quality_ensemble" ->
       """WITH sig AS (
         |  SELECT doc_id,

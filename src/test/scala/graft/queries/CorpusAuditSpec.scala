@@ -319,6 +319,34 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_signal_corr equals the driver-side exact-moment Pearson on sf0.001") {
+    val got = Pipeline.signalCorr(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // collect the SAME integer signals the query computes, brute-force
+    // the moments in BigInt, and apply the identical final expression
+    val sigs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id") +: Pipeline.ensembleSignals(col("text"), col("n_chars"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = BigInt(sigs.length)
+    def corr(xs: Array[Long], ys: Array[Long]): Double = {
+      val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      ((n * sxy - sx * sy).toDouble
+        / math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+    }
+    val (t, r, m) = (sigs.map(_._1), sigs.map(_._2), sigs.map(_._3))
+    assert(got(("s_tokens", "s_ttr"))._2 == corr(t, r))
+    assert(got(("s_tokens", "s_mwl"))._2 == corr(t, m))
+    assert(got(("s_ttr", "s_mwl"))._2 == corr(r, m))
+    got.values.foreach { case (nd, c) =>
+      assert(nd == sigs.length.toLong && math.abs(c) <= 1.0 + 1e-12)
+    }
+  }
+
   test("constraint report: crafted dirty frames produce exact violation counts") {
     import spark.implicits._
     // two null ids, one duplicated id, two n_chars mismatches (one via
