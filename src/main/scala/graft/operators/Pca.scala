@@ -172,8 +172,12 @@ object Pca {
     val thr = sigmas * math.sqrt(model.eigval)
     emb.select(col(idCol).cast(LongType).as("vec_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("raw"))
+      // screen the NULL cases on the INPUT side (cheap array null-scan):
+      // a filter on the projection itself would re-inline the 64-term
+      // fixed-point chain into the filter predicate — measured 6× the
+      // scan cost when this briefly shipped as filter(t.isNotNull)
+      .filter(col("raw").isNotNull && !exists(col("raw"), _.isNull))
       .select(col("vec_id"), projection(col("raw"), model).as("t"))
-      .filter(col("t").isNotNull)
       .withColumn("outlier", abs(col("t")) > lit(thr))
   }
 }

@@ -366,11 +366,14 @@ object StreamOps {
   def projectionGate(emb: DataFrame, vecCol: String,
       model: graft.operators.Pca.PcaModel, sigmas: Double): DataFrame = {
     val thr = sigmas * math.sqrt(model.eigval)
-    emb.withColumn("t",
-        graft.operators.Pca.projection(
-          col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)), model))
-      .filter(col("t").isNotNull && abs(col("t")) <= thr)
+    val raw = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    // null screening on the INPUT side (cheap array scan) — a
+    // t.isNotNull predicate would re-inline the whole fixed-point
+    // chain into the filter (the Pca.projections lesson)
+    emb.filter(raw.isNotNull && !exists(raw, _.isNull))
+      .withColumn("t", graft.operators.Pca.projection(raw, model))
+      .filter(abs(col("t")) <= thr)
   }
 
   /** Streaming lexicon (badword/topic) gate — the deployment form of
