@@ -175,8 +175,11 @@ object Pca {
       // screen the NULL cases on the INPUT side (cheap array null-scan):
       // a filter on the projection itself would re-inline the 64-term
       // fixed-point chain into the filter predicate — measured 6× the
-      // scan cost when this briefly shipped as filter(t.isNotNull)
-      .filter(col("raw").isNotNull && !exists(col("raw"), _.isNull))
+      // scan cost when this briefly shipped as filter(t.isNotNull).
+      // Scan only the first `dims` elements — the chain reads nothing
+      // past them, so a trailing null must not exclude the row
+      .filter(col("raw").isNotNull &&
+        !exists(slice(col("raw"), 1, model.dims), _.isNull))
       .select(col("vec_id"), projection(col("raw"), model).as("t"))
       .withColumn("outlier", abs(col("t")) > lit(thr))
   }

@@ -1825,7 +1825,11 @@ object Pipeline {
       .agg(sum(col("v_fx")).as("tr_fx"))
       .select(lit(m.eigval).as("eigval"),
         (col("tr_fx").cast(DoubleType) / lit(1e12)).as("trace"),
-        (lit(m.eigval) / (col("tr_fx").cast(DoubleType) / lit(1e12)))
+        // a trace at or below the 1e-12 quantization floor has no
+        // meaningful ratio — NULL, never ±Infinity (the signalCorr
+        // zero-variance doctrine)
+        when(col("tr_fx") <= 0L, lit(null).cast(DoubleType))
+          .otherwise(lit(m.eigval) / (col("tr_fx").cast(DoubleType) / lit(1e12)))
           .as("explained_ratio"))
       .orderBy("eigval") // single row; the house total-ORDER-BY rule
   }
@@ -1845,8 +1849,9 @@ object Pipeline {
        |tr AS (SELECT CAST(SUM(CAST(FLOOR(variance * 1e12) AS BIGINT)) AS BIGINT) tr_fx FROM mv)
        |SELECT SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12) AS eigval,
        |       CAST(tr.tr_fx AS DOUBLE) / 1e12 AS trace,
-       |       SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12)
-       |         / (CAST(tr.tr_fx AS DOUBLE) / 1e12) AS explained_ratio
+       |       CASE WHEN tr.tr_fx <= 0 THEN NULL
+       |            ELSE SQRT(CAST(n.nrm_fx AS DOUBLE) / 1e12)
+       |                   / (CAST(tr.tr_fx AS DOUBLE) / 1e12) END AS explained_ratio
        |FROM tr CROSS JOIN n$PcaIters n ORDER BY eigval""".stripMargin
 
   /** The fixed-point power iteration unrolled as CTEs — per-row dots and
@@ -3533,13 +3538,6 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** The ensemble's three integer-valued quality signals as ONE shared
-    * set of Column trees — the batch query, its oracle restatement, and
-    * the streaming gate ([[graft.streaming.StreamOps.ensembleGate]]) all
-    * evaluate the identical op sequence, so signal values (and so
-    * ranks) agree bit-for-bit across paths. Ratios floor-quantize to
-    * 1e-6 fixed point, keeping each signal's value set
-    * cardinality-bounded (the histogram-rank precondition). */
   /** Pairwise Pearson correlation of the ensemble's quality signals —
     * the signal-REDUNDANCY audit read before trusting a multi-signal
     * gate (two signals correlating ≈1 vote twice for the same thing; an
@@ -3558,7 +3556,12 @@ object Pipeline {
   def signalCorr(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = ensembleSignals(col("text"), col("n_chars"))
     val names = sigCols.map(_._1)
+    // filter BEFORE computing moments: a null-text/null-n_chars row
+    // would be skipped by every SUM but counted by n, silently skewing
+    // each correlation (possibly past |1|) on BOTH engines — restrict
+    // the population to rows every signal covers
     val sigs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("n_chars").isNotNull)
       .select(sigCols.map { case (n, c) =>
         c.cast(DecimalType(38, 0)).as(n) }: _*)
     val corrPairs = for {
@@ -3586,6 +3589,13 @@ object Pipeline {
       .orderBy("signal_a", "signal_b")
   }
 
+  /** The ensemble's three integer-valued quality signals as ONE shared
+    * set of Column trees — the batch query, its oracle restatement, and
+    * the streaming gate ([[graft.streaming.StreamOps.ensembleGate]]) all
+    * evaluate the identical op sequence, so signal values (and so
+    * ranks) agree bit-for-bit across paths. Ratios floor-quantize to
+    * 1e-6 fixed point, keeping each signal's value set
+    * cardinality-bounded (the histogram-rank precondition). */
   private[graft] def ensembleSignals(text: Column,
       nChars: Column): Seq[(String, Column)] = {
     val nTok = TA.tokenCount(text)
@@ -3852,6 +3862,20 @@ object Pipeline {
   /** The q_text_stats quality score as a DuckDB expression over `text` —
     * shared verbatim by the q_token_budget oracle so both restate the
     * same (hash-proven) formula. */
+  /** The [[ensembleSignals]] Column trees restated once as the `sig`
+    * CTE — SHARED by the q_quality_ensemble and q_signal_corr oracles
+    * so a signal-definition edit can never silently decouple the two
+    * (the pcaCtes precedent). */
+  private def ensembleSigCte: String =
+    """sig AS (
+      |  SELECT doc_id,
+      |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) s_tokens,
+      |         CAST(FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) /
+      |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_ttr,
+      |         CAST(FLOOR(CAST(n_chars - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE) /
+      |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_mwl
+      |  FROM documents)""".stripMargin
+
   private def qualitySql: String =
     s"""(LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100.0, 1.0)
        |        + CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))
@@ -5065,18 +5089,14 @@ object Pipeline {
     // the definitions coincide exactly, so the hash compare
     // cross-validates the histogram formulation. Signals are integers
     // (ratios floor-quantized to 1e-6), rank sum order pinned.
-    // signal correlations: the ensemble sig CTE's exact integers, all
-    // moments in HUGEINT (the Spark side's DECIMAL(38,0)), one shared
-    // IEEE expression per correlation
+    // signal correlations: the shared ensemble sig CTE's exact integers
+    // (null-signal rows excluded so n covers exactly the summed
+    // population), all moments in HUGEINT (the Spark side's
+    // DECIMAL(38,0)), one shared IEEE expression per correlation
     "q_signal_corr" ->
-      """WITH sig AS (
-        |  SELECT doc_id,
-        |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) s_tokens,
-        |         CAST(FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) /
-        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_ttr,
-        |         CAST(FLOOR(CAST(n_chars - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE) /
-        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_mwl
-        |  FROM documents),
+      s"""WITH $ensembleSigCte,
+        |nn AS (SELECT * FROM sig
+        |       WHERE s_tokens IS NOT NULL AND s_ttr IS NOT NULL AND s_mwl IS NOT NULL),
         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) n,
         |        SUM(CAST(s_tokens AS HUGEINT)) sx_t,
         |        SUM(CAST(s_ttr AS HUGEINT)) sx_r,
@@ -5087,7 +5107,7 @@ object Pipeline {
         |        SUM(CAST(s_tokens AS HUGEINT) * CAST(s_ttr AS HUGEINT)) sp_tr,
         |        SUM(CAST(s_tokens AS HUGEINT) * CAST(s_mwl AS HUGEINT)) sp_tm,
         |        SUM(CAST(s_ttr AS HUGEINT) * CAST(s_mwl AS HUGEINT)) sp_rm
-        |      FROM sig)
+        |      FROM nn)
         |SELECT * FROM (
         |  SELECT 's_tokens' AS signal_a, 's_ttr' AS signal_b,
         |         CAST(n AS BIGINT) n_docs,
@@ -5112,14 +5132,7 @@ object Pipeline {
         |  FROM m)
         |ORDER BY signal_a, signal_b""".stripMargin,
     "q_quality_ensemble" ->
-      """WITH sig AS (
-        |  SELECT doc_id,
-        |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) s_tokens,
-        |         CAST(FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) /
-        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_ttr,
-        |         CAST(FLOOR(CAST(n_chars - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE) /
-        |                    CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) * 1000000.0) AS BIGINT) s_mwl
-        |  FROM documents),
+      s"""WITH $ensembleSigCte,
         |r AS (SELECT doc_id, s_tokens,
         |             PERCENT_RANK() OVER (ORDER BY s_tokens) r_tokens,
         |             PERCENT_RANK() OVER (ORDER BY s_ttr) r_ttr,

@@ -368,10 +368,11 @@ object StreamOps {
     val thr = sigmas * math.sqrt(model.eigval)
     val raw = col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.DoubleType))
-    // null screening on the INPUT side (cheap array scan) — a
+    // null screening on the INPUT side (cheap array scan over the first
+    // dims elements only — the chain reads nothing past them) — a
     // t.isNotNull predicate would re-inline the whole fixed-point
     // chain into the filter (the Pca.projections lesson)
-    emb.filter(raw.isNotNull && !exists(raw, _.isNull))
+    emb.filter(raw.isNotNull && !exists(slice(raw, 1, model.dims), _.isNull))
       .withColumn("t", graft.operators.Pca.projection(raw, model))
       .filter(abs(col("t")) <= thr)
   }
