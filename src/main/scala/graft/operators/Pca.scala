@@ -156,6 +156,28 @@ object Pca {
       .orderBy("dim")
   }
 
+  /** Persist a trained model as a `_SUCCESS`-certified parquet artifact
+    * — the [[Ivf.writeCentroids]] treatment: 2·dims+1 doubles in one
+    * file, so "train once, reuse" survives JVM restarts (at 100 TB the
+    * `iters + 1` training scans are the expensive part; re-deriving
+    * them per JVM is exactly the waste the BPE/IVF artifact protocol
+    * exists to avoid). Doubles round-trip parquet bit-exactly. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      model: PcaModel, path: String): Unit =
+    toFrame(spark, model).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** A [[writeModel]] artifact back, bit-identical to the trained one. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PcaModel = {
+    val rows = spark.read.parquet(path).orderBy("dim").collect()
+    PcaModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
+      rows.head.getDouble(3))
+  }
+
+  /** True when a COMPLETE model artifact exists at `path`. */
+  def modelExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = Artifacts.markerExists(spark, path)
+
   /** Per-vector scalar projection onto the model's top direction plus an
     * `outlier` flag at |t| > sigmas·√eigval — the along-dominant-axis
     * outlier report (a vector far out on the corpus's own biggest axis

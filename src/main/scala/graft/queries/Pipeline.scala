@@ -1780,16 +1780,37 @@ object Pipeline {
     scala.collection.concurrent.TrieMap[(String, Long, Int),
       graft.operators.Pca.PcaModel]()
 
-  /** The trained PCA model as a once-per-dataset in-JVM artifact (the
-    * [[sharedCentroids]] treatment minus disk persistence — the model is
-    * 2·dims+1 doubles and training is deterministic, so re-deriving it
-    * per JVM is cheap while sharing it across q_pca_power /
-    * q_pca_outliers avoids retraining inside one run). */
+  /** Bust PERSISTED models when the training arithmetic itself changes
+    * (the IvfTrainFormat doctrine): fmt2 = the corpus-size-safe
+    * normalize-by-n-then-1e-12-norm iteration. */
+  private val PcaTrainFormat = 2
+
+  /** The trained PCA model as a once-per-DATASET artifact — the full
+    * [[sharedCentroids]] treatment: in-JVM cache in front of a
+    * `_SUCCESS`-certified parquet model keyed by (dir, data stamp,
+    * config, training format), because the expensive part at 100 TB is
+    * the `iters + 1` training scans, not the 2·dims+1-double model. A
+    * corrupt artifact degrades to a (deterministic, bit-identical)
+    * retrain; a read-only index root must not fail the query. */
   private def sharedPcaModel(spark: SparkSession,
       dir: String): graft.operators.Pca.PcaModel =
-    pcaCache.getOrElseUpdate((dir, embStamp(dir), PcaIters),
-      graft.operators.Pca.fit(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", dims = IvfDims, iters = PcaIters))
+    pcaCache.getOrElseUpdate((dir, embStamp(dir), PcaIters), {
+      val root = Ivf.indexRoot(spark)
+      val path = s"$root/graft_pca_model/${
+        md5Hex(s"$dir:${embStamp(dir)}:$IvfDims:$PcaIters:fmt$PcaTrainFormat")}"
+      val persisted =
+        if (graft.operators.Pca.modelExists(spark, path))
+          try Some(graft.operators.Pca.readModel(spark, path))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      persisted.getOrElse {
+        val m = graft.operators.Pca.fit(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", dims = IvfDims, iters = PcaIters)
+        try graft.operators.Pca.writeModel(spark, m, path)
+        catch { case scala.util.control.NonFatal(_) => () }
+        m
+      }
+    })
 
   /** Top principal component of the embeddings via deterministic
     * fixed-point power iteration ([[graft.operators.Pca.fit]]) — the

@@ -92,6 +92,20 @@ class PcaSpec extends AnyFunSuite {
     assert(trace == trBrute)
   }
 
+  test("model artifact round-trips bit-identically through parquet") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val m = Pca.fit(emb, "vec_id", "embedding", 64, 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("pca_model").toString + "/model"
+    assert(!Pca.modelExists(spark, path))
+    Pca.writeModel(spark, m, path)
+    assert(Pca.modelExists(spark, path))
+    val back = Pca.readModel(spark, path)
+    assert(back.means.toSeq == m.means.toSeq)
+    assert(back.loading.toSeq == m.loading.toSeq)
+    assert(back.eigval == m.eigval)
+  }
+
   test("topComponent recovers a planted dominant direction") {
     import spark.implicits._
     val dims = 8
