@@ -166,10 +166,19 @@ object Pca {
       model: PcaModel, path: String): Unit =
     toFrame(spark, model).coalesce(1).write.mode("overwrite").parquet(path)
 
-  /** A [[writeModel]] artifact back, bit-identical to the trained one. */
+  /** A [[writeModel]] artifact back, bit-identical to the trained one.
+    * The shape is VALIDATED against the expected dims (exactly one row
+    * per dimension 0..dims-1): a readable-but-corrupt artifact — e.g.
+    * two JVMs racing the overwrite leave both part files behind — must
+    * throw here so the caller's degrade-to-retrain path fires, instead
+    * of silently yielding a wrong-dims model. */
   def readModel(spark: org.apache.spark.sql.SparkSession,
-      path: String): PcaModel = {
+      path: String, dims: Int): PcaModel = {
     val rows = spark.read.parquet(path).orderBy("dim").collect()
+    require(rows.map(_.getLong(0)).toSeq == (0L until dims.toLong),
+      s"Pca.readModel: artifact at $path has dims " +
+        s"${rows.map(_.getLong(0)).toSeq.take(8)}... (${rows.length} rows), " +
+        s"expected exactly 0..${dims - 1}")
     PcaModel(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
       rows.head.getDouble(3))
   }

@@ -1793,24 +1793,34 @@ object Pipeline {
     * corrupt artifact degrades to a (deterministic, bit-identical)
     * retrain; a read-only index root must not fail the query. */
   private def sharedPcaModel(spark: SparkSession,
-      dir: String): graft.operators.Pca.PcaModel =
-    pcaCache.getOrElseUpdate((dir, embStamp(dir), PcaIters), {
+      dir: String): graft.operators.Pca.PcaModel = {
+    val stamp = embStamp(dir) // ONCE: the cache key and the artifact
+    // path must agree, and the walk is not free
+    pcaCache.getOrElseUpdate((dir, stamp, PcaIters), {
       val root = Ivf.indexRoot(spark)
       val path = s"$root/graft_pca_model/${
-        md5Hex(s"$dir:${embStamp(dir)}:$IvfDims:$PcaIters:fmt$PcaTrainFormat")}"
+        md5Hex(s"$dir:$stamp:$IvfDims:$PcaIters:fmt$PcaTrainFormat")}"
+      // stamp 0 = the data could not be fingerprinted (non-local dir,
+      // walk error): persisting under an unknown stamp would pin a
+      // stale model across restarts FOREVER after a data rewrite — in
+      // that case the model stays in-JVM only (a retrain per restart
+      // is honest; serving stale statistics silently is not)
+      val canPersist = stamp != 0L
       val persisted =
-        if (graft.operators.Pca.modelExists(spark, path))
-          try Some(graft.operators.Pca.readModel(spark, path))
+        if (canPersist && graft.operators.Pca.modelExists(spark, path))
+          try Some(graft.operators.Pca.readModel(spark, path, IvfDims))
           catch { case scala.util.control.NonFatal(_) => None }
         else None
       persisted.getOrElse {
         val m = graft.operators.Pca.fit(Tables.embeddings(spark, dir),
           "vec_id", "embedding", dims = IvfDims, iters = PcaIters)
-        try graft.operators.Pca.writeModel(spark, m, path)
-        catch { case scala.util.control.NonFatal(_) => () }
+        if (canPersist)
+          try graft.operators.Pca.writeModel(spark, m, path)
+          catch { case scala.util.control.NonFatal(_) => () }
         m
       }
     })
+  }
 
   /** Top principal component of the embeddings via deterministic
     * fixed-point power iteration ([[graft.operators.Pca.fit]]) — the

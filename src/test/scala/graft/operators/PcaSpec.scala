@@ -100,10 +100,13 @@ class PcaSpec extends AnyFunSuite {
     assert(!Pca.modelExists(spark, path))
     Pca.writeModel(spark, m, path)
     assert(Pca.modelExists(spark, path))
-    val back = Pca.readModel(spark, path)
+    val back = Pca.readModel(spark, path, 64)
     assert(back.means.toSeq == m.means.toSeq)
     assert(back.loading.toSeq == m.loading.toSeq)
     assert(back.eigval == m.eigval)
+    // a shape mismatch (e.g. a racing double-write leaving two part
+    // files) must throw so the caller's degrade-to-retrain fires
+    intercept[IllegalArgumentException] { Pca.readModel(spark, path, 32) }
   }
 
   test("topComponent recovers a planted dominant direction") {
