@@ -1074,7 +1074,13 @@ object Pipeline {
     // root resolved from spark conf ([[Ivf.indexRoot]]) so a deployment
     // holds its restart-safe indexes on shared storage, not a local tmpdir
     val root = Ivf.indexRoot(spark)
-    val key = (root, dir, embStamp(dir), IvfNlist, IvfIters)
+    val stamp = embStamp(dir)
+    val key = (root, dir, stamp, IvfNlist, IvfIters)
+    // stamp 0 = the data could not be fingerprinted (non-local dir,
+    // walk error): persisting under an unknown stamp would serve a
+    // stale index FOREVER after a data rewrite — in-JVM cache only
+    // then (the sharedPcaModel rule, applied fleet-wide)
+    val canPersist = stamp != 0L
     centroidCache.getOrElseUpdate(key, {
       // IvfTrainFormat busts PERSISTED indexes when the training
       // arithmetic itself changes (fmt2: exact-binary toDec) — the data
@@ -1084,7 +1090,7 @@ object Pipeline {
       // a corrupt persisted index must degrade to a retrain, not fail the
       // query — training is deterministic, so the fallback is bit-identical
       val persisted =
-        if (Ivf.indexExists(spark, idxPath))
+        if (canPersist && Ivf.indexExists(spark, idxPath))
           try Some(Ivf.readCentroids(spark, idxPath))
           catch { case scala.util.control.NonFatal(_) => None }
         else None
@@ -1094,8 +1100,9 @@ object Pipeline {
         // and assignment from baked-in centroids is a narrow projection —
         // persisting it here would buy nothing for a corpus scan + write.
         // Best-effort: a read-only index root must not fail the query.
-        try Ivf.writeCentroids(spark, cents, idxPath)
-        catch { case scala.util.control.NonFatal(_) => () }
+        if (canPersist)
+          try Ivf.writeCentroids(spark, cents, idxPath)
+          catch { case scala.util.control.NonFatal(_) => () }
         cents
       }
     })
@@ -1119,11 +1126,16 @@ object Pipeline {
   private[graft] def sharedBpeModel(spark: SparkSession,
       dir: String): graft.functions.BpeMerges = {
     val root = Ivf.indexRoot(spark)
-    val key = (root, dir, tableStamp(dir, "documents"), BpeNumMerges, BpeMaxWords)
+    val stamp = tableStamp(dir, "documents")
+    val key = (root, dir, stamp, BpeNumMerges, BpeMaxWords)
+    // unknown (0) stamp ⇒ in-JVM cache only (the sharedPcaModel rule):
+    // a model persisted under an unfingerprintable dataset would be
+    // served stale forever after a data rewrite
+    val canPersist = stamp != 0L
     bpeModelCache.getOrElseUpdate(key, {
       val path = s"$root/graft_bpe_model/${md5Hex(s"$key:fmt$BpeTrainFormat")}"
       val persisted =
-        if (TA.bpeModelExists(spark, path))
+        if (canPersist && TA.bpeModelExists(spark, path))
           try Some(TA.readBpeModel(spark, path))
           catch { case scala.util.control.NonFatal(_) => None }
         else None
@@ -1133,8 +1145,9 @@ object Pipeline {
           numMerges = BpeNumMerges, maxWords = BpeMaxWords)
         // best-effort persist: a read-only artifact root must not fail
         // the query — the fresh model is used either way
-        try TA.writeBpeModel(merges, path)
-        catch { case scala.util.control.NonFatal(_) => () }
+        if (canPersist)
+          try TA.writeBpeModel(merges, path)
+          catch { case scala.util.control.NonFatal(_) => () }
         new graft.functions.BpeMerges(merges.orderBy("rank")
           .select("lhs", "rhs").collect()
           .map(r => (r.getString(0), r.getString(1))))
@@ -1153,9 +1166,14 @@ object Pipeline {
   private def int8IndexVectors(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantize
     val root = Ivf.indexRoot(spark)
-    val path = s"$root/graft_int8_index/${md5Hex((root, dir, embStamp(dir)).toString)}"
+    val stamp = embStamp(dir)
+    val path = s"$root/graft_int8_index/${md5Hex((root, dir, stamp).toString)}"
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast(LongType).as("id"), col("embedding"))
+    val inline = emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
+    // unknown (0) stamp ⇒ never persist or read back (the sharedPcaModel
+    // rule): the inline round-trip is bit-identical anyway
+    if (stamp == 0L) return inline
     // probe the job-success marker, not the bare directory: a write that
     // died mid-job leaves the directory behind, and treating that husk as
     // an index would poison every later run — no marker means the
@@ -1163,7 +1181,6 @@ object Pipeline {
     if (!graft.operators.Artifacts.markerExists(spark, path))
       try Quantize.writeIndex(emb, "id", "embedding", path)
       catch { case scala.util.control.NonFatal(_) => () }
-    val inline = emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
     // re-probe: the write above may have just created (or failed to
     // create) the certificate
     if (graft.operators.Artifacts.markerExists(spark, path))
