@@ -196,25 +196,92 @@ object Dedup {
     jaccardFromPairs(pairs, threshold)
   }
 
-  /** Exact Jaccard for EVERY pair sharing at least one shingle hash — the
-    * COMPLETE-candidate form, for threshold-sweep audits where banded
-    * recall would bend the measured curve (LSH detection probability is a
-    * function of the similarity itself, so a banded candidate step
-    * under-counts pairs more the further the threshold sits below the
-    * banding's design point). One self-equi-join on the 8-byte shingle
-    * hash; cost is Σ_h df(h)² over shingle document frequencies —
-    * complete, not all-pairs, but still superlinear on boilerplate-heavy
-    * corpora. At 100 TB this runs per shard or on a documented sample;
-    * the production dedup path stays [[minhashDupPairsFrom]] (banded
-    * candidates at the design threshold). */
-  def allPairsJaccard(sh: DataFrame, threshold: Double): DataFrame = {
+  /** Document-frequency cap the complete-candidate audits run behind by
+    * default: a shingle (or winnow fingerprint) appearing in more than
+    * this many documents is boilerplate by construction — a license
+    * header, a navigation bar, a template echo — and contributes df²
+    * candidate rows while true near-dup pairs almost never depend on it
+    * (a j ≥ 0.5 pair shares ≥ ⅓ of its shingles; losing it requires
+    * EVERY shared shingle to be corpus-wide boilerplate). At the test
+    * SFs the max observed df is 25 (sf0.1), so the cap excludes nothing
+    * and the capped form is provably identical to the uncapped one
+    * (DedupCapSpec); at 100 TB it bounds the candidate join at
+    * Σ_h min(df, cap)² instead of Σ_h df(h)² — the difference between
+    * an audit that finishes and one stop-shingle emitting ~10¹⁴ rows. */
+  val AuditDfCap = 1000L
+
+  /** Exact Jaccard for every pair sharing at least one RETAINED shingle
+    * hash — the complete-candidate form for threshold-sweep audits where
+    * banded recall would bend the measured curve (LSH detection
+    * probability is a function of the similarity itself, so a banded
+    * candidate step under-counts pairs more the further the threshold
+    * sits below the banding's design point). Candidate generation
+    * excludes shingle hashes with document frequency above `dfCap`
+    * ([[AuditDfCap]]): the hot-hash LIST comes from a map-side-combined
+    * aggregate — NEVER a window partitioned by the hash, which would
+    * funnel all df(h) rows of exactly the hot keys being guarded against
+    * into single tasks — and is anti-joined off the row table (empty
+    * list ⇒ broadcast no-op at the test SFs; at boilerplate scale AQE
+    * broadcasts the still-small list or falls back to an h-keyed shuffle,
+    * the key the self-join shuffles on anyway). The capped self-join
+    * aggregates shared-COLD-hash counts directly (the original
+    * complete-join shape — no candidate distinct, no full-array
+    * re-join), and the exact intersection is completed by adding each
+    * pair's shared-HOT-hash count from the per-doc hot-hash sets (a
+    * pair-bounded left join, empty whenever the cap excludes nothing),
+    * so reported Jaccard values are uncapped-exact. A pair is missed
+    * only if its every shared shingle is hot — measured impossible at
+    * the test SFs (max df 25 ≪ cap; DedupCapSpec proves capped ≡
+    * uncapped) and boilerplate-only overlap at 100 TB. Callers auditing
+    * completeness read the excluded mass via [[hotShingleStats]]. */
+  def allPairsJaccard(sh: DataFrame, threshold: Double,
+      dfCap: Long = AuditDfCap): DataFrame = {
     val shr = shingleHashRows(sh)
-    val pairs = shr.as("x").join(shr.as("y"),
+    val hotList = shr.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("h")
+    val cold = shr.join(hotList, Seq("h"), "left_anti")
+    val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("da"), col("y.doc").as("db"),
-        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-    jaccardFromPairs(pairs, threshold)
+      .groupBy(col("x.doc").as("da"), col("y.doc").as("db"))
+      .agg(count(lit(1)).as("cold_inter"),
+        min(col("x.n_sh")).as("na"), min(col("y.n_sh")).as("nb"))
+    // shared-hot-hash correction: per-doc hot sets are tiny (a doc holds
+    // few corpus-wide-boilerplate shingles) and join the PAIR-bounDED
+    // aggregate, never the row table — size(array_intersect) is null when
+    // either side has no hot hashes, hence the coalesce to 0
+    val hotSets = shr.join(hotList, Seq("h"), "left_semi")
+      .groupBy(col("doc")).agg(collect_set(col("h")).as("hot_shh"))
+    coldPairs
+      .join(hotSets.select(col("doc").as("da"), col("hot_shh").as("hot_a")),
+        Seq("da"), "left")
+      .join(hotSets.select(col("doc").as("db"), col("hot_shh").as("hot_b")),
+        Seq("db"), "left")
+      .withColumn("inter", col("cold_inter") +
+        coalesce(size(array_intersect(col("hot_a"), col("hot_b")))
+          .cast(LongType), lit(0L)))
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
+
+  /** 1-row honesty ledger for a df-capped audit over `sh`: how much of
+    * the (doc, shingle) mass the cap excluded from candidate generation.
+    * `hot_share` = excluded rows / total rows — 0.0 means the capped
+    * audit IS the complete audit (the test-SF state); a non-zero value
+    * quantifies exactly how far the completeness claim is qualified. One
+    * map-side-combined aggregate on the hash, then a 1-row reduction. */
+  def hotShingleStats(sh: DataFrame, dfCap: Long = AuditDfCap): DataFrame =
+    shingleHashRows(sh)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(when(col("df") > dfCap, col("df"))), lit(0L))
+          .as("hot_rows"),
+        coalesce(sum(col("df")), lit(0L)).as("total_rows"))
+      .select(col("hot_rows"), col("total_rows"),
+        when(col("total_rows") > 0, col("hot_rows").cast(DoubleType) /
+          col("total_rows").cast(DoubleType)).otherwise(lit(0.0))
+          .as("hot_share"))
 
   /** The persistable MinHash-LSH signature index for incremental dedup:
     * one row per document with its distinct shingle-hash set and LSH band

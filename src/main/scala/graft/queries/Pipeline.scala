@@ -104,20 +104,27 @@ object Pipeline {
   /** Dedup threshold sweep — the tuning curve a curator reads before
     * picking the near-dup cut: for each candidate threshold, how many
     * exact-Jaccard pairs exist and how many documents they touch. Pairs
-    * come from [[Dedup.allPairsJaccard]] (the COMPLETE shared-shingle
-    * candidate form) because a banded candidate step's recall depends on
-    * the similarity itself and would bend exactly the curve being
-    * measured; see that method's scaladoc for the per-shard/sample 100 TB
-    * framing. The ≥ 0.5-floor pair list is tiny (near-dups are rare), so
-    * it is checkpointed once and every per-threshold count runs over the
+    * come from [[Dedup.allPairsJaccard]] (the complete shared-shingle
+    * candidate form behind its [[Dedup.AuditDfCap]] document-frequency
+    * cap — at 100 TB one stop-shingle would otherwise emit ~df² ≈ 10¹⁴
+    * candidate rows before the Jaccard filter ever ran) because a banded
+    * candidate step's recall depends on the similarity itself and would
+    * bend exactly the curve being measured. The cap's honesty ledger
+    * rides on every output row as `hot_shingle_share` — the fraction of
+    * (doc, shingle) mass the cap excluded from candidate generation
+    * (0.0 at the test SFs, where max df 25 ≪ cap, so the capped sweep IS
+    * the complete sweep; DedupCapSpec pins the equivalence). The
+    * ≥ 0.5-floor pair list is tiny (near-dups are rare), so it is
+    * checkpointed once and every per-threshold count runs over the
     * checkpoint — thresholds cost nothing beyond the one pair build. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pj =
-      try Dedup.allPairsJaccard(sh, threshold = SweepThresholds.min).localCheckpoint()
+    val (pj, hot) =
+      try (Dedup.allPairsJaccard(sh, threshold = SweepThresholds.min).localCheckpoint(),
+        Dedup.hotShingleStats(sh).localCheckpoint())
       finally sh.unpersist(blocking = false)
     val th = SweepThresholds.toDF("threshold")
     val sel = pj.crossJoin(broadcast(th))
@@ -130,11 +137,13 @@ object Pipeline {
     th.join(broadcast(nPairs), Seq("threshold"), "left")
       .join(broadcast(nDocs), Seq("threshold"), "left")
       .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(hot.select(col("hot_share"))))
       .select(col("threshold"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         (coalesce(col("n_docs"), lit(0L)).cast(DoubleType)
-          / col("total_docs").cast(DoubleType)).as("doc_share"))
+          / col("total_docs").cast(DoubleType)).as("doc_share"),
+        col("hot_share").as("hot_shingle_share"))
       .orderBy("threshold")
   }
 
@@ -186,12 +195,27 @@ object Pipeline {
     * either doc carries fewer than 2 fingerprints (a short doc gets one
     * full-cover window) are exempt — they fall back to ≥ 1 shared, or
     * the filter would unrecoverably hide true short near-dups. The
-    * oracle restates exactly this: winnow-SQL candidates with the same
-    * HAVING (≥ 2 OR LEAST(nfp) < 2) (proven winnow recipe from
-    * q_winnow_fingerprint) verified by the exact-Jaccard SQL (proven by
-    * q_ngram_jaccard), so the recall mechanism itself is part of the
-    * checked semantics. */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    * candidate join runs behind the [[Dedup.AuditDfCap]] document-
+    * frequency cap on the fingerprint — a fp shared by more than cap
+    * documents is a boilerplate echo (exactly the mass the ≥ 2 filter
+    * later discards ~97% of) and would contribute df² candidate rows on
+    * a 100 TB corpus before that filter ever aggregates; the df count
+    * shuffles on the SAME fp key the self-join uses. `nfp` (the short-
+    * doc exemption) stays the TOTAL fingerprint count, so the exemption
+    * is cap-independent. At the test SFs max fp df is 24 ≪ cap, so the
+    * capped candidates are the complete ones (DedupCapSpec pins it). The
+    * oracle restates exactly this: winnow-SQL candidates behind the same
+    * df cap with the same HAVING (≥ 2 OR LEAST(nfp) < 2) (proven winnow
+    * recipe from q_winnow_fingerprint) verified by the exact-Jaccard SQL
+    * (proven by q_ngram_jaccard), so the recall mechanism itself is part
+    * of the checked semantics. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsWith(spark, dir, Dedup.AuditDfCap)
+
+  /** [[winnowPairs]] with a caller-chosen fp df cap — the form
+    * DedupCapSpec drives to prove capped ≡ uncapped at the test SFs. */
+  private[graft] def winnowPairsWith(spark: SparkSession, dir: String,
+      dfCap: Long): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(spark, dir)
     // fingerprint the corpus ONCE (both sides of the self-join read the
@@ -205,7 +229,23 @@ object Pipeline {
       // never share 2, so such pairs fall back to >= 1 shared fp and the
       // exact-Jaccard verifier stays the precision gate
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-      val fpc = fps.withColumn("nfp", count(lit(1)).over(w))
+      val base = fps.withColumn("nfp", count(lit(1)).over(w))
+      // the cap as an ANTI-join against the hot-fp list, not a df window:
+      // the list comes from a map-side-combined aggregate (no whole-row
+      // sort — a df window costs ~40% of this query), is EMPTY whenever
+      // the cap excludes nothing (the test-SF state, where the anti-join
+      // is a broadcast no-op), and at boilerplate scale AQE either
+      // broadcasts the still-small list or falls back to an fp-keyed
+      // shuffle — the same key the candidate join shuffles on anyway.
+      // An infinite cap skips even that (DedupCapSpec's reference side).
+      val fpc =
+        if (dfCap == Long.MaxValue) base
+        else {
+          val hotFps = fps.groupBy(col("fp"))
+            .agg(count(lit(1)).as("fdf")).filter(col("fdf") > dfCap)
+            .select("fp")
+          base.join(hotFps, Seq("fp"), "left_anti")
+        }
       val cand = fpc.as("x").join(fpc.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
@@ -3999,17 +4039,38 @@ object Pipeline {
        |       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $floor)""".stripMargin
 
-  /** q_dedup_sweep oracle: [[jaccardPairCtes]] with the floor dropped to
-    * [[SweepThresholds]].min (the complete shared-shingle candidate step
-    * needs no recall argument at any threshold), then per-threshold
-    * pair/doc counts — thresholds formatted from the same Scala
-    * constants the Spark side scans. */
+  /** q_dedup_sweep oracle: the shingle CTEs with the Spark side's
+    * [[Dedup.AuditDfCap]] restated — candidates from shingles with
+    * df ≤ cap (df counted on the shingle STRING where Spark counts the
+    * 64-bit hash; identical absent collisions, the standing oracle
+    * assumption), exact intersection over the FULL shingle sets
+    * restricted to those candidates, and the `hot_shingle_share` ledger
+    * as the same SUM(CASE df > cap) / SUM(df) ratio. At the verify SFs
+    * max df ≪ cap, so the capped chain IS the complete one — the hash
+    * compare pins both the curve and the 0.0 ledger. Thresholds are
+    * formatted from the same Scala constants the Spark side scans. */
   private def dedupSweepSql: String = {
     val ths = SweepThresholds
       .map(t => s"CAST(${BigDecimal(t).underlying.toPlainString} AS DOUBLE)")
       .mkString("[", ", ", "]")
     val floor = BigDecimal(SweepThresholds.min).underlying.toPlainString
-    s"""WITH ${jaccardPairCtes(floor)},
+    val cap = Dedup.AuditDfCap
+    s"""WITH arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
+       |sh AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(GREATEST(LEN(a)-2, 0)),
+       |         i -> a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]))) AS s FROM arr),
+       |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+       |df AS (SELECT s, COUNT(*) df FROM sh GROUP BY s),
+       |cold AS (SELECT x.doc_id, x.s FROM sh x JOIN df USING (s) WHERE df.df <= $cap),
+       |cand AS (SELECT DISTINCT x.doc_id da, y.doc_id db
+       |         FROM cold x JOIN cold y ON x.s = y.s AND x.doc_id < y.doc_id),
+       |inter AS (SELECT c.da, c.db, COUNT(*) inter
+       |          FROM cand c JOIN sh x ON x.doc_id = c.da
+       |          JOIN sh y ON y.doc_id = c.db AND y.s = x.s GROUP BY 1, 2),
+       |pj AS (SELECT da, db, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS j
+       |       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $floor),
+       |hot AS (SELECT CAST(COALESCE(SUM(CASE WHEN df > $cap THEN df END), 0) AS DOUBLE)
+       |               / CAST(SUM(df) AS DOUBLE) AS hot_shingle_share FROM df),
        |t AS (SELECT UNNEST($ths) AS threshold),
        |sel AS (SELECT threshold, da, db FROM pj, t WHERE j >= threshold),
        |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) n_pairs FROM sel GROUP BY 1),
@@ -4019,8 +4080,9 @@ object Pipeline {
        |SELECT t.threshold,
        |       CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
        |       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
-       |       CAST(COALESCE(n_docs, 0) AS DOUBLE) / CAST(total_docs AS DOUBLE) AS doc_share
-       |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold), tot
+       |       CAST(COALESCE(n_docs, 0) AS DOUBLE) / CAST(total_docs AS DOUBLE) AS doc_share,
+       |       hot.hot_shingle_share
+       |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold), tot, hot
        |ORDER BY threshold""".stripMargin
   }
 
@@ -5302,12 +5364,14 @@ object Pipeline {
     "q_minhash_dedup" -> jaccardSql,
     // Winnow-retrieval pairs: the oracle restates the WHOLE pipeline —
     // candidates from shared winnowing fingerprints (the q_winnow_fingerprint
-    // SQL, hash-green) verified by exact Jaccard over trigram shingle sets
-    // (the q_ngram_jaccard SQL shape, hash-green) — so unlike the LSH
-    // queries, the recall mechanism is part of the checked semantics and
-    // there is no probabilistic oracle gap.
+    // SQL, hash-green) behind the Spark side's AuditDfCap fp-df cap (a
+    // no-op at the verify SFs — max fp df 24 — so the capped candidates
+    // are the complete ones), verified by exact Jaccard over trigram
+    // shingle sets (the q_ngram_jaccard SQL shape, hash-green) — so unlike
+    // the LSH queries, the recall mechanism is part of the checked
+    // semantics and there is no probabilistic oracle gap.
     "q_winnow_pairs" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok,
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) tok,
         |                  unnest(range(len(string_split(text, ' ')))) pos
         |           FROM documents),
         |g AS (SELECT doc_id, pos,
@@ -5321,9 +5385,11 @@ object Pipeline {
         |                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |      FROM h),
         |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE pos <= GREATEST(n_g - 4, 0)),
-        |fpc AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY doc_id) nfp FROM fps),
+        |fpc AS (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY doc_id) nfp,
+        |               COUNT(*) OVER (PARTITION BY fp) fdf FROM fps),
+        |cold AS (SELECT doc_id, fp, nfp FROM fpc WHERE fdf <= ${Dedup.AuditDfCap}),
         |cand AS (SELECT x.doc_id da, y.doc_id db
-        |         FROM fpc x JOIN fpc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |         FROM cold x JOIN cold y ON x.fp = y.fp AND x.doc_id < y.doc_id
         |         GROUP BY x.doc_id, y.doc_id, x.nfp, y.nfp
         |         HAVING COUNT(*) >= 2 OR LEAST(x.nfp, y.nfp) < 2),
         |arr AS (SELECT doc_id, STRING_SPLIT(text, ' ') a FROM documents),
