@@ -73,7 +73,7 @@ object Pipeline {
     // shingle table persisted once for the 4 self-join consumers; the
     // pair-list result is tiny, so it is materialized and the persist
     // released before returning
-    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "text", "doc_id", n = 3)
+    val sh = sharedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // checkpoint BEFORE the orderBy: a global sort's range-partitioner
     // sampling re-executes its child, which would run the whole join
@@ -88,7 +88,7 @@ object Pipeline {
     // same one-tokenization doctrine as [[ngramJaccard]]: the shingle
     // table feeds 4 self-join consumers, so persist it once; the tiny
     // pair list is materialized and the persist released before returning
-    val sh = Dedup.shingleTable(Tables.documents(spark, dir), "text", "doc_id", n = 3)
+    val sh = sharedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
       .localCheckpoint()
@@ -120,7 +120,7 @@ object Pipeline {
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+    val sh = sharedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (pj, hot) =
       try (Dedup.allPairsJaccard(sh, threshold = SweepThresholds.min).localCheckpoint(),
@@ -159,7 +159,7 @@ object Pipeline {
     * aggregate over the pair-sized tagged frame. */
   def dupSources(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+    val sh = sharedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs =
       try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
@@ -222,7 +222,7 @@ object Pipeline {
     // persisted table — without this each side re-runs the winnow scan)
     val fps = TA.winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)
       .persist(lvl)
-    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3).persist(lvl)
+    val sh = sharedShingles(spark, dir).persist(lvl)
     try {
       // the [[Dedup.dedupAgainstWinnowIndex]] short-doc exemption, batch
       // form: a doc with < 2 fingerprints (one full-cover window) can
@@ -265,8 +265,8 @@ object Pipeline {
     * [[Dedup.duplicateClusters]] is materialized eagerly (its default path
     * collects the pair list for driver union-find), so the persist can be
     * released before returning. */
-  private def nearDupClusters(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingleTable(docs, "text", "doc_id", n = 3)
+  private def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Dedup.duplicateClusters(
       Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
@@ -277,7 +277,7 @@ object Pipeline {
   /** Near-dup CLUSTERS: MinHash-LSH pairs → connected components, one
     * (doc, canonical) row per duplicated document. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    nearDupClusters(Tables.documents(spark, dir)).orderBy("doc_id")
+    nearDupClusters(spark, dir).orderBy("doc_id")
 
   /** SOFT near-dup handling (the SlimPajama/D4 "downweight, don't drop"
     * alternative to [[cleanCorpus]]'s removal): every member of a
@@ -292,7 +292,7 @@ object Pipeline {
     * weighting instead of survivor selection). */
   def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val clusters = nearDupClusters(docs)
+    val clusters = nearDupClusters(spark, dir)
     val sizes = clusters.groupBy("canonical_id")
       .agg(count(lit(1)).cast(LongType).as("cluster_size"))
     val labeled = clusters.join(sizes, "canonical_id")
@@ -321,7 +321,7 @@ object Pipeline {
     * clusters-sized result broadcasts back onto the member rows. */
   def clusterBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val clusters = nearDupClusters(docs)
+    val clusters = nearDupClusters(spark, dir)
     // dup-docs-sized; checkpoint so the scan feeding BOTH consumers
     // below (the argmax and the output join) runs once
     val members = docs
@@ -357,7 +357,7 @@ object Pipeline {
       .filter(col("rn") === 1).drop("rn", "text")
     // near: drop non-canonical cluster members (shingle table persisted
     // once inside nearDupClusters — one tokenization scan)
-    val clusters = nearDupClusters(docs)
+    val clusters = nearDupClusters(spark, dir)
     val nonCanonical = clusters.filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id")
     exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
@@ -1225,6 +1225,60 @@ object Pipeline {
     // create) the certificate
     if (graft.operators.Artifacts.markerExists(spark, path))
       try Quantize.readIndexVectors(spark, path)
+      catch { case scala.util.control.NonFatal(_) => inline }
+    else inline
+  }
+
+  /** In-JVM once-only guard for the shingle-artifact write: at most one
+    * writer per path per JVM (TrieMap.getOrElseUpdate is atomic);
+    * cross-JVM the `_SUCCESS` probe + overwrite-mode write keep the
+    * protocol crash-safe. Value = whether the artifact is readable. */
+  private val shingleArtifact =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Busts PERSISTED shingle artifacts when the tokenization arithmetic
+    * itself changes — the data stamp can't see a code change. */
+  private val ShingleFormat = 1
+  private val ShingleN = 3
+
+  /** The (doc, shh) trigram shingle table as a once-per-dataset artifact
+    * — the [[sharedCentroids]] treatment applied to the dedup-audit
+    * tokenization: six declared query families (ngram_jaccard,
+    * minhash_dedup, dedup_sweep, dup_sources, winnow_pairs, and the
+    * nearDupClusters consumers dedup_clusters / dedup_weights /
+    * cluster_best / clean_corpus / leakage_safe_split) consume the same
+    * (doc_id, shingle-hash array) relation; previously each re-tokenized
+    * the corpus per query. The first run tokenizes and persists
+    * `_SUCCESS`-certified parquet keyed by the documents table's data
+    * stamp; every later run — including later JVMs — reads the artifact
+    * back. [[graft.functions.ShingleHashes]] is deterministic and longs
+    * round-trip parquet bit-exactly, so a read-back equals a
+    * retokenization (DedupCapSpec compares query outputs across both
+    * paths implicitly: first call writes, later calls read). Unknown (0)
+    * stamp ⇒ never persist or read back (the sharedPcaModel rule): a
+    * tokenization persisted under an unfingerprintable corpus would be
+    * served stale forever after a data rewrite. Callers persist the
+    * returned frame for their own multi-consumer self-joins either way
+    * (artifact-backed reads then decode the parquet once, not per
+    * consumer). */
+  private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def inline = Dedup.shingleTable(docs, "text", "doc_id", n = ShingleN)
+    val root = Ivf.indexRoot(spark)
+    val stamp = tableStamp(dir, "documents")
+    if (stamp == 0L) return inline
+    val path = s"$root/graft_shingle_table/${
+      md5Hex(s"($root,$dir,$stamp,$ShingleN):fmt$ShingleFormat")}"
+    val ok = shingleArtifact.getOrElseUpdate(path, {
+      // probe the job-success marker, not the bare directory (the
+      // int8IndexVectors rule): a write that died mid-job leaves a husk,
+      // and the overwrite-mode write below simply runs again and heals it
+      if (!graft.operators.Artifacts.markerExists(spark, path))
+        try inline.write.mode("overwrite").parquet(path)
+        catch { case scala.util.control.NonFatal(_) => () }
+      graft.operators.Artifacts.markerExists(spark, path)
+    })
+    if (ok)
+      try spark.read.parquet(path).select(col("doc"), col("shh"))
       catch { case scala.util.control.NonFatal(_) => inline }
     else inline
   }
@@ -2141,7 +2195,7 @@ object Pipeline {
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val units = docs.select(col("doc_id"), col("lang"))
-      .join(broadcast(nearDupClusters(docs)), Seq("doc_id"), "left")
+      .join(broadcast(nearDupClusters(spark, dir)), Seq("doc_id"), "left")
       .withColumn("unit_id", coalesce(col("canonical_id"), col("doc_id")))
     graft.operators.Sampling.trainTestSplit(units, "unit_id", trainPct = 90)
       .select("doc_id", "lang", "unit_id", "bucket", "split")
