@@ -839,10 +839,13 @@ object Pipeline {
     * scan — the audit's irreducible cost. Both sides score with the
     * same native cosine and the same (sim DESC, cid ASC) tie-break, so
     * the per-query hit count — and recall exactly n_hits/k — is
-    * deterministic. No SQL oracle (the probe path needs the trained
-    * centroid artifact); the driver records rows+schema, and
-    * PlantedRecallSpec pins recall == 1.0 when every cluster is probed
-    * plus the planted-structure floors at the served nprobe. */
+    * deterministic. Oracled since round 14: the trained-centroid
+    * dependency dissolves because training is deterministic and the
+    * persisted artifact re-reads bit-identically, so [[ivfRecallSql]]
+    * restates the k-means + probe chain the same way the q_ivf_rerank /
+    * q_ivf_sweep oracles already do; PlantedRecallSpec additionally pins
+    * recall == 1.0 when every cluster is probed plus the
+    * planted-structure floors at the served nprobe. */
   def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
     ivfRecallWith(b, sharedCentroids(b, dir), IvfNq, IvfK, IvfNprobe)
@@ -4417,6 +4420,36 @@ object Pipeline {
        |FROM th t CROSS JOIN tot LEFT JOIN hits h ON h.nprobe=t.nprobe
        |ORDER BY nprobe""".stripMargin
 
+  /** q_ivf_recall oracle: the per-QUERY recall table — the bit-exact
+    * [[ivfCtes]] machinery (k-means training restated in decimal-mean
+    * SQL, identical to what trains — or trained — the persisted
+    * centroids the Spark side probes; training is deterministic and the
+    * re-read artifact is bit-identical, the standing q_ivf_rerank /
+    * q_ivf_sweep argument), the [[ivfSql]] candidate/score/rank chain at
+    * the served nprobe, the proven exact brute-force side, then per-qid
+    * hit counts — integer counts after the proven rank stages, so the
+    * recall ratio is the only floating-point op past them. */
+  private def ivfRecallSql: String =
+    s"""$ivfCtes,
+       |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl=p.cl WHERE a.id<>p.qid),
+       |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) sim FROM cand JOIN rawv q ON q.id=qid JOIN rawv c ON c.id=cid),
+       |approxk AS (SELECT qid, cid FROM (
+       |             SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) rank
+       |             FROM scored) WHERE rank<=$IvfK),
+       |exactk AS (SELECT qid, cid FROM (
+       |             SELECT q.id qid, c.id cid,
+       |               ROW_NUMBER() OVER (PARTITION BY q.id
+       |                 ORDER BY LIST_COSINE_SIMILARITY(q.raw, c.raw) DESC, c.id ASC) rk
+       |             FROM rawv q JOIN rawv c ON q.id<$IvfNq AND c.id<>q.id)
+       |           WHERE rk<=$IvfK),
+       |hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) n_hits
+       |         FROM exactk e JOIN approxk a ON a.qid=e.qid AND a.cid=e.cid GROUP BY 1),
+       |ne AS (SELECT qid, CAST(COUNT(*) AS BIGINT) n_exact FROM exactk GROUP BY 1)
+       |SELECT ne.qid, ne.n_exact, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) AS recall
+       |FROM ne LEFT JOIN hits h USING (qid)
+       |ORDER BY qid""".stripMargin
+
   /** q_ivf_occupancy oracle: the bit-exact [[ivfCtes]] `assign` table
     * grouped by cluster, with the same (n/total) and (n/total)×nlist
     * double op order as the Column tree. */
@@ -4866,6 +4899,7 @@ object Pipeline {
         |  FROM documents) WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
+    "q_ivf_recall" -> ivfRecallSql,
     "q_ivf_sweep" -> ivfSweepSql,
     "q_cluster_sizes" ->
       s"""$ivfCtes
