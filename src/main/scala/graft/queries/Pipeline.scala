@@ -1906,14 +1906,24 @@ object Pipeline {
     * the `iters + 1` training scans, not the 2·dims+1-double model. A
     * corrupt artifact degrades to a (deterministic, bit-identical)
     * retrain; a read-only index root must not fail the query. */
-  private def sharedPcaModel(spark: SparkSession,
+  /** Artifact path the shared PCA model persists under — `private[graft]`
+    * so the StreamOpsSpec parity test can assert the projection gate's
+    * model IS the `_SUCCESS`-certified artifact the batch audits read. */
+  private[graft] def pcaModelPath(spark: SparkSession, dir: String): String =
+    pcaModelPathFor(spark, dir, embStamp(dir))
+  private def pcaModelPathFor(spark: SparkSession, dir: String,
+      stamp: Long): String = {
+    val root = Ivf.indexRoot(spark)
+    s"$root/graft_pca_model/${
+      md5Hex(s"$dir:$stamp:$IvfDims:$PcaIters:fmt$PcaTrainFormat")}"
+  }
+
+  private[graft] def sharedPcaModel(spark: SparkSession,
       dir: String): graft.operators.Pca.PcaModel = {
     val stamp = embStamp(dir) // ONCE: the cache key and the artifact
     // path must agree, and the walk is not free
     pcaCache.getOrElseUpdate((dir, stamp, PcaIters), {
-      val root = Ivf.indexRoot(spark)
-      val path = s"$root/graft_pca_model/${
-        md5Hex(s"$dir:$stamp:$IvfDims:$PcaIters:fmt$PcaTrainFormat")}"
+      val path = pcaModelPathFor(spark, dir, stamp)
       // stamp 0 = the data could not be fingerprinted (non-local dir,
       // walk error): persisting under an unknown stamp would pin a
       // stale model across restarts FOREVER after a data rewrite — in

@@ -92,6 +92,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("unimaxAlloc: budget product past Long.MaxValue stays exact (overflow regression)") {
+    import spark.implicits._
+    // two sources near Long.MaxValue/2 each: total * budgetNum would
+    // wrap a Long multiply (total ~9.2e18, x9 ~8.3e19) — the BigInt
+    // quotient must stay exact and non-negative (the r13 ADVICE low)
+    val big = Long.MaxValue / 2 - 7L
+    val df = Seq(("a", big), ("b", big)).toDF("lang", "n_tokens")
+    val out = Sampling.unimaxAlloc(df, "lang", "n_tokens",
+        budgetNum = 9L, budgetDen = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val budget = (BigInt(big) * 2 * 9 / 10).toLong
+    assert(out.map(_._3).sum == budget,
+      "allocations must sum to the exact (unwrapped) budget")
+    assert(out.forall(r => r._3 >= 0 && r._3 <= r._2),
+      "no allocation may go negative or exceed its mass")
+    // and a total mass past Long.MaxValue is rejected LOUDLY, not wrapped
+    val over = Seq(("a", Long.MaxValue - 1L), ("b", 3L)).toDF("lang", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimaxAlloc(over, "lang", "n_tokens")
+    }
+    assert(e.getMessage.contains("overflows Long"))
+  }
+
   test("mixtureResample: target proportions, binding source whole, unweighted dropped") {
     import spark.implicits._
     // skewed corpus: a 4000, b 1000, c 500, d 800 (d gets no weight)

@@ -816,6 +816,49 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty, "the gate must be stateless")
   }
 
+  test("streaming projection gate parity on the SHARED persisted PCA artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the fleet contract the other gates carry, for the drift gate: the
+    // model a STREAM serves is the same _SUCCESS-certified artifact the
+    // batch audits (q_pca_power / q_pca_outliers / q_pca_residual) read,
+    // so one corpus gets identical survivors however it is driven
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.queries.Pipeline.sharedPcaModel(spark, dir)
+    // the shared model IS the certified on-disk artifact (local testdata
+    // always fingerprints, so the persist path is active), and the
+    // artifact round-trips to the exact model the gate scores with
+    val path = graft.queries.Pipeline.pcaModelPath(spark, dir)
+    assert(graft.operators.Pca.modelExists(spark, path),
+      s"shared PCA artifact must be certified on disk at $path")
+    val reread = graft.operators.Pca.readModel(spark, path, model.dims)
+    assert(reread.means.toSeq == model.means.toSeq &&
+      reread.loading.toSeq == model.loading.toSeq &&
+      reread.eigval == model.eigval,
+      "artifact must round-trip bit-identically to the served model")
+    val rows = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batchKept = StreamOps.projectionGate(
+        rows.toSeq.toDF("vec_id", "embedding"), "embedding", model, sigmas = 1.0)
+      .select("vec_id", "t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(batchKept.nonEmpty && batchKept.size < rows.length)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.projectionGate(
+        input.toDF.toDF("vec_id", "embedding"), "embedding", model, sigmas = 1.0)
+      .select("vec_id", "t")
+      .writeStream.format("memory").queryName("proj_shared_out")
+      .outputMode("append").start()
+    input.addData(rows.toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val streamKept = spark.table("proj_shared_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(streamKept == batchKept,
+      "stream survivors on the shared artifact must equal the batch's")
+  }
+
   test("streaming ensemble gate: batch-trained rank tables score a stream to batch parity") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
