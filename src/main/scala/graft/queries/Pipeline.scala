@@ -217,11 +217,9 @@ object Pipeline {
   private[graft] def winnowPairsWith(spark: SparkSession, dir: String,
       dfCap: Long): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val docs = Tables.documents(spark, dir)
     // fingerprint the corpus ONCE (both sides of the self-join read the
     // persisted table — without this each side re-runs the winnow scan)
-    val fps = TA.winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)
-      .persist(lvl)
+    val fps = sharedWinnowFps(spark, dir).persist(lvl)
     val sh = sharedShingles(spark, dir).persist(lvl)
     try {
       // the [[Dedup.dedupAgainstWinnowIndex]] short-doc exemption, batch
@@ -1232,12 +1230,49 @@ object Pipeline {
     else inline
   }
 
-  /** In-JVM once-only guard for the shingle-artifact write: at most one
-    * writer per path per JVM (TrieMap.getOrElseUpdate is atomic);
+  /** In-JVM once-only guard for tokenization-artifact writes: at most
+    * one writer per path per JVM (TrieMap.getOrElseUpdate is atomic);
     * cross-JVM the `_SUCCESS` probe + overwrite-mode write keep the
     * protocol crash-safe. Value = whether the artifact is readable. */
-  private val shingleArtifact =
+  private val tokenArtifact =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** A DETERMINISTIC derived table of the documents table at `dir` as a
+    * once-per-dataset parquet artifact — the generalized
+    * [[sharedCentroids]] treatment for tokenization products whose every
+    * column round-trips parquet bit-exactly (longs / strings / sorted
+    * arrays thereof): the first run builds and persists
+    * `_SUCCESS`-certified parquet keyed by the documents table's data
+    * stamp + the caller's `key` (which must version both the parameters
+    * AND the arithmetic — the ShingleFormat doctrine); every later run,
+    * including later JVMs, reads the artifact back. Unknown (0) stamp ⇒
+    * never persist or read back (the sharedPcaModel rule): a
+    * tokenization persisted under an unfingerprintable corpus would be
+    * served stale forever after a data rewrite. `cols` re-projects the
+    * read in the builder's column order so both paths expose one
+    * schema. */
+  private def datasetArtifact(spark: SparkSession, dir: String,
+      family: String, key: String, cols: Seq[String])(
+      build: => DataFrame): DataFrame = {
+    val stamp = tableStamp(dir, "documents")
+    if (stamp == 0L) return build
+    val root = Ivf.indexRoot(spark)
+    val path = s"$root/$family/${md5Hex(s"($root,$dir,$stamp):$key")}"
+    val ok = tokenArtifact.getOrElseUpdate(path, {
+      // probe the job-success marker, not the bare directory (the
+      // int8IndexVectors rule): a write that died mid-job leaves a husk,
+      // and the overwrite-mode write below simply runs again and heals it
+      if (!graft.operators.Artifacts.markerExists(spark, path))
+        try build.write.mode("overwrite").parquet(path)
+        catch { case scala.util.control.NonFatal(_) => () }
+      graft.operators.Artifacts.markerExists(spark, path)
+    })
+    if (ok)
+      try spark.read.parquet(path).select(cols.map(col): _*)
+      catch { case scala.util.control.NonFatal(_) => build }
+    else build
+  }
+
   /** Busts PERSISTED shingle artifacts when the tokenization arithmetic
     * itself changes — the data stamp can't see a code change. */
   private val ShingleFormat = 1
@@ -1263,28 +1298,35 @@ object Pipeline {
     * returned frame for their own multi-consumer self-joins either way
     * (artifact-backed reads then decode the parquet once, not per
     * consumer). */
-  private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    def inline = Dedup.shingleTable(docs, "text", "doc_id", n = ShingleN)
-    val root = Ivf.indexRoot(spark)
-    val stamp = tableStamp(dir, "documents")
-    if (stamp == 0L) return inline
-    val path = s"$root/graft_shingle_table/${
-      md5Hex(s"($root,$dir,$stamp,$ShingleN):fmt$ShingleFormat")}"
-    val ok = shingleArtifact.getOrElseUpdate(path, {
-      // probe the job-success marker, not the bare directory (the
-      // int8IndexVectors rule): a write that died mid-job leaves a husk,
-      // and the overwrite-mode write below simply runs again and heals it
-      if (!graft.operators.Artifacts.markerExists(spark, path))
-        try inline.write.mode("overwrite").parquet(path)
-        catch { case scala.util.control.NonFatal(_) => () }
-      graft.operators.Artifacts.markerExists(spark, path)
-    })
-    if (ok)
-      try spark.read.parquet(path).select(col("doc"), col("shh"))
-      catch { case scala.util.control.NonFatal(_) => inline }
-    else inline
-  }
+  private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+    datasetArtifact(spark, dir, "graft_shingle_table",
+        s"n$ShingleN:fmt$ShingleFormat", Seq("doc", "shh")) {
+      Dedup.shingleTable(Tables.documents(spark, dir), "text", "doc_id",
+        n = ShingleN)
+    }
+
+  /** The (doc_id, fp) winnow fingerprint table as a once-per-dataset
+    * artifact — shared by winnowPairs (both self-join sides) and
+    * winnowFingerprint; the MOSS index a plagiarism/near-dup service
+    * stores PERSISTENTLY by construction, so the artifact IS the
+    * production shape, not a cache. */
+  private def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
+    datasetArtifact(spark, dir, "graft_winnow_fps", "n3w4:fmt1",
+        Seq("doc_id", "fp")) {
+      TA.winnowFingerprints(Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, w = 4)
+    }
+
+  /** The per-gram sorted source-set table ([[sourceGrams]]) as a
+    * once-per-dataset artifact: distinct-gram-sized (tiny next to the
+    * corpus), deterministic (hashes + sort_array), and the product the
+    * cross-source audits re-read instead of re-tokenizing the corpus
+    * per audit. */
+  private def sharedSourceGrams(spark: SparkSession, dir: String): DataFrame =
+    datasetArtifact(spark, dir, "graft_source_grams", "n5:fmt1",
+        Seq("h", "srcs")) {
+      sourceGrams(Tables.documents(spark, dir))
+    }
 
   /** IVF index balance diagnostic — per-cluster member counts and corpus
     * share from the SAME shared (persisted) centroids the ANN queries
@@ -1658,8 +1700,8 @@ object Pipeline {
     * hashes, the oracle literal gram text — counts coincide absent a
     * 64-bit collision (the proven q_decontaminate argument). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val gsRaw = sourceGrams(Tables.documents(spark, dir))
-    val gs = gsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gs = sharedSourceGrams(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try sourceOverlapFrom(gs).localCheckpoint()
     finally gs.unpersist(blocking = false)
   }
@@ -2377,9 +2419,7 @@ object Pipeline {
     * hashes, with the MOSS guarantee that any shared 6-token run yields
     * a shared fingerprint. Shuffle-free until the driver's final sort. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    TA.winnowFingerprints(Tables.documents(spark, dir), "text", "doc_id",
-        n = 3, w = 4)
-      .orderBy("doc_id", "fp")
+    sharedWinnowFps(spark, dir).orderBy("doc_id", "fp")
 
   /** Sequence-packing manifest ([[graft.operators.Packing]]): each
     * document's placement in its shard's concat-and-chop token stream —
