@@ -501,26 +501,33 @@ object Dedup {
   def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
       n: Int, materialize: Boolean = true): DataFrame = {
     val gramsRaw = spanHashRows(docs, textCol, idCol, n)
-    def stats(grams: DataFrame): DataFrame = {
-      val docFreq = grams.distinct()
-        .groupBy("h").agg(count(lit(1)).as("df"))
-      grams.join(docFreq, Seq("h"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-        .withColumn("dup_ratio",
-          col("n_dup_spans").cast(DoubleType) / col("n_spans"))
-    }
     // materialize=false returns the raw plan (plan-quality assertions);
     // the default persists the one tokenization for its two consumers and
     // checkpoints the (tiny, per-doc) result before releasing it
-    if (!materialize) stats(gramsRaw)
+    if (!materialize) spanDupStatsFrom(gramsRaw)
     else {
       val grams =
         gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try stats(grams).localCheckpoint()
+      try spanDupStatsFrom(grams).localCheckpoint()
       finally grams.unpersist(blocking = false)
     }
+  }
+
+  /** [[spanDupStats]] over precomputed (and persistable) span-hash
+    * instance rows — any frame carrying (doc_id, h) one row per span
+    * OCCURRENCE works, including the positional [[spanPositionRows]]
+    * (extra columns are projected away). The caller owns
+    * persist/checkpoint. */
+  def spanDupStatsFrom(spanRows: DataFrame): DataFrame = {
+    val grams = spanRows.select("doc_id", "h")
+    val docFreq = grams.distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    grams.join(docFreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans"))
   }
 
   /** (doc_id, h) span-hash instance rows — ONE native pass emits every
@@ -571,11 +578,7 @@ object Dedup {
     * hash; nothing is quadratic in either the corpus or a document. */
   def spanScrub(docs: DataFrame, textCol: String, idCol: String,
       n: Int, materialize: Boolean = true): DataFrame = {
-    val spansRaw = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.ShingleText.shingleText(col(textCol), n))
-          .as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        xxhash64(col("s")).as("h"))
+    val spansRaw = spanPositionRows(docs, textCol, idCol, n)
     // materialize=false returns the raw plan (plan-quality assertions)
     if (!materialize) return spanScrubStages(docs, textCol, idCol, n, spansRaw)
     val spans =
@@ -584,6 +587,27 @@ object Dedup {
       .localCheckpoint() // per-doc rows; frees the persist safely
     finally spans.unpersist(blocking = false)
   }
+
+  /** (doc_id, pos, h) POSITIONAL span-hash rows — every `n`-token span
+    * occurrence with its start-token index: the one tokenization product
+    * that serves BOTH the duplicated-span diagnostic
+    * ([[spanDupStatsFrom]] projects pos away) and the scrub
+    * ([[spanScrubFrom]] needs pos for coverage). Public so composed
+    * pipelines can materialize it once (the sharedShingles treatment);
+    * deterministic, and every column round-trips parquet bit-exactly. */
+  def spanPositionRows(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleText.shingleText(col(textCol), n))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        xxhash64(col("s")).as("h"))
+
+  /** [[spanScrub]] over precomputed (and persistable)
+    * [[spanPositionRows]]. The caller owns persist/checkpoint. */
+  def spanScrubFrom(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, spans: DataFrame): DataFrame =
+    spanScrubStages(docs, textCol, idCol, n, spans)
 
   private def spanScrubStages(docs: DataFrame, textCol: String,
       idCol: String, n: Int, spans: DataFrame): DataFrame = {

@@ -1353,6 +1353,52 @@ object Pipeline {
         isTrain = col("doc_id") % 10 < 8, buckets = NbBuckets)
     }
 
+  private val lmModelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), graft.functions.BigramLmModel]
+  private val LmTopK = 1 << 20
+
+  /** The deployed bigram-LM gate model as a once-per-dataset artifact —
+    * the [[sharedBpeModel]] treatment for the CCNet-family filter's
+    * count tables: the 4 sorted long arrays + V encode as (kind, k, c)
+    * parquet rows through [[datasetArtifact]], and the decode rebuilds
+    * the binary-search arrays in sorted order, so a re-read model probes
+    * bit-identically to a retrain (training itself is deterministic:
+    * exact counts, count-desc/key-asc prune). The TrieMap L1 skips even
+    * the artifact read within one JVM. */
+  private[graft] def sharedLmModel(spark: SparkSession,
+      dir: String): graft.functions.BigramLmModel =
+    lmModelCache.getOrElseUpdate((dir, tableStamp(dir, "documents")), {
+      import spark.implicits._
+      val enc = datasetArtifact(spark, dir, "graft_lm_model",
+          s"topk$LmTopK:fmt1", Seq("kind", "k", "c")) {
+        val m = graft.functions.BigramLmScore.train(
+          Tables.documents(spark, dir), "text", topK = LmTopK)
+        val rows =
+          m.c2Keys.indices.map(i => (0, m.c2Keys(i), m.c2Counts(i))) ++
+            m.c1Keys.indices.map(i => (1, m.c1Keys(i), m.c1Counts(i))) :+
+            ((2, 0L, m.v))
+        rows.toDF("kind", "k", "c")
+      }
+      val rows = enc.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val c2 = rows.filter(_._1 == 0).sortBy(_._2)
+      val c1 = rows.filter(_._1 == 1).sortBy(_._2)
+      val v = rows.find(_._1 == 2).map(_._3).getOrElse(1L)
+      new graft.functions.BigramLmModel(
+        c2.map(_._2), c2.map(_._3), c1.map(_._2), c1.map(_._3), v)
+    })
+
+  /** The positional 5-token span-hash table as a once-per-dataset
+    * artifact ([[Dedup.spanPositionRows]]) — one tokenization product
+    * serving both the duplicated-span diagnostic (q_span_dedup) and the
+    * scrub (q_span_scrub). */
+  private def sharedSpanRows(spark: SparkSession, dir: String): DataFrame =
+    datasetArtifact(spark, dir, "graft_span_rows", "n5:fmt1",
+        Seq("doc_id", "pos", "h")) {
+      Dedup.spanPositionRows(Tables.documents(spark, dir), "text", "doc_id",
+        n = 5)
+    }
+
   /** IVF index balance diagnostic — per-cluster member counts and corpus
     * share from the SAME shared (persisted) centroids the ANN queries
     * probe: the report that tells an operator whether the index is
@@ -2683,7 +2729,7 @@ object Pipeline {
     * sits at the corpus median, the "keep the fluent half" shape. */
   def lmGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val model = graft.functions.BigramLmScore.train(docs, "text", topK = 1 << 20)
+    val model = sharedLmModel(spark, dir)
     graft.streaming.StreamOps.lmGate(docs, "text", model, LmGateThreshold)
       .select(col("doc_id"), col("lm_score"))
       .orderBy("doc_id")
@@ -3860,18 +3906,26 @@ object Pipeline {
     * xxhash64 of the span while the oracle groups on the literal span
     * text — the q_decontaminate hash-vs-literal argument: the counts
     * coincide absent a 64-bit collision. */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.spanDupStats(Tables.documents(spark, dir), "text", "doc_id", n = 5)
-      .orderBy("doc_id")
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = sharedSpanRows(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.spanDupStatsFrom(spans).localCheckpoint().orderBy("doc_id")
+    finally spans.unpersist(blocking = false)
+  }
 
   /** Duplicated-span REMOVAL ([[Dedup.spanScrub]], n = 5) — the cleaning
     * transformation behind [[spanDedup]]'s diagnostic: tokens covered by
     * any cross-document duplicated 5-token span are cut and the text
     * rebuilt; fully-covered documents drop. Same hash-vs-literal oracle
     * argument as q_span_dedup. */
-  def spanScrub(spark: SparkSession, dir: String): DataFrame =
-    Dedup.spanScrub(Tables.documents(spark, dir), "text", "doc_id", n = 5)
-      .orderBy("doc_id")
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val spans = sharedSpanRows(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Dedup.spanScrubFrom(Tables.documents(spark, dir), "text", "doc_id",
+        n = 5, spans)
+      .localCheckpoint().orderBy("doc_id")
+    finally spans.unpersist(blocking = false)
+  }
 
   /** Quality-weighted selection to a fixed global token budget
     * ([[graft.operators.Sampling.tokenBudgetSelect]]): best documents
