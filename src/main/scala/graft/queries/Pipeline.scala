@@ -3999,8 +3999,119 @@ object Pipeline {
       .orderBy("source", "lang")
   }
 
+  /** Equal-width doc_id prefix buckets the vocabulary-growth audit
+    * reports, shared with the oracle. */
+  private val VocabGrowthBuckets = 10
+
+  /** Vocabulary-growth (Heaps-law) audit: the corpus in ingest order
+    * (doc_id) split into [[VocabGrowthBuckets]] equal-width id ranges;
+    * per bucket, the prefix document/token mass, the cumulative distinct
+    * vocabulary, and the NEW words first introduced in that bucket — the
+    * novelty-decay curve a crawl operator reads to decide whether the
+    * next crawl increment still adds vocabulary or only re-crawls known
+    * text (Heaps' law predicts vocab ~ tokens^beta; a flattening curve
+    * means the source is exhausted). Scale shape: one tokenization
+    * explode feeds a map-side-combined MIN per word (the only
+    * vocabulary-sized shuffle — "first introduction" is an aggregate,
+    * never a sort or window over the corpus) and a per-doc token count;
+    * everything after is bucket-sized (≤ 10 rows), with the cumulative
+    * sums from a triangular self-join on that tiny frame — no
+    * partition-less window (the fleet invariant). All outputs are exact
+    * integers. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("word"))
+    val maxDoc = docs.agg(max(col("doc_id")).as("max_doc"))
+    val nb = lit(VocabGrowthBuckets)
+    def bucketOf(c: Column): Column =
+      least(floor(c * nb / (col("max_doc") + 1)), nb - 1).cast(LongType)
+    val newWords = words.groupBy("word").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(maxDoc))
+      .select(bucketOf(col("fd")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    val docTok = words.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val base = docs.select(col("doc_id")).join(docTok, Seq("doc_id"))
+      .crossJoin(broadcast(maxDoc))
+      .select(bucketOf(col("doc_id")).as("bucket"), col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .join(newWords, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .localCheckpoint() // <= 10 rows; feeds the triangular join twice
+    base.as("b").join(base.as("p"), col("p.bucket") <= col("b.bucket"))
+      .groupBy(col("b.bucket").as("bucket"))
+      .agg(sum(col("p.n_docs")).as("prefix_docs"),
+        sum(col("p.n_tokens")).as("prefix_tokens"),
+        sum(col("p.new_words")).as("vocab"))
+      .join(base.select(col("bucket"), col("new_words")), Seq("bucket"))
+      .select(col("bucket"), col("prefix_docs"), col("prefix_tokens"),
+        col("vocab"), col("new_words"))
+      .orderBy("bucket")
+  }
+
+  /** Rank depth of the Zipf spectrum fit, shared with the oracle. */
+  private val ZipfTopK = 100
+
+  /** Zipf-slope audit: least-squares slope of ln(frequency) against
+    * ln(rank) over the top-[[ZipfTopK]] words — the one-number
+    * distribution-shape check a corpus-health report carries (natural
+    * language sits near slope −1; a synthetic, template-heavy, or
+    * corrupted-extraction corpus bends visibly away). Exactness: each
+    * ln floor-quantizes to a 1e-6 fixed-point BIGINT (the sourceKl
+    * doctrine), the four regression sums ride DECIMAL(38,0) as exact
+    * integers, and slope/intercept come from ONE mirrored IEEE op order
+    * — so the doubles are engine-exact. Scale shape: one
+    * map-side-combined word count, top-k via orderBy+limit
+    * (TakeOrderedAndProject — per-partition partial top-k, never a
+    * global sort), ranks from a triangular self-join on the ≤ k-row
+    * checkpointed frame (no partition-less window), then a 1-row
+    * aggregate. The degenerate all-equal-counts corpus reports NULL
+    * slope (zero denominator) rather than an ANSI division error. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(ZipfTopK)
+      .localCheckpoint() // <= k rows; feeds the triangular join twice
+    // (n desc, word asc) is a total order, so rank = 1 + #{better rows}
+    val ranked = top.as("a").join(top.as("b"),
+        col("b.n") > col("a.n") ||
+          (col("b.n") === col("a.n") && col("b.word") < col("a.word")),
+        "left")
+      .groupBy(col("a.word").as("word"), col("a.n").as("n"))
+      .agg((count(col("b.word")) + 1L).as("rank"))
+    val terms = ranked.select(
+      floor(log(col("rank").cast(DoubleType)) * lit(1e6))
+        .cast(LongType).as("x_fx"),
+      floor(log(col("n").cast(DoubleType)) * lit(1e6))
+        .cast(LongType).as("y_fx"))
+    val sums = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("x_fx").cast(DecimalType(38, 0))).as("sx"),
+      sum(col("y_fx").cast(DecimalType(38, 0))).as("sy"),
+      sum((col("x_fx") * col("y_fx")).cast(DecimalType(38, 0))).as("sxy"),
+      sum((col("x_fx") * col("x_fx")).cast(DecimalType(38, 0))).as("sxx"))
+    val den = col("kd") * col("sxxd") - col("sxd") * col("sxd")
+    sums.select(col("k").as("n_words"),
+        col("k").cast(DoubleType).as("kd"),
+        col("sx").cast(DoubleType).as("sxd"),
+        col("sy").cast(DoubleType).as("syd"),
+        col("sxy").cast(DoubleType).as("sxyd"),
+        col("sxx").cast(DoubleType).as("sxxd"))
+      .withColumn("slope", when(den === 0, lit(null).cast(DoubleType))
+        .otherwise((col("kd") * col("sxyd") - col("sxd") * col("syd")) / den))
+      .withColumn("intercept", when(den === 0, lit(null).cast(DoubleType))
+        .otherwise((col("syd") - col("slope") * col("sxd")) /
+          (col("kd") * lit(1e6))))
+      .select(col("n_words"), col("slope"), col("intercept"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_span_dedup"       -> (spanDedup _),
+    "q_vocab_growth"     -> (vocabGrowth _),
+    "q_zipf_slope"       -> (zipfSlope _),
     "q_span_scrub"       -> (spanScrub _),
     "q_token_budget"     -> (tokenBudget _),
     "q_source_mixture"   -> (sourceMixture _),
@@ -5027,6 +5138,56 @@ object Pipeline {
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_ivf_recall" -> ivfRecallSql,
+    // Heaps-law growth: the Spark bucket arithmetic restated digit for
+    // digit (BIGINT*10, one IEEE double division, FLOOR, LEAST) and the
+    // same triangular cumulative join over the <=10-row bucket frame —
+    // every output column an exact integer
+    "q_vocab_growth" ->
+      s"""WITH md AS (SELECT MAX(doc_id) m FROM documents),
+         |w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) word FROM documents),
+         |nw AS (SELECT LEAST(CAST(FLOOR(fd * $VocabGrowthBuckets / (m + 1)) AS BIGINT), ${VocabGrowthBuckets - 1}) bucket,
+         |              CAST(COUNT(*) AS BIGINT) new_words
+         |       FROM (SELECT word, MIN(doc_id) fd FROM w GROUP BY word), md GROUP BY 1),
+         |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tok FROM w GROUP BY 1),
+         |base AS (SELECT bs.bucket, bs.n_docs, bs.n_tokens, COALESCE(nw.new_words, 0) new_words
+         |         FROM (SELECT LEAST(CAST(FLOOR(d.doc_id * $VocabGrowthBuckets / (m + 1)) AS BIGINT), ${VocabGrowthBuckets - 1}) bucket,
+         |                      CAST(COUNT(*) AS BIGINT) n_docs, CAST(SUM(n_tok) AS BIGINT) n_tokens
+         |               FROM documents d JOIN dt USING (doc_id), md GROUP BY 1) bs
+         |         LEFT JOIN nw ON nw.bucket = bs.bucket),
+         |cum AS (SELECT b.bucket, CAST(SUM(p.n_docs) AS BIGINT) prefix_docs,
+         |               CAST(SUM(p.n_tokens) AS BIGINT) prefix_tokens,
+         |               CAST(SUM(p.new_words) AS BIGINT) vocab
+         |        FROM base b JOIN base p ON p.bucket <= b.bucket GROUP BY 1)
+         |SELECT c.bucket, c.prefix_docs, c.prefix_tokens, c.vocab, b.new_words
+         |FROM cum c JOIN base b ON b.bucket = c.bucket ORDER BY c.bucket""".stripMargin,
+    // Zipf fit: same top-k tie-break, same triangular rank join, lns
+    // floor-quantized to 1e-6 fixed point, DECIMAL sums, and the
+    // slope/intercept doubles in ONE mirrored IEEE op order with the
+    // zero-denominator -> NULL guard on both engines
+    "q_zipf_slope" ->
+      s"""WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) word FROM documents),
+         |topw AS (SELECT word, CAST(COUNT(*) AS BIGINT) n FROM w GROUP BY word
+         |         ORDER BY n DESC, word ASC LIMIT $ZipfTopK),
+         |ranked AS (SELECT a.word, a.n, 1 + COUNT(b.word) AS rank
+         |           FROM topw a LEFT JOIN topw b
+         |             ON b.n > a.n OR (b.n = a.n AND b.word < a.word)
+         |           GROUP BY a.word, a.n),
+         |terms AS (SELECT CAST(FLOOR(LN(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) x_fx,
+         |                 CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) y_fx FROM ranked),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) k,
+         |             SUM(CAST(x_fx AS DECIMAL(38,0))) sx, SUM(CAST(y_fx AS DECIMAL(38,0))) sy,
+         |             SUM(CAST(x_fx * y_fx AS DECIMAL(38,0))) sxy,
+         |             SUM(CAST(x_fx * x_fx AS DECIMAL(38,0))) sxx FROM terms),
+         |d AS (SELECT k, CAST(k AS DOUBLE) kd, CAST(sx AS DOUBLE) sxd, CAST(sy AS DOUBLE) syd,
+         |             CAST(sxy AS DOUBLE) sxyd, CAST(sxx AS DOUBLE) sxxd FROM s),
+         |sl AS (SELECT k, kd, sxd, syd,
+         |              CASE WHEN kd * sxxd - sxd * sxd = 0 THEN NULL
+         |                   ELSE (kd * sxyd - sxd * syd) / (kd * sxxd - sxd * sxd) END AS slope
+         |       FROM d)
+         |SELECT k AS n_words, slope,
+         |       CASE WHEN slope IS NULL THEN NULL
+         |            ELSE (syd - slope * sxd) / (kd * 1000000.0) END AS intercept
+         |FROM sl""".stripMargin,
     "q_ivf_sweep" -> ivfSweepSql,
     "q_cluster_sizes" ->
       s"""$ivfCtes
