@@ -845,10 +845,17 @@ object Dedup {
     * and a hot slice value (all-zero slices from short docs) salts like
     * any skewed equi-key. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 60, bands: Int = 4): DataFrame =
+    simhashPairsFrom(simhashAgg(docs, textCol, idCol, bits),
+      maxHamming, bits, bands)
+
+  /** [[simhashPairs]] over a precomputed (doc, simhash) signature table
+    * — the persisted-index form. */
+  def simhashPairsFrom(sig: DataFrame, maxHamming: Int, bits: Int,
+      bands: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole exactness needs maxHamming ($maxHamming) < bands ($bands)")
-    val banded = simhashBands(simhashAgg(docs, textCol, idCol, bits), bits, bands)
+    val banded = simhashBands(sig, bits, bands)
     val l = banded.select(col("band"), col("key"),
       col("doc").as("da"), col("simhash").as("sa"))
     val r = banded.select(col("band"), col("key"),
