@@ -4154,8 +4154,96 @@ object Pipeline {
       .select(col("n_words"), col("slope"), col("intercept"))
   }
 
+  /** NB-classifier reliability diagram — the calibration table read
+    * before trusting classifier-gated selection AT a score threshold
+    * (q_nb_eval answers "is the label right overall"; this answers "does
+    * a higher score actually mean a higher hit rate"): the scored
+    * holdout ([[sharedNbHoldout]]) split into score deciles by EXACT
+    * percentile cuts, accuracy per decile. A calibrated scorer shows
+    * monotone accuracy; a flat curve means the score carries no ranking
+    * signal and a gate threshold is arbitrary. Exactness: the cut list
+    * is the proven bit-exact `percentile` (q_doc_percentiles), bucket =
+    * COUNT of cuts ≤ score (an in-row filter over the broadcast 9-cut
+    * array — ties collapse identically on both engines), and every
+    * output is integer counts plus ONE division. Scale shape: one 1-row
+    * exact-percentile aggregate (the 100 TB regime swaps in
+    * percentile_approx, the q_doc_percentiles_approx precedent), the
+    * cuts broadcast back, one map-side-combined bucket aggregate. */
+  def nbReliability(spark: SparkSession, dir: String): DataFrame = {
+    val cls = sharedNbHoldout(spark, dir)
+    val cuts = cls.agg(percentile(col("nb_score"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("cuts"))
+    cls.crossJoin(broadcast(cuts))
+      .select(col("correct"),
+        size(filter(col("cuts"), c => col("nb_score") >= c))
+          .cast(LongType).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("bucket"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("accuracy"))
+      .orderBy("bucket")
+  }
+
+  /** Quality-scorer agreement matrix — do the cheap heuristic score
+    * ([[TA.qualityScore]]) and the bigram-LM score agree on which
+    * documents are good? Each score splits into corpus terciles by
+    * exact percentile cuts; the 3×3 bucket cross-tabulation is the
+    * audit (mass on the diagonal = the scorers rank alike; a hot
+    * off-diagonal cell = one scorer's "good" is the other's "bad" —
+    * exactly the documents a curator inspects by hand), and Cohen's
+    * kappa rides every row as the one-number summary (chance-corrected
+    * agreement; ~0 means the gates are independent and stacking them
+    * multiplies false rejections). Exactness: integer counts
+    * throughout; p_o, p_e, kappa in ONE mirrored IEEE op order; the
+    * degenerate p_e = 1 corpus (everything in one cell) reports NULL
+    * kappa rather than an ANSI x/0 error. Scale shape: one scoring
+    * scan joined to the persisted LM-score artifact, a 1-row
+    * percentile aggregate broadcast back, then everything is 3×3. */
+  def qualityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val thirds = lit(Array(1.0 / 3.0, 2.0 / 3.0))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), TA.qualityScore(col("text")).as("q"))
+      .join(sharedLmScores(spark, dir).select(col("doc_id"), col("lm_score")),
+        Seq("doc_id"))
+    val cuts = scored.agg(
+      percentile(col("q"), thirds).as("qc"),
+      percentile(col("lm_score"), thirds).as("lc"))
+    val cells = scored.crossJoin(broadcast(cuts))
+      .select(
+        size(filter(col("qc"), c => col("q") >= c)).cast(LongType)
+          .as("q_bucket"),
+        size(filter(col("lc"), c => col("lm_score") >= c)).cast(LongType)
+          .as("lm_bucket"))
+      .groupBy("q_bucket", "lm_bucket").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // <= 9 rows; feeds marginals + diagonal + total
+    val total = cells.agg(sum(col("n_docs")).as("total"))
+    val diag = cells.filter(col("q_bucket") === col("lm_bucket"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_agree"))
+    val rowM = cells.groupBy("q_bucket").agg(sum(col("n_docs")).as("n_row"))
+    val colM = cells.groupBy("lm_bucket").agg(sum(col("n_docs")).as("n_col"))
+    val chance = rowM.join(colM, col("q_bucket") === col("lm_bucket"))
+      .agg(coalesce(sum(col("n_row") * col("n_col")), lit(0L)).as("n_chance"))
+    val po = col("n_agree").cast(DoubleType) / col("total").cast(DoubleType)
+    val pe = col("n_chance").cast(DoubleType) /
+      (col("total").cast(DoubleType) * col("total").cast(DoubleType))
+    val kappaFrame = total.crossJoin(broadcast(diag)).crossJoin(broadcast(chance))
+      .select(col("total"),
+        when(lit(1.0) - pe === 0, lit(null).cast(DoubleType))
+          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    cells.crossJoin(broadcast(kappaFrame))
+      .select(col("q_bucket"), col("lm_bucket"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("share"),
+        col("kappa"))
+      .orderBy("q_bucket", "lm_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_span_dedup"       -> (spanDedup _),
+    "q_nb_reliability"   -> (nbReliability _),
+    "q_quality_agreement" -> (qualityAgreement _),
     "q_vocab_growth"     -> (vocabGrowth _),
     "q_zipf_slope"       -> (zipfSlope _),
     "q_span_scrub"       -> (spanScrub _),
@@ -5184,6 +5272,48 @@ object Pipeline {
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_ivf_recall" -> ivfRecallSql,
+    // reliability diagram over the proven NB classify chain: exact
+    // decile cuts (quantile_cont == Spark percentile, the
+    // q_doc_percentiles bit-exact pair), bucket = count of cuts <= score
+    // via the same in-row list filter, integer counts + ONE division
+    "q_nb_reliability" ->
+      s"""WITH cls AS ($nbClassifySql),
+         |cuts AS (SELECT quantile_cont(nb_score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM cls),
+         |b AS (SELECT correct, CAST(LEN(LIST_FILTER(cuts.cuts, c -> nb_score >= c)) AS BIGINT) bucket FROM cls, cuts),
+         |ag AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) n_docs,
+         |              CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) n_correct
+         |       FROM b GROUP BY bucket)
+         |SELECT bucket, n_docs, n_correct,
+         |       CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+         |FROM ag ORDER BY bucket""".stripMargin,
+    // 3x3 tercile cross-tab of the proven heuristic-quality expr against
+    // the proven LM score chain; kappa's p_o/p_e/ratio in the same IEEE
+    // op order as the Column tree, NULL on the degenerate p_e = 1 corpus
+    "q_quality_agreement" ->
+      s"""WITH lm AS ($lmScoreSql),
+         |sc AS (SELECT d.doc_id, $qualitySql AS q, lm.lm_score
+         |       FROM documents d JOIN lm ON lm.doc_id = d.doc_id),
+         |cuts AS (SELECT quantile_cont(q, [1.0/3.0, 2.0/3.0]) qc,
+         |                quantile_cont(lm_score, [1.0/3.0, 2.0/3.0]) lc FROM sc),
+         |bk AS (SELECT CAST(LEN(LIST_FILTER(cuts.qc, c -> q >= c)) AS BIGINT) q_bucket,
+         |              CAST(LEN(LIST_FILTER(cuts.lc, c -> lm_score >= c)) AS BIGINT) lm_bucket
+         |       FROM sc, cuts),
+         |cells AS (SELECT q_bucket, lm_bucket, CAST(COUNT(*) AS BIGINT) n_docs FROM bk GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) total FROM cells),
+         |di AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) n_agree FROM cells WHERE q_bucket = lm_bucket),
+         |rm AS (SELECT q_bucket, CAST(SUM(n_docs) AS BIGINT) n_row FROM cells GROUP BY 1),
+         |cm AS (SELECT lm_bucket, CAST(SUM(n_docs) AS BIGINT) n_col FROM cells GROUP BY 1),
+         |ch AS (SELECT CAST(COALESCE(SUM(n_row * n_col), 0) AS BIGINT) n_chance
+         |       FROM rm JOIN cm ON cm.lm_bucket = rm.q_bucket),
+         |kp AS (SELECT tot.total,
+         |         CASE WHEN 1.0 - (CAST(n_chance AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))) = 0 THEN NULL
+         |              ELSE (CAST(n_agree AS DOUBLE) / CAST(total AS DOUBLE)
+         |                    - CAST(n_chance AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+         |                   / (1.0 - CAST(n_chance AS DOUBLE) / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))) END AS kappa
+         |       FROM tot, di, ch)
+         |SELECT c.q_bucket, c.lm_bucket, c.n_docs,
+         |       CAST(c.n_docs AS DOUBLE) / CAST(kp.total AS DOUBLE) AS share, kp.kappa
+         |FROM cells c, kp ORDER BY c.q_bucket, c.lm_bucket""".stripMargin,
     // Heaps-law growth: the Spark bucket arithmetic restated digit for
     // digit (BIGINT*10, one IEEE double division, FLOOR, LEAST) and the
     // same triangular cumulative join over the <=10-row bucket frame —
