@@ -4240,8 +4240,76 @@ object Pipeline {
       .orderBy("q_bucket", "lm_bucket")
   }
 
+  /** Label-separation audit — whether the embedding space can carry the
+    * label structure the kNN/IVF propagation queries assume: for every
+    * unordered label pair, the L2 distance between the class centroids
+    * next to each class's mean member-to-own-centroid distance, and
+    * `separation` = centroid_dist / mean(intra) (a Davies-Bouldin-style
+    * margin: ≲ 1 means the classes overlap and propagated labels near
+    * the boundary are noise — publish THIS before trusting
+    * q_knn_labels' votes). Exactness: the sourceDrift fixed-point
+    * doctrine end to end — per-(label, dim) sums exact integers on
+    * DECIMAL(38,0), per-dim squared differences floor-quantized to
+    * 1e-12, per-vector distances floor-quantized to 1e-6 BEFORE the
+    * per-class mean (summing raw double distances would be
+    * order-dependent), every derived double from one mirrored IEEE op
+    * order, NULL separation on the degenerate zero-spread corpus.
+    * Scale shape: the explode feeds ONE map-side-combined centroid
+    * aggregate; member distances join the labels×dims centroid table
+    * back as a BROADCAST; everything else is labels²-sized. */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cent = x.groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v").cast(DoubleType) * lit(1e6)).cast(LongType)
+            .cast(DecimalType(38, 0))).as("s_fx"))
+        .select(col("label"), col("dim"),
+          (col("s_fx").cast(DoubleType) / col("n") / lit(1e6)).as("c"))
+        .localCheckpoint() // labels x dims; feeds the pair join AND the
+                           // member-distance broadcast
+      val pairD = cent.as("a").join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          floor((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")) *
+            lit(1e12)).cast(LongType).as("d2fx"))
+        .groupBy("label_a", "label_b")
+        .agg(sqrt(sum(col("d2fx")).cast(DoubleType) / lit(1e12))
+          .as("centroid_dist"))
+      val intra = x.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(floor((col("v").cast(DoubleType) - col("c")) *
+          (col("v").cast(DoubleType) - col("c")) * lit(1e12))
+          .cast(LongType)).as("d2"))
+        .select(col("label"),
+          floor(sqrt(col("d2").cast(DoubleType) / lit(1e12)) * lit(1e6))
+            .cast(LongType).as("dfx"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("dfx")).cast(DoubleType) / count(lit(1)) / lit(1e6))
+            .as("intra"))
+        .localCheckpoint() // labels-sized; joined twice below
+      pairD
+        .join(broadcast(intra.select(col("label").as("label_a"),
+          col("n_vecs").as("n_a"), col("intra").as("intra_a"))), Seq("label_a"))
+        .join(broadcast(intra.select(col("label").as("label_b"),
+          col("n_vecs").as("n_b"), col("intra").as("intra_b"))), Seq("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          col("centroid_dist"), col("intra_a"), col("intra_b"),
+          when(col("intra_a") + col("intra_b") === 0,
+            lit(null).cast(DoubleType))
+            .otherwise(col("centroid_dist") * lit(2.0) /
+              (col("intra_a") + col("intra_b"))).as("separation"))
+        .orderBy("label_a", "label_b")
+    } finally x.unpersist(blocking = false)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_span_dedup"       -> (spanDedup _),
+    "q_label_separation" -> (labelSeparation _),
     "q_nb_reliability"   -> (nbReliability _),
     "q_quality_agreement" -> (qualityAgreement _),
     "q_vocab_growth"     -> (vocabGrowth _),
@@ -5272,6 +5340,33 @@ object Pipeline {
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_ivf_recall" -> ivfRecallSql,
+    // label separation: the q_label_centroids fixed-point sums, pair
+    // distances and per-member distances floor-quantized before any
+    // cross-row mean, every double in the same mirrored IEEE op order
+    "q_label_separation" ->
+      """WITH x AS (SELECT vec_id, label, UNNEST(RANGE(LEN(embedding))) dim,
+        |                  UNNEST(embedding) v FROM embeddings),
+        |s AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) n,
+        |             SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) s_fx
+        |      FROM x GROUP BY 1, 2),
+        |cent AS (SELECT label, dim, CAST(s_fx AS DOUBLE) / n / 1e6 c FROM s),
+        |pd AS (SELECT a.label label_a, b.label label_b,
+        |              CAST(SUM(CAST(FLOOR((a.c - b.c) * (a.c - b.c) * 1e12) AS BIGINT)) AS BIGINT) dist_fx
+        |       FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2),
+        |pdist AS (SELECT label_a, label_b, SQRT(CAST(dist_fx AS DOUBLE) / 1e12) centroid_dist FROM pd),
+        |md AS (SELECT x.vec_id, x.label,
+        |              CAST(SUM(CAST(FLOOR((CAST(x.v AS DOUBLE) - c.c) * (CAST(x.v AS DOUBLE) - c.c) * 1e12) AS BIGINT)) AS BIGINT) d2
+        |       FROM x JOIN cent c ON c.label = x.label AND c.dim = x.dim GROUP BY 1, 2),
+        |mfx AS (SELECT label, CAST(FLOOR(SQRT(CAST(d2 AS DOUBLE) / 1e12) * 1e6) AS BIGINT) dfx FROM md),
+        |intra AS (SELECT label, CAST(COUNT(*) AS BIGINT) n_vecs,
+        |                 CAST(SUM(dfx) AS DOUBLE) / COUNT(*) / 1e6 AS intra FROM mfx GROUP BY 1)
+        |SELECT p.label_a, p.label_b, ia.n_vecs n_a, ib.n_vecs n_b, p.centroid_dist,
+        |       ia.intra intra_a, ib.intra intra_b,
+        |       CASE WHEN ia.intra + ib.intra = 0 THEN NULL
+        |            ELSE p.centroid_dist * 2.0 / (ia.intra + ib.intra) END AS separation
+        |FROM pdist p JOIN intra ia ON ia.label = p.label_a
+        |             JOIN intra ib ON ib.label = p.label_b
+        |ORDER BY p.label_a, p.label_b""".stripMargin,
     // reliability diagram over the proven NB classify chain: exact
     // decile cuts (quantile_cont == Spark percentile, the
     // q_doc_percentiles bit-exact pair), bucket = count of cuts <= score
