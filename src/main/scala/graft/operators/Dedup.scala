@@ -611,29 +611,36 @@ object Dedup {
 
   private def spanScrubStages(docs: DataFrame, textCol: String,
       idCol: String, n: Int, spans: DataFrame): DataFrame = {
-    {
-      val dup = dupHashesFrom(spans)
-      // flag join on the 8-byte hash: dup is the (usually small) df ≥ 2
-      // fraction, so AQE converts this to a broadcast at runtime when it
-      // fits — deliberately NO unconditional broadcast hint, because the
-      // duplicated-span set grows with the corpus and the shuffle join
-      // must remain the web-scale fallback. Overlapping dup spans cover
-      // positions repeatedly — no distinct needed: the anti-join ignores
-      // duplicate keys on its right side.
-      val covered = spans.join(dup, Seq("h"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-      val toks = docs.select(col(idCol).as("doc_id"),
-          posexplode(split(col(textCol), " ")).as(Seq("tp", "tok")))
-        .select(col("doc_id"), col("tp").cast(LongType).as("tp"), col("tok"))
-      toks.join(covered, Seq("doc_id", "tp"), "left_anti")
-        .groupBy("doc_id")
-        .agg(
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("tp"), col("tok")))),
-            x => x.getField("tok"))).as("clean_text"),
-          count(lit(1)).as("n_kept"))
-    }
+    val dup = dupHashesFrom(spans)
+    // flag join on the 8-byte hash: dup is the (usually small) df ≥ 2
+    // fraction, so AQE converts this to a broadcast at runtime when it
+    // fits — deliberately NO unconditional broadcast hint, because the
+    // duplicated-span set grows with the corpus and the shuffle join
+    // must remain the web-scale fallback. Covered POSITIONS then
+    // collapse to one per-doc set BEFORE the corpus is touched: the
+    // duplicated-instance rows aggregate map-side to doc-keyed position
+    // arrays, the corpus joins ONCE by doc_id (a doc-count-row shuffle —
+    // the round-13 formulation exploded EVERY token into a (doc, pos)
+    // row and shuffled the whole tokenized corpus through a token-keyed
+    // anti-join + a collect_list/sort regroup), and the rebuild is an
+    // in-row positional filter over the doc's own token array —
+    // doc-local, no cross-row state. A doc with no duplicated span
+    // never appears in `covered` and passes through whole via the left
+    // join; a fully-covered doc filters to an empty array and drops.
+    val covered = spans.join(dup, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cov").isNull, col("a")).otherwise(
+          filter(col("a"),
+            (x, i) => !array_contains(col("cov"), i.cast(LongType))))
+          .as("kept"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("kept")).cast(LongType).as("n_kept"))
   }
 
   /** The benchmark set's distinct shingle hashes — the (tiny, by

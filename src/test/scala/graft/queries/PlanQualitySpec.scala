@@ -281,17 +281,23 @@ class PlanQualitySpec extends AnyFunSuite {
         !sd.contains("BroadcastNestedLoopJoin"),
       s"span-dup flag join must stay equi:\n$sd")
 
-    // span REMOVAL: the rebuild comes from a (doc, position) LeftAnti
-    // equi-join — linear in corpus tokens, never a per-token membership
-    // scan or a nested-loop product
+    // span REMOVAL: covered positions collapse to per-doc sets BEFORE the
+    // corpus is touched (collect_set over duplicated-instance rows only),
+    // the corpus attaches them through ONE doc-keyed left-outer equi-join
+    // (doc-count rows — the pre-round-14 formulation shuffled EVERY token
+    // through a (doc, position) anti-join + a collect_list regroup), and
+    // the rebuild is an in-row positional filter — never a nested-loop
+    // product or a token-level shuffle
     val ss = planOf(graft.operators.Dedup.spanScrub(
       graft.Tables.documents(spark, dir), "text", "doc_id", n = 5,
       materialize = false).limit(1))
-    assert(ss.contains("LeftAnti"),
-      s"span scrub must rebuild via the anti-join:\n$ss")
+    assert(ss.contains("LeftOuter") && ss.contains("collect_set"),
+      s"span scrub must attach per-doc covered sets via a left join:\n$ss")
     assert(!ss.contains("CartesianProduct") &&
         !ss.contains("BroadcastNestedLoopJoin"),
       s"span scrub joins must stay equi:\n$ss")
+    assert(!ss.contains("LeftAnti") && !ss.contains("collect_list"),
+      s"the token-level anti-join/regroup formulation is retired:\n$ss")
   }
 
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
