@@ -239,12 +239,21 @@ object Dedup {
     val shr = shingleHashRows(sh)
     val hotList = shr.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("h")
-    val cold = shr.join(hotList, Seq("h"), "left_anti")
+    // the self-join carries ONLY (doc, h): set sizes attach to the (much
+    // smaller) aggregated pair list instead of riding as two extra longs
+    // on every one of the sum(df^2) candidate rows. Deliberately NO
+    // broadcast hint on the doc-sized size table — AQE broadcasts it
+    // when it fits and the doc-keyed shuffle join stays the web-scale
+    // fallback (a forced broadcast of a 10^11-doc table would OOM the
+    // build side at exactly the scale this audit is guarded for).
+    val cold = shr.select("doc", "h").join(hotList, Seq("h"), "left_anti")
+    val sizes = sh.select(col("doc"), size(col("shh")).as("n_sh"))
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("da"), col("y.doc").as("db"))
-      .agg(count(lit(1)).as("cold_inter"),
-        min(col("x.n_sh")).as("na"), min(col("y.n_sh")).as("nb"))
+      .agg(count(lit(1)).as("cold_inter"))
+      .join(sizes.select(col("doc").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc").as("db"), col("n_sh").as("nb")), Seq("db"))
     // shared-hot-hash correction: per-doc hot sets are tiny (a doc holds
     // few corpus-wide-boilerplate shingles) and join the PAIR-bounDED
     // aggregate, never the row table — size(array_intersect) is null when
