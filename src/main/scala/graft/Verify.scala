@@ -7,7 +7,7 @@ object Verify {
   /** Committed per-round denominator — bump INTENTIONALLY with each new
     * query. A refactor that drops a map entry must fail this run loudly,
     * never shrink the driver's correctness denominator silently. */
-  val ExpectedQueryCount = 159
+  val ExpectedQueryCount = 160
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

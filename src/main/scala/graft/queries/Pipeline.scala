@@ -4307,8 +4307,35 @@ object Pipeline {
     } finally x.unpersist(blocking = false)
   }
 
+  /** Duplicate-family size histogram — how big near-dup clusters get:
+    * one row per observed cluster size with the cluster count, the
+    * document mass it holds, and its corpus share. The decision table
+    * behind the dedup POLICY choice: a long tail of giant families
+    * (template/mirror storms) means naive keep-first deletes huge
+    * correlated swaths and soft downweighting ([[dedupWeights]]) or
+    * keep-best ([[clusterBest]]) is the safer cut, and the max size
+    * bounds the driver union-find budget ([[Dedup.duplicateClusters]]'
+    * driverLimit). Reads the persisted cluster-map artifact; everything
+    * after is cluster-count-sized then histogram-sized. Singletons are
+    * absent by construction (the map holds only documents with at
+    * least one duplicate). */
+  def clusterHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = nearDupClusters(spark, dir)
+      .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+    val tot = Tables.documents(spark, dir).agg(count(lit(1)).as("total_docs"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")).cast(DoubleType)
+          / col("total_docs").cast(DoubleType)).as("doc_share"))
+      .orderBy("cluster_size")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_span_dedup"       -> (spanDedup _),
+    "q_cluster_histogram" -> (clusterHistogram _),
     "q_label_separation" -> (labelSeparation _),
     "q_nb_reliability"   -> (nbReliability _),
     "q_quality_agreement" -> (qualityAgreement _),
@@ -5340,6 +5367,23 @@ object Pipeline {
     "q_similarity_lsh" -> lshSql,
     "q_similarity_ivf" -> ivfSql,
     "q_ivf_recall" -> ivfRecallSql,
+    // cluster-size histogram: the q_dedup_clusters recursive closure,
+    // sizes per component, counts per size, one mirrored division
+    "q_cluster_histogram" ->
+      s"""WITH RECURSIVE jp AS ($jaccardSql),
+         |edges AS (SELECT da a, db b FROM jp UNION SELECT db a, da b FROM jp),
+         |reach AS (SELECT a AS node, a AS reachable FROM edges
+         |          UNION
+         |          SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reachable),
+         |clus AS (SELECT node AS doc_id, MIN(reachable) AS canonical_id
+         |         FROM reach GROUP BY node),
+         |cs AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) cluster_size FROM clus GROUP BY 1),
+         |h AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) n_clusters FROM cs GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) total_docs FROM documents)
+         |SELECT cluster_size, n_clusters,
+         |       CAST(cluster_size * n_clusters AS BIGINT) n_docs,
+         |       CAST(cluster_size * n_clusters AS DOUBLE) / CAST(total_docs AS DOUBLE) doc_share
+         |FROM h, tot ORDER BY cluster_size""".stripMargin,
     // label separation: the q_label_centroids fixed-point sums, pair
     // distances and per-member distances floor-quantized before any
     // cross-row mean, every double in the same mirrored IEEE op order
