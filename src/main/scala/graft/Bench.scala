@@ -109,6 +109,14 @@ object Bench {
     // own load is contention). Unset = the full declared suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd (or since-renamed) name would silently shrink the focused
+    // run and still write a clean-looking bench_focused.json adjudication
+    // artifact — fail loudly instead.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -640,12 +640,23 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
       .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
+    // kept-index set via array_except (hash-set build over cov, one scan
+    // of the index sequence — O(|tokens| + |cov|)): a per-token
+    // array_contains probe is O(|tokens| × |cov|), quadratic in document
+    // length for a long heavily-duplicated doc where cov ≈ tokens.
+    // array_except preserves the left argument's order, so token order
+    // survives. The otherwise-branch only runs when cov is non-null,
+    // which implies the doc produced at least one n-token span, so
+    // size(a) ≥ n ≥ 1 and the index sequence is never start > stop.
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("cov").isNull, col("a")).otherwise(
-          filter(col("a"),
-            (x, i) => !array_contains(col("cov"), i.cast(LongType))))
+          transform(
+            array_except(
+              sequence(lit(0L), size(col("a")).cast(LongType) - 1),
+              col("cov")),
+            i => element_at(col("a"), (i + 1).cast(IntegerType))))
           .as("kept"))
       .filter(size(col("kept")) > 0)
       .select(col("doc_id"), concat_ws(" ", col("kept")).as("clean_text"),

@@ -4569,7 +4569,8 @@ object Pipeline {
     * 64-bit hash; identical absent collisions, the standing oracle
     * assumption), exact intersection over the FULL shingle sets
     * restricted to those candidates, and the `hot_shingle_share` ledger
-    * as the same SUM(CASE df > cap) / SUM(df) ratio. At the verify SFs
+    * as the same SUM(CASE df > cap) / SUM(df) ratio (guarded to 0.0 on
+    * an empty corpus, mirroring hotShingleStats). At the verify SFs
     * max df ≪ cap, so the capped chain IS the complete one — the hash
     * compare pins both the curve and the 0.0 ledger. Thresholds are
     * formatted from the same Scala constants the Spark side scans. */
@@ -4593,8 +4594,9 @@ object Pipeline {
        |pj AS (SELECT da, db, inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS j
        |       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        |       WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= $floor),
-       |hot AS (SELECT CAST(COALESCE(SUM(CASE WHEN df > $cap THEN df END), 0) AS DOUBLE)
-       |               / CAST(SUM(df) AS DOUBLE) AS hot_shingle_share FROM df),
+       |hot AS (SELECT CASE WHEN COALESCE(SUM(df), 0) > 0
+       |               THEN CAST(COALESCE(SUM(CASE WHEN df > $cap THEN df END), 0) AS DOUBLE)
+       |                    / CAST(SUM(df) AS DOUBLE) ELSE 0.0 END AS hot_shingle_share FROM df),
        |t AS (SELECT UNNEST($ths) AS threshold),
        |sel AS (SELECT threshold, da, db FROM pj, t WHERE j >= threshold),
        |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) n_pairs FROM sel GROUP BY 1),

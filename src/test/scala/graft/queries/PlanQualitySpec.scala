@@ -298,6 +298,11 @@ class PlanQualitySpec extends AnyFunSuite {
       s"span scrub joins must stay equi:\n$ss")
     assert(!ss.contains("LeftAnti") && !ss.contains("collect_list"),
       s"the token-level anti-join/regroup formulation is retired:\n$ss")
+    // the rebuild is linear (array_except index set), never a per-token
+    // array_contains probe — that form is quadratic in doc length when
+    // cov ≈ tokens (round-14 advice)
+    assert(!ss.contains("array_contains"),
+      s"the quadratic per-token array_contains rebuild is retired:\n$ss")
   }
 
   test("dedup/ANN hot loops run as native expressions inside WholeStageCodegen") {
