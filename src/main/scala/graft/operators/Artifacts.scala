@@ -3,13 +3,23 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** The parquet job-success-marker protocol shared by every persisted
-  * artifact (IVF centroids, int8 vector indexes, BPE merge tables): the
-  * `_SUCCESS` file a completed parquet job writes is the artifact's
-  * completeness CERTIFICATE — probing it (never the bare directory)
-  * makes a half-written artifact read as "missing", so overwrite-mode
-  * retrains heal crashes instead of later readers choking on a husk.
-  * Resolved through Hadoop's FileSystem so hdfs:///s3:// artifact
-  * locations behave exactly like local disk. */
+  * artifact (IVF centroids, int8 vector indexes, BPE merge tables, the
+  * dataset-artifact tokenization tables): the `_SUCCESS` file a completed
+  * parquet job writes is the artifact's completeness CERTIFICATE —
+  * probing it (never the bare directory) makes a half-written artifact
+  * read as "missing", so overwrite-mode retrains heal crashes instead of
+  * later readers choking on a husk. Resolved through Hadoop's FileSystem
+  * so hdfs:///s3:// artifact locations behave exactly like local disk.
+  *
+  * Since round 15 writes COMMIT ATOMICALLY ([[atomicCommit]]): the build
+  * lands in a dot-prefixed sibling temp directory and is renamed into
+  * place only once its own certificate exists, so two fleet JVMs racing
+  * the same uncertified path can no longer interleave delete-then-write
+  * and certify a mixed directory — exactly one writer's rename wins and
+  * the loser discards its temp. Each committed artifact also carries a
+  * [[MetaFile]] provenance record (family, dataset dir, stamped table,
+  * stamp, format key) that [[prune]] uses to tell live stamps from dead
+  * ones when garbage-collecting an artifact root. */
 object Artifacts {
 
   /** True when `dir/_SUCCESS` exists. A probe must never fail its
@@ -28,5 +38,204 @@ object Artifacts {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Provenance sidecar every [[atomicCommit]] leaves inside the
+    * artifact directory: `key=value` lines (sorted). Underscore-prefixed
+    * so parquet readers ignore it, exactly like `_SUCCESS`. */
+  val MetaFile = "_GRAFT_META"
+
+  /** Temp-directory name marker — dot-prefixed so an in-flight (or
+    * orphaned) build is invisible to parquet readers even if a rename
+    * race nests it inside a committed artifact. */
+  private val TmpTag = ".inprogress-"
+
+  /** The mtime+count fingerprint of `dir/table.parquet` — 0 when the
+    * table can't be walked (non-local path, missing dir). The stamp keys
+    * every persisted derived artifact so a rewritten table re-derives
+    * instead of serving stale data; [[prune]] recomputes it to decide
+    * which stamp is live. Local-FS only by construction (Files.walk);
+    * object-store deployments would swap in a listing-based stamp. */
+  def tableStamp(dir: String, table: String): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+      val s = java.nio.file.Files.walk(p)
+      val files =
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
+        finally s.close()
+      files.map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(0L)(math.max) * 31 + files.size
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeMetaFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, meta: Map[String, String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, MetaFile), true)
+    try out.write(meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The [[MetaFile]] record of a committed artifact, if present and
+    * readable. Never fails its caller. */
+  def readMeta(spark: SparkSession, dir: String): Option[Map[String, String]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+      val fs = fsFor(spark, p)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toByteArray
+          } finally in.close()
+        Some(new String(bytes, "UTF-8").linesIterator
+          .filter(_.contains("=")).map { l =>
+            val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+          }.toMap)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Atomically commit an artifact directory: `write` builds into a
+    * dot-prefixed sibling temp path on the same filesystem, and the temp
+    * is renamed to `path` only once `certified` accepts it — so `path`
+    * NEVER holds a certified mix of two writers' files. Concurrency
+    * story (the round-14 advice case — two fleet JVMs racing one
+    * uncertified path): both build temps; whoever renames first wins;
+    * the loser's rename either fails (destination exists) or nests its
+    * dot-prefixed temp inside the winner's directory where parquet
+    * readers ignore it — either way the loser discards and the re-probe
+    * reports the winner's commit. Crash story: a death before rename
+    * leaves only an invisible temp (the final path is untouched); a
+    * death after rename leaves a fully certified artifact — there is no
+    * state in between, which is the point. Never throws: a read-only or
+    * failing artifact root must not fail the query — the caller falls
+    * back to its inline build on `false`. */
+  def atomicCommit(spark: SparkSession, path: String,
+      meta: Map[String, String] = Map.empty,
+      certified: (SparkSession, String) => Boolean = markerExists)(
+      write: String => Unit): Boolean = {
+    if (certified(spark, path)) return true
+    try {
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = fsFor(spark, dst)
+      val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+        s".${dst.getName}$TmpTag${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
+      try {
+        write(tmp.toString)
+        if (!certified(spark, tmp.toString)) {
+          fs.delete(tmp, true); return certified(spark, path)
+        }
+        if (meta.nonEmpty) writeMetaFile(fs, tmp, meta)
+        // lost the race while building? the winner's artifact serves
+        if (certified(spark, path)) { fs.delete(tmp, true); return true }
+        // clear an UNCERTIFIED husk (a pre-atomic-protocol crash) so the
+        // rename lands at the final name instead of nesting under it
+        if (fs.exists(dst) && !certified(spark, path)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+        else if (!certified(spark, path))
+          // rename "succeeded" but the certificate is not at the final
+          // path — the HDFS move-INTO-existing-dir semantics nested the
+          // temp under a concurrent winner; the nested dot-dir is
+          // invisible to readers, drop it
+          try fs.delete(new org.apache.hadoop.fs.Path(dst, tmp.getName), true)
+          catch { case scala.util.control.NonFatal(_) => () }
+        certified(spark, path)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          try fs.delete(tmp, true)
+          catch { case scala.util.control.NonFatal(_) => () }
+          certified(spark, path)
+      }
+    } catch { case scala.util.control.NonFatal(_) => certified(spark, path) }
+  }
+
+  /** One [[prune]] decision: `action` is "delete" (or "would-delete"
+    * under dryRun) / "keep", with the reason spelled out. */
+  final case class PruneDecision(path: String, action: String, reason: String)
+
+  /** Garbage-collect an artifact root (`Ivf.indexRoot` layout:
+    * `root/<family>/<keyed-dir>`): every data rewrite re-keys its
+    * artifacts under a new stamp and orphans the previous stamp's parquet
+    * forever, so at fleet scale the root becomes an unbounded graveyard
+    * without a reaper. Policy, per child of each family:
+    *   - dot-prefixed `.inprogress-` temps: in-flight writers — deleted
+    *     only once older than `graceMs`.
+    *   - uncertified dirs (no `_SUCCESS` at the dir or one level down —
+    *     the IVF/BPE subdir layouts): crash husks — deleted only once
+    *     older than `graceMs`.
+    *   - certified dirs WITH a [[MetaFile]]: live iff the recorded
+    *     table's recomputed stamp still matches; a dead stamp is
+    *     deleted, a live one kept. A recomputed stamp of 0 (the table
+    *     can no longer be fingerprinted from here) always KEEPS — never
+    *     delete what can't be attributed.
+    *   - certified dirs WITHOUT meta (pre-round-15 artifacts): kept.
+    * `dryRun` returns the decisions without deleting anything. */
+  def prune(spark: SparkSession, root: String, graceMs: Long,
+      dryRun: Boolean): Seq[PruneDecision] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsFor(spark, rootPath)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val now = System.currentTimeMillis()
+    val decisions = Vector.newBuilder[PruneDecision]
+    def certifiedDeep(dir: org.apache.hadoop.fs.Path): Boolean =
+      markerExists(spark, dir.toString) ||
+        (try fs.listStatus(dir).exists(st => st.isDirectory &&
+            !st.getPath.getName.startsWith(".") &&
+            markerExists(spark, st.getPath.toString))
+         catch { case scala.util.control.NonFatal(_) => false })
+    def decide(child: org.apache.hadoop.fs.FileStatus): PruneDecision = {
+      val p = child.getPath
+      val ageMs = now - child.getModificationTime
+      val name = p.getName
+      def del(reason: String) =
+        PruneDecision(p.toString, if (dryRun) "would-delete" else "delete", reason)
+      if (name.startsWith(".") && name.contains(TmpTag)) {
+        if (ageMs > graceMs) del(s"orphaned in-progress temp (age ${ageMs}ms)")
+        else PruneDecision(p.toString, "keep", "in-progress temp within grace window")
+      } else if (!certifiedDeep(p)) {
+        if (ageMs > graceMs) del(s"uncertified husk (age ${ageMs}ms)")
+        else PruneDecision(p.toString, "keep", "uncertified but within grace window")
+      } else readMeta(spark, p.toString) match {
+        case None =>
+          PruneDecision(p.toString, "keep", "certified, no provenance meta")
+        case Some(m) =>
+          (m.get("dataset_dir"), m.get("table"), m.get("stamp")) match {
+            case (Some(d), Some(t), Some(s)) =>
+              val cur = tableStamp(d, t)
+              if (cur == 0L)
+                PruneDecision(p.toString, "keep",
+                  s"cannot re-fingerprint $d/$t from here")
+              else if (s == cur.toString)
+                PruneDecision(p.toString, "keep", "live stamp")
+              else del(s"dead stamp $s (live is $cur)")
+            case _ =>
+              PruneDecision(p.toString, "keep", "incomplete provenance meta")
+          }
+      }
+    }
+    for {
+      fam <- fs.listStatus(rootPath) if fam.isDirectory
+      child <- try fs.listStatus(fam.getPath)
+               catch { case scala.util.control.NonFatal(_) =>
+                 Array.empty[org.apache.hadoop.fs.FileStatus] }
+      if child.isDirectory
+    } {
+      val d = decide(child)
+      decisions += d
+      if (d.action == "delete")
+        try fs.delete(child.getPath, true)
+        catch { case scala.util.control.NonFatal(_) =>
+          decisions += PruneDecision(child.getPath.toString, "keep",
+            "delete failed — left in place") }
+    }
+    decisions.result()
   }
 }

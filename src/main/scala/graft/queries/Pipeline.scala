@@ -114,18 +114,18 @@ object Pipeline {
     * (doc, shingle) mass the cap excluded from candidate generation
     * (0.0 at the test SFs, where max df 25 ≪ cap, so the capped sweep IS
     * the complete sweep; DedupCapSpec pins the equivalence). The
-    * ≥ 0.5-floor pair list is tiny (near-dups are rare), so it is
-    * checkpointed once and every per-threshold count runs over the
-    * checkpoint — thresholds cost nothing beyond the one pair build. */
+    * ≥ 0.5-floor pair list is tiny (near-dups are rare) and
+    * deterministic (long intersection/union counts + one IEEE division
+    * per pair), so it persists as a once-per-dataset artifact
+    * ([[sweepPairs]] — the cluster-map treatment): every re-run of the
+    * curve, across JVMs and audits, reads the pair table instead of
+    * re-running the candidate join; thresholds cost nothing beyond the
+    * one pair build EVER, not once per JVM. */
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val sh = sharedShingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (pj, hot) =
-      try (Dedup.allPairsJaccard(sh, threshold = SweepThresholds.min).localCheckpoint(),
-        Dedup.hotShingleStats(sh).localCheckpoint())
-      finally sh.unpersist(blocking = false)
+    val pj = sweepPairs(spark, dir)
+    val hot = sweepHotStats(spark, dir)
     val th = SweepThresholds.toDF("threshold")
     val sel = pj.crossJoin(broadcast(th))
       .filter(col("jaccard") >= col("threshold"))
@@ -1099,17 +1099,10 @@ object Pipeline {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long, Int, Int), Seq[Seq[Double]]]
   private def embStamp(dir: String): Long = tableStamp(dir, "embeddings")
+  // delegated so the stamp arithmetic and the artifact reaper's
+  // (Artifacts.prune) re-fingerprint can never drift apart
   private def tableStamp(dir: String, table: String): Long =
-    try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
-      val s = java.nio.file.Files.walk(p)
-      val files =
-        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
-        finally s.close()
-      files.map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        .foldLeft(0L)(math.max) * 31 + files.size
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+    graft.operators.Artifacts.tableStamp(dir, table)
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -1144,9 +1137,16 @@ object Pipeline {
         // and assignment from baked-in centroids is a narrow projection —
         // persisting it here would buy nothing for a corpus scan + write.
         // Best-effort: a read-only index root must not fail the query.
+        // Atomic temp-dir+rename commit, certified by the centroid
+        // subdir's marker (the Ivf.indexExists probe).
         if (canPersist)
-          try Ivf.writeCentroids(spark, cents, idxPath)
-          catch { case scala.util.control.NonFatal(_) => () }
+          graft.operators.Artifacts.atomicCommit(spark, idxPath, Map(
+              "family" -> "graft_ivf_index", "dataset_dir" -> dir,
+              "table" -> "embeddings", "stamp" -> stamp.toString,
+              "key" -> s"nlist$IvfNlist:iters$IvfIters:fmt$IvfTrainFormat"),
+              certified = Ivf.indexExists) { tmp =>
+            Ivf.writeCentroids(spark, cents, tmp)
+          }
         cents
       }
     })
@@ -1188,10 +1188,16 @@ object Pipeline {
         val merges = TA.bpeTrain(docs, "text",
           numMerges = BpeNumMerges, maxWords = BpeMaxWords)
         // best-effort persist: a read-only artifact root must not fail
-        // the query — the fresh model is used either way
+        // the query — the fresh model is used either way. Atomic
+        // temp-dir+rename commit so racing JVMs can't certify a mix.
         if (canPersist)
-          try TA.writeBpeModel(merges, path)
-          catch { case scala.util.control.NonFatal(_) => () }
+          graft.operators.Artifacts.atomicCommit(spark, path, Map(
+              "family" -> "graft_bpe_model", "dataset_dir" -> dir,
+              "table" -> "documents", "stamp" -> stamp.toString,
+              "key" -> s"m$BpeNumMerges:w$BpeMaxWords:fmt$BpeTrainFormat"),
+              certified = TA.bpeModelExists) { tmp =>
+            TA.writeBpeModel(merges, tmp)
+          }
         new graft.functions.BpeMerges(merges.orderBy("rank")
           .select("lhs", "rhs").collect()
           .map(r => (r.getString(0), r.getString(1))))
@@ -1218,27 +1224,36 @@ object Pipeline {
     // unknown (0) stamp ⇒ never persist or read back (the sharedPcaModel
     // rule): the inline round-trip is bit-identical anyway
     if (stamp == 0L) return inline
-    // probe the job-success marker, not the bare directory: a write that
-    // died mid-job leaves the directory behind, and treating that husk as
-    // an index would poison every later run — no marker means the
-    // overwrite-mode write simply runs again and heals it
-    if (!graft.operators.Artifacts.markerExists(spark, path))
-      try Quantize.writeIndex(emb, "id", "embedding", path)
-      catch { case scala.util.control.NonFatal(_) => () }
-    // re-probe: the write above may have just created (or failed to
-    // create) the certificate
-    if (graft.operators.Artifacts.markerExists(spark, path))
+    // atomic temp-dir+rename commit (probes the job-success marker,
+    // never the bare directory): a write that died mid-job leaves only
+    // an invisible temp and the commit simply runs again and heals it;
+    // racing JVMs can't certify a mixed directory
+    val ok = graft.operators.Artifacts.atomicCommit(spark, path, Map(
+        "family" -> "graft_int8_index", "dataset_dir" -> dir,
+        "table" -> "embeddings", "stamp" -> stamp.toString,
+        "key" -> "int8")) { tmp =>
+      Quantize.writeIndex(emb, "id", "embedding", tmp)
+    }
+    if (ok)
       try Quantize.readIndexVectors(spark, path)
       catch { case scala.util.control.NonFatal(_) => inline }
     else inline
   }
 
-  /** In-JVM once-only guard for tokenization-artifact writes: at most
-    * one writer per path per JVM (TrieMap.getOrElseUpdate is atomic);
-    * cross-JVM the `_SUCCESS` probe + overwrite-mode write keep the
-    * protocol crash-safe. Value = whether the artifact is readable. */
+  /** In-JVM once-only guard for tokenization-artifact writes: builds are
+    * SERIALIZED per path under a per-path monitor (TrieMap.getOrElseUpdate
+    * only makes the insert atomic — two first-callers could evaluate the
+    * build thunk concurrently, the round-14 advice case), and the result
+    * is memoized so later calls skip even the marker probe. Cross-JVM
+    * the `_SUCCESS` probe + [[graft.operators.Artifacts.atomicCommit]]'s
+    * temp-dir+rename keep the protocol crash- and race-safe. Per-path
+    * monitors (not one global lock) let independent families build
+    * concurrently; family dependencies are acyclic (derived tables lock
+    * in dependency order), so no deadlock. */
   private val tokenArtifact =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val tokenArtifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** A DETERMINISTIC derived table of the documents table at `dir` as a
     * once-per-dataset parquet artifact — the generalized
@@ -1261,15 +1276,23 @@ object Pipeline {
     if (stamp == 0L) return build
     val root = Ivf.indexRoot(spark)
     val path = s"$root/$family/${md5Hex(s"($root,$dir,$stamp):$key")}"
-    val ok = tokenArtifact.getOrElseUpdate(path, {
-      // probe the job-success marker, not the bare directory (the
-      // int8IndexVectors rule): a write that died mid-job leaves a husk,
-      // and the overwrite-mode write below simply runs again and heals it
-      if (!graft.operators.Artifacts.markerExists(spark, path))
-        try build.write.mode("overwrite").parquet(path)
-        catch { case scala.util.control.NonFatal(_) => () }
-      graft.operators.Artifacts.markerExists(spark, path)
-    })
+    val lock = tokenArtifactLocks.computeIfAbsent(path, _ => new Object)
+    val ok = lock.synchronized {
+      tokenArtifact.getOrElseUpdate(path, {
+        // probe the job-success marker, not the bare directory (the
+        // int8IndexVectors rule): a write that died mid-job leaves a
+        // husk, and the atomic commit below simply runs again and heals
+        // it. The commit itself is temp-dir + rename (atomicCommit), so
+        // a concurrent writer in ANOTHER JVM can never interleave with
+        // this one at the final path; the provenance meta is what the
+        // artifact-root reaper (Artifacts.prune) attributes stamps by.
+        graft.operators.Artifacts.atomicCommit(spark, path, Map(
+          "family" -> family, "dataset_dir" -> dir, "table" -> "documents",
+          "stamp" -> stamp.toString, "key" -> key)) { tmp =>
+          build.write.mode("overwrite").parquet(tmp)
+        }
+      })
+    }
     if (ok)
       try spark.read.parquet(path).select(cols.map(col): _*)
       catch { case scala.util.control.NonFatal(_) => build }
@@ -1308,12 +1331,40 @@ object Pipeline {
         n = ShingleN)
     }
 
+  /** The complete ≥ [[SweepThresholds]].min exact-Jaccard pair list as a
+    * once-per-dataset artifact — the sweep's dominant cost (the df-capped
+    * candidate self-join) paid once EVER per dataset, not once per JVM.
+    * Deterministic: intersection/union counts are exact longs and the
+    * Jaccard is one IEEE division per pair, so doubles round-trip parquet
+    * bit-exactly; the key versions the shingle arithmetic, the df cap,
+    * and the floor (a changed cap or floor re-derives, never re-reads). */
+  private def sweepPairs(spark: SparkSession, dir: String): DataFrame =
+    datasetArtifact(spark, dir, "graft_sweep_pairs",
+        s"n$ShingleN:fmt$ShingleFormat:cap${Dedup.AuditDfCap}" +
+          s":floor${SweepThresholds.min}", Seq("da", "db", "jaccard")) {
+      Dedup.allPairsJaccard(
+        sharedShingles(spark, dir).localCheckpoint(),
+        threshold = SweepThresholds.min)
+    }
+
+  /** The sweep's [[Dedup.hotShingleStats]] honesty ledger (1 row) as a
+    * once-per-dataset artifact — the df aggregate over the full shingle
+    * table is a corpus-sized shuffle, the same argument as [[sweepPairs]];
+    * hot_share is one IEEE division of exact longs, so it round-trips
+    * parquet bit-exactly. */
+  private def sweepHotStats(spark: SparkSession, dir: String): DataFrame =
+    datasetArtifact(spark, dir, "graft_hot_stats",
+        s"n$ShingleN:fmt$ShingleFormat:cap${Dedup.AuditDfCap}",
+        Seq("hot_rows", "total_rows", "hot_share")) {
+      Dedup.hotShingleStats(sharedShingles(spark, dir))
+    }
+
   /** The (doc_id, fp) winnow fingerprint table as a once-per-dataset
     * artifact — shared by winnowPairs (both self-join sides) and
     * winnowFingerprint; the MOSS index a plagiarism/near-dup service
     * stores PERSISTENTLY by construction, so the artifact IS the
     * production shape, not a cache. */
-  private def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedWinnowFps(spark: SparkSession, dir: String): DataFrame =
     datasetArtifact(spark, dir, "graft_winnow_fps", "n3w4:fmt1",
         Seq("doc_id", "fp")) {
       TA.winnowFingerprints(Tables.documents(spark, dir), "text", "doc_id",
@@ -1325,7 +1376,7 @@ object Pipeline {
     * corpus), deterministic (hashes + sort_array), and the product the
     * cross-source audits re-read instead of re-tokenizing the corpus
     * per audit. */
-  private def sharedSourceGrams(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedSourceGrams(spark: SparkSession, dir: String): DataFrame =
     datasetArtifact(spark, dir, "graft_source_grams", "n5:fmt1",
         Seq("h", "srcs")) {
       sourceGrams(Tables.documents(spark, dir))
@@ -1439,7 +1490,7 @@ object Pipeline {
     * artifact ([[Dedup.spanPositionRows]]) — one tokenization product
     * serving both the duplicated-span diagnostic (q_span_dedup) and the
     * scrub (q_span_scrub). */
-  private def sharedSpanRows(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedSpanRows(spark: SparkSession, dir: String): DataFrame =
     datasetArtifact(spark, dir, "graft_span_rows", "n5:fmt1",
         Seq("doc_id", "pos", "h")) {
       Dedup.spanPositionRows(Tables.documents(spark, dir), "text", "doc_id",
@@ -2099,8 +2150,13 @@ object Pipeline {
         val m = graft.operators.Pca.fit(Tables.embeddings(spark, dir),
           "vec_id", "embedding", dims = IvfDims, iters = PcaIters)
         if (canPersist)
-          try graft.operators.Pca.writeModel(spark, m, path)
-          catch { case scala.util.control.NonFatal(_) => () }
+          graft.operators.Artifacts.atomicCommit(spark, path, Map(
+              "family" -> "graft_pca_model", "dataset_dir" -> dir,
+              "table" -> "embeddings", "stamp" -> stamp.toString,
+              "key" -> s"d$IvfDims:i$PcaIters:fmt$PcaTrainFormat"),
+              certified = graft.operators.Pca.modelExists) { tmp =>
+            graft.operators.Pca.writeModel(spark, m, tmp)
+          }
         m
       }
     })

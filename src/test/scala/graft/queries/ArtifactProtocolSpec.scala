@@ -85,6 +85,200 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("two racing writers commit exactly one artifact, never a mix") {
+    withTempRoot { root =>
+      import spark.implicits._
+      val path = root.resolve("graft_race_family").resolve("art1").toString
+      // deterministic interleave: A builds its temp FIRST but renames
+      // LAST — the exact round-14 advice scenario (two first-callers on
+      // one uncertified path, overlapping writes)
+      val aBuilt = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aResult = false
+      val a = new Thread(() => {
+        aResult = graft.operators.Artifacts.atomicCommit(spark, path) { tmp =>
+          Seq(("a", 1L), ("a", 2L)).toDF("writer", "v")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          aBuilt.countDown()
+          bDone.await() // hold the rename until B's WHOLE commit lands
+        }
+      })
+      a.start()
+      aBuilt.await()
+      val bResult = graft.operators.Artifacts.atomicCommit(spark, path) { tmp =>
+        Seq(("b", 1L), ("b", 2L)).toDF("writer", "v")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+      bDone.countDown()
+      a.join()
+      assert(aResult && bResult, "both callers must report a committed artifact")
+      assert(graft.operators.Artifacts.markerExists(spark, path))
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("b", 1L), ("b", 2L)),
+        s"the artifact must be EXACTLY the first committer's table, got $rows")
+      // the loser's temp is gone (or at worst invisible): nothing
+      // non-hidden next to the artifact
+      import scala.jdk.CollectionConverters._
+      val visible = java.nio.file.Files.list(root.resolve("graft_race_family"))
+        .iterator().asScala.filterNot(_.getFileName.toString.startsWith("."))
+        .toSeq
+      assert(visible.map(_.getFileName.toString) == Seq("art1"),
+        s"no stray visible dirs expected, got $visible")
+    }
+  }
+
+  test("a writer that dies between temp-build and rename leaves readers unharmed; prune reaps the orphan after grace") {
+    withTempRoot { root =>
+      val fam = root.resolve("graft_shingle_table")
+      java.nio.file.Files.createDirectories(fam)
+      // simulate the crash: a fully-built temp that never renamed
+      val orphan = fam.resolve(".deadbeef.inprogress-999-1")
+      spark.range(3).coalesce(1).write.parquet(orphan.toString)
+      // the real protocol is unaffected — the final path commits fresh
+      val first = shingleSet(Pipeline.sharedShingles(spark, dir))
+      assert(first.nonEmpty)
+      // within the grace window the orphan is kept (it could be a live
+      // in-flight writer)
+      val early = graft.operators.Artifacts
+        .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
+      assert(early.exists(d => d.path.contains(".inprogress-") && d.action == "keep"),
+        s"young temp must be kept, got $early")
+      assert(java.nio.file.Files.exists(orphan))
+      // past the grace window it is reaped
+      java.nio.file.Files.setLastModifiedTime(orphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      val late = graft.operators.Artifacts
+        .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
+      assert(late.exists(d => d.path.contains(".inprogress-") && d.action == "delete"),
+        s"aged temp must be deleted, got $late")
+      assert(!java.nio.file.Files.exists(orphan))
+      // the committed artifact survived both prunes (live stamp)
+      assert(shingleSet(Pipeline.sharedShingles(spark, dir)) == first)
+    }
+  }
+
+  test("prune removes only dead stamps: rewrite the dataset, old artifact dies, live one stays") {
+    withTempRoot { root =>
+      import scala.jdk.CollectionConverters._
+      // a private dataset copy this test may rewrite
+      val ds = java.nio.file.Files.createTempDirectory("graft_prune_ds")
+      try {
+        val src = java.nio.file.Paths.get(dir, "documents.parquet")
+        val dst = ds.resolve("documents.parquet")
+        val walk = java.nio.file.Files.walk(src)
+        try walk.iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p).toString)
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else java.nio.file.Files.copy(p, t)
+        } finally walk.close()
+        val expected = shingleSet(Pipeline.sharedShingles(spark, ds.toString))
+        // rewrite: same bytes, bumped mtime ⇒ a NEW data stamp
+        val files = {
+          val w = java.nio.file.Files.walk(dst)
+          try w.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_)).toVector
+          finally w.close()
+        }
+        files.foreach(f => java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(f).toMillis + 7000)))
+        assert(shingleSet(Pipeline.sharedShingles(spark, ds.toString)) == expected)
+        val fam = root.resolve("graft_shingle_table")
+        def children = java.nio.file.Files.list(fam).iterator().asScala.toSeq
+        assert(children.size == 2, s"two stamped artifacts expected, got $children")
+        // dry-run decides but touches nothing
+        val dry = graft.operators.Artifacts
+          .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = true)
+        assert(dry.count(_.action == "would-delete") == 1, s"got $dry")
+        assert(children.size == 2, "dry-run must not delete")
+        // apply: the dead stamp goes, the live one stays and still serves
+        val applied = graft.operators.Artifacts
+          .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
+        assert(applied.count(_.action == "delete") == 1, s"got $applied")
+        assert(applied.count(_.action == "keep") == 1, s"got $applied")
+        assert(children.size == 1, "exactly the live artifact must remain")
+        assert(shingleSet(Pipeline.sharedShingles(spark, ds.toString)) == expected)
+      } finally {
+        val w = java.nio.file.Files.walk(ds)
+        try w.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+    }
+  }
+
+  test("artifact read-back equals a fresh build for every tokenization family") {
+    withTempRoot { _ =>
+      // canonical multiset form: any array column is sorted in place, so
+      // build-order nondeterminism inside arrays can't fake a mismatch
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().toSeq.map { r =>
+          (0 until r.length).map { i =>
+            r.get(i) match {
+              case s: scala.collection.Seq[_] =>
+                s.map(String.valueOf).sorted.mkString("[", ",", "]")
+              case x => String.valueOf(x)
+            }
+          }.mkString("|")
+        }.sorted
+      val docs = graft.Tables.documents(spark, dir)
+      import graft.operators.{Dedup, TextAnalysis => TA}
+      // first call commits the artifact; the compared call reads it back
+      val families: Seq[(String, () => org.apache.spark.sql.DataFrame,
+          () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("shingles", () => Pipeline.sharedShingles(spark, dir),
+          () => Dedup.shingleTable(docs, "text", "doc_id", n = 3)),
+        ("winnow fps", () => Pipeline.sharedWinnowFps(spark, dir),
+          () => TA.winnowFingerprints(docs, "text", "doc_id", n = 3, w = 4)),
+        ("source grams", () => Pipeline.sharedSourceGrams(spark, dir),
+          () => Pipeline.sourceGrams(docs)),
+        ("span rows", () => Pipeline.sharedSpanRows(spark, dir),
+          () => Dedup.spanPositionRows(docs, "text", "doc_id", n = 5)))
+      families.foreach { case (name, shared, fresh) =>
+        shared() // ensure committed
+        val readBack = canon(shared())
+        val rebuilt = canon(fresh())
+        assert(readBack == rebuilt,
+          s"$name: artifact read-back must equal a fresh build " +
+            s"(${readBack.size} vs ${rebuilt.size} rows)")
+        assert(readBack.nonEmpty, s"$name: parity check must not be vacuous")
+      }
+    }
+  }
+
+  test("PruneArtifacts CLI: dry-run by default, --apply deletes, bad flags fail loudly") {
+    withTempRoot { root =>
+      // make sure the suite session exists before the CLI's getOrCreate
+      spark.range(1).count()
+      val fam = root.resolve("graft_shingle_table")
+      java.nio.file.Files.createDirectories(fam)
+      val husk = fam.resolve("deadstamp00")
+      java.nio.file.Files.createDirectories(husk)
+      java.nio.file.Files.setLastModifiedTime(husk,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      def run(args: String*): (Int, String) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ps = new java.io.PrintStream(bos)
+        val code = graft.PruneArtifacts.run(args, ps, ps)
+        ps.flush(); (code, bos.toString("UTF-8"))
+      }
+      val (dryCode, dryOut) = run(root.toString)
+      assert(dryCode == 0 && dryOut.contains("would-delete") &&
+        dryOut.contains("dry-run"), dryOut)
+      assert(java.nio.file.Files.exists(husk), "dry-run must not delete")
+      val (appCode, appOut) = run(root.toString, "--apply")
+      assert(appCode == 0 && appOut.contains("1 deleted"), appOut)
+      assert(!java.nio.file.Files.exists(husk), "--apply must delete the aged husk")
+      assert(run("--bogus")._1 == 1)
+      assert(run(root.toString, "--grace-ms", "notanumber")._1 == 1)
+      assert(run()._1 == 1)
+    }
+  }
+
   test("unknown stamp: nothing is ever persisted, the inline build serves") {
     withTempRoot { root =>
       // a dir whose table files can't be walked fingerprints as stamp 0
