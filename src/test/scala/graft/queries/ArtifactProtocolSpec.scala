@@ -128,6 +128,34 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("eight unorchestrated racing writers: every caller reports committed, the artifact is ONE writer's table") {
+    withTempRoot { root =>
+      import spark.implicits._
+      val path = root.resolve("graft_stress_family").resolve("art1").toString
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = (0 until 8).map { w =>
+        new Thread(() => {
+          results.add(graft.operators.Artifacts.atomicCommit(spark, path) { tmp =>
+            Seq.tabulate(4)(i => (s"w$w", i.toLong)).toDF("writer", "v")
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+          })
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.forall(identity),
+        "every caller must see a committed artifact")
+      assert(graft.operators.Artifacts.markerExists(spark, path))
+      val rows = spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val writers = rows.map(_._1)
+      assert(writers.size == 1, s"artifact mixes writers: $writers")
+      assert(rows == Set.tabulate(4)(i => (writers.head, i.toLong)),
+        s"artifact must be one writer's COMPLETE table, got $rows")
+    }
+  }
+
   test("a writer that dies between temp-build and rename leaves readers unharmed; prune reaps the orphan after grace") {
     withTempRoot { root =>
       val fam = root.resolve("graft_shingle_table")
