@@ -79,11 +79,21 @@ object Pq {
     * (m·k·dims/m doubles — tiny), so a reader reconstructs without
     * retraining. */
   def writeIndex(b: DataFrame, books: Seq[Seq[Seq[Double]]], path: String): Unit = {
-    import b.sparkSession.implicits._
     require(books.forall(_.size <= 128), "tinyint codes need k <= 128")
     b.select(col("id"),
         codes(col("e"), books).cast(ArrayType(ByteType)).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
+    writeBooks(b.sparkSession, books, path)
+  }
+
+  /** Codebooks ONLY — m·k tiny rows, no corpus scan: the right write for
+    * a cache that never reads the code table back (the
+    * [[Ivf.writeCentroids]] story applied to PQ). Reconstruction from
+    * baked-in books is a narrow projection, so persisting the corpus
+    * codes here would buy nothing. */
+  def writeBooks(spark: org.apache.spark.sql.SparkSession,
+      books: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    import spark.implicits._
     books.zipWithIndex
       .flatMap { case (bk, j) => bk.zipWithIndex.map { case (c, cw) =>
         (j.toLong, cw.toLong, c) } }
@@ -91,6 +101,13 @@ object Pq {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/books")
   }
+
+  /** True when a codebook table exists at `path` — probes the books
+    * write's job-success marker (never the bare directory), so a
+    * half-written artifact reads as missing and heals by retrain. */
+  def booksExist(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    Artifacts.markerExists(spark, s"$path/books")
 
   /** Codebooks back from a [[writeIndex]] index — bit-identical to the
     * trained values (doubles round-trip parquet exactly). */

@@ -1075,14 +1075,46 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
-  /** JVM-lifetime codebook cache, keyed like [[sharedCentroids]] (dir +
-    * data stamp + geometry) — training is deterministic, so a cache miss
-    * after restart retrains to bit-identical books. */
+  /** The trained PQ codebooks as a once-per-dataset artifact — the full
+    * [[sharedCentroids]] treatment (in-JVM cache in front of
+    * `_SUCCESS`-certified parquet keyed by dir + data stamp + geometry +
+    * training format): training is m deterministic k-means runs and
+    * doubles round-trip parquet bit-exactly, so a re-read codebook
+    * reconstructs bit-identically to a retrain, and "train once, deploy"
+    * survives JVM restarts, not just JVM lifetime. A read-only root or a
+    * corrupt artifact degrades to the (bit-identical) retrain; stamp 0 ⇒
+    * in-JVM only (the sharedPcaModel rule). IvfTrainFormat busts
+    * persisted books when the shared k-means arithmetic changes. */
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long, Int, Int, Int), Seq[Seq[Seq[Double]]]]
-  private def sharedCodebooks(b: DataFrame, dir: String): Seq[Seq[Seq[Double]]] =
-    codebookCache.getOrElseUpdate((dir, embStamp(dir), PqM, PqK, PqIters),
-      graft.operators.Pq.trainCodebooks(b, PqM, PqK, PqIters))
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, Long, Int, Int, Int), Seq[Seq[Seq[Double]]]]
+  private def sharedCodebooks(b: DataFrame, dir: String): Seq[Seq[Seq[Double]]] = {
+    val spark = b.sparkSession
+    val root = Ivf.indexRoot(spark)
+    val stamp = embStamp(dir)
+    val key = (root, dir, stamp, PqM, PqK, PqIters)
+    val canPersist = stamp != 0L
+    codebookCache.getOrElseUpdate(key, {
+      val path = s"$root/graft_pq_books/${md5Hex(s"$key:fmt$IvfTrainFormat")}"
+      val persisted =
+        if (canPersist && graft.operators.Pq.booksExist(spark, path))
+          try Some(graft.operators.Pq.readBooks(spark, path))
+          catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      persisted.getOrElse {
+        val books = graft.operators.Pq.trainCodebooks(b, PqM, PqK, PqIters)
+        if (canPersist)
+          graft.operators.Artifacts.atomicCommit(spark, path, Map(
+              "family" -> "graft_pq_books", "dataset_dir" -> dir,
+              "table" -> "embeddings", "stamp" -> stamp.toString,
+              "key" -> s"m$PqM:k$PqK:i$PqIters:fmt$IvfTrainFormat"),
+              certified = graft.operators.Pq.booksExist) { tmp =>
+            graft.operators.Pq.writeBooks(spark, books, tmp)
+          }
+        books
+      }
+    })
+  }
 
   /** Train-once, reuse-forever: the ANN query and the SemDeDup query run
     * the same deterministic k-means over the same table, so the trained
