@@ -68,15 +68,15 @@ def main(sf_dir, out_dir):
                     con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
                 exp_cols, exp = canon(con, sql)
         except Exception as e:
-            print(f"FAIL {name}: exception {e}")
+            print(f"FAIL {name}: exception {e}", flush=True)
             n_fail += 1
             continue
         if got_cols != exp_cols:
-            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}", flush=True)
             n_fail += 1
             continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}", flush=True)
             n_fail += 1
             continue
         bad = None
@@ -85,10 +85,10 @@ def main(sf_dir, out_dir):
                 bad = (i, g, e)
                 break
         if bad:
-            print(f"FAIL {name}: row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}")
+            print(f"FAIL {name}: row {bad[0]}\n  got {bad[1]}\n  exp {bad[2]}", flush=True)
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows)", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
