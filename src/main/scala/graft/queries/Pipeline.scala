@@ -5054,30 +5054,46 @@ object Pipeline {
     * memory-squeezed compare process (round 9). Min-label propagates the
     * component minimum one hop per level, so memory stays linear in edges;
     * SemDeDup components are near-cliques (within-cluster cosine balls),
-    * so K=8 covers any realistic diameter with a wide margin. Each level
-    * is `MATERIALIZED`: levels reference their predecessor twice, and
-    * inlining would otherwise double the plan per level (2^K blowup).
-    * LEFT-joined back onto the full vector universe so unpaired vectors
-    * keep themselves. The levels walk the 2-HOP closure `edges2`
-    * (edges ∪ edges∘edges, built once), so K=8 levels cover component
-    * eccentricity 16 at K=8's memory — the measured max component
-    * DIAMETER on the sf0.01 pair set is 4 (70 components, 52 of them
-    * single edges), a 4× margin; chains (cosine is not transitive at the
-    * threshold) would need >16 similar-only-to-neighbors vectors inside
-    * ONE k-means cluster to exceed the bound, and the driver's
-    * memory-squeezed compare OOMs past ~8 materialized levels (a 4-hop
-    * closure also OOMs, measured). The bound is oracle-side only — the
-    * Spark labeling stays exact — and it is GUARDED: the `conv` CTE
-    * compares l_K with l_{K-1} and routes any un-converged node through
-    * DuckDB's error() with a raise-K message, so a diameter overrun on
-    * regenerated/larger data fails loudly as an oracle-bound breach
-    * instead of reading as a Spark labeling bug. */
+    * so the level budget covers any realistic diameter with margin. Each
+    * level is `MATERIALIZED`: levels reference their predecessor three
+    * times, and inlining would otherwise multiply the plan per level
+    * (exponential blowup). LEFT-joined back onto the full vector universe
+    * so unpaired vectors keep themselves. Each level combines two
+    * monotone steps: a HOOK (neighbor-min over `edges`, one hop of
+    * connectivity per level) and a JUMP (label-of-label — every label IS
+    * a node id of the same component, so `l(l(node))` compresses formed
+    * label chains, the pointer-doubling step). The jump accelerates only
+    * along already-formed chains; into territory whose ids are locally
+    * minimal the frontier still moves one hop per level, so the honest
+    * bound is "min-eccentricity ≤ K", not 2^K (measured: the round-15
+    * sf0.1 oracle drive converges at level 13; sf0.01 within 8; the toy
+    * 40-path within 8). K = 24 gives ~2× margin over the worst measured
+    * scale. The round-14 form hooked over a materialized 2-HOP closure
+    * (edges ∪ edges∘edges, an O(Σ degree²) table) with K = 8 — an sf0.1
+    * component breached that 16-eccentricity cap, and the closure was
+    * the memory hog that limited K in the first place; the jump form
+    * removed the quadratic closure, so each level is a node-count-sized
+    * table and 24 levels cost less than 8 closure levels did (the full
+    * 32-level probe runs in ~4s at sf0.1). Labels only ever take MINs of
+    * node ids inside the same component (hook brings edge-neighbor
+    * labels, jump brings a label-node's own label), so the fixpoint is
+    * the component minimum — exactly Spark's labeling. The bound stays
+    * oracle-side only and GUARDED: the `conv` CTE compares l_K with
+    * l_{K-1} and routes any un-converged node through DuckDB's error()
+    * with a raise-K message, so an overrun on regenerated/larger data
+    * fails loudly as an oracle-bound breach instead of reading as a
+    * Spark labeling bug. */
   private val semanticDedupSql = {
-    val K = 8
+    val K = 24
     val levels = (1 to K).map { i =>
-      s"""l$i AS MATERIALIZED (SELECT e.a AS node, MIN(LEAST(la.lab, lb.lab)) AS lab
-         |       FROM edges2 e JOIN l${i - 1} la ON la.node = e.a
-         |       JOIN l${i - 1} lb ON lb.node = e.b GROUP BY e.a)""".stripMargin
+      s"""l$i AS MATERIALIZED (SELECT node, MIN(lab) AS lab FROM (
+         |       SELECT e.a AS node, LEAST(la.lab, lb.lab) AS lab
+         |       FROM edges e JOIN l${i - 1} la ON la.node = e.a
+         |       JOIN l${i - 1} lb ON lb.node = e.b
+         |       UNION ALL
+         |       SELECT c.node, p.lab FROM l${i - 1} c
+         |       JOIN l${i - 1} p ON p.node = c.lab
+         |     ) GROUP BY node)""".stripMargin
     }.mkString(",\n")
     s"""$ivfCtes,
        |sp AS MATERIALIZED (SELECT x.id da, y.id db
@@ -5085,15 +5101,13 @@ object Pipeline {
        |       JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id
        |       WHERE LIST_COSINE_SIMILARITY(bx.raw, bv.raw) >= $SemDedupThreshold),
        |edges AS MATERIALIZED (SELECT da a, db b FROM sp UNION SELECT db a, da b FROM sp),
-       |edges2 AS MATERIALIZED (SELECT a, b FROM edges
-       |       UNION SELECT e1.a, e2.b FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
        |$levels,
        |conv AS (SELECT COUNT(*) c FROM l$K k JOIN l${K - 1} p
        |         ON p.node = k.node AND p.lab <> k.lab),
        |cc AS (SELECT node,
        |         CASE WHEN (SELECT c FROM conv) > 0
-       |              THEN CAST(error('semantic-dedup oracle: min-label did not converge within K=$K levels over the 2-hop closure (component eccentricity > ${2 * K}) — raise K in semanticDedupSql; this is an ORACLE bound, not a Spark labeling bug') AS BIGINT)
+       |              THEN CAST(error('semantic-dedup oracle: hook+jump min-label did not converge within K=$K levels (component min-eccentricity > $K) — raise K in semanticDedupSql; this is an ORACLE bound, not a Spark labeling bug') AS BIGINT)
        |              ELSE lab END AS rep FROM l$K)
        |SELECT b.id AS vec_id, COALESCE(cc.rep, b.id) AS rep_id,
        |       CAST(COALESCE(cc.rep, b.id) = b.id AS INT) AS kept
