@@ -221,6 +221,15 @@ object Artifacts {
           }
       }
     }
+    def applyDecision(d: PruneDecision,
+        p: org.apache.hadoop.fs.Path): Unit = {
+      decisions += d
+      if (d.action == "delete")
+        try fs.delete(p, true)
+        catch { case scala.util.control.NonFatal(_) =>
+          decisions += PruneDecision(p.toString, "keep",
+            "delete failed — left in place") }
+    }
     for {
       fam <- fs.listStatus(rootPath) if fam.isDirectory
       child <- try fs.listStatus(fam.getPath)
@@ -229,12 +238,29 @@ object Artifacts {
       if child.isDirectory
     } {
       val d = decide(child)
-      decisions += d
-      if (d.action == "delete")
-        try fs.delete(child.getPath, true)
-        catch { case scala.util.control.NonFatal(_) =>
-          decisions += PruneDecision(child.getPath.toString, "keep",
-            "delete failed — left in place") }
+      applyDecision(d, child.getPath)
+      // a rename race can nest the LOSER's dot-temp inside the winner's
+      // committed artifact (invisible to readers, but disk nonetheless) —
+      // sweep those under the same temp grace rule without ever touching
+      // the artifact's own certified content
+      if (d.action == "keep")
+        for {
+          nested <- try fs.listStatus(child.getPath)
+                    catch { case scala.util.control.NonFatal(_) =>
+                      Array.empty[org.apache.hadoop.fs.FileStatus] }
+          if nested.isDirectory
+          name = nested.getPath.getName
+          if name.startsWith(".") && name.contains(TmpTag)
+        } {
+          val age = now - nested.getModificationTime
+          if (age > graceMs)
+            applyDecision(PruneDecision(nested.getPath.toString,
+              if (dryRun) "would-delete" else "delete",
+              s"temp nested in committed artifact by a rename race (age ${age}ms)"),
+              nested.getPath)
+          else decisions += PruneDecision(nested.getPath.toString, "keep",
+            "nested temp within grace window")
+        }
     }
     decisions.result()
   }

@@ -187,6 +187,33 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("prune sweeps a temp nested inside a committed artifact by a rename race, leaving the artifact intact") {
+    withTempRoot { root =>
+      val first = shingleSet(Pipeline.sharedShingles(spark, dir))
+      import scala.jdk.CollectionConverters._
+      val art = java.nio.file.Files
+        .list(root.resolve("graft_shingle_table")).iterator().asScala.toSeq.head
+      // simulate the rename-race loser nested under the winner
+      val nested = art.resolve(".loser.inprogress-42-7")
+      spark.range(2).coalesce(1).write.parquet(nested.toString)
+      java.nio.file.Files.setLastModifiedTime(nested,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      val dec = graft.operators.Artifacts
+        .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
+      assert(dec.exists(d => d.path.endsWith(".loser.inprogress-42-7") &&
+        d.action == "delete"), s"nested temp must be reaped, got $dec")
+      assert(!java.nio.file.Files.exists(nested))
+      // the artifact itself was kept, stays certified, and still serves
+      // (decision paths are Hadoop-rendered, e.g. file:/..., so compare
+      // by the stamped directory name)
+      assert(dec.exists(d => d.path.endsWith(art.getFileName.toString) &&
+        d.action == "keep"))
+      assert(graft.operators.Artifacts.markerExists(spark, art.toString))
+      assert(shingleSet(Pipeline.sharedShingles(spark, dir)) == first)
+    }
+  }
+
   test("prune removes only dead stamps: rewrite the dataset, old artifact dies, live one stays") {
     withTempRoot { root =>
       import scala.jdk.CollectionConverters._
