@@ -334,6 +334,22 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact-backed sweep: later calls read the persisted pair table, never retokenize") {
+    withTempRoot { _ =>
+      // first call builds + commits graft_sweep_pairs / graft_hot_stats
+      assert(Pipeline.dedupSweep(spark, dir).collect().nonEmpty)
+      // the second call's physical plan must scan the pair artifact and
+      // contain NO shingle tokenization or candidate self-join — the
+      // whole point of persisting the sweep's dominant cost
+      val plan = Pipeline.dedupSweep(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_sweep_pairs"),
+        s"expected a parquet scan of the pair artifact in:\n$plan")
+      assert(!plan.contains("rm_shingle_hashes"),
+        s"the artifact-read path must not retokenize the corpus:\n$plan")
+    }
+  }
+
   test("unknown stamp: nothing is ever persisted, the inline build serves") {
     withTempRoot { root =>
       // a dir whose table files can't be walked fingerprints as stamp 0
