@@ -17,9 +17,21 @@ object Verify {
         "denominator silently; bump ExpectedQueryCount only with an " +
         "intentional add/remove")
     // optional 3rd arg: comma-separated query names (local iteration only;
-    // the driver always invokes with exactly two args = full run)
+    // the driver always invokes with exactly two args = full run). Names
+    // are trimmed and VALIDATED: a typo would otherwise dump nothing and
+    // write an empty oracle file, and the checker would print a
+    // clean-looking "0 pass, 0 fail" for a run that checked nothing —
+    // the same silent-shrink failure Bench's filter guards against.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query names in the focused-run filter: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "the focused-run filter names no queries")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // driver contract: local[32]
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

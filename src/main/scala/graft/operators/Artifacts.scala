@@ -136,9 +136,21 @@ object Artifacts {
         if (meta.nonEmpty) writeMetaFile(fs, tmp, meta)
         // lost the race while building? the winner's artifact serves
         if (certified(spark, path)) { fs.delete(tmp, true); return true }
-        // clear an UNCERTIFIED husk (a pre-atomic-protocol crash) so the
-        // rename lands at the final name instead of nesting under it
-        if (fs.exists(dst) && !certified(spark, path)) fs.delete(dst, true)
+        // clear an UNCERTIFIED PRE-PROTOCOL husk so the rename lands at
+        // the final name instead of nesting under it — but ONLY when the
+        // directory is provably not an atomic-protocol artifact: no
+        // certificate AND no provenance meta. An atomic writer can never
+        // leave dst in that state (its rename lands marker and meta
+        // together or not at all), so this delete cannot hit a concurrent
+        // winner except in the probe→delete instant — and even then both
+        // writers built the SAME deterministic table, so the final state
+        // is a certified, equivalent artifact; a reader catching the
+        // one-flap FileNotFound falls back to its inline build (every
+        // caller wraps reads in NonFatal → rebuild). An uncertified dir
+        // that HAS meta (manual decertification) is left for the prune
+        // reaper's grace-windowed path instead.
+        if (fs.exists(dst) && !certified(spark, path) &&
+            readMeta(spark, path).isEmpty) fs.delete(dst, true)
         if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
         else if (!certified(spark, path))
           // rename "succeeded" but the certificate is not at the final
@@ -231,7 +243,13 @@ object Artifacts {
             "delete failed — left in place") }
     }
     for {
-      fam <- fs.listStatus(rootPath) if fam.isDirectory
+      // ONLY graft_-prefixed families are ever ours: the default artifact
+      // root is java.io.tmpdir, so an unguarded walk would classify any
+      // tenant's /tmp directory as a "family" and reap its markerless
+      // subdirectories as husks — `prune /tmp --apply` must never be able
+      // to delete non-graft data
+      fam <- fs.listStatus(rootPath)
+      if fam.isDirectory && fam.getPath.getName.startsWith("graft_")
       child <- try fs.listStatus(fam.getPath)
                catch { case scala.util.control.NonFatal(_) =>
                  Array.empty[org.apache.hadoop.fs.FileStatus] }

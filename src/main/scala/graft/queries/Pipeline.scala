@@ -124,7 +124,11 @@ object Pipeline {
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val pj = sweepPairs(spark, dir)
+    // localCheckpoint so nPairs and nDocs evaluate the pair table ONCE:
+    // negligible on the artifact path (the pair list is tiny), and on
+    // the stamp-0 / unwritable-root FALLBACK it is what keeps the
+    // dominant candidate self-join from running twice in one query
+    val pj = sweepPairs(spark, dir).localCheckpoint()
     val hot = sweepHotStats(spark, dir)
     val th = SweepThresholds.toDF("threshold")
     val sel = pj.crossJoin(broadcast(th))
@@ -1370,12 +1374,15 @@ object Pipeline {
     * Jaccard is one IEEE division per pair, so doubles round-trip parquet
     * bit-exactly; the key versions the shingle arithmetic, the df cap,
     * and the floor (a changed cap or floor re-derives, never re-reads). */
-  private def sweepPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sweepPairs(spark: SparkSession, dir: String): DataFrame =
     datasetArtifact(spark, dir, "graft_sweep_pairs",
         s"n$ShingleN:fmt$ShingleFormat:cap${Dedup.AuditDfCap}" +
           s":floor${SweepThresholds.min}", Seq("da", "db", "jaccard")) {
-      Dedup.allPairsJaccard(
-        sharedShingles(spark, dir).localCheckpoint(),
+      // no localCheckpoint here: on the stamp-0 fallback this thunk is
+      // re-evaluated PER CALL and an eager checkpoint would accumulate
+      // block-manager state with no unpersist; the self-join simply
+      // reads the shingle artifact parquet twice instead
+      Dedup.allPairsJaccard(sharedShingles(spark, dir),
         threshold = SweepThresholds.min)
     }
 

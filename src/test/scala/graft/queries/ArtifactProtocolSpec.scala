@@ -214,6 +214,25 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("prune never touches non-graft directories: /tmp-as-root is safe under --apply") {
+    withTempRoot { root =>
+      // a foreign tenant's directory: old, markerless — the exact shape
+      // prune would classify as an aged husk if it walked it
+      val alien = root.resolve("spark-0a1b2c3d").resolve("scratch")
+      java.nio.file.Files.createDirectories(alien)
+      java.nio.file.Files.writeString(alien.resolve("data.bin"), "not ours")
+      Seq(root.resolve("spark-0a1b2c3d"), alien).foreach(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 48L * 60 * 60 * 1000)))
+      val dec = graft.operators.Artifacts
+        .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
+      assert(dec.isEmpty, s"non-graft families must not even be decided on: $dec")
+      assert(java.nio.file.Files.exists(alien.resolve("data.bin")),
+        "foreign data must survive prune --apply")
+    }
+  }
+
   test("prune removes only dead stamps: rewrite the dataset, old artifact dies, live one stays") {
     withTempRoot { root =>
       import scala.jdk.CollectionConverters._
@@ -338,10 +357,12 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     withTempRoot { _ =>
       // first call builds + commits graft_sweep_pairs / graft_hot_stats
       assert(Pipeline.dedupSweep(spark, dir).collect().nonEmpty)
-      // the second call's physical plan must scan the pair artifact and
-      // contain NO shingle tokenization or candidate self-join — the
-      // whole point of persisting the sweep's dominant cost
-      val plan = Pipeline.dedupSweep(spark, dir)
+      // the second call's pair table must be a parquet scan of the
+      // artifact with NO shingle tokenization or candidate self-join —
+      // the whole point of persisting the sweep's dominant cost.
+      // (dedupSweep itself localCheckpoints the pair table, which
+      // truncates the visible lineage, so pin the pre-checkpoint read.)
+      val plan = Pipeline.sweepPairs(spark, dir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("graft_sweep_pairs"),
         s"expected a parquet scan of the pair artifact in:\n$plan")
