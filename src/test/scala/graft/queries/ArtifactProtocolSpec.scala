@@ -371,6 +371,32 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("an unwritable artifact root degrades to the inline build with IDENTICAL results") {
+    // the artifact families are all DETERMINISTIC derived tables, so the
+    // fallback (atomicCommit returns false, datasetArtifact serves the
+    // inline plan) must be value-identical to the artifact-backed path —
+    // the exact claim every shared* scaladoc makes
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq.map(_.toString).sorted
+    val viaArtifact = withTempRoot { _ =>
+      (rows(Pipeline.dedupSweep(spark, dir)),
+        rows(Pipeline.queries("q_pq_rerank")(spark, dir)))
+    }
+    val prev = spark.conf.getOption("spark.graft.index.root")
+    // /dev/null/... fails every create/mkdir even for root, unlike a
+    // chmod-400 dir which the sandbox's uid-0 user writes through
+    spark.conf.set("spark.graft.index.root", "/dev/null/graft_broken_root")
+    try {
+      assert(rows(Pipeline.dedupSweep(spark, dir)) == viaArtifact._1,
+        "sweep fallback must equal the artifact-backed sweep")
+      assert(rows(Pipeline.queries("q_pq_rerank")(spark, dir)) == viaArtifact._2,
+        "PQ fallback must equal the artifact-backed rerank")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.index.root", v)
+      case None => spark.conf.unset("spark.graft.index.root")
+    }
+  }
+
   test("unknown stamp: nothing is ever persisted, the inline build serves") {
     withTempRoot { root =>
       // a dir whose table files can't be walked fingerprints as stamp 0
