@@ -116,6 +116,10 @@ object Bench {
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      // a whitespace/comma-only filter would otherwise measure zero
+      // queries and still overwrite bench_focused.json with a
+      // clean-looking empty adjudication artifact
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY names no queries")
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -18,9 +18,14 @@ import org.apache.spark.sql.SparkSession
   *     only once older than the grace window (default 1h — an in-flight
   *     writer younger than that may still be running).
   *
-  * Usage: `runMain graft.PruneArtifacts <root> [--apply] [--grace-ms N]`
-  * — DRY-RUN by default (prints decisions, deletes nothing); `--apply`
-  * performs the deletes. Exit 0 on success, 1 on bad usage. */
+  * Usage: `runMain graft.PruneArtifacts <root> [--apply] [--grace-ms N]
+  * [--keep-dead-keys]` — DRY-RUN by default (prints decisions, deletes
+  * nothing); `--apply` performs the deletes. Dead-KEY artifacts (format
+  * bumps re-key the path, orphaning the old-format parquet under a
+  * still-live data stamp) are reaped against
+  * [[graft.queries.Pipeline.liveArtifactKeys]] — the map shipped in
+  * this very build — unless `--keep-dead-keys` is passed. Exit 0 on
+  * success, 1 on bad usage. */
 object PruneArtifacts {
 
   def main(args: Array[String]): Unit =
@@ -31,11 +36,13 @@ object PruneArtifacts {
       err: java.io.PrintStream): Int = {
     var root: Option[String] = None
     var apply = false
+    var keepDeadKeys = false
     var graceMs = 60L * 60L * 1000L
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--apply" => apply = true
+        case "--keep-dead-keys" => keepDeadKeys = true
         case "--grace-ms" =>
           if (i + 1 >= args.length ||
               scala.util.Try(args(i + 1).toLong).isFailure) {
@@ -53,7 +60,7 @@ object PruneArtifacts {
     root match {
       case None =>
         err.println(
-          "usage: prune-artifacts <artifact-root> [--apply] [--grace-ms N]")
+          "usage: prune-artifacts <artifact-root> [--apply] [--grace-ms N] [--keep-dead-keys]")
         1
       case Some(r) =>
         // only stop the session if this main created it — under a test
@@ -67,8 +74,14 @@ object PruneArtifacts {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         try {
+          // the live format keys come from THE SAME BUILD this reaper
+          // ships in, so "current" can never drift from what writers
+          // record (Pipeline.artifactMeta reads the same map)
+          val liveKeys =
+            if (keepDeadKeys) Map.empty[String, String]
+            else graft.queries.Pipeline.liveArtifactKeys
           val decisions = graft.operators.Artifacts
-            .prune(spark, r, graceMs, dryRun = !apply)
+            .prune(spark, r, graceMs, dryRun = !apply, liveKeys = liveKeys)
           decisions.foreach(d =>
             out.println(s"${d.action}\t${d.path}\t${d.reason}"))
           val deleted = decisions.count(_.action == "delete")

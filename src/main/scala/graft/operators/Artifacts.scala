@@ -79,6 +79,16 @@ object Artifacts {
     finally out.close()
   }
 
+  /** True when `dir/_GRAFT_META` exists — CONSERVATIVE: any probe error
+    * reads as "exists", because the only caller acting on this decides
+    * whether a directory may be DELETED, and a transient IO error must
+    * never authorize a delete. */
+  def metaFileExists(spark: SparkSession, dir: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+      fsFor(spark, p).exists(p)
+    } catch { case scala.util.control.NonFatal(_) => true }
+
   /** The [[MetaFile]] record of a committed artifact, if present and
     * readable. Never fails its caller. */
   def readMeta(spark: SparkSession, dir: String): Option[Map[String, String]] =
@@ -139,18 +149,20 @@ object Artifacts {
         // clear an UNCERTIFIED PRE-PROTOCOL husk so the rename lands at
         // the final name instead of nesting under it — but ONLY when the
         // directory is provably not an atomic-protocol artifact: no
-        // certificate AND no provenance meta. An atomic writer can never
-        // leave dst in that state (its rename lands marker and meta
-        // together or not at all), so this delete cannot hit a concurrent
-        // winner except in the probe→delete instant — and even then both
-        // writers built the SAME deterministic table, so the final state
-        // is a certified, equivalent artifact; a reader catching the
-        // one-flap FileNotFound falls back to its inline build (every
-        // caller wraps reads in NonFatal → rebuild). An uncertified dir
-        // that HAS meta (manual decertification) is left for the prune
-        // reaper's grace-windowed path instead.
+        // certificate AND no provenance meta FILE (probed directly —
+        // readMeta's parse fallback must not be used here, because it
+        // returns None on a transient read error too, and that would
+        // delete a meta-bearing dir the policy promises to leave for the
+        // prune reaper). An atomic writer can never leave dst in that
+        // state (its rename lands marker and meta together or not at
+        // all), so this delete cannot hit a concurrent winner except in
+        // the probe→delete instant — and even then both writers built
+        // the SAME deterministic table, so the final state is a
+        // certified, equivalent artifact; a reader catching the one-flap
+        // FileNotFound falls back to its inline build (every caller
+        // wraps reads in NonFatal → rebuild).
         if (fs.exists(dst) && !certified(spark, path) &&
-            readMeta(spark, path).isEmpty) fs.delete(dst, true)
+            !metaFileExists(spark, path)) fs.delete(dst, true)
         if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
         else if (!certified(spark, path))
           // rename "succeeded" but the certificate is not at the final
@@ -184,14 +196,24 @@ object Artifacts {
     *     the IVF/BPE subdir layouts): crash husks — deleted only once
     *     older than `graceMs`.
     *   - certified dirs WITH a [[MetaFile]]: live iff the recorded
-    *     table's recomputed stamp still matches; a dead stamp is
-    *     deleted, a live one kept. A recomputed stamp of 0 (the table
-    *     can no longer be fingerprinted from here) always KEEPS — never
-    *     delete what can't be attributed.
+    *     table's recomputed stamp still matches AND (when `liveKeys`
+    *     names the family) the recorded format key is the current one —
+    *     a format bump re-keys every artifact path, so the old-format
+    *     artifact keeps a live stamp forever while nothing can ever
+    *     read it; `liveKeys` (family → the key THIS build writes) is
+    *     what lets the reaper see those dead-key orphans. A recomputed
+    *     stamp of 0 (the table can no longer be fingerprinted from
+    *     here) always KEEPS — never delete what can't be attributed.
     *   - certified dirs WITHOUT meta (pre-round-15 artifacts): kept.
-    * `dryRun` returns the decisions without deleting anything. */
+    * Ages for temps and husks are measured from the NEWEST mtime found
+    * anywhere under the directory, not the directory's own mtime — a
+    * live writer keeps appending part files, so a build legitimately
+    * running longer than the grace window is never reaped mid-write;
+    * only a directory nothing has touched for `graceMs` is. `dryRun`
+    * returns the decisions without deleting anything. */
   def prune(spark: SparkSession, root: String, graceMs: Long,
-      dryRun: Boolean): Seq[PruneDecision] = {
+      dryRun: Boolean,
+      liveKeys: Map[String, String] = Map.empty): Seq[PruneDecision] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = fsFor(spark, rootPath)
     if (!fs.exists(rootPath)) return Seq.empty
@@ -203,28 +225,48 @@ object Artifacts {
             !st.getPath.getName.startsWith(".") &&
             markerExists(spark, st.getPath.toString))
          catch { case scala.util.control.NonFatal(_) => false })
+    // newest mtime anywhere under `p` — the liveness signal for temps
+    // and husks. Any listing error reads as "touched now" (keep): an
+    // unreadable directory must never age into deletion.
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long =
+      try {
+        val children = fs.listStatus(p)
+        val own = fs.getFileStatus(p).getModificationTime
+        children.foldLeft(own) { (acc, st) =>
+          math.max(acc,
+            if (st.isDirectory) newestMtime(st.getPath)
+            else st.getModificationTime)
+        }
+      } catch { case scala.util.control.NonFatal(_) => now }
     def decide(child: org.apache.hadoop.fs.FileStatus): PruneDecision = {
       val p = child.getPath
-      val ageMs = now - child.getModificationTime
       val name = p.getName
       def del(reason: String) =
         PruneDecision(p.toString, if (dryRun) "would-delete" else "delete", reason)
-      if (name.startsWith(".") && name.contains(TmpTag)) {
-        if (ageMs > graceMs) del(s"orphaned in-progress temp (age ${ageMs}ms)")
-        else PruneDecision(p.toString, "keep", "in-progress temp within grace window")
-      } else if (!certifiedDeep(p)) {
-        if (ageMs > graceMs) del(s"uncertified husk (age ${ageMs}ms)")
-        else PruneDecision(p.toString, "keep", "uncertified but within grace window")
-      } else readMeta(spark, p.toString) match {
+      def agedDel(kind: String): PruneDecision = {
+        val ageMs = now - newestMtime(p)
+        if (ageMs > graceMs) del(s"$kind (idle ${ageMs}ms)")
+        else PruneDecision(p.toString, "keep", s"$kind within grace window")
+      }
+      if (name.startsWith(".") && name.contains(TmpTag))
+        agedDel("in-progress temp")
+      else if (!certifiedDeep(p)) agedDel("uncertified husk")
+      else readMeta(spark, p.toString) match {
         case None =>
           PruneDecision(p.toString, "keep", "certified, no provenance meta")
         case Some(m) =>
           (m.get("dataset_dir"), m.get("table"), m.get("stamp")) match {
             case (Some(d), Some(t), Some(s)) =>
               val cur = tableStamp(d, t)
+              val family = m.get("family").getOrElse(p.getParent.getName)
+              val deadKey = liveKeys.get(family)
+                .exists(k => !m.get("key").contains(k))
               if (cur == 0L)
                 PruneDecision(p.toString, "keep",
                   s"cannot re-fingerprint $d/$t from here")
+              else if (deadKey)
+                del(s"dead format key ${m.getOrElse("key", "?")} " +
+                  s"(live is ${liveKeys(family)})")
               else if (s == cur.toString)
                 PruneDecision(p.toString, "keep", "live stamp")
               else del(s"dead stamp $s (live is $cur)")
@@ -234,14 +276,21 @@ object Artifacts {
       }
     }
     def applyDecision(d: PruneDecision,
-        p: org.apache.hadoop.fs.Path): Unit = {
-      decisions += d
-      if (d.action == "delete")
-        try fs.delete(p, true)
-        catch { case scala.util.control.NonFatal(_) =>
-          decisions += PruneDecision(p.toString, "keep",
-            "delete failed — left in place") }
-    }
+        p: org.apache.hadoop.fs.Path): Unit =
+      if (d.action != "delete") decisions += d
+      else {
+        // Hadoop's recursive delete reports failure by RETURNING false
+        // (FileUtil.fullyDelete), not only by throwing — recording the
+        // "delete" row regardless would make the CLI summary claim
+        // space was reclaimed when the husk is still on disk
+        val deleted =
+          try fs.delete(p, true)
+          catch { case scala.util.control.NonFatal(_) => false }
+        decisions +=
+          (if (deleted) d
+           else PruneDecision(p.toString, "keep",
+             s"delete FAILED (was: ${d.reason}) — left in place"))
+      }
     for {
       // ONLY graft_-prefixed families are ever ours: the default artifact
       // root is java.io.tmpdir, so an unguarded walk would classify any
@@ -270,11 +319,11 @@ object Artifacts {
           name = nested.getPath.getName
           if name.startsWith(".") && name.contains(TmpTag)
         } {
-          val age = now - nested.getModificationTime
+          val age = now - newestMtime(nested.getPath)
           if (age > graceMs)
             applyDecision(PruneDecision(nested.getPath.toString,
               if (dryRun) "would-delete" else "delete",
-              s"temp nested in committed artifact by a rename race (age ${age}ms)"),
+              s"temp nested in committed artifact by a rename race (idle ${age}ms)"),
               nested.getPath)
           else decisions += PruneDecision(nested.getPath.toString, "keep",
             "nested temp within grace window")

@@ -1098,7 +1098,7 @@ object Pipeline {
     val stamp = embStamp(dir)
     val key = (root, dir, stamp, PqM, PqK, PqIters)
     val canPersist = stamp != 0L
-    codebookCache.getOrElseUpdate(key, {
+    onceBy(codebookCache, key, {
       val path = s"$root/graft_pq_books/${md5Hex(s"$key:fmt$IvfTrainFormat")}"
       val persisted =
         if (canPersist && graft.operators.Pq.booksExist(spark, path))
@@ -1108,10 +1108,8 @@ object Pipeline {
       persisted.getOrElse {
         val books = graft.operators.Pq.trainCodebooks(b, PqM, PqK, PqIters)
         if (canPersist)
-          graft.operators.Artifacts.atomicCommit(spark, path, Map(
-              "family" -> "graft_pq_books", "dataset_dir" -> dir,
-              "table" -> "embeddings", "stamp" -> stamp.toString,
-              "key" -> s"m$PqM:k$PqK:i$PqIters:fmt$IvfTrainFormat"),
+          graft.operators.Artifacts.atomicCommit(spark, path,
+              artifactMeta("graft_pq_books", dir, "embeddings", stamp),
               certified = graft.operators.Pq.booksExist) { tmp =>
             graft.operators.Pq.writeBooks(spark, books, tmp)
           }
@@ -1154,7 +1152,7 @@ object Pipeline {
     // stale index FOREVER after a data rewrite — in-JVM cache only
     // then (the sharedPcaModel rule, applied fleet-wide)
     val canPersist = stamp != 0L
-    centroidCache.getOrElseUpdate(key, {
+    onceBy(centroidCache, key, {
       // IvfTrainFormat busts PERSISTED indexes when the training
       // arithmetic itself changes (fmt2: exact-binary toDec) — the data
       // stamp can't see a code change, and a stale on-disk index would
@@ -1176,10 +1174,8 @@ object Pipeline {
         // Atomic temp-dir+rename commit, certified by the centroid
         // subdir's marker (the Ivf.indexExists probe).
         if (canPersist)
-          graft.operators.Artifacts.atomicCommit(spark, idxPath, Map(
-              "family" -> "graft_ivf_index", "dataset_dir" -> dir,
-              "table" -> "embeddings", "stamp" -> stamp.toString,
-              "key" -> s"nlist$IvfNlist:iters$IvfIters:fmt$IvfTrainFormat"),
+          graft.operators.Artifacts.atomicCommit(spark, idxPath,
+              artifactMeta("graft_ivf_index", dir, "embeddings", stamp),
               certified = Ivf.indexExists) { tmp =>
             Ivf.writeCentroids(spark, cents, tmp)
           }
@@ -1212,7 +1208,7 @@ object Pipeline {
     // a model persisted under an unfingerprintable dataset would be
     // served stale forever after a data rewrite
     val canPersist = stamp != 0L
-    bpeModelCache.getOrElseUpdate(key, {
+    onceBy(bpeModelCache, key, {
       val path = s"$root/graft_bpe_model/${md5Hex(s"$key:fmt$BpeTrainFormat")}"
       val persisted =
         if (canPersist && TA.bpeModelExists(spark, path))
@@ -1227,10 +1223,8 @@ object Pipeline {
         // the query — the fresh model is used either way. Atomic
         // temp-dir+rename commit so racing JVMs can't certify a mix.
         if (canPersist)
-          graft.operators.Artifacts.atomicCommit(spark, path, Map(
-              "family" -> "graft_bpe_model", "dataset_dir" -> dir,
-              "table" -> "documents", "stamp" -> stamp.toString,
-              "key" -> s"m$BpeNumMerges:w$BpeMaxWords:fmt$BpeTrainFormat"),
+          graft.operators.Artifacts.atomicCommit(spark, path,
+              artifactMeta("graft_bpe_model", dir, "documents", stamp),
               certified = TA.bpeModelExists) { tmp =>
             TA.writeBpeModel(merges, tmp)
           }
@@ -1264,10 +1258,8 @@ object Pipeline {
     // never the bare directory): a write that died mid-job leaves only
     // an invisible temp and the commit simply runs again and heals it;
     // racing JVMs can't certify a mixed directory
-    val ok = graft.operators.Artifacts.atomicCommit(spark, path, Map(
-        "family" -> "graft_int8_index", "dataset_dir" -> dir,
-        "table" -> "embeddings", "stamp" -> stamp.toString,
-        "key" -> "int8")) { tmp =>
+    val ok = graft.operators.Artifacts.atomicCommit(spark, path,
+        artifactMeta("graft_int8_index", dir, "embeddings", stamp)) { tmp =>
       Quantize.writeIndex(emb, "id", "embedding", tmp)
     }
     if (ok)
@@ -1291,6 +1283,63 @@ object Pipeline {
   private val tokenArtifactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Serialize model-cache builds per key: TrieMap.getOrElseUpdate only
+    * makes the INSERT atomic — two first-callers would both evaluate an
+    * expensive training thunk (the round-14 advice case, fixed for
+    * tokenArtifact with per-path monitors; this is the same treatment
+    * for the in-JVM model caches). Monitors are per cache key, so
+    * independent models still build concurrently; build thunks never
+    * nest into the same cache, so no deadlock. */
+  private val modelBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[Any, Object]()
+  private def onceBy[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+      key: K, build: => V): V = {
+    val lock = modelBuildLocks.computeIfAbsent((cache, key), _ => new Object)
+    lock.synchronized(cache.getOrElseUpdate(key, build))
+  }
+
+  /** Single source of truth for every persisted-artifact family's
+    * CURRENT format key — what this build writes into `_GRAFT_META` and
+    * what the artifact reaper ([[graft.operators.Artifacts.prune]] via
+    * [[graft.PruneArtifacts]]) treats as live: a format bump re-keys the
+    * artifact path, so the old-format artifact keeps a live data stamp
+    * forever while nothing can ever read it — only this map lets the
+    * reaper see those dead-key orphans. Kept in lockstep with the call
+    * sites by construction: [[artifactMeta]] reads the key FROM this map
+    * (a family missing here fails loudly at first write), and
+    * [[datasetArtifact]] requires its caller's path key to equal the
+    * registered one. Lazy: it references format constants declared
+    * later in this object. */
+  private[graft] lazy val liveArtifactKeys: Map[String, String] = Map(
+    "graft_shingle_table" -> s"n$ShingleN:fmt$ShingleFormat",
+    "graft_winnow_fps" -> "n3w4:fmt1",
+    "graft_source_grams" -> "n5:fmt1",
+    "graft_lm_scores" -> "fmt1",
+    "graft_nb_holdout" -> s"b$NbBuckets:fmt1",
+    "graft_lm_model" -> s"topk$LmTopK:fmt1",
+    "graft_dsir_scores" -> s"b$DsirBuckets:fmt1",
+    "graft_minhash_index" -> "n3k64b16:fmt1",
+    "graft_winnow_index" -> "n3w4:fmt1",
+    "graft_simhash" -> "b60:fmt1",
+    "graft_span_rows" -> "n5:fmt1",
+    "graft_dup_clusters" -> "lsh-n3k64b16-t0.8:fmt1",
+    "graft_sweep_pairs" -> (s"n$ShingleN:fmt$ShingleFormat" +
+      s":cap${Dedup.AuditDfCap}:floor${SweepThresholds.min}"),
+    "graft_hot_stats" -> s"n$ShingleN:fmt$ShingleFormat:cap${Dedup.AuditDfCap}",
+    "graft_ivf_index" -> s"nlist$IvfNlist:iters$IvfIters:fmt$IvfTrainFormat",
+    "graft_int8_index" -> "int8",
+    "graft_pq_books" -> s"m$PqM:k$PqK:i$PqIters:fmt$IvfTrainFormat",
+    "graft_pca_model" -> s"d$IvfDims:i$PcaIters:fmt$PcaTrainFormat",
+    "graft_bpe_model" -> s"m$BpeNumMerges:w$BpeMaxWords:fmt$BpeTrainFormat")
+
+  /** The `_GRAFT_META` provenance record every artifact commit carries —
+    * the key ALWAYS comes from [[liveArtifactKeys]], so the reaper's
+    * notion of "current" can never drift from what writers record. */
+  private def artifactMeta(family: String, dir: String, table: String,
+      stamp: Long): Map[String, String] =
+    Map("family" -> family, "dataset_dir" -> dir, "table" -> table,
+      "stamp" -> stamp.toString, "key" -> liveArtifactKeys(family))
+
   /** A DETERMINISTIC derived table of the documents table at `dir` as a
     * once-per-dataset parquet artifact — the generalized
     * [[sharedCentroids]] treatment for tokenization products whose every
@@ -1310,6 +1359,10 @@ object Pipeline {
       build: => DataFrame): DataFrame = {
     val stamp = tableStamp(dir, "documents")
     if (stamp == 0L) return build
+    require(liveArtifactKeys.get(family).contains(key),
+      s"artifact family $family writes key '$key' but liveArtifactKeys " +
+        s"registers '${liveArtifactKeys.get(family)}' — the reaper would " +
+        "treat this artifact as a dead-key orphan; register the key")
     val root = Ivf.indexRoot(spark)
     val path = s"$root/$family/${md5Hex(s"($root,$dir,$stamp):$key")}"
     val lock = tokenArtifactLocks.computeIfAbsent(path, _ => new Object)
@@ -1322,9 +1375,8 @@ object Pipeline {
         // a concurrent writer in ANOTHER JVM can never interleave with
         // this one at the final path; the provenance meta is what the
         // artifact-root reaper (Artifacts.prune) attributes stamps by.
-        graft.operators.Artifacts.atomicCommit(spark, path, Map(
-          "family" -> family, "dataset_dir" -> dir, "table" -> "documents",
-          "stamp" -> stamp.toString, "key" -> key)) { tmp =>
+        graft.operators.Artifacts.atomicCommit(spark, path,
+            artifactMeta(family, dir, "documents", stamp)) { tmp =>
           build.write.mode("overwrite").parquet(tmp)
         }
       })
@@ -1378,10 +1430,14 @@ object Pipeline {
     datasetArtifact(spark, dir, "graft_sweep_pairs",
         s"n$ShingleN:fmt$ShingleFormat:cap${Dedup.AuditDfCap}" +
           s":floor${SweepThresholds.min}", Seq("da", "db", "jaccard")) {
-      // no localCheckpoint here: on the stamp-0 fallback this thunk is
-      // re-evaluated PER CALL and an eager checkpoint would accumulate
-      // block-manager state with no unpersist; the self-join simply
-      // reads the shingle artifact parquet twice instead
+      // no localCheckpoint here: on the stamp-0 / unwritable-root
+      // fallback this thunk is re-evaluated PER CALL and an eager
+      // checkpoint would pin block-manager state until the GC-driven
+      // ContextCleaner gets to it; the self-join reads the shingle
+      // relation twice instead — a parquet scan each on the committed
+      // path, a re-tokenization each on the fallback (correct but
+      // slower, the accepted degraded mode: an operator's fix is the
+      // root, not this plan)
       Dedup.allPairsJaccard(sharedShingles(spark, dir),
         threshold = SweepThresholds.min)
     }
@@ -1460,7 +1516,7 @@ object Pipeline {
     * the artifact read within one JVM. */
   private[graft] def sharedLmModel(spark: SparkSession,
       dir: String): graft.functions.BigramLmModel =
-    lmModelCache.getOrElseUpdate((dir, tableStamp(dir, "documents")), {
+    onceBy(lmModelCache, (dir, tableStamp(dir, "documents")), {
       import spark.implicits._
       val enc = datasetArtifact(spark, dir, "graft_lm_model",
           s"topk$LmTopK:fmt1", Seq("kind", "k", "c")) {
@@ -2172,7 +2228,7 @@ object Pipeline {
       dir: String): graft.operators.Pca.PcaModel = {
     val stamp = embStamp(dir) // ONCE: the cache key and the artifact
     // path must agree, and the walk is not free
-    pcaCache.getOrElseUpdate((dir, stamp, PcaIters), {
+    onceBy(pcaCache, (dir, stamp, PcaIters), {
       val path = pcaModelPathFor(spark, dir, stamp)
       // stamp 0 = the data could not be fingerprinted (non-local dir,
       // walk error): persisting under an unknown stamp would pin a
@@ -2189,10 +2245,8 @@ object Pipeline {
         val m = graft.operators.Pca.fit(Tables.embeddings(spark, dir),
           "vec_id", "embedding", dims = IvfDims, iters = PcaIters)
         if (canPersist)
-          graft.operators.Artifacts.atomicCommit(spark, path, Map(
-              "family" -> "graft_pca_model", "dataset_dir" -> dir,
-              "table" -> "embeddings", "stamp" -> stamp.toString,
-              "key" -> s"d$IvfDims:i$PcaIters:fmt$PcaTrainFormat"),
+          graft.operators.Artifacts.atomicCommit(spark, path,
+              artifactMeta("graft_pca_model", dir, "embeddings", stamp),
               certified = graft.operators.Pca.modelExists) { tmp =>
             graft.operators.Pca.writeModel(spark, m, tmp)
           }

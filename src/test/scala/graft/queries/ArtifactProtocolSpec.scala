@@ -38,6 +38,15 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  private def ageRecursively(p: java.nio.file.Path, epochMs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Files.walk(p)
+    try w.iterator().asScala.foreach(f =>
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(epochMs)))
+    finally w.close()
+  }
+
   private def shingleSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Long])] =
     df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).sorted)).toSet
 
@@ -174,9 +183,10 @@ class ArtifactProtocolSpec extends AnyFunSuite {
         s"young temp must be kept, got $early")
       assert(java.nio.file.Files.exists(orphan))
       // past the grace window it is reaped
-      java.nio.file.Files.setLastModifiedTime(orphan,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      // age EVERYTHING under the orphan: prune measures liveness from
+      // the newest mtime anywhere below (a live writer keeps touching
+      // files), so only a fully idle tree ages out
+      ageRecursively(orphan, System.currentTimeMillis() - 2L * 60 * 60 * 1000)
       val late = graft.operators.Artifacts
         .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
       assert(late.exists(d => d.path.contains(".inprogress-") && d.action == "delete"),
@@ -196,9 +206,7 @@ class ArtifactProtocolSpec extends AnyFunSuite {
       // simulate the rename-race loser nested under the winner
       val nested = art.resolve(".loser.inprogress-42-7")
       spark.range(2).coalesce(1).write.parquet(nested.toString)
-      java.nio.file.Files.setLastModifiedTime(nested,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      ageRecursively(nested, System.currentTimeMillis() - 2L * 60 * 60 * 1000)
       val dec = graft.operators.Artifacts
         .prune(spark, root.toString, graceMs = 60L * 60 * 1000, dryRun = false)
       assert(dec.exists(d => d.path.endsWith(".loser.inprogress-42-7") &&
@@ -211,6 +219,58 @@ class ArtifactProtocolSpec extends AnyFunSuite {
         d.action == "keep"))
       assert(graft.operators.Artifacts.markerExists(spark, art.toString))
       assert(shingleSet(Pipeline.sharedShingles(spark, dir)) == first)
+    }
+  }
+
+  test("every committed artifact's provenance key matches liveArtifactKeys — the reaper's source of truth") {
+    withTempRoot { root =>
+      // touch a representative set of families: documents-table ones via
+      // the sweep (shingles + sweep pairs + hot stats), embeddings ones
+      // via the PQ serving path (ivf centroids + int8 index + pq books)
+      Pipeline.dedupSweep(spark, dir).collect()
+      Pipeline.queries("q_pq_rerank")(spark, dir).collect()
+      import scala.jdk.CollectionConverters._
+      val metas = for {
+        fam <- java.nio.file.Files.list(root).iterator().asScala.toSeq
+        if java.nio.file.Files.isDirectory(fam)
+        art <- java.nio.file.Files.list(fam).iterator().asScala.toSeq
+        m <- graft.operators.Artifacts.readMeta(spark, art.toString)
+      } yield m
+      assert(metas.size >= 5, s"expected several committed artifacts, got ${metas.size}")
+      metas.foreach { m =>
+        val fam = m("family")
+        assert(Pipeline.liveArtifactKeys.get(fam).contains(m("key")),
+          s"family $fam wrote key ${m("key")} but liveArtifactKeys says " +
+            s"${Pipeline.liveArtifactKeys.get(fam)} — writer and reaper drifted")
+      }
+    }
+  }
+
+  test("prune reaps a dead-KEY artifact (format bump) and keeps the current-key one") {
+    withTempRoot { root =>
+      val live = shingleSet(Pipeline.sharedShingles(spark, dir))
+      // simulate the pre-bump orphan: a certified artifact whose meta
+      // carries a stale format key under the same live data stamp
+      val fam = root.resolve("graft_shingle_table")
+      val stale = fam.resolve("00staleformat00")
+      spark.range(3).coalesce(1).write.parquet(stale.toString)
+      import scala.jdk.CollectionConverters._
+      val liveMeta = java.nio.file.Files.list(fam).iterator().asScala
+        .filter(p => p.getFileName.toString != "00staleformat00").toSeq.head
+      val m = graft.operators.Artifacts.readMeta(spark, liveMeta.toString).get
+      java.nio.file.Files.writeString(stale.resolve("_GRAFT_META"),
+        s"dataset_dir=${m("dataset_dir")}\nfamily=graft_shingle_table\n" +
+          s"key=n3:fmt0\nstamp=${m("stamp")}\ntable=documents\n")
+      val dec = graft.operators.Artifacts.prune(spark, root.toString,
+        graceMs = 60L * 60 * 1000, dryRun = false,
+        liveKeys = Pipeline.liveArtifactKeys)
+      assert(dec.exists(d => d.path.endsWith("00staleformat00") &&
+        d.action == "delete" && d.reason.contains("dead format key")),
+        s"stale-format artifact must be reaped, got $dec")
+      assert(!java.nio.file.Files.exists(stale))
+      // the current-key artifact survives and still serves
+      assert(dec.exists(d => d.action == "keep" && d.reason == "live stamp"))
+      assert(shingleSet(Pipeline.sharedShingles(spark, dir)) == live)
     }
   }
 
