@@ -28,7 +28,7 @@ object Artifacts {
   def markerExists(spark: SparkSession, dir: String): Boolean =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+      fsFor(spark, p).exists(p)
     } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Delete `dir/_SUCCESS` if present — decertify an artifact up front
@@ -36,7 +36,7 @@ object Artifacts {
     * marker certifying NEW half-written data. */
   def deleteMarker(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = fsFor(spark, p)
     if (fs.exists(p)) fs.delete(p, false)
   }
 
@@ -49,6 +49,8 @@ object Artifacts {
     * orphaned) build is invisible to parquet readers even if a rename
     * race nests it inside a committed artifact. */
   private val TmpTag = ".inprogress-"
+  private def isTmpName(name: String): Boolean =
+    name.startsWith(".") && name.contains(TmpTag)
 
   /** The mtime+count fingerprint of `dir/table.parquet` — 0 when the
     * table can't be walked (non-local path, missing dir). The stamp keys
@@ -219,11 +221,17 @@ object Artifacts {
     if (!fs.exists(rootPath)) return Seq.empty
     val now = System.currentTimeMillis()
     val decisions = Vector.newBuilder[PruneDecision]
+    // marker probe through the root's already-resolved FileSystem:
+    // markerExists copies a fresh Hadoop conf per call, and prune makes
+    // several probes per child on a large root
+    def marked(dir: org.apache.hadoop.fs.Path): Boolean =
+      try fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+      catch { case scala.util.control.NonFatal(_) => false }
     def certifiedDeep(dir: org.apache.hadoop.fs.Path): Boolean =
-      markerExists(spark, dir.toString) ||
+      marked(dir) ||
         (try fs.listStatus(dir).exists(st => st.isDirectory &&
             !st.getPath.getName.startsWith(".") &&
-            markerExists(spark, st.getPath.toString))
+            marked(st.getPath))
          catch { case scala.util.control.NonFatal(_) => false })
     // newest mtime anywhere under `p` — the liveness signal for temps
     // and husks. Any listing error reads as "touched now" (keep): an
@@ -248,7 +256,7 @@ object Artifacts {
         if (ageMs > graceMs) del(s"$kind (idle ${ageMs}ms)")
         else PruneDecision(p.toString, "keep", s"$kind within grace window")
       }
-      if (name.startsWith(".") && name.contains(TmpTag))
+      if (isTmpName(name))
         agedDel("in-progress temp")
       else if (!certifiedDeep(p)) agedDel("uncertified husk")
       else readMeta(spark, p.toString) match {
@@ -315,9 +323,7 @@ object Artifacts {
           nested <- try fs.listStatus(child.getPath)
                     catch { case scala.util.control.NonFatal(_) =>
                       Array.empty[org.apache.hadoop.fs.FileStatus] }
-          if nested.isDirectory
-          name = nested.getPath.getName
-          if name.startsWith(".") && name.contains(TmpTag)
+          if nested.isDirectory && isTmpName(nested.getPath.getName)
         } {
           val age = now - newestMtime(nested.getPath)
           if (age > graceMs)
