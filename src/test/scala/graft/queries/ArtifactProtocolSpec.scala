@@ -274,6 +274,43 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("PruneArtifacts --keep-dead-keys retains a stale-format artifact; tableStamp tracks rewrites") {
+    withTempRoot { root =>
+      spark.range(1).count()
+      Pipeline.sharedShingles(spark, dir).collect()
+      import scala.jdk.CollectionConverters._
+      val fam = root.resolve("graft_shingle_table")
+      val art = java.nio.file.Files.list(fam).iterator().asScala.toSeq.head
+      val m = graft.operators.Artifacts.readMeta(spark, art.toString).get
+      val stale = fam.resolve("00stalekey00")
+      spark.range(2).coalesce(1).write.parquet(stale.toString)
+      java.nio.file.Files.writeString(stale.resolve("_GRAFT_META"),
+        s"dataset_dir=${m("dataset_dir")}\nfamily=graft_shingle_table\n" +
+          s"key=n3:fmt0\nstamp=${m("stamp")}\ntable=documents\n")
+      def run(args: String*): (Int, String) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val ps = new java.io.PrintStream(bos)
+        val code = graft.PruneArtifacts.run(args, ps, ps)
+        ps.flush(); (code, bos.toString("UTF-8"))
+      }
+      // the opt-out keeps the stale-key artifact under --apply
+      val (c1, o1) = run(root.toString, "--apply", "--keep-dead-keys")
+      assert(c1 == 0 && java.nio.file.Files.exists(stale),
+        s"--keep-dead-keys must retain the stale-key artifact:\n$o1")
+      // without the opt-out the reaper takes it (the default CLI path
+      // feeds Pipeline.liveArtifactKeys)
+      val (c2, o2) = run(root.toString, "--apply")
+      assert(c2 == 0 && !java.nio.file.Files.exists(stale),
+        s"default prune must reap the stale-key artifact:\n$o2")
+      assert(java.nio.file.Files.exists(art), "live artifact must survive")
+      // tableStamp: stable across reads, changed by an mtime rewrite,
+      // 0 on an unwalkable dir
+      val s1 = graft.operators.Artifacts.tableStamp(dir, "documents")
+      assert(s1 != 0L && s1 == graft.operators.Artifacts.tableStamp(dir, "documents"))
+      assert(graft.operators.Artifacts.tableStamp("/nonexistent", "documents") == 0L)
+    }
+  }
+
   test("prune never touches non-graft directories: /tmp-as-root is safe under --apply") {
     withTempRoot { root =>
       // a foreign tenant's directory: old, markerless — the exact shape
