@@ -203,7 +203,11 @@ object Artifacts {
     *     a format bump re-keys every artifact path, so the old-format
     *     artifact keeps a live stamp forever while nothing can ever
     *     read it; `liveKeys` (family → the key THIS build writes) is
-    *     what lets the reaper see those dead-key orphans. A recomputed
+    *     what lets the reaper see those dead-key orphans. Dead-key
+    *     deletes are grace-windowed like temps/husks (a mixed-version
+    *     fleet's other build writes keys this build doesn't know), and
+    *     a meta with NO key line is incomplete provenance → kept. A
+    *     recomputed
     *     stamp of 0 (the table can no longer be fingerprinted from
     *     here) always KEEPS — never delete what can't be attributed.
     *   - certified dirs WITHOUT meta (pre-round-15 artifacts): kept.
@@ -233,18 +237,17 @@ object Artifacts {
             !st.getPath.getName.startsWith(".") &&
             marked(st.getPath))
          catch { case scala.util.control.NonFatal(_) => false })
-    // newest mtime anywhere under `p` — the liveness signal for temps
-    // and husks. Any listing error reads as "touched now" (keep): an
+    // newest mtime anywhere under `st` — the liveness signal for temps
+    // and husks. Takes the FileStatus the caller already holds from its
+    // parent's listing (no redundant getFileStatus round trip per dir on
+    // a remote FS). Any listing error reads as "touched now" (keep): an
     // unreadable directory must never age into deletion.
-    def newestMtime(p: org.apache.hadoop.fs.Path): Long =
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
       try {
-        val children = fs.listStatus(p)
-        val own = fs.getFileStatus(p).getModificationTime
-        children.foldLeft(own) { (acc, st) =>
-          math.max(acc,
-            if (st.isDirectory) newestMtime(st.getPath)
-            else st.getModificationTime)
-        }
+        if (!st.isDirectory) st.getModificationTime
+        else fs.listStatus(st.getPath)
+          .foldLeft(st.getModificationTime)((acc, c) =>
+            math.max(acc, newestMtime(c)))
       } catch { case scala.util.control.NonFatal(_) => now }
     def decide(child: org.apache.hadoop.fs.FileStatus): PruneDecision = {
       val p = child.getPath
@@ -252,7 +255,7 @@ object Artifacts {
       def del(reason: String) =
         PruneDecision(p.toString, if (dryRun) "would-delete" else "delete", reason)
       def agedDel(kind: String): PruneDecision = {
-        val ageMs = now - newestMtime(p)
+        val ageMs = now - newestMtime(child)
         if (ageMs > graceMs) del(s"$kind (idle ${ageMs}ms)")
         else PruneDecision(p.toString, "keep", s"$kind within grace window")
       }
@@ -267,14 +270,29 @@ object Artifacts {
             case (Some(d), Some(t), Some(s)) =>
               val cur = tableStamp(d, t)
               val family = m.get("family").getOrElse(p.getParent.getName)
-              val deadKey = liveKeys.get(family)
-                .exists(k => !m.get("key").contains(k))
+              // dead-key only when the meta RECORDS a key that differs
+              // from this build's registered one: a meta missing its key
+              // line (truncation) is incomplete provenance → keep, per
+              // the never-delete-what-can't-be-attributed doctrine
+              val deadKey = m.get("key").exists(k0 =>
+                liveKeys.get(family).exists(_ != k0))
               if (cur == 0L)
                 PruneDecision(p.toString, "keep",
                   s"cannot re-fingerprint $d/$t from here")
-              else if (deadKey)
-                del(s"dead format key ${m.getOrElse("key", "?")} " +
-                  s"(live is ${liveKeys(family)})")
+              else if (deadKey) {
+                // grace-windowed like temps/husks: in a MIXED-VERSION
+                // fleet (rolling upgrade/rollback) another build's
+                // reaper sees this build's fresh artifacts as
+                // unrecognized keys — a just-written artifact must not
+                // be destroyed by the other version's reaper. Operators
+                // should size --grace-ms to at least the upgrade window.
+                val idle = now - newestMtime(child)
+                if (idle > graceMs)
+                  del(s"dead format key ${m("key")} " +
+                    s"(live is ${liveKeys(family)}, idle ${idle}ms)")
+                else PruneDecision(p.toString, "keep",
+                  "key mismatch but within grace window (possible mixed-version fleet)")
+              }
               else if (s == cur.toString)
                 PruneDecision(p.toString, "keep", "live stamp")
               else del(s"dead stamp $s (live is $cur)")
@@ -325,7 +343,7 @@ object Artifacts {
                       Array.empty[org.apache.hadoop.fs.FileStatus] }
           if nested.isDirectory && isTmpName(nested.getPath.getName)
         } {
-          val age = now - newestMtime(nested.getPath)
+          val age = now - newestMtime(nested)
           if (age > graceMs)
             applyDecision(PruneDecision(nested.getPath.toString,
               if (dryRun) "would-delete" else "delete",

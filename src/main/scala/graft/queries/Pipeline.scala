@@ -1294,7 +1294,13 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[Any, Object]()
   private def onceBy[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
       key: K, build: => V): V = {
-    val lock = modelBuildLocks.computeIfAbsent((cache, key), _ => new Object)
+    // the lock-map key must hash the cache by IDENTITY: a Scala Map
+    // hashes by CONTENT, so keying on the mutable TrieMap itself would
+    // re-hash every time any entry lands — an in-flight builder's lock
+    // would stop being findable (re-opening the duplicate-build race)
+    // and every stranded entry would leak in modelBuildLocks forever
+    val lock = modelBuildLocks.computeIfAbsent(
+      (System.identityHashCode(cache), key), _ => new Object)
     lock.synchronized(cache.getOrElseUpdate(key, build))
   }
 

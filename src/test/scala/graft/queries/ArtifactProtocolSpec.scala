@@ -261,6 +261,9 @@ class ArtifactProtocolSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(stale.resolve("_GRAFT_META"),
         s"dataset_dir=${m("dataset_dir")}\nfamily=graft_shingle_table\n" +
           s"key=n3:fmt0\nstamp=${m("stamp")}\ntable=documents\n")
+      // dead-key deletes are grace-windowed (mixed-version fleet safety):
+      // age the planted orphan past the window
+      ageRecursively(stale, System.currentTimeMillis() - 2L * 60 * 60 * 1000)
       val dec = graft.operators.Artifacts.prune(spark, root.toString,
         graceMs = 60L * 60 * 1000, dryRun = false,
         liveKeys = Pipeline.liveArtifactKeys)
@@ -287,6 +290,7 @@ class ArtifactProtocolSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(stale.resolve("_GRAFT_META"),
         s"dataset_dir=${m("dataset_dir")}\nfamily=graft_shingle_table\n" +
           s"key=n3:fmt0\nstamp=${m("stamp")}\ntable=documents\n")
+      ageRecursively(stale, System.currentTimeMillis() - 2L * 60 * 60 * 1000)
       def run(args: String*): (Int, String) = {
         val bos = new java.io.ByteArrayOutputStream()
         val ps = new java.io.PrintStream(bos)
