@@ -44,9 +44,14 @@ object PruneArtifacts {
         case "--apply" => apply = true
         case "--keep-dead-keys" => keepDeadKeys = true
         case "--grace-ms" =>
+          // reject negatives: `--grace-ms -1` would make every in-flight
+          // temp and fresh husk "older than the window", so a live
+          // writer's seconds-old temp gets reaped — the exact failure the
+          // grace window exists to prevent (0 is allowed: an explicit
+          // "nothing is in flight" assertion for single-writer cleanups)
           if (i + 1 >= args.length ||
-              scala.util.Try(args(i + 1).toLong).isFailure) {
-            err.println("--grace-ms needs a numeric argument"); return 1
+              scala.util.Try(args(i + 1).toLong).toOption.forall(_ < 0L)) {
+            err.println("--grace-ms needs a numeric argument >= 0"); return 1
           }
           graceMs = args(i + 1).toLong; i += 1
         case flag if flag.startsWith("--") =>

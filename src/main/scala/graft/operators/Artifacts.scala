@@ -160,9 +160,18 @@ object Artifacts {
         // all), so this delete cannot hit a concurrent winner except in
         // the probe→delete instant — and even then both writers built
         // the SAME deterministic table, so the final state is a
-        // certified, equivalent artifact; a reader catching the one-flap
-        // FileNotFound falls back to its inline build (every caller
-        // wraps reads in NonFatal → rebuild).
+        // certified, equivalent artifact. A reader PLANNING its scan in
+        // that one-flap instant catches the FileNotFound and falls back
+        // to its inline build (every caller wraps the DataFrame
+        // CONSTRUCTION in NonFatal → rebuild — footer/listing reads are
+        // eager, so plan-time coverage is what the callers actually
+        // have). A reader already past planning and mid-action would
+        // fail the task instead; that window requires the file set to
+        // change between plan and action, which only a concurrent
+        // `prune --apply` (not this husk-delete of a dir no certified
+        // reader can have planned against) can do — hence prune's rule
+        // that --apply must not run concurrently with readers from a
+        // build whose keys it would reap (see [[prune]]).
         if (fs.exists(dst) && !certified(spark, path) &&
             !metaFileExists(spark, path)) fs.delete(dst, true)
         if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
@@ -216,7 +225,17 @@ object Artifacts {
     * live writer keeps appending part files, so a build legitimately
     * running longer than the grace window is never reaped mid-write;
     * only a directory nothing has touched for `graceMs` is. `dryRun`
-    * returns the decisions without deleting anything. */
+    * returns the decisions without deleting anything.
+    *
+    * Operational constraint: do NOT run `--apply` concurrently with
+    * readers from an OLDER build whose keys this build's `liveKeys`
+    * would reap. The dataset-artifact read fallback covers PLAN-time
+    * failures (DataFrame construction reads footers eagerly); a reader
+    * already mid-action when its dead-key artifact is deleted fails the
+    * task with a FileNotFound instead of rebuilding inline. Same-build
+    * readers are safe (their keys are live by construction); the grace
+    * window protects in-flight writers, not in-flight reads of
+    * dead-key artifacts. */
   def prune(spark: SparkSession, root: String, graceMs: Long,
       dryRun: Boolean,
       liveKeys: Map[String, String] = Map.empty): Seq[PruneDecision] = {

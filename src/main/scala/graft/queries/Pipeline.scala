@@ -1235,6 +1235,11 @@ object Pipeline {
     })
   }
 
+  /** Busts PERSISTED int8 indexes when the quantization arithmetic itself
+    * changes — the data stamp can't see a code change (the ShingleFormat /
+    * IvfTrainFormat doctrine applied to the byte-packed index). */
+  private val Int8Format = 1
+
   /** The (id, dq) dequantized view of the PERSISTED int8 index for the
     * embeddings table at `dir` — the [[sharedCentroids]] treatment applied
     * to [[graft.operators.Quantize.writeIndex]]: written once per
@@ -1247,7 +1252,13 @@ object Pipeline {
     import graft.operators.Quantize
     val root = Ivf.indexRoot(spark)
     val stamp = embStamp(dir)
-    val path = s"$root/graft_int8_index/${md5Hex((root, dir, stamp).toString)}"
+    // the registered key (carrying Int8Format) is part of the md5 path
+    // input, mirroring graft_ivf_index/graft_pq_books: a quantization
+    // format bump re-keys the PATH, so atomicCommit can never serve an
+    // old-format artifact as certified — without it, correctness after a
+    // bump would depend on an operator running the prune reaper
+    val path = s"$root/graft_int8_index/${md5Hex(
+      s"($root,$dir,$stamp):${liveArtifactKeys("graft_int8_index")}")}"
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast(LongType).as("id"), col("embedding"))
     val inline = emb.select(col("id"), Quantize.roundTrip(col("embedding")).as("dq"))
@@ -1299,9 +1310,14 @@ object Pipeline {
     // re-hash every time any entry lands — an in-flight builder's lock
     // would stop being findable (re-opening the duplicate-build race)
     // and every stranded entry would leak in modelBuildLocks forever
-    val lock = modelBuildLocks.computeIfAbsent(
-      (System.identityHashCode(cache), key), _ => new Object)
-    lock.synchronized(cache.getOrElseUpdate(key, build))
+    val lockKey = (System.identityHashCode(cache), key)
+    val lock = modelBuildLocks.computeIfAbsent(lockKey, _ => new Object)
+    val v = lock.synchronized(cache.getOrElseUpdate(key, build))
+    // entry populated ⇒ the hit path never needs the monitor again; evict
+    // it so the lock map stays bounded by in-flight builds, not by every
+    // (cache, key) the JVM ever saw (the tokenArtifactLocks treatment)
+    modelBuildLocks.remove(lockKey)
+    v
   }
 
   /** Single source of truth for every persisted-artifact family's
@@ -1333,7 +1349,7 @@ object Pipeline {
       s":cap${Dedup.AuditDfCap}:floor${SweepThresholds.min}"),
     "graft_hot_stats" -> s"n$ShingleN:fmt$ShingleFormat:cap${Dedup.AuditDfCap}",
     "graft_ivf_index" -> s"nlist$IvfNlist:iters$IvfIters:fmt$IvfTrainFormat",
-    "graft_int8_index" -> "int8",
+    "graft_int8_index" -> s"int8:fmt$Int8Format",
     "graft_pq_books" -> s"m$PqM:k$PqK:i$PqIters:fmt$IvfTrainFormat",
     "graft_pca_model" -> s"d$IvfDims:i$PcaIters:fmt$PcaTrainFormat",
     "graft_bpe_model" -> s"m$BpeNumMerges:w$BpeMaxWords:fmt$BpeTrainFormat")
@@ -1387,6 +1403,14 @@ object Pipeline {
         }
       })
     }
+    // the monitor is only needed while the TrieMap entry is unpopulated;
+    // once it is, the hit path above never blocks, so evict the lock —
+    // otherwise one Object per artifact path accumulates for the JVM
+    // lifetime in a fleet JVM that iterates many datasets/stamps. (On the
+    // build-threw path the entry is unpopulated and the lock survives for
+    // the next caller; a racing fresh caller after eviction could at worst
+    // duplicate a build, which atomicCommit makes safe cross-writer.)
+    tokenArtifactLocks.remove(path)
     if (ok)
       try spark.read.parquet(path).select(cols.map(col): _*)
       catch { case scala.util.control.NonFatal(_) => build }
@@ -4944,20 +4968,33 @@ object Pipeline {
               |ex AS (SELECT id, d, e[d+1] v FROM base, UNNEST(RANGE($dims)) t(d)),
               |c0 AS (SELECT ((id % $IvfNlist) + $IvfNlist) % $IvfNlist cl, d, CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM ex GROUP BY 1,2),
               |cent0 AS (SELECT cl, LIST(cv ORDER BY d) c FROM c0 GROUP BY cl)""".stripMargin
+    // each assignment computes the scalar distance in an inner subquery,
+    // then windows over (id, cl, dist) only — the 64-double lists are
+    // projected away BEFORE the per-id sort, and the unrolled fold chain
+    // appears exactly once per stage (the driver's r15 DuckDB run OOMed
+    // on accumulated oracle memory; same doubles, same ordering)
     var prev = "cent0"
     for (it <- 1 to IvfIters) {
       sb ++= s""",
-                |a$it AS (SELECT id, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
+                |a$it AS (SELECT id, cl FROM (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cl ASC) rn FROM (SELECT b.id, c.cl, (${distChain("b.e", "c.c")}) dist FROM base b CROSS JOIN $prev c)) WHERE rn=1),
                 |cs$it AS (SELECT a.cl, x.d, CAST(SUM(CAST(x.v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM ex x JOIN a$it a ON a.id=x.id GROUP BY 1,2),
                 |cent$it AS (SELECT cl, LIST(cv ORDER BY d) c FROM cs$it GROUP BY cl)""".stripMargin
       prev = s"cent$it"
     }
     sb ++= s""",
-              |assign AS (SELECT id, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
-              |odist AS (SELECT id, cl, dist FROM (SELECT b.id, c.cl, (${distChain("b.e", "c.c")}) dist, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c) WHERE rn=1),
-              |probes AS (SELECT id qid, cl FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${distChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $prev c WHERE b.id<$IvfNq) WHERE rn<=$IvfNprobe)""".stripMargin
+              |assign AS (SELECT id, cl FROM (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cl ASC) rn FROM (SELECT b.id, c.cl, (${distChain("b.e", "c.c")}) dist FROM base b CROSS JOIN $prev c)) WHERE rn=1)""".stripMargin
     sb.result()
   }
+
+  /** Opt-in suffixes on [[ivfCtes]] — only the oracles that read them
+    * append them, so the unrolled distance chain is not carried (or
+    * parsed) by the dozen queries that only need `assign`. */
+  private def ivfOdistCte: String =
+    s""",
+       |odist AS (SELECT id, cl, dist FROM (SELECT id, cl, dist, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cl ASC) rn FROM (SELECT b.id, c.cl, (${ivfDistChain("b.e", "c.c")}) dist FROM base b CROSS JOIN $ivfFinalCent c)) WHERE rn=1)""".stripMargin
+  private def ivfProbesCte: String =
+    s""",
+       |probes AS (SELECT id qid, cl FROM (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cl ASC) rn FROM (SELECT b.id, c.cl, (${ivfDistChain("b.e", "c.c")}) dist FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id<$IvfNq)) WHERE rn<=$IvfNprobe)""".stripMargin
 
   /** PQ oracle machinery — [[graft.operators.Pq]] restated per block on
     * top of [[ivfCtes]]'s normalized `base`/`ex` frames: block `j` takes
@@ -4987,13 +5024,13 @@ object Pipeline {
         // iteration keeps its previous centroid — Ivf.centroids'
         // empty-cluster rule, which keeps the codebook at cardinality k
         sb ++= s""",
-                  |pa${it}_$j AS (SELECT id, cw FROM (SELECT s.id, c.cw, ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY (${distChain("s.e", "c.c")}) ASC, c.cw ASC) rn FROM psub$j s CROSS JOIN $prev c) WHERE rn=1),
+                  |pa${it}_$j AS (SELECT id, cw FROM (SELECT id, cw, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cw ASC) rn FROM (SELECT s.id, c.cw, (${distChain("s.e", "c.c")}) dist FROM psub$j s CROSS JOIN $prev c)) WHERE rn=1),
                   |pcs${it}_$j AS (SELECT a.cw, x.d, CAST(SUM(CAST(x.v AS DECIMAL(38,18))) AS DOUBLE)/COUNT(*) cv FROM pex$j x JOIN pa${it}_$j a ON a.id=x.id GROUP BY 1,2),
                   |pcent${it}_$j AS (SELECT p.cw, COALESCE(n.c, p.c) c FROM $prev p LEFT JOIN (SELECT cw, LIST(cv ORDER BY d) c FROM pcs${it}_$j GROUP BY cw) n ON n.cw = p.cw)""".stripMargin
         prev = s"pcent${it}_$j"
       }
       sb ++= s""",
-                |paF$j AS (SELECT id, cw FROM (SELECT s.id, c.cw, ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY (${distChain("s.e", "c.c")}) ASC, c.cw ASC) rn FROM psub$j s CROSS JOIN $prev c) WHERE rn=1),
+                |paF$j AS (SELECT id, cw FROM (SELECT id, cw, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cw ASC) rn FROM (SELECT s.id, c.cw, (${distChain("s.e", "c.c")}) dist FROM psub$j s CROSS JOIN $prev c)) WHERE rn=1),
                 |ppr$j AS (SELECT a.id, t.d + $off AS gd, c.c[t.d+1] AS cv FROM paF$j a JOIN $prev c ON c.cw = a.cw, UNNEST(RANGE($len)) t(d))""".stripMargin
     }
     sb ++= s""",
@@ -5002,7 +5039,7 @@ object Pipeline {
   }
 
   private val ivfSql =
-    s"""$ivfCtes,
+    s"""$ivfCtes$ivfProbesCte,
        |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl=p.cl WHERE a.id<>p.qid),
        |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) sim FROM cand JOIN rawv q ON q.id=qid JOIN rawv c ON c.id=cid),
        |ranked AS (SELECT qid, cid, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) rank FROM scored)
@@ -5016,7 +5053,7 @@ object Pipeline {
     * recall the single micro-averaged double division. */
   private def ivfSweepSql: String =
     s"""$ivfCtes,
-       |probesW AS (SELECT id qid, cl, rn FROM (SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${ivfDistChain("b.e", "c.c")}) ASC, c.cl ASC) rn FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id<$IvfNq) WHERE rn<=$IvfNprobe),
+       |probesW AS (SELECT id qid, cl, rn FROM (SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cl ASC) rn FROM (SELECT b.id, c.cl, (${ivfDistChain("b.e", "c.c")}) dist FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id<$IvfNq)) WHERE rn<=$IvfNprobe),
        |cand AS (SELECT p.qid, a.id cid, CAST(MIN(p.rn) AS BIGINT) first_probe
        |         FROM probesW p JOIN assign a ON a.cl=p.cl WHERE a.id<>p.qid GROUP BY 1, 2),
        |scored AS (SELECT cand.qid, cand.cid, cand.first_probe,
@@ -5054,7 +5091,7 @@ object Pipeline {
     * hit counts — integer counts after the proven rank stages, so the
     * recall ratio is the only floating-point op past them. */
   private def ivfRecallSql: String =
-    s"""$ivfCtes,
+    s"""$ivfCtes$ivfProbesCte,
        |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl=p.cl WHERE a.id<>p.qid),
        |scored AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(q.raw, c.raw) sim FROM cand JOIN rawv q ON q.id=qid JOIN rawv c ON c.id=cid),
        |approxk AS (SELECT qid, cid FROM (
@@ -5108,9 +5145,9 @@ object Pipeline {
 
   private val semDedupSql =
     s"""$ivfCtes,
-       |pairs AS (SELECT x.id da, y.id db, LIST_COSINE_SIMILARITY(bx.raw, bv.raw) sim
-       |          FROM assign x JOIN assign y ON x.cl=y.cl AND x.id<y.id
-       |          JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id)
+       |an AS (SELECT a.cl, a.id, b.raw FROM assign a JOIN rawv b ON b.id = a.id),
+       |pairs AS (SELECT x.id da, y.id db, LIST_COSINE_SIMILARITY(x.raw, y.raw) sim
+       |          FROM an x JOIN an y ON x.cl=y.cl AND x.id<y.id)
        |SELECT da, db, sim FROM pairs WHERE sim>=$SemDedupThreshold ORDER BY da, db""".stripMargin
 
   /** SemDeDup end-to-end oracle: the k-means CTEs (q_similarity_ivf,
@@ -5163,10 +5200,10 @@ object Pipeline {
          |     ) GROUP BY node)""".stripMargin
     }.mkString(",\n")
     s"""$ivfCtes,
+       |an AS MATERIALIZED (SELECT a.cl, a.id, b.raw FROM assign a JOIN rawv b ON b.id = a.id),
        |sp AS MATERIALIZED (SELECT x.id da, y.id db
-       |       FROM assign x JOIN assign y ON x.cl=y.cl AND x.id<y.id
-       |       JOIN rawv bx ON bx.id=x.id JOIN rawv bv ON bv.id=y.id
-       |       WHERE LIST_COSINE_SIMILARITY(bx.raw, bv.raw) >= $SemDedupThreshold),
+       |       FROM an x JOIN an y ON x.cl=y.cl AND x.id<y.id
+       |       WHERE LIST_COSINE_SIMILARITY(x.raw, y.raw) >= $SemDedupThreshold),
        |edges AS MATERIALIZED (SELECT da a, db b FROM sp UNION SELECT db a, da b FROM sp),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM edges),
        |$levels,
@@ -5443,7 +5480,7 @@ object Pipeline {
     // (proven bit-exact, zero-scale guard mirrored from the native
     // expression), exact rerank on the 20-candidate shortlist only.
     "q_ivf_rerank" ->
-      s"""$ivfCtes,
+      s"""$ivfCtes$ivfProbesCte,
          |qm AS (SELECT id, raw, LIST_MAX(LIST_TRANSFORM(raw, x -> ABS(x))) ma FROM rawv),
          |qs AS (SELECT id, raw, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM qm),
          |dqv AS (SELECT id, LIST_TRANSFORM(raw, x -> CASE WHEN scale = 0 THEN 0.0 ELSE FLOOR(x * scale + 0.5) / scale END) AS d FROM qs),
@@ -5464,7 +5501,7 @@ object Pipeline {
     // 50-candidate shortlist only (sized for PQ's tie mass — see
     // pqRerank) — q_ivf_rerank with dqv replaced by precon.
     "q_pq_rerank" ->
-      s"""$ivfCtes$pqCtes,
+      s"""$ivfCtes$ivfProbesCte$pqCtes,
          |cand AS (SELECT DISTINCT p.qid, a.id cid FROM probes p JOIN assign a ON a.cl = p.cl WHERE a.id <> p.qid),
          |approx AS (SELECT qid, cid, LIST_COSINE_SIMILARITY(qr.r, cr.r) AS asim
          |           FROM cand JOIN precon qr ON qr.id = qid JOIN precon cr ON cr.id = cid),
@@ -5681,7 +5718,7 @@ object Pipeline {
          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
          |FROM assign GROUP BY cl ORDER BY cl""".stripMargin,
     "q_embedding_outliers" ->
-      s"""$ivfCtes
+      s"""$ivfCtes$ivfOdistCte
          |SELECT id, cl, dist AS sqdist FROM odist
          |ORDER BY sqdist DESC, id LIMIT 20""".stripMargin,
     "q_diverse_sample" ->
@@ -6387,8 +6424,9 @@ object Pipeline {
     "q_knn_labels_ivf" ->
       s"""$ivfCtes,
          |probesU AS (SELECT id qid, cl FROM (
-         |             SELECT b.id, c.cl, ROW_NUMBER() OVER (PARTITION BY b.id ORDER BY (${ivfDistChain("b.e", "c.c")}) ASC, c.cl ASC) rn
-         |             FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id % 2 = 1) WHERE rn <= $IvfNprobe),
+         |             SELECT id, cl, ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist ASC, cl ASC) rn
+         |             FROM (SELECT b.id, c.cl, (${ivfDistChain("b.e", "c.c")}) dist
+         |                   FROM base b CROSS JOIN $ivfFinalCent c WHERE b.id % 2 = 1)) WHERE rn <= $IvfNprobe),
          |qm AS (SELECT id, raw, LIST_MAX(LIST_TRANSFORM(raw, x -> ABS(x))) ma FROM rawv),
          |qs AS (SELECT id, raw, CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM qm),
          |dqv AS (SELECT id, LIST_TRANSFORM(raw, x -> CASE WHEN scale = 0 THEN 0.0 ELSE FLOOR(x * scale + 0.5) / scale END) AS d FROM qs),

@@ -450,6 +450,12 @@ class ArtifactProtocolSpec extends AnyFunSuite {
       assert(!java.nio.file.Files.exists(husk), "--apply must delete the aged husk")
       assert(run("--bogus")._1 == 1)
       assert(run(root.toString, "--grace-ms", "notanumber")._1 == 1)
+      // a negative grace window would make every in-flight temp "older
+      // than the window" and reap a live writer's seconds-old temp —
+      // rejected at the flag parser; 0 stays allowed (explicit
+      // single-writer "nothing is in flight" cleanups)
+      assert(run(root.toString, "--grace-ms", "-1")._1 == 1)
+      assert(run(root.toString, "--grace-ms", "0")._1 == 0)
       assert(run()._1 == 1)
     }
   }

@@ -49,11 +49,23 @@ def connect(sf_dir):
     return con
 
 
+# Proactively cycle the DuckDB connection every N oracles: one long-lived
+# connection accumulates temp/catalog state across ~156 queries and the r15
+# driver run died to a memory-pressure cascade (allocation failures down to
+# 2 KB from q_proto_prune onward). Reconnecting releases everything the
+# previous batch left resident; the views are recreated cheaply.
+RECONNECT_EVERY = 12
+
+
 def main(sf_dir, out_dir):
     con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_run = 0
     for name, sql in sorted(oracles.items()):
+        if n_run and n_run % RECONNECT_EVERY == 0:
+            con.close()
+            con = connect(sf_dir)
+        n_run += 1
         try:
             try:
                 got_cols, got = canon(
