@@ -310,6 +310,22 @@ object Bench {
         minRegressed.size},"min_regressed":$minRegHeadJson,"failed":$failedJson,"partial":$partialJson,"full":"${fullPath.getFileName}","full_passes":$fullPasses,"n":$reps,"sf":"$sfDir"}"""
     }
     val keep = (medians.size to 0 by -1).find(k => line(k).length <= 1800).getOrElse(0)
+    // Artifact-root growth ledger (stderr, print-only): every testdata
+    // regeneration strands the previous stamp's artifacts, so each
+    // round's bench log records what a `PruneArtifacts --apply` would
+    // reap. Dry-run — this driver never deletes; the --apply cadence is
+    // an operator decision (README).
+    try {
+      val aRoot = graft.operators.Ivf.indexRoot(spark)
+      val dec = graft.operators.Artifacts.prune(spark, aRoot,
+        graceMs = 60L * 60 * 1000, dryRun = true,
+        liveKeys = graft.queries.Pipeline.liveArtifactKeys)
+      System.err.println(s"bench: artifact-root prune dry-run at $aRoot: " +
+        s"${dec.count(_.action == "keep")} kept, " +
+        s"${dec.count(_.action == "would-delete")} would-delete " +
+        s"(runMain graft.PruneArtifacts $aRoot --apply to reap)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: prune dry-run failed: ${e.getMessage}") }
     // Stop Spark BEFORE printing so the summary is the bare FINAL stdout
     // line — no executor-shutdown chatter can land after it (the r9 driver
     // parse failed on a wrapped/trailed line; bench_full.json was the only

@@ -83,6 +83,19 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // artifact-root growth ledger (stderr, print-only — the Bench tail's
+    // twin): record what a PruneArtifacts --apply would reap this round
+    try {
+      val aRoot = graft.operators.Ivf.indexRoot(spark)
+      val dec = graft.operators.Artifacts.prune(spark, aRoot,
+        graceMs = 60L * 60 * 1000, dryRun = true,
+        liveKeys = graft.queries.Pipeline.liveArtifactKeys)
+      System.err.println(s"[verify] artifact-root prune dry-run at $aRoot: " +
+        s"${dec.count(_.action == "keep")} kept, " +
+        s"${dec.count(_.action == "would-delete")} would-delete " +
+        s"(runMain graft.PruneArtifacts $aRoot --apply to reap)")
+    } catch { case e if scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] prune dry-run failed: ${e.getMessage}") }
     spark.stop()
     // Exit HARD: round 7's driver compare hit transient OOMs (1–2 MB
     // mallocs failing) on 4 queries while this JVM's heap could still be

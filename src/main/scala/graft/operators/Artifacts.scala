@@ -52,22 +52,42 @@ object Artifacts {
   private def isTmpName(name: String): Boolean =
     name.startsWith(".") && name.contains(TmpTag)
 
-  /** The mtime+count fingerprint of `dir/table.parquet` — 0 when the
-    * table can't be walked (non-local path, missing dir). The stamp keys
-    * every persisted derived artifact so a rewritten table re-derives
-    * instead of serving stale data; [[prune]] recomputes it to decide
-    * which stamp is live. Local-FS only by construction (Files.walk);
-    * object-store deployments would swap in a listing-based stamp. */
+  /** The mtime+count fingerprint of `dir/table.parquet` — 0 only when
+    * the table genuinely can't be walked (missing dir, listing error).
+    * The stamp keys every persisted derived artifact so a rewritten
+    * table re-derives instead of serving stale data; [[prune]]
+    * recomputes it to decide which stamp is live. Resolved through
+    * Hadoop's FileSystem (not java.nio), so `file:`/`hdfs:`/`s3a:`
+    * table locations all fingerprint — the pre-r16 `Files.walk` form
+    * stamped 0 for every non-local URI, silently degrading the whole
+    * artifact layer to inline rebuilds at exactly the fleet scale it
+    * exists for. On the local FS the mtimes are the same millisecond
+    * values `Files.walk` produced, so sidecar-free tables (the driver's
+    * pyarrow-written parquet) keep their exact stamps and no persisted
+    * artifact re-keys; a locally spark-written table whose `.crc`
+    * sidecars the old walk counted (Hadoop's ChecksumFileSystem hides
+    * them) re-stamps once — a one-time deterministic re-derive, not a
+    * correctness event. */
   def tableStamp(dir: String, table: String): Long =
     try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir, s"$table.parquet")
-      val s = java.nio.file.Files.walk(p)
-      val files =
-        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
-        finally s.close()
-      files.map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
-        .foldLeft(0L)(math.max) * 31 + files.size
+      val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
+      // prefer the session's Hadoop conf (carries cluster fs settings);
+      // a bare Configuration still resolves file: and absolute paths
+      val conf = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val it = p.getFileSystem(conf).listFiles(p, /*recursive=*/ true)
+      var maxMtime = 0L
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          maxMtime = math.max(maxMtime, st.getModificationTime)
+          n += 1
+        }
+      }
+      maxMtime * 31 + n
     } catch { case scala.util.control.NonFatal(_) => 0L }
 
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =

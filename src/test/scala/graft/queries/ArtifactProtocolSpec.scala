@@ -315,6 +315,56 @@ class ArtifactProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("tableStamp resolves through Hadoop: file: URIs stamp, values match the local-walk fingerprint") {
+    withTempRoot { root =>
+      // a private copy of a table dir (never mutate the shared testdata)
+      val tdir = root.resolve("tstamp").toString
+      spark.range(10).coalesce(1).write.parquet(s"$tdir/documents.parquet")
+      // drop the local-FS .crc sidecars: Hadoop's ChecksumFileSystem
+      // hides them from listings while java.nio's walk counted them, so
+      // they'd skew the parity check below. The driver's real tables
+      // (pyarrow-written) carry no sidecars — their stamps are identical
+      // under both walks, which is what this test pins.
+      import scala.jdk.CollectionConverters._
+      locally {
+        val w = java.nio.file.Files.walk(java.nio.file.Paths.get(tdir))
+        try w.iterator().asScala.toVector
+          .filter(_.getFileName.toString.endsWith(".crc"))
+          .foreach(java.nio.file.Files.delete)
+        finally w.close()
+      }
+      // a file: URI was unwalkable for the pre-r16 java.nio form (stamp
+      // 0 -> the whole artifact layer silently degraded to inline
+      // rebuilds); through Hadoop's FileSystem it must fingerprint, and
+      // identically to the plain-path form
+      val viaUri = graft.operators.Artifacts.tableStamp(s"file:$tdir", "documents")
+      val viaPath = graft.operators.Artifacts.tableStamp(tdir, "documents")
+      assert(viaUri != 0L && viaUri == viaPath,
+        s"file: URI stamp $viaUri must equal plain-path stamp $viaPath")
+      // key-compatibility with the retired java.nio walk: same
+      // max-mtime*31 + count fold over the same files, so existing
+      // persisted artifacts keep their keys across the r16 swap (no
+      // fleet-wide re-derive)
+      val p = java.nio.file.Paths.get(tdir, "documents.parquet")
+      val s = java.nio.file.Files.walk(p)
+      val files =
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toVector
+        finally s.close()
+      val nioStamp = files
+        .map(f => java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(0L)(math.max) * 31 + files.size
+      assert(viaPath == nioStamp,
+        s"Hadoop stamp $viaPath must equal the java.nio fingerprint $nioStamp")
+      // rewrite sensitivity through the Hadoop path: bumping a part
+      // file's mtime must change the stamp
+      java.nio.file.Files.setLastModifiedTime(files.head,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 5000))
+      val s2 = graft.operators.Artifacts.tableStamp(s"file:$tdir", "documents")
+      assert(s2 != 0L && s2 != viaUri, "an mtime rewrite must re-stamp")
+    }
+  }
+
   test("prune never touches non-graft directories: /tmp-as-root is safe under --apply") {
     withTempRoot { root =>
       // a foreign tenant's directory: old, markerless — the exact shape
@@ -519,6 +569,77 @@ class ArtifactProtocolSpec extends AnyFunSuite {
       assert(produced.isEmpty,
         s"stamp-0 input must never persist artifacts, found $produced")
       assert(e != null)
+    }
+  }
+
+  test("atomicCommit cross-JVM: two unorchestrated writer PROCESSES commit one certified artifact") {
+    // the 8-writer test races THREADS (per-path monitors serialize them);
+    // this races two real JVMs whose only coordination is the
+    // filesystem — the fleet case the monitors cannot cover. A sync-file
+    // barrier releases both writers together so the commits genuinely
+    // overlap instead of serializing behind JVM startup.
+    withTempRoot { root =>
+      import scala.jdk.CollectionConverters._
+      val target = root.resolve("race_family").resolve("artifact1")
+      java.nio.file.Files.createDirectories(target.getParent)
+      val syncDir = root.resolve("sync")
+      java.nio.file.Files.createDirectories(syncDir)
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      // forward this (forked, Spark-capable) JVM's --add-opens set —
+      // Spark 4 on JDK 17 cannot boot a session without it
+      val inArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toVector
+      val opens = inArgs.indices.flatMap { i =>
+        if (inArgs(i) == "--add-opens") Seq(inArgs(i), inArgs(i + 1))
+        else if (inArgs(i).startsWith("--add-opens=")) Seq(inArgs(i))
+        else Nil
+      }
+      def spawn(id: String): Process = {
+        val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp",
+          sys.props("java.class.path"), "graft.queries.AtomicCommitRaceMain",
+          target.toString, syncDir.toString, id)
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(syncDir.resolve(s"log-$id").toFile)
+        pb.start()
+      }
+      val pa = spawn("a")
+      val pb = spawn("b")
+      def log(id: String): String =
+        try java.nio.file.Files.readString(syncDir.resolve(s"log-$id"))
+        catch { case scala.util.control.NonFatal(_) => "<no log>" }
+      try {
+        val readyDeadline = System.currentTimeMillis() + 120000
+        def ready(id: String) =
+          java.nio.file.Files.exists(syncDir.resolve(s"ready-$id"))
+        while ((!ready("a") || !ready("b")) &&
+            System.currentTimeMillis() < readyDeadline)
+          Thread.sleep(50)
+        assert(ready("a") && ready("b"),
+          s"writers failed to start:\n--- a ---\n${log("a")}\n--- b ---\n${log("b")}")
+        java.nio.file.Files.writeString(syncDir.resolve("go"), "go")
+        assert(pa.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+          pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+          "writer processes did not exit")
+        assert(pa.exitValue() == 0 && pb.exitValue() == 0,
+          s"writer exits ${pa.exitValue()}/${pb.exitValue()}:\n--- a ---\n${
+            log("a")}\n--- b ---\n${log("b")}")
+        // exactly one certified artifact with a parseable provenance meta
+        assert(graft.operators.Artifacts.markerExists(spark, target.toString))
+        val meta = graft.operators.Artifacts.readMeta(spark, target.toString)
+        assert(meta.exists(m => m.get("family").contains("race_spec") &&
+          m.get("key").contains("k1") && m.get("stamp").contains("42")),
+          s"meta not parseable: $meta")
+        // the table is whole (one writer's complete commit, never a mix)
+        assert(spark.read.parquet(target.toString).count() == 500)
+        // the loser left nothing behind at the family level: no sibling
+        // temps, no second artifact
+        val siblings = java.nio.file.Files.list(target.getParent)
+          .iterator().asScala.map(_.getFileName.toString).toVector.sorted
+        assert(siblings == Vector("artifact1"),
+          s"stray entries next to the artifact: $siblings")
+      } finally { pa.destroyForcibly(); pb.destroyForcibly(); () }
     }
   }
 }
