@@ -71,13 +71,7 @@ object Artifacts {
   def tableStamp(dir: String, table: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(dir, s"$table.parquet")
-      // prefer the session's Hadoop conf (carries cluster fs settings);
-      // a bare Configuration still resolves file: and absolute paths
-      val conf = SparkSession.getActiveSession
-        .orElse(SparkSession.getDefaultSession)
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-      val it = p.getFileSystem(conf).listFiles(p, /*recursive=*/ true)
+      val it = p.getFileSystem(stampConf()).listFiles(p, /*recursive=*/ true)
       var maxMtime = 0L
       var n = 0L
       while (it.hasNext) {
@@ -92,6 +86,31 @@ object Artifacts {
 
   private def fsFor(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** One Hadoop Configuration per session for [[tableStamp]] — the stamp
+    * runs on every datasetArtifact call of every query, and
+    * `newHadoopConf()` copies the full Spark conf each time (~10ms: a
+    * measurable per-query tax across 160 bench queries). The cached copy
+    * is keyed by session IDENTITY so a new session (new fs settings)
+    * re-derives it; Hadoop-level fs settings changing INSIDE one session
+    * is not a supported pattern anywhere in this codebase. Falls back to
+    * a bare Configuration (resolves file: and absolute paths) when no
+    * session is up. */
+  private val stampConfCache = new java.util.concurrent.atomic.AtomicReference[
+    (AnyRef, org.apache.hadoop.conf.Configuration)]()
+  private def stampConf(): org.apache.hadoop.conf.Configuration = {
+    val sess = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).orNull
+    val cached = stampConfCache.get()
+    if (cached != null && (cached._1 eq sess)) cached._2
+    else {
+      val c =
+        if (sess != null) sess.sessionState.newHadoopConf()
+        else new org.apache.hadoop.conf.Configuration()
+      stampConfCache.set((sess, c))
+      c
+    }
+  }
 
   private def writeMetaFile(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, meta: Map[String, String]): Unit = {
