@@ -23,6 +23,27 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Spread an under-partitioned scoring side to core count. The test
+    * inputs are single-row-group parquet, and parquet cannot split below a
+    * row group — so every map-side stage before the first exchange
+    * (including the per-pair cosine scoring and its top-k pre-sort, the
+    * dominant compute of the exhaustive ANN paths) runs on ONE task of a
+    * 32-core box. The guide's cure for an unsplittable input is
+    * "repartition immediately after the read"; doing it at the READ is a
+    * net loss (measured: the repartition's own map side is the single
+    * task, so it pays full serialization for every query whether or not
+    * anything downstream is expensive), so it is applied surgically to
+    * the side feeding a per-pair scoring stage, where the shuffled bytes
+    * are a few hundred KB and the unlocked stage is the query's dominant
+    * cost. Self-disabling at scale: a real corpus scans as ≥ cores
+    * partitions, the guard never fires, and no payload is shuffled. The
+    * target derives from `defaultParallelism`, so lower-core driver runs
+    * fan out to THEIR core count. */
+  private[graft] def fanOutToCores(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -38,7 +59,8 @@ object Similarity {
     * the per-query candidate set. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, k: Int): DataFrame = {
-    val corpus = emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
+    val corpus = fanOutToCores(
+      emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec")))
     val queries = emb.filter(col(idCol) < nQueries)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val scored = corpus.crossJoin(broadcast(queries))
@@ -64,19 +86,39 @@ object Similarity {
     * query-block × corpus-block tile) — the operator stays total instead
     * of failing, at the all-pairs cost that is inherent to exact k-NN with
     * a corpus-scale query set. Prefer lshTopK/Ivf.topK there: they never
-    * broadcast vectors and never go all-pairs. Deciding the shape costs
-    * one extra bounded job on the query side (a `limit(bound+1).count()` —
-    * it never scans more than `maxBroadcastRows + 1` rows). */
+    * broadcast vectors and never go all-pairs. Deciding the shape is
+    * usually FREE: when the optimizer's size estimate of the query side
+    * (file bytes at the leaves — the same statistic Spark's own
+    * auto-broadcast threshold reads) is small enough to imply the row
+    * bound, the side broadcasts with no extra job; only a
+    * large-estimate side pays the exact `limit(bound+1).count()` probe
+    * (never scanning more than `maxBroadcastRows + 1` rows), so a
+    * selective filter over a corpus-scale table still gets the exact
+    * decision instead of a catastrophic partitioned cartesian. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, qidCol: String,
       qvecCol: String, cidCol: String, cvecCol: String, k: Int,
       maxBroadcastRows: Long = 1L << 20): DataFrame = {
     val q = queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qvec"))
-    val c = corpus.select(col(cidCol).as("cid"), asDouble(col(cvecCol)).as("cvec"))
-    // clamp BEFORE the +1: maxBroadcastRows = Long.MaxValue must mean
-    // "always broadcast", not overflow into a negative limit
-    val probe = (math.min(maxBroadcastRows, Int.MaxValue - 1L) + 1).toInt
-    val nQ = q.limit(probe).count()
-    val qSide = if (nQ <= math.min(maxBroadcastRows, Int.MaxValue - 1L)) broadcast(q) else q
+    val c = fanOutToCores(
+      corpus.select(col(cidCol).as("cid"), asDouble(col(cvecCol)).as("cvec")))
+    // Stats short-circuit: an (id, vector) row is ≥ 32 bytes in any
+    // estimate regime (parquet leaves report file bytes; 64-dim doubles
+    // do not compress below that), so an estimate within
+    // maxBroadcastRows×32 — capped at 512 MB, well under the 8 GB
+    // broadcast-relation hard limit — implies the row bound holds and
+    // the probe job is pure overhead. The estimate-says-big path keeps
+    // the exact probe: estimates ignore filter selectivity without CBO,
+    // and a wrongly-skipped broadcast would cost a partitioned cartesian
+    // of the corpus — far worse than one bounded count job.
+    val statsBound = BigInt(512L << 20)
+      .min(BigInt(math.min(maxBroadcastRows, Int.MaxValue - 1L)) * 32)
+    val fits = q.queryExecution.optimizedPlan.stats.sizeInBytes <= statsBound || {
+      // clamp BEFORE the +1: maxBroadcastRows = Long.MaxValue must mean
+      // "always broadcast", not overflow into a negative limit
+      val probe = (math.min(maxBroadcastRows, Int.MaxValue - 1L) + 1).toInt
+      q.limit(probe).count() <= math.min(maxBroadcastRows, Int.MaxValue - 1L)
+    }
+    val qSide = if (fits) broadcast(q) else q
     val scored = c.crossJoin(qSide)
       .select(col("qid"), col("cid"), cosine(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)

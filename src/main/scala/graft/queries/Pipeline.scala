@@ -778,7 +778,12 @@ object Pipeline {
     import graft.operators.Quantize
     val nQ = 25; val shortlist = 20; val k = 5
     val w = org.apache.spark.sql.expressions.Window
-    val deq = Tables.embeddings(spark, dir)
+    // fan the single-row-group scan out to cores before the flat
+    // per-pair scan (the Similarity.fanOutToCores rationale: the
+    // quantize + 50k-cosine + top-k pre-sort stage otherwise runs on one
+    // task; no-op at scale where the scan has ≥ cores partitions)
+    val deq = graft.operators.Similarity.fanOutToCores(
+        Tables.embeddings(spark, dir))
       .select(col("vec_id").cast(LongType).as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("vec"),
         Quantize.roundTrip(col("embedding")).as("dq"))

@@ -51,4 +51,35 @@ class SimilaritySpec extends AnyFunSuite {
         .contains("BroadcastNestedLoopJoin"))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("within the stats bound the broadcast decision spends no probe job") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 20)
+    val c = emb.filter(col("vec_id") >= 20)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // let any queued listener events from a prior test drain so its jobs
+      // can't leak into this count, then build the join: a small-estimate
+      // query side must take the stats short-circuit — broadcast decided
+      // from plan statistics, zero jobs spent before the first action.
+      // (The probe job, when it runs, runs SYNCHRONOUSLY inside knnJoin —
+      // its count() blocks — so its start event is posted before the
+      // settle sleep below ends; a delayed event can only fail toward
+      // a false job count, never a false pass of a real probe... and the
+      // 1s settle makes even that remote.)
+      Thread.sleep(1000); jobs = 0
+      val df = Similarity.knnJoin(q, c,
+        "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      Thread.sleep(1000)
+      assert(jobs == 0,
+        s"expected the stats short-circuit to decide without a probe job, saw $jobs")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
