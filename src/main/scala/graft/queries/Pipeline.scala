@@ -772,12 +772,14 @@ object Pipeline {
     import graft.operators.Quantize
     val nQ = 25; val shortlist = 20; val k = 5
     val w = org.apache.spark.sql.expressions.Window
-    // fan the single-row-group scan out to cores before the flat
-    // per-pair scan (the Similarity.fanOutToCores rationale: the
-    // quantize + 50k-cosine + top-k pre-sort stage otherwise runs on one
-    // task; no-op at scale where the scan has ≥ cores partitions)
-    val deq = graft.operators.Similarity.fanOutToCores(
-        Tables.embeddings(spark, dir))
+    // NO fanOutToCores here (unlike knnJoin/bruteForceTopK): deq feeds
+    // FOUR consumers (both approx sides + both exact-rerank vector
+    // attaches), so a repartition multiplies exchange work instead of
+    // parallelizing one dominant scoring stage — measured a net loss at
+    // bench scale (idle 7-rep mins 0.61s → 0.69s isolated, 2× inflation
+    // inside mixed suites) where the 50k-cosine flat pass is too small
+    // to amortize the shuffle it adds.
+    val deq = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast(LongType).as("id"),
         col("embedding").cast(ArrayType(DoubleType)).as("vec"),
         Quantize.roundTrip(col("embedding")).as("dq"))
