@@ -529,12 +529,16 @@ object Dedup {
     * persist/checkpoint. */
   def spanDupStatsFrom(spanRows: DataFrame): DataFrame = {
     val grams = spanRows.select("doc_id", "h")
-    val docFreq = grams.distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    grams.join(docFreq, Seq("h"))
+    // only the "in ≥ 2 distinct docs" FLAG is consumed, and that is
+    // exactly min(doc_id) ≠ max(doc_id) per hash — one map-side-combined
+    // aggregate, where the former distinct-then-count pair paid a full
+    // exchange of the instance rows first (the dupHashesFrom rewrite)
+    val dupFlag = grams.groupBy("h")
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("is_dup"))
+    grams.join(dupFlag, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_ratio",
         col("n_dup_spans").cast(DoubleType) / col("n_spans"))
   }
@@ -552,12 +556,15 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
 
   /** Span hashes occurring in ≥ 2 distinct documents, from (doc_id, h)
-    * instance rows: distinct per doc, one map-side-combined count on the
-    * 8-byte hash. Shared by [[dupSpanHashes]] and [[spanScrub]]. */
+    * instance rows. "≥ 2 distinct docs" is exactly `min(doc_id) ≠
+    * max(doc_id)` per hash, so ONE map-side-combined aggregate on the
+    * 8-byte hash replaces the former distinct-then-count pair — one
+    * full exchange of the instance rows FEWER, with the same result
+    * set. Shared by [[dupSpanHashes]] and [[spanScrub]]. */
   private def dupHashesFrom(hashRows: DataFrame): DataFrame =
-    hashRows.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("h")
+    hashRows.select("doc_id", "h")
+      .groupBy("h").agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
 
   /** Hashes of `n`-token span texts occurring in ≥ 2 distinct documents —
     * the batch-built artifact the streaming
@@ -636,26 +643,42 @@ object Dedup {
     // doc-local, no cross-row state. A doc with no duplicated span
     // never appears in `covered` and passes through whole via the left
     // join; a fully-covered doc filters to an empty array and drops.
-    val covered = spans.join(dup, Seq("h"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
-      .groupBy("doc_id").agg(collect_set(col("tp")).as("cov"))
-    // kept-index set via array_except (hash-set build over cov, one scan
-    // of the index sequence — O(|tokens| + |cov|)): a per-token
-    // array_contains probe is O(|tokens| × |cov|), quadratic in document
-    // length for a long heavily-duplicated doc where cov ≈ tokens.
+    // The per-doc coverage aggregate collects duplicated-span START
+    // positions only — the n-token coverage windows are expanded in-row
+    // inside the rebuild (flatten∘transform over the position set), so
+    // the exchange carries one row per duplicated instance instead of n
+    // exploded coverage rows. The exchange itself is pinned
+    // (Similarity.pinByKey, placed AFTER the h-join so the join keeps
+    // whatever strategy fits the scale): it replaces the planner's
+    // ENSURE_REQUIREMENTS doc_id exchange one-for-one — same rows, same
+    // key, and collect_set has no map-side reduction to lose on
+    // per-doc-unique positions — but its explicit partition count opts
+    // the rebuild out of AQE's byte-based coalescing, which otherwise
+    // folds this compute-dense tail onto 1-2 tasks of a 32-core box.
+    val covered = Similarity.pinByKey(
+        spans.join(dup, Seq("h")).select(col("doc_id"), col("pos")),
+        col("doc_id"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("covpos"))
+    // kept-index set via array_except (hash-set build over the covered
+    // indices, one scan of the index sequence — O(|tokens| + |covered|)):
+    // a per-token array_contains probe is O(|tokens| × |covered|),
+    // quadratic in document length for a long heavily-duplicated doc.
+    // The covered-index set expands in-row from the start positions
+    // (flatten∘transform; array_except treats its right argument as a
+    // set, so overlapping windows' duplicate indices are harmless) and
     // array_except preserves the left argument's order, so token order
-    // survives. The otherwise-branch only runs when cov is non-null,
+    // survives. The otherwise-branch only runs when covpos is non-null,
     // which implies the doc produced at least one n-token span, so
     // size(a) ≥ n ≥ 1 and the index sequence is never start > stop.
     docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("cov").isNull, col("a")).otherwise(
+        when(col("covpos").isNull, col("a")).otherwise(
           transform(
             array_except(
               sequence(lit(0L), size(col("a")).cast(LongType) - 1),
-              col("cov")),
+              flatten(transform(col("covpos"),
+                p => sequence(p, p + (n - 1))))),
             i => element_at(col("a"), (i + 1).cast(IntegerType))))
           .as("kept"))
       .filter(size(col("kept")) > 0)

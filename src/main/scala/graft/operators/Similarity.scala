@@ -44,6 +44,22 @@ object Similarity {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Repartition by `cols` with an EXPLICIT partition count (the session's
+    * spark.sql.shuffle.partitions) — the opt-out from AQE partition
+    * coalescing for a compute-dense exchange. AQE sizes post-shuffle
+    * partitions by BYTES; an exchange whose downstream pipeline does
+    * per-row set intersections / vector math over narrow keys carries
+    * KBs-per-second-of-compute and gets folded onto 1-3 tasks of a
+    * 32-core box. A user-specified partition count is exempt from
+    * coalescing (REPARTITION_BY_NUM), and N comes from the conf the
+    * operator already tunes per deployment (the driver's bench sets it to
+    * the core count), so the pin is scale-adaptive, not a local constant.
+    * Keys are unchanged — results never depend on partition layout. */
+  private[graft] def pinByKey(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      cols: _*)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

@@ -69,32 +69,20 @@ object Pipeline {
     * the shape that stays sub-quadratic on adversarial corpora. The pure
     * exact path ([[Dedup.jaccardPairsFrom]]) remains the verification
     * tool; TextOpsSpec asserts both produce the same pair set. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // shingle table persisted once for the 4 self-join consumers; the
-    // pair-list result is tiny, so it is materialized and the persist
-    // released before returning
-    val sh = sharedShingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // checkpoint BEFORE the orderBy: a global sort's range-partitioner
-    // sampling re-executes its child, which would run the whole join
-    // pipeline twice; sorting the checkpointed (tiny) pair list is free
-    try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
-      .localCheckpoint()
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // no persist/localCheckpoint scaffolding (r16, the winnowPairs
+    // rationale): the 4 self-join consumers re-read the PERSISTED shingle
+    // artifact — a cheap columnar re-scan, not a re-tokenization — and
+    // the orderBy sampler reuses the pair pipeline's shuffle outputs
+    Dedup.minhashDupPairsFrom(sharedShingles(spark, dir),
+        k = 64, bands = 16, threshold = 0.8)
       .orderBy("da", "db")
-    finally sh.unpersist(blocking = false)
-  }
 
-  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    // same one-tokenization doctrine as [[ngramJaccard]]: the shingle
-    // table feeds 4 self-join consumers, so persist it once; the tiny
-    // pair list is materialized and the persist released before returning
-    val sh = sharedShingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
-      .localCheckpoint()
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    // same scaffolding removal as [[ngramJaccard]] (r16)
+    Dedup.minhashDupPairsFrom(sharedShingles(spark, dir),
+        k = 64, bands = 16, threshold = 0.8)
       .orderBy("da", "db")
-    finally sh.unpersist(blocking = false)
-  }
 
   /** Jaccard thresholds the dedup sweep measures, shared by the Spark
     * side and the generated oracle — ascending, formatted into SQL with
@@ -238,7 +226,17 @@ object Pipeline {
     // never share 2, so such pairs fall back to >= 1 shared fp and the
     // exact-Jaccard verifier stays the precision gate
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val base = fps.withColumn("nfp", count(lit(1)).over(w))
+    // pin the doc_id exchange at the configured shuffle parallelism: the
+    // window, the capped self-join, the candidate aggregate AND the
+    // jaccard-verify probes all pipeline over THIS exchange's layout, and
+    // its bytes are tiny relative to its compute (8-byte fp rows feeding
+    // per-pair set intersections), so AQE's byte-based coalescing folds
+    // the query's entire hot path onto 1 task of a 32-core box. An
+    // explicit-N repartition (N = spark.sql.shuffle.partitions — the
+    // operator-tuned value at fleet scale, cores on the local bench)
+    // opts this one exchange out of coalescing; keys are unchanged, so
+    // results are partition-layout-independent.
+    val base = pinByKey(fps, col("doc_id")).withColumn("nfp", count(lit(1)).over(w))
     // the cap as an ANTI-join against the hot-fp list, not a df window:
     // the list comes from a map-side-combined aggregate (no whole-row
     // sort — a df window costs ~40% of this query), is EMPTY whenever
@@ -1142,6 +1140,11 @@ object Pipeline {
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // the AQE-coalescing opt-out for compute-dense exchanges — shared with
+  // the ANN operators, see the scaladoc there
+  private[graft] def pinByKey(df: DataFrame, cols: Column*): DataFrame =
+    graft.operators.Similarity.pinByKey(df, cols: _*)
   private def sharedCentroids(b: DataFrame, dir: String): Seq[Seq[Double]] = {
     val spark = b.sparkSession
     // root resolved from spark conf ([[Ivf.indexRoot]]) so a deployment
@@ -1401,6 +1404,13 @@ object Pipeline {
         // artifact-root reaper (Artifacts.prune) attributes stamps by.
         graft.operators.Artifacts.atomicCommit(spark, path,
             artifactMeta(family, dir, "documents", stamp)) { tmp =>
+          // deliberately NOT rebalanced before the write: a multi-file
+          // artifact was measured a net LOSS at bench scale (32 tiny
+          // files → 32-map-task consumer stages each paying ~150ms of
+          // fixed scan+shuffle-writer cost, q_winnow_pairs 0.77s → 1.1s+)
+          // — parallelism for compute-dense consumers is established at
+          // their first exchange (pinByKey) instead. At fleet scale the
+          // build's own shuffle already writes many byte-sized files.
           build.write.mode("overwrite").parquet(tmp)
         }
       })
