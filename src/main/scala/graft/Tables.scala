@@ -13,8 +13,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // Schema-inference cache: a bare `read.parquet(path)` runs a footer
+    // read as a driver-side job at every DataFrame CONSTRUCTION — ~25-30
+    // ms per table per call, and the bench constructs every query fresh
+    // per rep, so the suite paid hundreds of these (measured: the 1-2
+    // "parquet at Tables.scala" jobs heading every query profile).
+    // Caching the inferred StructType per (session, path) removes every
+    // repeat; the data path itself is still read fresh at execution (no
+    // result caching — the file listing/footers for column chunks are
+    // re-resolved per query as before). Keyed by session identity like
+    // Artifacts.stampConf; a table whose SCHEMA mutates in place
+    // mid-session is not a supported pattern anywhere in this repo.
+    // `events` is deliberately NOT cached: its legacy TIMESTAMP(NANOS)
+    // generation is detected by an inference-time throw (see [[events]]),
+    // and serving a cached LongType schema would let construction succeed
+    // and defer the failure to execution, past the catch.
+    if (name == "events") spark.read.parquet(path)
+    else {
+      val key = (System.identityHashCode(spark), path)
+      val schema = schemaCache.get(key) match {
+        case Some(s) => s
+        case None =>
+          val s = spark.read.parquet(path).schema
+          schemaCache.put(key, s)
+          s
+      }
+      spark.read.schema(schema).parquet(path)
+    }
+  }
+
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String),
+      org.apache.spark.sql.types.StructType]
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

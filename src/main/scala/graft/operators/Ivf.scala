@@ -260,12 +260,26 @@ object Ivf {
   private def probedCandidates(b: DataFrame, cents: Seq[Seq[Double]],
       nQueries: Int, nprobe: Int): DataFrame = {
     val assigned = assign(b, cents)
-    val probes = b.filter(col("id") < nQueries)
-      .select(col("id").as("qid"),
-        explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
+    // the (qid, cl) probe rows are 16 bytes each — fanning THEM out to
+    // cores (instead of relying on a downstream exchange for
+    // parallelism) is the cheapest possible spread of the candidate
+    // expansion + scoring that pipelines on top of this join; no-op at
+    // scale where the query scan already carries ≥ cores partitions
+    val probes = Similarity.fanOutToCores(
+      b.filter(col("id") < nQueries)
+        .select(col("id").as("qid"),
+          explode(probeClusters(col("e"), cents, nprobe)).as("cl")))
+    // no dedup needed: assign() emits exactly ONE (cid, cl) row per
+    // corpus id (argmin projection over a unique-id table) and
+    // probeClusters returns DISTINCT cluster ids per query, so a given
+    // (qid, cid) pair can arise from at most one cl — the former
+    // .distinct() was a semantic no-op costing a full exchange plus a
+    // partial/final aggregate pair on the candidate stream (guide §2.4:
+    // "a distinct on data that is already unique"). Contrast lshTopK,
+    // whose multi-TABLE banding genuinely collides and keeps its dedup.
     probes.join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+      .select("qid", "cid")
   }
 
   /** Cosine scores for (qid, cid) pairs against a (id, v) vector view. */
@@ -325,11 +339,19 @@ object Ivf {
       cents: Seq[Seq[Double]], dq: DataFrame,
       k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val assigned = assign(corpus, cents)
-    val probes = queries.select(col("id").as("qid"),
-      explode(probeClusters(col("e"), cents, nprobe)).as("cl"))
+    // 16-byte (qid, cl) rows fanned to cores — the probedCandidates
+    // rationale: parallelism for the expansion + scoring comes from the
+    // cheapest stream in the plan, not from a corpus-sized exchange
+    val probes = Similarity.fanOutToCores(
+      queries.select(col("id").as("qid"),
+        explode(probeClusters(col("e"), cents, nprobe)).as("cl")))
+    // unique by construction — the probedCandidates argument: one
+    // (cid, cl) row per corpus id, distinct probed cls per query ⇒ a
+    // (qid, cid) pair arises from at most one cl; the former .distinct()
+    // paid an exchange + aggregate pair for nothing
     val pairs = probes
       .join(assigned.select(col("id").as("cid"), col("cl")), Seq("cl"))
-      .select("qid", "cid").distinct()
+      .select("qid", "cid")
     val approx = scorePairs(pairs, dq.select(col("id"), col("dq").as("v")))
     val wA = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     val short = approx.withColumn("r", row_number().over(wA))

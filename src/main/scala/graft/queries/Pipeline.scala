@@ -151,24 +151,32 @@ object Pipeline {
     * aggregate over the pair-sized tagged frame. */
   def dupSources(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = sharedShingles(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs =
-      try Dedup.minhashDupPairsFrom(sh, k = 64, bands = 16, threshold = 0.8)
-        .select("da", "db").localCheckpoint()
-      finally sh.unpersist(blocking = false)
+    // no persist/localCheckpoint scaffolding (r16, the minhashDedup
+    // rationale): the shingle table is a persisted artifact and the pair
+    // pipeline is consumed exactly once now that the share denominator
+    // is a window (below) instead of a crossJoin against the counts
+    // subtree's own aggregate — which re-executed the whole pair+tag
+    // pipeline a second time per run
+    val pairs = Dedup.minhashDupPairsFrom(sharedShingles(spark, dir),
+        k = 64, bands = 16, threshold = 0.8)
+      .select("da", "db")
     val src = docs.select(col("doc_id"), col("source"))
     val pa = src.join(broadcast(pairs), col("doc_id") === col("da"))
       .select(col("da"), col("db"), col("source").as("src_a"))
     val tagged = src.join(broadcast(pa), col("doc_id") === col("db"))
       .select(least(col("src_a"), col("source")).as("source_a"),
         greatest(col("src_a"), col("source")).as("source_b"))
-    val counts = tagged.groupBy("source_a", "source_b")
+    // the share denominator over the source-pair-sized counts frame (≤
+    // |sources|² rows) — an unpartitioned window over a bounded frame,
+    // same as gateSweep's `whole` window
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    tagged.groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
-    counts.crossJoin(broadcast(counts.agg(sum(col("n_pairs")).as("total"))))
       .select(col("source_a"), col("source_b"), col("n_pairs"),
-        (col("n_pairs").cast(DoubleType) / col("total").cast(DoubleType))
-          .as("pair_share"))
+        (col("n_pairs").cast(DoubleType) /
+          sum(col("n_pairs")).over(wAll).cast(DoubleType)).as("pair_share"))
       .orderBy("source_a", "source_b")
   }
 
@@ -579,6 +587,12 @@ object Pipeline {
     * lists. One scan, one count shuffle, vocabulary-sized tail
     * ([[graft.operators.TextAnalysis.collocations]]). */
   def collocationsTopK(spark: SparkSession, dir: String): DataFrame =
+    // fanOutToCores measured a net LOSS here (idle 5-rep min 0.79 →
+    // 1.13 s): the bigram explode feeds a map-side hash aggregate, and
+    // 32 fanned tasks each allocate their own agg hash table over the
+    // full bigram vocabulary — per-task setup outweighs the spread
+    // compute at bench scale, unlike the allocation-light vector/set
+    // kernels where the fan-out wins (knnJoin, winnowPairs)
     TA.collocations(Tables.documents(spark, dir), "text", minCount = 5)
       .orderBy(col("pmi_ratio").desc, col("bigram").asc)
       .limit(20)
@@ -989,15 +1003,16 @@ object Pipeline {
     * nlist-valued cluster id; the 1-row total broadcasts back. */
   def ivfOccupancy(spark: SparkSession, dir: String): DataFrame = {
     val b = Ivf.base(Tables.embeddings(spark, dir), "vec_id", "embedding")
-    // checkpoint the ≤nlist-row aggregate: occ feeds the output AND its
-    // own total, and without the barrier the corpus-sized assignment
-    // scan would execute twice
-    val occ = Ivf.assign(b, sharedCentroids(b, dir))
+    // the total rides a window over the ≤nlist post-agg frame (the
+    // q_cluster_sizes shape) instead of the former localCheckpoint +
+    // crossJoin against the aggregate's own total — same result, two
+    // fewer jobs, and the corpus-sized assignment scan still runs once
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val share = col("n_vecs").cast(DoubleType) /
+      sum(col("n_vecs")).over(w).cast(DoubleType)
+    Ivf.assign(b, sharedCentroids(b, dir))
       .groupBy(col("cl").cast(LongType).as("cl"))
       .agg(count(lit(1)).as("n_vecs"))
-      .localCheckpoint()
-    val share = col("n_vecs").cast(DoubleType) / col("total").cast(DoubleType)
-    occ.crossJoin(broadcast(occ.agg(sum(col("n_vecs")).as("total"))))
       .select(col("cl"), col("n_vecs"), share.as("share"),
         (share * lit(IvfNlist.toDouble)).as("load_factor"))
       .orderBy("cl")
@@ -1424,7 +1439,8 @@ object Pipeline {
     // duplicate a build, which atomicCommit makes safe cross-writer.)
     tokenArtifactLocks.remove(path)
     if (ok)
-      try spark.read.parquet(path).select(cols.map(col): _*)
+      try graft.operators.Artifacts.readCachedSchema(spark, path)
+        .select(cols.map(col): _*)
       catch { case scala.util.control.NonFatal(_) => build }
     else build
   }
@@ -4166,6 +4182,10 @@ object Pipeline {
     * The cumulative sum is the distributed prefix-sum shape — no
     * single-partition global window (PlanQualitySpec pins that). */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    // fanOutToCores measured a net loss here too (0.78 → 0.85 s idle
+    // min): the round-robin exchange of the text column costs more than
+    // the spread saves on the two scoring passes — left on the 1-task
+    // scan the data layout dictates
     graft.operators.Sampling.tokenBudgetSelect(
         Tables.documents(spark, dir).select(col("doc_id"),
           TA.tokenCount(col("text")).as("n_tokens"),
@@ -4445,6 +4465,10 @@ object Pipeline {
     * aggregate; member distances join the labels×dims centroid table
     * back as a BROADCAST; everything else is labels²-sized. */
   def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    // fanOutToCores measured a net loss here (0.79 → 1.09 s idle min):
+    // the posexplode feeds a (label, dim)-keyed decimal hash aggregate,
+    // and 32 fanned tasks each allocate a labels×dims BigDecimal agg
+    // table — the collocationsTopK lesson; left on the 1-task scan
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "v")))

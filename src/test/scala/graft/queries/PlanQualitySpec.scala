@@ -883,7 +883,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // grand-total share windows over POST-aggregation frames: the
     // single-partition exchange moves ≤ nlist / ≤ sources×langs rows
     "q_cluster_sizes" -> "share window over the ≤nlist post-agg frame",
-    "q_source_mixture" -> "share windows over the sources×langs post-agg frame")
+    "q_ivf_occupancy" -> "share window over the ≤nlist post-agg frame",
+    "q_source_mixture" -> "share windows over the sources×langs post-agg frame",
+    // the pair_share denominator runs over the ≤|sources|² post-agg
+    // counts frame — the former crossJoin against the counts subtree's
+    // own aggregate re-executed the whole pair pipeline a second time
+    "q_dup_sources" -> "share window over the ≤sources² post-agg frame")
 
   test("q_quality_calibrated: calibration attaches as a broadcast, never a corpus sort-merge") {
     val plan = planOf(Pipeline.qualityCalibrated(spark, dir))
