@@ -353,7 +353,13 @@ object Dedup {
       cand: DataFrame, threshold: Double): DataFrame = {
     val allSh = index.select(col("doc"), col("shh"))
       .union(newSig.select(col("doc"), col("shh")))
-    val dropped = cand
+    // the exact-Jaccard verify (one native array_intersect over
+    // hundreds-of-longs shingle sets per candidate pair) is this
+    // operator's dominant compute, and it pipelines over the candidate
+    // frame's layout — 16-byte (nd, od) rows that AQE's byte-based
+    // coalescing folds onto 1-3 tasks. Pin them (Similarity.pinByKey):
+    // the added exchange carries key pairs only, at any scale.
+    val dropped = Similarity.pinByKey(cand, col("nd"))
       .join(newSig.select(col("doc").as("nd"), col("shh").as("sha")), Seq("nd"))
       .join(allSh.select(col("doc").as("od"), col("shh").as("shb")), Seq("od"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -421,14 +427,18 @@ object Dedup {
     * no corpus-side shuffle. Output: (doc_id, n_hits) per contaminated
     * corpus document. */
   def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int): DataFrame = {
-    val corpusSh = shingleRowsOf(corpus, textCol, idCol, n)
-    val benchSh = shingleRowsOf(benchmark, textCol, idCol, n)
-      .select(col("h")).distinct()
-    corpusSh.join(broadcast(benchSh), "h")
+      textCol: String, idCol: String, n: Int): DataFrame =
+    contaminatedDocsFrom(shingleRowsOf(corpus, textCol, idCol, n),
+      shingleRowsOf(benchmark, textCol, idCol, n))
+
+  /** [[contaminatedDocs]] over precomputed (doc, h) distinct-per-doc gram
+    * rows — the artifact-backed form (the gramNoveltyFrom treatment):
+    * both sides explode straight from the persisted shingle table, no
+    * re-tokenization. */
+  def contaminatedDocsFrom(corpusSh: DataFrame, benchSh: DataFrame): DataFrame =
+    corpusSh.join(broadcast(benchSh.select(col("h")).distinct()), "h")
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
-  }
 
   /** Contamination OVERLAP FRACTION — the graded decontamination report
     * ([[contaminatedDocs]] answers "any shared n-gram?"; production
@@ -444,14 +454,23 @@ object Dedup {
     * overlap 0.0 — they cannot leak what they cannot contain. The ratio
     * is one int/int IEEE division: engine-exact. */
   def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int): DataFrame = {
-    val benchSh = benchmarkHashes(benchmark, textCol, idCol, n)
-      .withColumn("hit", lit(1L))
-    val perDoc = shingleRowsOf(corpus, textCol, idCol, n)
-      .join(broadcast(benchSh), Seq("h"), "left")
+      textCol: String, idCol: String, n: Int): DataFrame =
+    contaminationOverlapFrom(
+      shingleRowsOf(corpus, textCol, idCol, n),
+      shingleRowsOf(benchmark, textCol, idCol, n),
+      corpus.select(col(idCol)), idCol)
+
+  /** [[contaminationOverlap]] over precomputed (doc, h) gram rows plus
+    * the corpus-universe id frame (zero-gram documents re-enter through
+    * it with overlap 0.0) — the artifact-backed form. */
+  def contaminationOverlapFrom(corpusSh: DataFrame, benchSh: DataFrame,
+      universe: DataFrame, idCol: String): DataFrame = {
+    val bench = benchSh.select(col("h")).distinct().withColumn("hit", lit(1L))
+    val perDoc = corpusSh
+      .join(broadcast(bench), Seq("h"), "left")
       .groupBy(col("doc").as(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    universe.join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -474,18 +493,25 @@ object Dedup {
     * construction — AQE broadcasts it or runs a small shuffle join; the
     * full corpus gram stream itself never shuffles. */
   def contaminatedDocsBloom(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+      textCol: String, idCol: String, n: Int, fpp: Double = 0.01): DataFrame =
+    contaminatedDocsBloomFrom(shingleRowsOf(corpus, textCol, idCol, n),
+      shingleRowsOf(benchmark, textCol, idCol, n), fpp)
+
+  /** [[contaminatedDocsBloom]] over precomputed (doc, h) gram rows — the
+    * artifact-backed form. */
+  def contaminatedDocsBloomFrom(corpusSh: DataFrame, benchSh0: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
     // localCheckpoint: the distinct benchmark gram set has THREE consumers
     // (the count that sizes the bitset, the bloom aggregation, the exact
     // verify join) — on the path whose whole point is large benchmark
     // sets, recomputing that explode+distinct shuffle per consumer is the
     // first thing to cut. Eager checkpoint materializes it once; its
     // storage is released with the frame, no persist pin to hand-release.
-    val benchSh = benchmarkHashes(benchmark, textCol, idCol, n)
+    val benchSh = benchSh0.select(col("h")).distinct()
       .localCheckpoint()
     val expected = math.max(benchSh.count(), 1L)
     val bloom = benchSh.stat.bloomFilter("h", expected, fpp)
-    val hits = shingleRowsOf(corpus, textCol, idCol, n)
+    val hits = corpusSh
       .filter(graft.functions.BloomMightContain.mightContain(col("h"), bloom))
     hits.join(benchSh, "h")
       .groupBy(col("doc").as("doc_id"))

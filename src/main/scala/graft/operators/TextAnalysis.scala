@@ -179,23 +179,31 @@ object TextAnalysis {
       materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
     val gramsRaw = ngramRows(docs, textCol, idCol, n, distinct = true)
       .select(col(idCol), xxhash64(col("gram")).as("h"))
-    def out(grams: org.apache.spark.sql.DataFrame) = {
-      val first = grams.groupBy("h").agg(min(col(idCol)).as("first_owner"))
-      grams.join(first, Seq("h"))
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_owner") === col(idCol), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty",
-          col("n_novel").cast(DoubleType) / col("n_grams"))
-    }
-    if (!materialize) out(gramsRaw)
+    if (!materialize) gramNoveltyFrom(gramsRaw, idCol)
     else {
       val grams =
         gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try out(grams).localCheckpoint()
+      try gramNoveltyFrom(grams, idCol).localCheckpoint()
       finally grams.unpersist(blocking = false)
     }
+  }
+
+  /** [[gramNovelty]] over precomputed per-document-DISTINCT (id, h) gram
+    * rows — the artifact-backed form: the persisted shingle table
+    * (ShingleHashes = distinct word-n-gram xxhash64/seed-42 per doc,
+    * hash-identical to the inline tokenization above) explodes straight
+    * into the owner aggregate and the re-join, so the caller pays no
+    * tokenization and needs no persist (artifact re-reads are cheap). */
+  def gramNoveltyFrom(grams: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val first = grams.groupBy("h").agg(min(col(idCol)).as("first_owner"))
+    grams.join(first, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_owner") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams"))
   }
 
   /** Collocation mining: bigrams whose observed frequency most exceeds

@@ -237,13 +237,19 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("tf-idf tokenizes once; as-of and range joins never go all-pairs") {
+    // df rides a groupBy+join, not a token-partitioned window (the
+    // lmScore doctrine): the invariant is that the exploded token
+    // stream is never SORTED by token — the optimizer prunes the df
+    // branch into its own (cheap, overlapping) tokenization scan, which
+    // is the accepted trade for dropping that full-stream sort.
     val tfidf = planOf(Pipeline.tfidfTopK(spark, dir).limit(1))
-    // df via a token window over tf, NOT a join against a re-derived df
-    // table — a second input would re-tokenize the whole corpus
     val scans = tfidf.linesIterator.count(l =>
       l.contains("parquet") && l.contains("documents"))
-    assert(scans == 1, s"tf-idf must scan documents once, saw $scans:\n$tfidf")
-    assert(!tfidf.contains("Join"), s"tf-idf needs no join:\n$tfidf")
+    assert(scans <= 2, s"tf-idf scans documents at most twice, saw $scans:\n$tfidf")
+    assert(!tfidf.linesIterator.exists(l => l.trim.startsWith("Sort [token")),
+      s"tf-idf must not sort the token stream (the former df-window shape):\n$tfidf")
+    assert(!tfidf.contains("SortMergeJoin"),
+      s"the df attach must not shuffle-sort the tf stream:\n$tfidf")
 
     val asof = planOf(Extensions.asofJoin(spark, dir).limit(1))
     assert(!asof.contains("Join"),
