@@ -301,10 +301,27 @@ object Bench {
     val noisyHeadJson = noisy.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     val minRegHeadJson =
       minRegressed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-query MINs ride the summary line for the shown queries whose
+    // median exceeds their min by >20% (and for every min_regressed one):
+    // a burst only ever ADDS time, so median >> min means contention, not
+    // regression — the r16 driver run read q_sessionize's 2.4s median as a
+    // 4x regression that its own min column exonerated. Carrying exactly
+    // the adjudication-relevant mins (capped at 30; the full artifact has
+    // all of them) lets a PERF comparison self-adjudicate noise from the
+    // stdout line alone. Additions-only; the 1800-byte self-limit governs.
+    val minByName = mins.toMap
+    val minRegSet = minRegressed.toSet
     def line(keep: Int): String = {
       val omitted = medians.size - keep
+      val shown = bySlowest.take(keep)
+      val minsShown = shown.flatMap { case (k, med) =>
+        minByName.get(k)
+          .filter(mn => med > mn * 1.2 || minRegSet.contains(k))
+          .map(k -> _)
+      }.take(30)
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec","queries":${
         jmap(bySlowest.take(keep))
+      },"min":${jmap(minsShown)
       },"omitted_fast":$omitted,"max_spread_ratio":${fmtN(3)(maxSpreadRatio)
       },"noisy_count":${noisy.size},"noisy":$noisyHeadJson,"min_regressed_count":${
         minRegressed.size},"min_regressed":$minRegHeadJson,"failed":$failedJson,"partial":$partialJson,"full":"${fullPath.getFileName}","full_passes":$fullPasses,"n":$reps,"sf":"$sfDir"}"""

@@ -36,10 +36,29 @@ object ProfileQuery {
 
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
     @volatile var collecting = false
+    @volatile var jobCount = 0
     val stageJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    // listener events are delivered asynchronously on the bus; without a
+    // drain, flipping `collecting` off right after count() returns races
+    // ahead of the last stages' StageCompleted events and silently drops
+    // rows (and rows.clear() can erase late events of the PRIOR query).
+    // listenerBus/waitUntilEmpty are private[spark] — reflection is the
+    // supported-from-outside way to reach them.
+    val drainBus: () => Unit = {
+      try {
+        val busM = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = busM.invoke(spark.sparkContext)
+        val waitM = bus.getClass.getMethod("waitUntilEmpty")
+        () => { waitM.invoke(bus); () }
+      } catch { case scala.util.control.NonFatal(_) =>
+        () => Thread.sleep(300)
+      }
+    }
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         js.stageIds.foreach(sid => stageJob.put(sid, js.jobId))
+        if (collecting) jobCount += 1
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (collecting) {
           val si = sc.stageInfo
@@ -67,14 +86,16 @@ object ProfileQuery {
         try fn(spark, wd).count() catch { case _: Throwable => () })
       var last = 0.0
       for (r <- 1 to reps) {
+        drainBus() // flush the prior rep/query's late events before clearing
         rows.clear()
+        jobCount = 0
         collecting = r == reps
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         last = (System.nanoTime() - t0) / 1e9
-        if (r == reps) collecting = false
+        if (r == reps) { drainBus(); collecting = false }
       }
-      println(f"%n=== $name%s  last-rep wall ${last}%.3f s ===")
+      println(f"%n=== $name%s  last-rep wall ${last}%.3f s  jobs $jobCount%d ===")
       println(f"${"job"}%4s ${"stage"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
         f"${"cpu_ms"}%7s ${"gc_ms"}%6s ${"tasks"}%5s ${"in_MB"}%8s " +
         f"${"shR_MB"}%7s ${"shW_MB"}%7s  name")

@@ -32,21 +32,25 @@ object Tables {
     // and defer the failure to execution, past the catch.
     if (name == "events") spark.read.parquet(path)
     else {
-      val key = (System.identityHashCode(spark), path)
-      val schema = schemaCache.get(key) match {
-        case Some(s) => s
-        case None =>
-          val s = spark.read.parquet(path).schema
-          schemaCache.put(key, s)
-          s
+      val perSession = schemaCache.synchronized {
+        schemaCache.computeIfAbsent(spark,
+          _ => scala.collection.concurrent.TrieMap
+            .empty[String, org.apache.spark.sql.types.StructType])
       }
+      val schema =
+        perSession.getOrElseUpdate(path, spark.read.parquet(path).schema)
       spark.read.schema(schema).parquet(path)
     }
   }
 
+  // Weak-keyed by the SESSION (not its identity hash): entries for
+  // stopped sessions are GC-evicted with the session, and a reused
+  // identity hash can never serve a schema another session inferred.
+  // Values are StructTypes only — nothing in a value pins its key alive.
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String),
-      org.apache.spark.sql.types.StructType]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        org.apache.spark.sql.types.StructType]]()
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -121,19 +121,21 @@ object Artifacts {
     * cached schema can never go stale. Data is still read fresh at
     * execution; only the inference job is skipped. */
   def readCachedSchema(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
-    val key = (System.identityHashCode(spark), path)
-    val schema = schemaCache.get(key) match {
-      case Some(s) => s
-      case None =>
-        val s = spark.read.parquet(path).schema
-        schemaCache.put(key, s)
-        s
+    val perSession = schemaCache.synchronized {
+      schemaCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap
+          .empty[String, org.apache.spark.sql.types.StructType])
     }
+    val schema =
+      perSession.getOrElseUpdate(path, spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
+  // Weak-keyed by the session (see Tables.schemaCache): stopped sessions
+  // GC-evict their entries, and identity-hash reuse cannot cross sessions.
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String),
-      org.apache.spark.sql.types.StructType]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        org.apache.spark.sql.types.StructType]]()
 
   private def writeMetaFile(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, meta: Map[String, String]): Unit = {

@@ -353,13 +353,16 @@ object Dedup {
       cand: DataFrame, threshold: Double): DataFrame = {
     val allSh = index.select(col("doc"), col("shh"))
       .union(newSig.select(col("doc"), col("shh")))
-    // the exact-Jaccard verify (one native array_intersect over
-    // hundreds-of-longs shingle sets per candidate pair) is this
-    // operator's dominant compute, and it pipelines over the candidate
-    // frame's layout — 16-byte (nd, od) rows that AQE's byte-based
-    // coalescing folds onto 1-3 tasks. Pin them (Similarity.pinByKey):
-    // the added exchange carries key pairs only, at any scale.
-    val dropped = Similarity.pinByKey(cand, col("nd"))
+    // NO pinByKey on the candidate frame (r16 pinned it to spread the
+    // exact-Jaccard array_intersect verify; r17 re-adjudicated under the
+    // driver's cold-JVM full-suite interleaved protocol and REVERTED):
+    // the pinned form lost the suite median in every paired run
+    // (q_dedup_incremental 0.87-1.02 s pinned vs 0.80-0.86 s unpinned,
+    // q_winnow_incremental 1.30-1.47 vs 1.21-1.26; 4 runs, r17 A/B) —
+    // the isolated-idle win never survived suite load, and the added
+    // exchange is pure cost at fleet scale where the candidate stream
+    // is large enough that AQE sizes its own exchange sensibly.
+    val dropped = cand
       .join(newSig.select(col("doc").as("nd"), col("shh").as("sha")), Seq("nd"))
       .join(allSh.select(col("doc").as("od"), col("shh").as("shb")), Seq("od"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))

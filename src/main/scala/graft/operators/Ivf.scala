@@ -310,13 +310,15 @@ object Ivf {
     * corpus. */
   def sq8RerankWith(b: DataFrame, cents: Seq[Seq[Double]], dq: DataFrame,
       nQueries: Int, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
-    // deliberately NOT pinByKey'd (unlike winnowPairs): the scoring
-    // stages here are allocation-heavy (hash-agg dedup, two broadcast
-    // probes, a window sort), and at bench scale 32 such tasks pay more
-    // in per-task sorter/agg setup and memory-pool contention than the
-    // spread wins — measured idle 7-rep mins, q_ivf_rerank
-    // 0.63s → 0.84s with the pin; AQE's byte-coalesced few-task shape
-    // is the faster one for this operator family
+    // deliberately NOT pinByKey'd: the scoring stages here are
+    // allocation-heavy (hash-agg dedup, two broadcast probes, a window
+    // sort), and at bench scale 32 such tasks pay more in per-task
+    // sorter/agg setup and memory-pool contention than the spread wins —
+    // measured idle 7-rep mins, q_ivf_rerank 0.63s → 0.84s with the pin;
+    // AQE's byte-coalesced few-task shape is the faster one (r17's
+    // full-suite re-adjudication reached the same verdict for the dedup
+    // pins and reverted them too — spanScrub's h-join-adjacent pin is
+    // the one survivor, see Dedup.spanScrubStages)
     val approx = scorePairs(probedCandidates(b, cents, nQueries, nprobe),
       dq.select(col("id"), col("dq").as("v")))
     val wA = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)

@@ -75,8 +75,19 @@ object Similarity {
     * the per-query candidate set. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       nQueries: Int, k: Int): DataFrame = {
-    val corpus = fanOutToCores(
-      emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec")))
+    // NO fanOutToCores here (r16 added it alongside knnJoin's; r17
+    // re-adjudicated under the driver's cold-JVM full-suite protocol and
+    // REVERTED it for THIS path only): with a small query set (the
+    // declared caller scores 50 queries x k=5) the per-corpus-row work is
+    // ~50 cosines — too light to repay serializing the whole corpus out
+    // of the single-row-group scan task (q_similarity_topk medians
+    // 0.60-0.66 s fanned vs 0.47-0.59 s unfanned across 4 paired runs;
+    // the driver's r16 run measured the same 0.79x). knnJoin KEEPS its
+    // fan-out: its query side is corpus-scale, so per-row scoring work
+    // there is ~1000x heavier and the spread repays the exchange
+    // (q_knn_labels 2.01x on the driver's own r16 run).
+    val corpus =
+      emb.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cvec"))
     val queries = emb.filter(col(idCol) < nQueries)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
     val scored = corpus.crossJoin(broadcast(queries))

@@ -234,17 +234,16 @@ object Pipeline {
     // never share 2, so such pairs fall back to >= 1 shared fp and the
     // exact-Jaccard verifier stays the precision gate
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    // pin the doc_id exchange at the configured shuffle parallelism: the
-    // window, the capped self-join, the candidate aggregate AND the
-    // jaccard-verify probes all pipeline over THIS exchange's layout, and
-    // its bytes are tiny relative to its compute (8-byte fp rows feeding
-    // per-pair set intersections), so AQE's byte-based coalescing folds
-    // the query's entire hot path onto 1 task of a 32-core box. An
-    // explicit-N repartition (N = spark.sql.shuffle.partitions — the
-    // operator-tuned value at fleet scale, cores on the local bench)
-    // opts this one exchange out of coalescing; keys are unchanged, so
-    // results are partition-layout-independent.
-    val base = pinByKey(fps, col("doc_id")).withColumn("nfp", count(lit(1)).over(w))
+    // NO pinByKey on the doc_id exchange (r16 added one; r17 re-adjudicated
+    // it under the driver's own shape and REVERTED it): the pin's 2x win
+    // was real only on an idle box — in cold-JVM full-suite interleaved
+    // runs (the driver's protocol) the unpinned form won the per-query
+    // median in every paired run (1.23-1.33 s vs 1.55-1.64 s, 4 runs,
+    // r17 A/B), because 32 window+join+sorter tasks contend with the
+    // suite's own load where AQE's byte-coalesced few-task shape does
+    // not. At fleet scale this exchange carries corpus-order bytes and
+    // AQE sizes it normally — the pin only ever affected the bench box.
+    val base = fps.withColumn("nfp", count(lit(1)).over(w))
     // the cap as an ANTI-join against the hot-fp list, not a df window:
     // the list comes from a map-side-combined aggregate (no whole-row
     // sort — a df window costs ~40% of this query), is EMPTY whenever
@@ -1163,10 +1162,6 @@ object Pipeline {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  // the AQE-coalescing opt-out for compute-dense exchanges — shared with
-  // the ANN operators, see the scaladoc there
-  private[graft] def pinByKey(df: DataFrame, cols: Column*): DataFrame =
-    graft.operators.Similarity.pinByKey(df, cols: _*)
   private def sharedCentroids(b: DataFrame, dir: String): Seq[Seq[Double]] = {
     val spark = b.sparkSession
     // root resolved from spark conf ([[Ivf.indexRoot]]) so a deployment
@@ -1430,9 +1425,9 @@ object Pipeline {
           // artifact was measured a net LOSS at bench scale (32 tiny
           // files → 32-map-task consumer stages each paying ~150ms of
           // fixed scan+shuffle-writer cost, q_winnow_pairs 0.77s → 1.1s+)
-          // — parallelism for compute-dense consumers is established at
-          // their first exchange (pinByKey) instead. At fleet scale the
-          // build's own shuffle already writes many byte-sized files.
+          // — consumer parallelism comes from the consumers' own
+          // exchanges. At fleet scale the build's own shuffle already
+          // writes many byte-sized files.
           build.write.mode("overwrite").parquet(tmp)
         }
       })
@@ -1473,10 +1468,12 @@ object Pipeline {
     * paths implicitly: first call writes, later calls read). Unknown (0)
     * stamp ⇒ never persist or read back (the sharedPcaModel rule): a
     * tokenization persisted under an unfingerprintable corpus would be
-    * served stale forever after a data rewrite. Callers persist the
-    * returned frame for their own multi-consumer self-joins either way
-    * (artifact-backed reads then decode the parquet once, not per
-    * consumer). */
+    * served stale forever after a data rewrite. Callers do NOT persist
+    * the returned frame (r16 measured the persist/localCheckpoint
+    * scaffolding a net loss against cheap columnar artifact re-scans);
+    * the accepted cost is that on the stamp-0 fallback each self-join
+    * consumer re-tokenizes — correct, just slower in that degraded
+    * environment (the sweepPairs thunk documents the same trade). */
   private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     datasetArtifact(spark, dir, "graft_shingle_table",
         s"n$ShingleN:fmt$ShingleFormat", Seq("doc", "shh")) {
