@@ -257,7 +257,7 @@ object Ivf {
     * [[sq8RerankWith]]: the first `nQueries` ids probe their `nprobe`
     * nearest clusters and pair with those clusters' members — the only
     * join is an equi-join on the cluster id. */
-  private def probedCandidates(b: DataFrame, cents: Seq[Seq[Double]],
+  private[operators] def probedCandidates(b: DataFrame, cents: Seq[Seq[Double]],
       nQueries: Int, nprobe: Int): DataFrame = {
     val assigned = assign(b, cents)
     // the (qid, cl) probe rows are 16 bytes each — fanning THEM out to

@@ -39,9 +39,32 @@ object Similarity {
     * partitions, the guard never fires, and no payload is shuffled. The
     * target derives from `defaultParallelism`, so lower-core driver runs
     * fan out to THEIR core count. */
-  private[graft] def fanOutToCores(df: DataFrame): DataFrame = {
+  private[graft] def fanOutToCores(df: DataFrame, keys: Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // "Would this side scan as fewer than `target` partitions?" is
+    // answered from the LEAF file statistics instead of the former
+    // `df.rdd.getNumPartitions` probe: that probe physically planned the
+    // subtree a second time on the driver at every query construction
+    // (analyzer + optimizer + planner + AQE prep — a pure fixed tax on
+    // every ANN query, r17). The splitter packs one scan partition per
+    // maxPartitionBytes of file bytes, so leaf bytes under
+    // target × maxPartitionBytes imply an under-partitioned scan; leaf
+    // stats (not the projected estimate, which column pruning shrinks)
+    // mirror what the splitter sees. Same decisions at both ends: the
+    // test corpus is a few MB ⇒ fan out; a fleet corpus is ≥ TBs ⇒ the
+    // guard never fires and no payload is shuffled.
+    // With `keys`, spread by HASH of the keys instead of round-robin: a
+    // keyless repartition(n) pays a per-task determinism sort of its full
+    // input (spark.sql.execution.sortBeforeRepartition) that a hash
+    // repartition does not, and a key that matches the consumer's
+    // partitioning requirement satisfies it outright (no second
+    // exchange). Same guard: a no-op at scale.
+    val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (leafBytes >= BigInt(maxPart) * target) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
   }
 
   /** Repartition by `cols` with an EXPLICIT partition count (the session's

@@ -2025,12 +2025,16 @@ object Pipeline {
     * materializes once (the spanDupStats recipe). Spark compares
     * hashes, the oracle literal gram text — counts coincide absent a
     * 64-bit collision (the proven q_decontaminate argument). */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val gs = sharedSourceGrams(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try sourceOverlapFrom(gs).localCheckpoint()
-    finally gs.unpersist(blocking = false)
-  }
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    // no persist/localCheckpoint scaffolding (dropped r17, the e47dbe5
+    // doctrine): gramSources IS a persisted parquet artifact, so the two
+    // consumers (sizes + pairs) re-read a cheap columnar scan — the old
+    // eager persist+checkpoint paid a materialization pass plus ~6 extra
+    // jobs per call (profiled 13 jobs; isolated 7-rep min 0.897 → 0.510 s
+    // back-to-back, and 0.258 s on the calmer follow-up run). On the
+    // stamp-0 fallback each consumer re-derives inline — correct, just
+    // slower in that degraded environment (the sharedShingles rule).
+    sourceOverlapFrom(sharedSourceGrams(spark, dir))
 
   /** Per-gram source-set table feeding [[sourceOverlapFrom]]: one row
     * per distinct 5-gram hash with the SORTED set of sources containing
@@ -4439,6 +4443,14 @@ object Pipeline {
       .select(col("doc_id"), TA.qualityScore(col("text")).as("q"))
       .join(sharedLmScores(spark, dir).select(col("doc_id"), col("lm_score")),
         Seq("doc_id"))
+      // materialized once (r17): both the percentile-cut aggregate and
+      // the bucket-cell pass consume this frame, and without the barrier
+      // each re-runs the qualityScore text pass over the corpus — the
+      // query's dominant compute, profiled as two ~160 ms corpus stages.
+      // The checkpointed rows are 24-byte (doc_id, q, lm_score) triples —
+      // ~1000x narrower than the text they summarize, the exactTopKPairs
+      // rule. Isolated A/B (7-rep min, back-to-back): 0.665 → 0.511 s.
+      .localCheckpoint()
     val cuts = scored.agg(
       percentile(col("q"), thirds).as("qc"),
       percentile(col("lm_score"), thirds).as("lc"))
@@ -4449,26 +4461,40 @@ object Pipeline {
         size(filter(col("lc"), c => col("lm_score") >= c)).cast(LongType)
           .as("lm_bucket"))
       .groupBy("q_bucket", "lm_bucket").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // <= 9 rows; feeds marginals + diagonal + total
-    val total = cells.agg(sum(col("n_docs")).as("total"))
-    val diag = cells.filter(col("q_bucket") === col("lm_bucket"))
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_agree"))
-    val rowM = cells.groupBy("q_bucket").agg(sum(col("n_docs")).as("n_row"))
-    val colM = cells.groupBy("lm_bucket").agg(sum(col("n_docs")).as("n_col"))
-    val chance = rowM.join(colM, col("q_bucket") === col("lm_bucket"))
-      .agg(coalesce(sum(col("n_row") * col("n_col")), lit(0L)).as("n_chance"))
-    val po = col("n_agree").cast(DoubleType) / col("total").cast(DoubleType)
-    val pe = col("n_chance").cast(DoubleType) /
-      (col("total").cast(DoubleType) * col("total").cast(DoubleType))
-    val kappaFrame = total.crossJoin(broadcast(diag)).crossJoin(broadcast(chance))
-      .select(col("total"),
-        when(lit(1.0) - pe === 0, lit(null).cast(DoubleType))
-          .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
-    cells.crossJoin(broadcast(kappaFrame))
+      .localCheckpoint() // <= 9 rows; feeds the kappa scalars + output rows
+    // kappa from the <= 9 checkpointed cells DRIVER-SIDE (r17): the former
+    // total/diag/rowM/colM/chance frame chain ran as ~10 serial one-row
+    // Spark jobs plus three broadcast builds — ~0.3 s of pure job overhead
+    // per call, profiled at 16 jobs for the whole query (guide §5: the
+    // driver should do almost no data work — and nine rows is none; the
+    // same bounded-collect pattern as duplicateClusters' union-find and
+    // tokenBudget's per-partition subtotal offsets). Arithmetic is
+    // identical to the former frame chain: Long sums, Long products
+    // (multiplyExact/addExact throw on overflow exactly where ANSI mode
+    // threw), and the same IEEE op order for po/pe/kappa.
+    val cellRows = cells.select("q_bucket", "lm_bucket", "n_docs").collect()
+    val total = cellRows.map(_.getLong(2)).sum
+    val agree = cellRows.collect {
+      case r if r.getLong(0) == r.getLong(1) => r.getLong(2) }.sum
+    val rowM = cellRows.groupBy(_.getLong(0))
+      .map { case (b, rs) => b -> rs.map(_.getLong(2)).sum }
+    val colM = cellRows.groupBy(_.getLong(1))
+      .map { case (b, rs) => b -> rs.map(_.getLong(2)).sum }
+    val chance = rowM.foldLeft(0L) { case (acc, (b, nRow)) =>
+      colM.get(b) match {
+        case Some(nCol) => Math.addExact(acc, Math.multiplyExact(nRow, nCol))
+        case None       => acc
+      }
+    }
+    val po = agree.toDouble / total.toDouble
+    val pe = chance.toDouble / (total.toDouble * total.toDouble)
+    val kappaCol =
+      if (1.0 - pe == 0) lit(null).cast(DoubleType)
+      else lit((po - pe) / (1.0 - pe))
+    cells
       .select(col("q_bucket"), col("lm_bucket"), col("n_docs"),
-        (col("n_docs").cast(DoubleType) / col("total").cast(DoubleType))
-          .as("share"),
-        col("kappa"))
+        (col("n_docs").cast(DoubleType) / lit(total.toDouble)).as("share"),
+        kappaCol.as("kappa"))
       .orderBy("q_bucket", "lm_bucket")
   }
 

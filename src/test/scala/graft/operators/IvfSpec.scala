@@ -39,6 +39,22 @@ class IvfSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
   }
 
+  test("probed candidate pairs are unique WITHOUT a dedup — the distinct-drop contract") {
+    // r16 removed probedCandidates' .distinct() on the argument that
+    // assign() emits exactly one (cid, cl) row per corpus id and
+    // probeClusters returns distinct cluster ids per query. That argument
+    // rests on corpus ids being unique — guard BOTH so a non-unique
+    // corpus fails loudly here instead of silently double-counting
+    // candidates in every IVF top-k shortlist.
+    assert(emb.select("vec_id").distinct().count() == emb.count(),
+      "embeddings.vec_id must be unique — the IVF candidate stream's dedup was dropped on it")
+    val b = Ivf.base(emb, "vec_id", "embedding")
+    val cand = Ivf.probedCandidates(b, Ivf.centroids(b, nlist = 10, iters = 2),
+      nQueries = 50, nprobe = 5)
+    assert(cand.count() == cand.distinct().count(),
+      "(qid, cid) candidates must be unique by construction")
+  }
+
   test("IVF top-k recall vs brute force is well above the probe fraction") {
     val ivf = Ivf.topK(emb, "vec_id", "embedding", nlist = 10, iters = 2,
         nQueries = 50, k = 5, nprobe = 5)
