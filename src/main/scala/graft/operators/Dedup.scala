@@ -544,6 +544,11 @@ object Dedup {
     // checkpoints the (tiny, per-doc) result before releasing it
     if (!materialize) spanDupStatsFrom(gramsRaw)
     else {
+      // the qualityEnsemble-style input-checkpoint was tried here (r17)
+      // and measured a small LOSS (isolated mins: span_dedup 0.49 → 0.53,
+      // span_scrub 0.55 → 0.56): the instance-row frame is corpus-sized,
+      // so materializing IT costs more than the persist + eager
+      // result-checkpoint dance it would replace. Kept as-is.
       val grams =
         gramsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try spanDupStatsFrom(grams).localCheckpoint()
@@ -626,6 +631,8 @@ object Dedup {
     val spansRaw = spanPositionRows(docs, textCol, idCol, n)
     // materialize=false returns the raw plan (plan-quality assertions)
     if (!materialize) return spanScrubStages(docs, textCol, idCol, n, spansRaw)
+    // input-checkpoint variant measured a small loss here too (see
+    // spanDupStats) — the positional instance frame is corpus-sized.
     val spans =
       spansRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try spanScrubStages(docs, textCol, idCol, n, spans)

@@ -250,9 +250,18 @@ object Sampling {
       scoreCol: String, budget: Long): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    // materialize the scored input ONCE before the range exchange (r17):
+    // repartitionByRange runs a SAMPLING job over its child to pick the
+    // range bounds, then the exchange's map pass executes the child
+    // again — with an expensive input (tokenBudget's quality+token text
+    // pass) that was two full corpus passes, profiled as two ~270 ms
+    // serial stages. The input rows here are narrow (id, tokens, score)
+    // triples; the sampler and the map pass then read blocks. Isolated
+    // A/B (7-rep min, same box): q_token_budget 0.927 → 0.576 s.
+    val once = df.localCheckpoint()
     // pin the range partitioning: the subtotal pass and the final window
     // must read the SAME partitions, not a resampled recompute
-    val ordered = df
+    val ordered = once
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())

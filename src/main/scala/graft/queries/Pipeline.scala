@@ -1729,6 +1729,10 @@ object Pipeline {
   def adaptiveQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), TA.qualityScore(col("text")).as("quality"))
+      // materialized once (r17, the qualityAgreement rule): adaptiveGate
+      // consumes this twice (threshold aggregate + join-back), and each
+      // consumption re-ran the qualityScore text pass. Narrow rows.
+      .localCheckpoint()
     graft.operators.Sampling.adaptiveGate(scored, "lang", "quality",
         quantile = 0.25, exact = true)
       .withColumnRenamed("q_thr", "q25")
@@ -4054,14 +4058,16 @@ object Pipeline {
     * with DuckDB's native PERCENT_RANK — cross-validating the
     * histogram formulation against the engine-native one. */
   def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    // one checkpoint of the narrow signal frame instead of the former
+    // persist + eager result-checkpoint + unpersist dance (r17): the
+    // four consumers (three rank branches + the ranked join) read the
+    // materialized blocks, the selection itself executes lazily in the
+    // caller's action, and the profiled job count drops 16 → ~8.
     val sigs = Tables.documents(spark, dir).select(col("doc_id") +:
         ensembleSignals(col("text"), col("n_chars"))
           .map { case (n, c) => c.as(n) }: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) materializes the 100-row result while sigs
-    // is still cached, so the unpersist cannot trigger a recompute.
-    try qualityEnsembleSelected(sigs).localCheckpoint()
-    finally sigs.unpersist(blocking = false)
+      .localCheckpoint()
+    qualityEnsembleSelected(sigs)
   }
 
   /** The un-checkpointed selection plan over a signal frame — split out so
@@ -4244,6 +4250,12 @@ object Pipeline {
     val sig = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
       floor(TA.qualityScore(col("text")) * lit(1000000.0))
         .cast(LongType).as("q_fx"))
+      // materialized once (r17, the qualityAgreement rule): the histogram
+      // branch and the broadcast-join-back branch each re-ran the
+      // qualityScore text pass without the barrier — profiled as two
+      // ~300 ms single-task corpus stages. The checkpointed rows are
+      // narrow (doc_id, source, q_fx) triples. Isolated A/B below.
+      .localCheckpoint()
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("q_fx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

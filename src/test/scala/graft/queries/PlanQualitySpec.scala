@@ -894,7 +894,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // the pair_share denominator runs over the ≤|sources|² post-agg
     // counts frame — the former crossJoin against the counts subtree's
     // own aggregate re-executed the whole pair pipeline a second time
-    "q_dup_sources" -> "share window over the ≤sources² post-agg frame")
+    "q_dup_sources" -> "share window over the ≤sources² post-agg frame",
+    // the ensemble's percent-rank windows run over each signal's VALUE
+    // HISTOGRAM (floor-quantized ⇒ cardinality-bounded — the rankBySignal
+    // doctrine, asserted structurally by its own test below). They were
+    // always in the executed pipeline; r17's removal of the eager
+    // result-checkpoint merely made them visible to this scan.
+    "q_quality_ensemble" -> "rank windows over cardinality-bounded value histograms")
 
   test("q_quality_calibrated: calibration attaches as a broadcast, never a corpus sort-merge") {
     val plan = planOf(Pipeline.qualityCalibrated(spark, dir))
