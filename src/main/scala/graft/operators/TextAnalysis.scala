@@ -336,6 +336,12 @@ object TextAnalysis {
     * produce no row. */
   def boilerplateStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String, minDf: Int): org.apache.spark.sql.DataFrame = {
+    // no checkpoint barrier on the shingle pass (r17): staging the
+    // (id, shh-array) frame to share one tokenization across the df
+    // branch and the join-back measured a LOSS (isolated 7-rep min
+    // 0.578 → 0.610 s) — the array blocks cost more to write+decode
+    // twice than the second native ShingleHashes scan, the same verdict
+    // as the span-family and decontamination trials.
     val g3 = docs.select(col(idCol),
       explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), 3)).as("h"))
     val boiler = g3.groupBy("h").agg(count(lit(1)).as("df"))
