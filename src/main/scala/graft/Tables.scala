@@ -26,19 +26,23 @@ object Tables {
     // re-resolved per query as before). Keyed by session identity like
     // Artifacts.stampConf; a table whose SCHEMA mutates in place
     // mid-session is not a supported pattern anywhere in this repo.
-    // `events` is deliberately NOT cached: its legacy TIMESTAMP(NANOS)
-    // generation is detected by an inference-time throw (see [[events]]),
-    // and serving a cached LongType schema would let construction succeed
-    // and defer the failure to execution, past the catch.
-    if (name == "events") spark.read.parquet(path)
-    else {
-      val perSession = schemaCache.synchronized {
-        schemaCache.computeIfAbsent(spark,
-          _ => scala.collection.concurrent.TrieMap
-            .empty[String, org.apache.spark.sql.types.StructType])
+    // `events` is cached only AFTER a successful NATIVE-generation load
+    // (see [[events]], which populates the entry): its legacy
+    // TIMESTAMP(NANOS) generation is detected by an inference-time
+    // throw, so the first load per (session, dir) always runs real
+    // inference — a pre-populated LongType schema would let a later
+    // construction succeed without the nanosAsLong conf and defer the
+    // failure to execution, past the catch. With the entry present the
+    // generation is proven native and the ~90 ms per-construction
+    // inference job is skipped like every other table's (r17).
+    if (name == "events") {
+      schemaFor(spark, path) match {
+        case Some(s) => spark.read.schema(s).parquet(path)
+        case None    => spark.read.parquet(path)
       }
-      val schema =
-        perSession.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    } else {
+      val schema = perSessionSchemas(spark)
+        .getOrElseUpdate(path, spark.read.parquet(path).schema)
       spark.read.schema(schema).parquet(path)
     }
   }
@@ -51,6 +55,14 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String,
         org.apache.spark.sql.types.StructType]]()
+  private def perSessionSchemas(spark: SparkSession) =
+    schemaCache.synchronized {
+      schemaCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap
+          .empty[String, org.apache.spark.sql.types.StructType])
+    }
+  private def schemaFor(spark: SparkSession, path: String) =
+    perSessionSchemas(spark).get(path)
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -80,8 +92,22 @@ object Tables {
     * load per (session, dir), cached; a deployment at real scale should
     * rewrite such files to native micros instead. */
   def events(s: SparkSession, d: String): DataFrame = {
-    try normalizeTs(apply(s, d, "events"))
-    catch {
+    try {
+      val raw = apply(s, d, "events")
+      val df = normalizeTs(raw)
+      // Populate the schema cache ONLY from this success path and only
+      // for a non-Long ts: inference AND dtype normalization succeeded
+      // without the legacy conf, so the generation is proven native and
+      // re-serving its schema can never mask the legacy detection. A
+      // LongType ts here (a genuinely long-typed column, not the
+      // conf-gated nanos read — that one throws before reaching this
+      // line) stays uncached out of caution: it is the one shape the
+      // detection logic reasons about.
+      import org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType != LongType)
+        perSessionSchemas(s).putIfAbsent(s"$d/events.parquet", raw.schema)
+      df
+    } catch {
       // Pre-regeneration files are TIMESTAMP(NANOS): the plain read throws
       // [PARQUET_TYPE_ILLEGAL] at schema-inference time unless the legacy
       // conf is on. Retry once, scoped; unrelated failures (missing file)
